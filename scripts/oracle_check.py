@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB correctness gate.
+
+Usage: oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads each <out_dir>/<name> parquet directory (written by graft.Verify),
+runs the matching oracle SQL from <out_dir>/oracle_sql.json in DuckDB over
+the sf_dir tables, sorts columns by name and rows by all columns, and
+compares exactly. Reports per-query PASS/FAIL plus the first differing
+cells. Queries present in the output dir but absent from oracle_sql.json
+are reported as rows-only (count > 0).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify everything so float64-vs-float32 / int32-vs-int64 don't
+    # produce spurious type-level diffs (driver hashes values)
+    def cell(v):
+        if isinstance(v, float):
+            return repr(round(v, 9))
+        return repr(v)
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df.map(cell) if len(df) else df
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        parts = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not parts:
+            print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
+        got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY"
+            print(f"{status} {name}: {len(got)} rows"); n_rowsonly += 1
+            continue
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        g, w = normalize(got), normalize(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns spark={list(g.columns)} duckdb={list(w.columns)}")
+            n_fail += 1; continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows spark={len(g)} duckdb={len(w)}")
+            n_fail += 1; continue
+        if len(g) == 0:
+            print(f"PASS {name} (0 rows — weak)"); n_pass += 1; continue
+        neq = (g != w)
+        if neq.any().any():
+            n_fail += 1
+            rows, cols = neq.any(axis=1), neq.any(axis=0)
+            bad_rows = list(g.index[rows])[:3]
+            bad_cols = list(g.columns[cols])
+            print(f"FAIL {name}: {int(neq.any(axis=1).sum())}/{len(g)} rows differ; cols={bad_cols}")
+            for r in bad_rows:
+                for c in bad_cols:
+                    if g.at[r, c] != w.at[r, c]:
+                        print(f"   row {r} col {c}: spark={g.at[r, c]} duckdb={w.at[r, c]}")
+        else:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

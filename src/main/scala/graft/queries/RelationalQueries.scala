@@ -1,0 +1,508 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** The core relational operator surface of the engine, exercised over the
+  * TPC-H-ish fixtures. Each query re-expresses one (or more) operators from
+  * SURVEY.md §2 — the inventory extracted from the reference
+  * (app/Console/Commands of chefsplate/groove-to-helpscout-migration-tool) —
+  * as an idiomatic Catalyst-optimizable DataFrame plan:
+  *
+  *  - scans with pushdown (S1-S3: SyncCustomers.php:57-83,
+  *    SyncTickets.php:124-146,169-202)
+  *  - broadcast dimension joins (J1-J5: APIHelper.php:112-159)
+  *  - semi/anti validation joins (J7/J8: SyncTickets.php:84-108, F1/J6 dedup:
+  *    TicketProcessor.php:353-373)
+  *  - group-by/collect aggregation (A3: TicketPublisher.php:55-75)
+  *  - explode/flatten (N3/N4: APIHelper.php:252-261, SyncTickets.php:124)
+  *  - CASE dictionary mapping (X10: APIHelper.php:198-218)
+  *  - first-space name split / truncation (X1/X2: APIHelper.php:166-189)
+  *  - regex extraction (X6-X8: TicketProcessor.php:210-277)
+  *  - date parse/format (X11: TicketProcessor.php:436-437)
+  *  - page-range scans (F4: SyncTickets.php:162-189) and point lookups
+  *    (S3/VT: ViewTicket.php:53-57)
+  *
+  * Scale notes: fact-fact joins shuffle on their keys and leave join
+  * reordering to Catalyst/AQE; dimension joins are explicitly `broadcast()`;
+  * aggregates are partial (map-side) by construction; every scan projects
+  * only needed columns so parquet `ReadSchema` stays narrow.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** TPC-H Q1-style pricing summary: filtered scan → partial+final agg.
+    * Covers A1/A2 counting (SyncCustomers.php:62-69) at analytic scale. */
+  private val q01 = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("2000-12-31"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(avg(l_quantity), 2) AS avg_qty,
+      round(avg(l_extendedprice), 2) AS avg_price,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Global top-k by sort+limit (§2.9: the engine's explicit ordering
+    * surface; the reference only has implicit page order, SC:71-83). */
+  private val q02 = Q(
+    "q02_topk_orders",
+    (s, dir) => Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** TPC-H Q3-style: selective dim filter → fact join → agg → top-k.
+    * Shuffle-join on orderkey; customer side filtered before the join so
+    * Catalyst can push the predicate below it. */
+  private val q03 = Q(
+    "q03_segment_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer.filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"))
+      val o = t.orders.filter(col("o_orderdate") < lit("2000-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t.lineitem.filter(col("l_shipdate") > lit("2000-01-01"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'MACHINERY'
+        AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** EXISTS as left-semi join (J7-shape validation gate,
+    * SyncTickets.php:84-92 expressed as a distributed semi-join). */
+  private val q04 = Q(
+    "q04_priority_exists",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val returned = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t.orders
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** NOT EXISTS as left-anti join — the dedup/validation shape (F1/J6:
+    * TicketProcessor.php:353-373; J8: SyncTickets.php:100-108). Customers
+    * with no 1995 order. */
+  private val q05 = Q(
+    "q05_quiet_customers_1995",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val o95 = t.orders
+        .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1996-01-01"))
+        .select(col("o_custkey"))
+      t.customer
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+      ORDER BY c_custkey"""))
+
+  /** TPC-H Q6-style selective filter + scalar agg: the pushdown showcase —
+    * all three predicates reach the parquet scan. */
+  private val q06 = Q(
+    "q06_discount_revenue",
+    (s, dir) => Tables(s, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1999-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_lines")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      count(*) AS n_lines FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** Broadcast hash join fact⋈dim (J1/J2 mailbox lookups,
+    * APIHelper.php:112-141 — dims are broadcast, never shuffled). */
+  private val q07 = Q(
+    "q07_brand_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** Snowflake dim chain: two broadcast joins then agg (S9-S11 dims). */
+  private val q08 = Q(
+    "q08_region_balance",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.select(col("c_nationkey"), col("c_acctbal"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("c_acctbal")), 2).as("total_bal"),
+             count(lit(1)).as("n_cust"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal,
+      count(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** CASE dictionary mapping — the Groove-state→HelpScout-status table
+    * (X10: APIHelper.php:198-218) re-expressed over o_orderstatus, with the
+    * unknown→NULL error-channel row (TicketProcessor.php:444-446). */
+  private val q09 = Q(
+    "q09_status_mapping",
+    (s, dir) => Tables(s, dir).orders
+      .withColumn("status",
+        when(col("o_orderstatus") === "O", "active")
+          .when(col("o_orderstatus") === "P", "pending")
+          .when(col("o_orderstatus") === "F", "closed")
+          .otherwise(lit(null)))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("status")),
+    Some("""SELECT CASE WHEN o_orderstatus = 'O' THEN 'active'
+        WHEN o_orderstatus = 'P' THEN 'pending'
+        WHEN o_orderstatus = 'F' THEN 'closed' ELSE NULL END AS status,
+      count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1 ORDER BY status"""))
+
+  /** Case-insensitive lookup join against an inline literal dim (X9 `strcasecmp`
+    * joins: APIHelper.php:118,136,154; J4 isin membership:
+    * TicketProcessor.php:76-83). */
+  private val q10 = Q(
+    "q10_ci_segment_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val dim = s.createDataFrame(Seq(
+        ("Automobile", "retail"), ("Building", "construction"),
+        ("Furniture", "retail"), ("Household", "retail"),
+        ("Machinery", "industrial"))).toDF("seg_name", "seg_class")
+      t.customer.select(col("c_mktsegment"), col("c_acctbal"))
+        .join(broadcast(dim), lower(col("c_mktsegment")) === lower(col("seg_name")), "left")
+        .groupBy(col("seg_class"))
+        .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        .orderBy(col("seg_class"))
+    },
+    Some("""SELECT seg_class, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+      FROM customer LEFT JOIN (VALUES ('Automobile','retail'), ('Building','construction'),
+        ('Furniture','retail'), ('Household','retail'), ('Machinery','industrial'))
+        AS dim(seg_name, seg_class)
+      ON lower(c_mktsegment) = lower(seg_name)
+      GROUP BY seg_class ORDER BY seg_class"""))
+
+  /** split+explode flatten (N3/N4: APIHelper.php:252-261, comma-list explode
+    * SyncTickets.php:124) as a distributed word count. */
+  private val q11 = Q(
+    "q11_word_counts",
+    (s, dir) => Tables(s, dir).part
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("word")),
+    Some("""SELECT word, count(*) AS n FROM
+      (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      GROUP BY word ORDER BY word"""))
+
+  /** Top-1-per-group via ranking window (§2.9 gap in the reference — part of
+    * the engine's analytic surface over the fixtures). */
+  private val q12 = Q(
+    "q12_top_order_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM
+      (SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+       FROM orders) WHERE rn = 1 ORDER BY o_custkey"""))
+
+  /** Running aggregate over an ordered frame (cumulative spend). */
+  private val q13 = Q(
+    "q13_running_spend",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).orders
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey"""))
+
+  /** lag/lead event-sequence analytics over the events table. */
+  private val q14 = Q(
+    "q14_event_deltas",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("value_delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, event_type,
+      lag(event_type, 1) OVER w AS prev_type,
+      lead(event_type, 1) OVER w AS next_type,
+      round(value - lag(value, 1) OVER w, 2) AS value_delta
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""))
+
+  /** rank / dense_rank ranking family. */
+  private val q15 = Q(
+    "q15_supplier_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc)
+      Tables(s, dir).supplier
+        .select(col("s_nationkey"), col("s_suppkey"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    },
+    Some("""SELECT s_nationkey, s_suppkey,
+      rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+      dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk
+      FROM supplier ORDER BY s_nationkey, s_suppkey"""))
+
+  /** Set ops — INTERSECT/EXCEPT (§2.9: union accumulation AH:60,96; the
+    * except-shaped validation logic ST:84-108). */
+  private val q16 = Q(
+    "q16_nation_coverage",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val custN = t.customer.select(col("c_nationkey").as("nationkey"))
+      val suppN = t.supplier.select(col("s_nationkey").as("nationkey"))
+      val both = custN.intersect(suppN).withColumn("tag", lit("both"))
+      val custOnly = custN.except(suppN).withColumn("tag", lit("cust_only"))
+      both.unionByName(custOnly)
+        .select(col("tag"), col("nationkey"))
+        .orderBy(col("tag"), col("nationkey"))
+    },
+    Some("""SELECT tag, nationkey FROM (
+      SELECT 'both' AS tag, nationkey FROM
+        (SELECT c_nationkey AS nationkey FROM customer INTERSECT
+         SELECT s_nationkey AS nationkey FROM supplier)
+      UNION ALL
+      SELECT 'cust_only' AS tag, nationkey FROM
+        (SELECT c_nationkey AS nationkey FROM customer EXCEPT
+         SELECT s_nationkey AS nationkey FROM supplier))
+      ORDER BY tag, nationkey"""))
+
+  /** ROLLUP multi-level aggregate (north-star surface beyond the reference;
+    * SURVEY §2.6 notes the reference has no grouping sets). */
+  private val q17 = Q(
+    "q17_priority_rollup",
+    (s, dir) => Tables(s, dir).orders
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy(col("priority"), col("status")),
+    Some("""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      coalesce(o_orderstatus, 'ALL') AS status,
+      count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      ORDER BY priority, status"""))
+
+  /** Grouped collect with deterministic ordering (A3 error grouping
+    * TicketPublisher.php:55-75 = groupBy+collect_list; emitted as a sorted
+    * joined string for oracle stability). */
+  private val q18 = Q(
+    "q18_nations_concat",
+    (s, dir) => Tables(s, dir).nation
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+           count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey")),
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  /** Regex extraction from a semi-structured string column (X6-X8 href
+    * parsing, TicketProcessor.php:210-223,271-277 — same regexp_extract
+    * pattern over events.props). */
+  private val q19 = Q(
+    "q19_props_extract",
+    (s, dir) => Tables(s, dir).events
+      .select(col("event_id"),
+        regexp_extract(col("props"), """"k": (\d+)""", 1).cast("long").as("k"))
+      .filter(col("event_id") < 2000)
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      FROM events WHERE event_id < 2000 ORDER BY event_id"""))
+
+  /** Date truncation + formatting (X11 date parse/re-format,
+    * TicketProcessor.php:436-437; emitted as strings for writer parity). */
+  private val q20 = Q(
+    "q20_monthly_orders",
+    (s, dir) => Tables(s, dir).orders
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("month")),
+    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1 ORDER BY month"""))
+
+  /** First-space name split (X1: APIHelper.php:166-176 splitFullName —
+    * first token vs trimmed remainder, no-space ⇒ empty rest). */
+  private val q21 = Q(
+    "q21_part_name_split",
+    (s, dir) => Tables(s, dir).part
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\S+)", 1).as("first_token"),
+        ltrim(regexp_replace(col("p_name"), "^\\S+", "")).as("rest"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, regexp_extract(p_name, '^(\S+)', 1) AS first_token,
+      ltrim(regexp_replace(p_name, '^\S+', '')) AS rest
+      FROM part ORDER BY p_partkey"""))
+
+  /** Length-capped truncation with warning flag (X2/X3:
+    * APIHelper.php:180-189, CustomerProcessor.php:64-77). */
+  private val q22 = Q(
+    "q22_truncate_names",
+    (s, dir) => Tables(s, dir).part
+      .select(col("p_partkey"),
+        substring(col("p_name"), 1, 10).as("name_trunc"),
+        (length(col("p_name")) > 10).as("was_truncated"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, substr(p_name, 1, 10) AS name_trunc,
+      (length(p_name) > 10) AS was_truncated FROM part ORDER BY p_partkey"""))
+
+  /** Point lookup by id list (S3 ticket lookup ST:124-146; view-ticket
+    * VT:53-57) — isin predicate pushed to the scan. */
+  private val q23 = Q(
+    "q23_point_lookup",
+    (s, dir) => Tables(s, dir).orders
+      .filter(col("o_orderkey").isin(1L, 5L, 13L, 42L, 999L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_orderpriority
+      FROM orders WHERE o_orderkey IN (1, 5, 13, 42, 999) ORDER BY o_orderkey"""))
+
+  /** Page-range scan (F4 `--startPage/--stopPage` ST:162-189): derive a page
+    * column and range-filter it — at scale this is partition pruning. */
+  private val q24 = Q(
+    "q24_page_scan",
+    (s, dir) => Tables(s, dir).orders
+      .withColumn("page", floor(col("o_orderkey") / 50).cast("long"))
+      .filter(col("page").between(2, 5))
+      .groupBy(col("page"))
+      .agg(count(lit(1)).as("n"),
+           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("page")),
+    Some("""SELECT CAST(floor(o_orderkey / 50) AS BIGINT) AS page, count(*) AS n,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders WHERE CAST(floor(o_orderkey / 50) AS BIGINT) BETWEEN 2 AND 5
+      GROUP BY 1 ORDER BY page"""))
+
+  /** Conditional aggregation — the ok/error split-channel shape (F6 error
+    * quarantine TicketProcessor.php:450-461 as count/avg over predicates). */
+  private val q25 = Q(
+    "q25_conditional_agg",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("value") >= 100, lit(1))).as("n_high"),
+        round(avg(when(col("value") < 100, col("value"))), 2).as("avg_low"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n_total,
+      count(CASE WHEN value >= 100 THEN 1 END) AS n_high,
+      round(avg(CASE WHEN value < 100 THEN value END), 2) AS avg_low
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Exact distinct counts (A1 total_count accounting, SC:62-63) — the
+    * exact baseline the HLL variant (TextQueries) approximates. */
+  private val q26 = Q(
+    "q26_distinct_counts",
+    (s, dir) => Tables(s, dir).lineitem
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders")),
+    Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps,
+      count(DISTINCT l_orderkey) AS n_orders FROM lineitem"""))
+
+  /** Two-level aggregation: per-order rollup then distribution over the
+    * rollup — the heavy-key groupBy pattern AQE handles under skew. */
+  private val q27 = Q(
+    "q27_order_size_histogram",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_lines")),
+    Some("""SELECT n_lines, count(*) AS n_orders FROM
+      (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey)
+      GROUP BY n_lines ORDER BY n_lines"""))
+
+  override val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+}
