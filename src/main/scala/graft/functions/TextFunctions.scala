@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar surface for the training-data pipeline: tokenizing,
+  * fingerprinting, quality scoring, language ID, shingling, MinHash and
+  * SimHash signatures.
+  *
+  * Everything here is composed from built-in codegen'd expressions
+  * (`split`/`transform`/`aggregate`/`xxhash64`/…) — no Scala UDFs — so the
+  * whole surface stays inside WholeStageCodegen and scales linearly across
+  * executors at 100 TB. Deterministic by construction (no rand(), fixed
+  * hash salts).
+  */
+object TextFunctions {
+
+  /** lower-case, collapse all whitespace runs to single spaces, trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Content fingerprint — md5 of the normalized text. The distributed
+    * dedup key (reference analog: dedup probe TicketProcessor.php:353-373,
+    * generalized to content hashing). */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Whitespace tokens of the raw text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+")).cast("long")
+
+  def punctCount(c: Column): Column = regexp_count(c, lit("[.,;:!?]")).cast("long")
+
+  /** BPE-ish subword tokens: letter runs, digit runs, single punctuation. */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  private val stopwordSets: Seq[(String, String)] = Seq(
+    "en" -> "the|and|of|to|in|is|a",
+    "es" -> "el|la|de|que|y|en|los",
+    "de" -> "der|die|und|das|ist|ein|zu",
+    "fr" -> "le|la|et|les|des|un|une")
+
+  /** Per-language stopword hit count (word-boundary regex). */
+  def stopwordHits(c: Column, lang: String): Column = {
+    val pat = stopwordSets.toMap.apply(lang)
+    regexp_count(lower(c), lit(s"\\b($pat)\\b")).cast("long")
+  }
+
+  /** n-gram-heuristic language ID: argmax of stopword-set hits with a fixed
+    * tie order (en > es > de > fr). */
+  def langPredict(c: Column): Column = {
+    val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(stopwordHits(c, _))
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Composite document quality score in [0,1]: token volume, stopword
+    * density, punctuation noise. Mirrors the SQL oracle term-for-term so the
+    * float expression trees evaluate identically. */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val stopRatio = stopwordHits(c, "en").cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(nTok, lit(1.0))
+    round(
+      least(lit(1.0), nTok / 200.0) * 0.5 +
+      least(lit(1.0), stopRatio * 4.0) * 0.3 +
+      (lit(1.0) - least(lit(1.0), punctRatio * 10.0)) * 0.2, 4)
+  }
+
+  /** Word n-gram shingles ("a b c" strings). Empty array when the document
+    * has fewer than n tokens (guard needed: sequence(0, negative) reverses).
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val words = tokens(c)
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - lit(n)),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** xxhash64 of each set element — computed ONCE; the k minhash functions
+    * re-hash this base long with the slot index as seed material, so
+    * signature cost is one string hash + k long-hashes per element instead
+    * of k string hashes. (Affine wrap-around mixing would be cheaper still
+    * but ANSI mode — Spark 4 default — rejects overflowing multiplies.) */
+  def elementHashes(set: Column): Column = transform(set, w => xxhash64(w))
+
+  /** MinHash signature from pre-hashed elements: slot k is
+    * min over elements of xxhash64(h, k). */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { k =>
+      array_min(transform(hashes, h => xxhash64(h, lit(k))))
+    }: _*)
+
+  /** MinHash signature over a set column (convenience composition). */
+  def minhashSignature(set: Column, numHashes: Int): Column =
+    minhashFromHashes(elementHashes(set), numHashes)
+
+  /** LSH band hashes of a minhash signature: `bands` hashes, each over
+    * `rows = numHashes/bands` consecutive signature slots. Docs sharing any
+    * band hash are candidate near-duplicates. */
+  def lshBandHashes(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)), lit(s"band-$b"))
+    }: _*)
+
+  /** 64-bit SimHash — delegates to the native Catalyst expression
+    * (graft.plans.SimHash64Expr); the composed-Column reference below is
+    * kept for the parity spec. */
+  def simhash64(c: Column): Column = graft.plans.SimHashExpr.simhash64(c)
+
+  /** Reference SimHash built only from higher-order functions: per bit, a
+    * majority vote of token-hash bits. 64 interpreted array passes per row
+    * — parity oracle for the native expression, not the production path. */
+  def simhash64ViaColumns(c: Column): Column = {
+    val th = transform(array_distinct(tokens(c)), w => xxhash64(w))
+    val n = size(th)
+    (0 until 64).map { i =>
+      val votes = size(filter(th, h => shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L)))
+      when(votes * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Exact set Jaccard between two array columns (used to verify LSH
+    * candidates — the verify step of MinHash dedup). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline, generalizing the
+  * reference's single dedup probe (duplicate-conversation anti-join,
+  * TicketProcessor.php:353-373) into the family a 100 TB corpus needs:
+  *
+  *  - exact: hash-groupBy on a content fingerprint — one shuffle on the
+  *    fingerprint key, arbitrarily wide.
+  *  - MinHash+LSH: shingle → minhash signature → band → bucket self-join →
+  *    exact-Jaccard verify. The self-join is keyed on (band, bandHash), so
+  *    only colliding docs ever meet — never an O(n²) cross join.
+  *  - SimHash: 64-bit signature + hamming distance on banded buckets.
+  *
+  * All signature math is built-in-expression columns (TextFunctions) —
+  * codegen'd, no UDFs, deterministic salts.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-content fingerprint.
+    * Output: fingerprint, n, keep_id (min id survives — the idempotent
+    * replay rule, SURVEY §2.10). */
+  def exactDupGroups(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.groupBy(fingerprint(textCol).as("fp"))
+      .agg(count(lit(1)).as("n"), min(idCol).as("keep_id"))
+
+  /** Keep-first exact dedup: one surviving row id per fingerprint. */
+  def exactDedupIds(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    exactDupGroups(df, textCol, idCol).select(col("keep_id"), col("n"))
+
+  /** Candidate near-duplicate pairs via MinHash+LSH over distinct-word
+    * sets, verified with exact Jaccard.
+    *
+    * @param numHashes minhash signature width (bands * rowsPerBand)
+    * @param bands     LSH bands; collision prob ≈ 1-(1-j^r)^b
+    * @param threshold exact-Jaccard verify threshold
+    * Output: id_a < id_b, jaccard (rounded 4dp), sorted.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame, textCol: Column, idCol: Column,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    // hashSets: distinct xxhash64 per word — all downstream set math runs
+    // on sorted long arrays, never on strings (hash collisions are
+    // negligible for jaccard estimation at 64 bits).
+    val hashSets = df.select(
+      idCol.cast("long").as("doc_id"),
+      array_sort(array_distinct(elementHashes(tokens(textCol)))).as("wh"))
+    // banded carries ONLY (doc_id, band, bandHash): the self-join and the
+    // pair-dedup shuffle never move arrays, and each surviving pair is
+    // jaccard-verified exactly once.
+    val banded = hashSets
+      .withColumn("sig", minhashFromHashes(col("wh"), numHashes))
+      .select(col("doc_id"),
+        posexplode(lshBandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+    val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(hashSets.select(col("doc_id").as("id_a"), col("wh").as("wh_a")), "id_a")
+      .join(hashSets.select(col("doc_id").as("id_b"), col("wh").as("wh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("wh_a"), col("wh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Greedy near-dup dedup survivorship: a doc survives unless it has a
+    * near-duplicate with a smaller id (single LSH+verify pass + anti-join —
+    * the linear-output form of near-dup dedup; full transitive clustering
+    * would need iterative connected components). */
+  def minhashDedupSurvivors(
+      df: DataFrame, textCol: Column, idCol: Column,
+      numHashes: Int = 64, bands: Int = 4, threshold: Double = 0.95): DataFrame = {
+    val dropped = minhashNearDupPairs(df, textCol, idCol, numHashes, bands, threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    df.select(idCol.cast("long").as("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, candidates = docs agreeing
+    * on any 16-bit sub-band (4 bands), verified by hamming <= maxHamming.
+    * Band-bucket join keeps this linear-ish like the MinHash path. */
+  def simhashNearDupPairs(
+      df: DataFrame, textCol: Column, idCol: Column,
+      maxHamming: Int = 8): DataFrame = {
+    val sigs = df.select(idCol.cast("long").as("doc_id"),
+      simhash64(textCol).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // dedup multi-band collisions BEFORE computing hamming
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Greedy simhash dedup survivorship (see minhashDedupSurvivors). */
+  def simhashDedupSurvivors(
+      df: DataFrame, textCol: Column, idCol: Column,
+      maxHamming: Int = 6): DataFrame = {
+    val dropped = simhashNearDupPairs(df, textCol, idCol, maxHamming)
+      .select(col("id_b").as("doc_id")).distinct()
+    df.select(idCol.cast("long").as("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact n-gram Jaccard between explicit row pairs (the verify primitive;
+    * also a standalone operator for blocked candidate sets). `pairs` must
+    * have id_a/id_b; df provides (id, text). */
+  def ngramJaccardForPairs(
+      df: DataFrame, pairs: DataFrame, textCol: Column, idCol: Column,
+      n: Int): DataFrame = {
+    val sets = df.select(idCol.cast("long").as("doc_id"),
+      array_distinct(shingles(textCol, n)).as("grams"))
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("grams_a"), col("grams_b")), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast (it is
+  * small by definition), the corpus streams, so the plan is a single
+  * broadcast-nested-loop over corpus partitions followed by a per-query
+  * top-k window. No corpus self-shuffle.
+  *
+  * Scale path: random-hyperplane LSH — bucket the corpus by an nbits-bit
+  * signature (deterministic seeded hyperplanes), join queries to matching
+  * buckets (optionally with 1-bit-flip probes), re-rank inside buckets.
+  * At 100 TB the bucketed corpus is written partitioned by signature so a
+  * query touches only its probe partitions.
+  */
+object Similarity {
+
+  /** Deterministic unit-less hyperplanes for LSH signatures. */
+  def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** nbits-bit signature column for an embedding. */
+  def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      graft.functions.VectorFunctions.hyperplaneBit(v, p) * lit(1 << i)
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows (self excluded). Output: q_id, vec_id, cos_sim (4dp), rank order
+    * deterministic via (rounded sim desc, vec_id). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val scored = corpus.select(col(idCol), col(embCol))
+      .join(broadcast(q), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(embCol), col("q_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("q_id"), col("cos_sim").desc, col(idCol))
+  }
+
+  /** LSH-bucketed ANN — the scale path. Multi-table OR-amplification:
+    * `tables` independent hyperplane sets of `nbits` bits each; a corpus row
+    * is a candidate if it shares a bucket with the query in ANY table, plus
+    * 1-bit-flip probe buckets per table. Candidates re-rank exactly. The
+    * bucket join is an equi-join on (table, signature) — never all-pairs —
+    * and the (small) probe side is broadcast. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nbits: Int = 6,
+      tables: Int = 4, idCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+    def signedBuckets(df: DataFrame, id: Column, emb: Column, probe: Boolean): DataFrame = {
+      val perTable = planeSets.zipWithIndex.map { case (planes, t) =>
+        val sig = lshSignature(emb, planes)
+        val sigs = if (probe)
+          explode(array(sig +: (0 until nbits).map(b => sig.bitwiseXOR(lit(1 << b))): _*))
+        else sig
+        df.select(lit(t).as("tbl"), sigs.as("sig"), id, emb)
+      }
+      perTable.reduce(_ unionByName _)
+    }
+    val bucketed = signedBuckets(corpus, col(idCol), col(embCol), probe = false)
+    val probes = signedBuckets(
+      queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
+      col("q_id"), col("q_emb"), probe = true)
+    val scored = bucketed
+      .join(broadcast(probes), Seq("tbl", "sig"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(embCol), col("q_emb")), 4).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("q_id"), col("cos_sim").desc, col(idCol))
+  }
+
+  /** Blocked near-duplicate pairs by embedding cosine: candidate pairs are
+    * generated only inside a blocking key (here any column, e.g. a cluster
+    * label or LSH bucket), never across the full corpus. */
+  def blockedCosinePairs(
+      corpus: DataFrame, blockCol: Column, minCos: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(blockCol.as("blk"), col(idCol), col(embCol))
+    val a = e.select(col("blk"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = e.select(col("blk"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

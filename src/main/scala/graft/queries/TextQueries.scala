@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + dedup surface over the `documents` table — the
+  * LLM-training-data operators (BASELINE.json north star) layered on the
+  * reference's content-dedup idea (TicketProcessor.php:353-373).
+  * SQL-expressible ops carry a DuckDB oracle; signature-based ops
+  * (MinHash/SimHash/HLL) are rows-only here and verified against
+  * brute-force ground truth in ScalaTest.
+  */
+object TextQueries extends QueryPack {
+
+  /** Content fingerprinting (rolling dedup key): md5 of normalized text. */
+  private val q30 = Q(
+    "q30_doc_fingerprint",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** Exact-dedup groups on the fingerprint (keep-min-id survivorship). */
+  private val q31 = Q(
+    "q31_exact_dedup_groups",
+    (s, dir) => Dedup.exactDupGroups(
+        Tables(s, dir).documents, col("text"), col("doc_id"))
+      .orderBy(col("fp")),
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      count(*) AS n, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY fp"""))
+
+  /** Token / punctuation counting (whitespace + punct classes). */
+  private val q32 = Q(
+    "q32_token_stats",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+      CAST(length(text) AS BIGINT) AS n_chars_measured
+      FROM documents ORDER BY doc_id"""))
+
+  /** Composite quality score — length/stopword/punctuation mix, mirrored
+    * term-for-term in the oracle so float trees evaluate identically. */
+  private val q33 = Q(
+    "q33_quality_score",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, round(
+        least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 200.0) * 0.5
+      + least(1.0, (CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE)
+          / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0)) * 4.0) * 0.3
+      + (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+          / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0)) * 10.0)) * 0.2
+      , 4) AS quality FROM documents ORDER BY doc_id"""))
+
+  /** Stopword-profile language ID with fixed argmax tie order. */
+  private val q34 = Q(
+    "q34_lang_id",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"),
+        stopwordHits(col("text"), "en").as("s_en"),
+        stopwordHits(col("text"), "es").as("s_es"),
+        stopwordHits(col("text"), "de").as("s_de"),
+        stopwordHits(col("text"), "fr").as("s_fr"),
+        langPredict(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id")),
+    Some("""WITH s AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS s_en,
+        CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS BIGINT) AS s_es,
+        CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|zu)\b')) AS BIGINT) AS s_de,
+        CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|un|une)\b')) AS BIGINT) AS s_fr
+        FROM documents)
+      SELECT doc_id, s_en, s_es, s_de, s_fr,
+        CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred
+      FROM s ORDER BY doc_id"""))
+
+  /** Corpus rollup by (lang, source) — doc volume + char mass. */
+  private val q35 = Q(
+    "q35_corpus_stats",
+    (s, dir) => Tables(s, dir).documents
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("lang"), col("source")),
+    Some("""SELECT lang, source, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars, round(avg(n_chars), 2) AS avg_chars
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
+  /** Word-trigram shingling stats (the MinHash building block, with a
+    * pure-SQL oracle via positional self-joins). */
+  private val q36 = Q(
+    "q36_shingle_stats",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"))
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id,
+        unnest(regexp_extract_all(text, '\S+')) AS word,
+        generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+        FROM documents),
+      t AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+      SELECT doc_id, count(*) AS n_shingles,
+        count(DISTINCT sh) AS n_distinct_shingles
+      FROM t GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Exact word-set Jaccard over a deterministic blocked pairset (adjacent
+    * doc ids) — the n-gram-Jaccard dedup primitive with a full oracle. */
+  private val q37 = Q(
+    "q37_adjacent_jaccard",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val sets = t.documents.select(col("doc_id"),
+        array_distinct(tokens(col("text"))).as("words"))
+      val a = sets.select(col("doc_id").as("id_a"), col("words").as("words_a"))
+      val b = sets.select(col("doc_id").as("id_b"), col("words").as("words_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(jaccard(col("words_a"), col("words_b")), 4).as("jaccard"))
+        .orderBy(col("id_a"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+        list_distinct(regexp_extract_all(text, '\S+')) AS ws FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+      FROM w a JOIN w b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"""))
+
+  /** MinHash+LSH near-dup dedup (banded bucket join + exact-jaccard verify
+    * + greedy keep-min survivorship) — rows-only here; pair precision and
+    * recall vs brute force are asserted in ScalaTest. */
+  private val q38 = Q(
+    "q38_minhash_dedup",
+    (s, dir) => Dedup.minhashDedupSurvivors(
+      Tables(s, dir).documents, col("text"), col("doc_id"),
+      numHashes = 64, bands = 4, threshold = 0.95),
+    None)
+
+  /** SimHash near-dup dedup (16-bit bands, hamming verify, survivorship) —
+    * rows-only. */
+  private val q39 = Q(
+    "q39_simhash_dedup",
+    (s, dir) => Dedup.simhashDedupSurvivors(
+      Tables(s, dir).documents, col("text"), col("doc_id"), maxHamming = 6),
+    None)
+
+  /** HLL approximate distinct (approx_count_distinct) next to exact — the
+    * sketch surface; rows-only (HLL implementations differ by design). */
+  private val q40 = Q(
+    "q40_approx_distinct",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+    None)
+
+  override val all: Seq[Q] =
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Similarity
+import graft.functions.VectorFunctions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sfDir).embeddings.cache()
+  private lazy val queries = emb.filter(col("vec_id").isin(0L, 100L, 250L))
+
+  test("cosine is bounded and self-cosine is 1") {
+    val self = emb.limit(20)
+      .select(round(cosine(col("embedding"), col("embedding")), 6).as("c"))
+    assert(self.collect().forall(_.getDouble(0) === 1.0))
+  }
+
+  test("brute-force top-k returns k rows per query, ordered") {
+    val got = Similarity.bruteForceTopK(emb, queries, 5).collect()
+    assert(got.length === 15)
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.map(_.getDouble(2)).toSeq
+      assert(sims === sims.sorted.reverse, "descending similarity per query")
+    }
+  }
+
+  test("LSH ANN recall@5 vs brute force") {
+    val truth = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.lshTopK(emb, queries, k = 5, nbits = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.4, s"multi-probe LSH recall too low: $recall")
+  }
+
+  test("hll approx distinct within 10% of exact") {
+    val li = Tables(spark, sfDir).lineitem
+    val r = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("a"),
+      countDistinct(col("l_orderkey")).as("e")).head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.10, s"approx=$a exact=$e")
+  }
+}

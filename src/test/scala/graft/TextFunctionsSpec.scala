@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row = {
+    spark.range(1).select(c).head()
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val a = one(fingerprint(lit("Hello   World\n"))).getString(0)
+    val b = one(fingerprint(lit("hello world"))).getString(0)
+    assert(a === b)
+    val c = one(fingerprint(lit("hello worlds"))).getString(0)
+    assert(a !== c)
+  }
+
+  test("tokenCount counts non-whitespace runs") {
+    assert(one(tokenCount(lit("a  b\tc\nd"))).getLong(0) === 4L)
+    assert(one(tokenCount(lit(""))).getLong(0) === 0L)
+  }
+
+  test("shingles: fewer tokens than n gives empty array") {
+    assert(one(size(shingles(lit("a b"), 3))).getInt(0) === 0)
+    assert(one(shingles(lit("a b c d"), 3)).getSeq[String](0) === Seq("a b c", "b c d"))
+  }
+
+  test("simhash identical inputs -> hamming 0; different -> > 0") {
+    val r = spark.range(1).select(
+      hamming64(simhash64(lit("the quick brown fox")), simhash64(lit("the quick brown fox"))).as("same"),
+      hamming64(simhash64(lit("the quick brown fox")), simhash64(lit("entirely different words here"))).as("diff"))
+      .head()
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) > 0)
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val r = spark.range(1).select(
+      jaccard(array(lit("a"), lit("b")), array(lit("a"), lit("b"))).as("same"),
+      jaccard(array(lit("a")), array(lit("b"))).as("disj")).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("langPredict ties resolve in fixed order") {
+    assert(one(langPredict(lit("xyz qqq zzz"))).getString(0) === "en")
+    assert(one(langPredict(lit("el que la y los"))).getString(0) === "es")
+  }
+
+  test("quality score bounded [0,1]") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val mm = docs.agg(min(qualityScore(col("text"))), max(qualityScore(col("text")))).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("native simhash expression matches composed-Column reference") {
+    val docs = graft.sources.Tables(spark, sfDir).documents.limit(50)
+    val mism = docs.select(
+      simhash64(col("text")).as("native"),
+      simhash64ViaColumns(col("text")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mism === 0L)
+  }
+}
