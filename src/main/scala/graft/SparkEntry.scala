@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    RelationalQueries, TextQueries, VectorQueries)
+    RelationalQueries, TextQueries, VectorQueries, EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Event-time windowing surface over `events`: tumbling/sliding windows via
+  * the native `window()` function, gap-based sessions via `session_window()`,
+  * a funnel join, and a Structured Streaming run of the tumbling aggregate —
+  * every one oracle-checked against window-free ANSI SQL (date_trunc /
+  * gaps-and-islands). The reference has no event-time semantics (SURVEY
+  * §2.10) — this is the north-star streaming surface.
+  */
+object EventQueries extends QueryPack {
+
+  /** Tumbling 1-hour windows: native window() aligned to epoch ==
+    * date_trunc('hour'). */
+  private val q50 = Q(
+    "q50_hourly_windows",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** Sliding 2h/1h windows — each event lands in exactly two windows;
+    * oracle reconstructs them as a union of shifted hourly truncs. */
+  private val q51 = Q(
+    "q51_sliding_windows",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("total"))
+      .orderBy(col("window_start")),
+    Some("""WITH w AS (
+        SELECT date_trunc('hour', ts) AS ws, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value FROM events)
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        count(*) AS n, round(sum(value), 2) AS total
+      FROM w GROUP BY ws ORDER BY window_start"""))
+
+  /** Gap-based session windows (30 min) per user via native
+    * session_window(); oracle is the classic gaps-and-islands rewrite.
+    * A new session starts when ts - prev_ts >= gap (session end is
+    * exclusive last_ts + gap). */
+  private val q52 = Q(
+    "q52_session_windows",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total"))
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      s AS (SELECT user_id, ts, value,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events, round(sum(value), 2) AS total
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
+  /** Conversion funnel: first signup per user, then purchases at-or-after
+    * it (min-agg + self-join — the event-sequence join pattern). */
+  private val q53 = Q(
+    "q53_signup_purchase_funnel",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      signups.join(purchases,
+          col("p_user") === col("user_id") && col("p_ts") >= col("first_signup"), "left")
+        .groupBy(col("user_id"))
+        .agg(count(col("p_ts")).as("n_purchases_after"),
+          round(sum(coalesce(col("value"), lit(0.0))), 2).as("purchase_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH s AS (SELECT user_id, min(ts) AS first_signup FROM events
+        WHERE event_type = 'signup' GROUP BY user_id)
+      SELECT s.user_id, count(e.ts) AS n_purchases_after,
+        round(sum(coalesce(e.value, 0.0)), 2) AS purchase_value
+      FROM s LEFT JOIN events e ON e.user_id = s.user_id
+        AND e.event_type = 'purchase' AND e.ts >= s.first_signup
+      GROUP BY s.user_id ORDER BY s.user_id"""))
+
+  /** The tumbling aggregate executed as a Structured Streaming query
+    * (AvailableNow micro-batches, watermark, complete-mode memory sink) —
+    * same oracle as the batch form modulo the different agg. */
+  private val q54 = Q(
+    "q54_stream_tumbling",
+    (s, dir) => EventStreams.tumblingAggToTable(s, dir, "q54_stream_out"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
+}
