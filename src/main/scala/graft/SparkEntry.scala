@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    RelationalQueries, TextQueries, VectorQueries, EventQueries)
+    RelationalQueries, TextQueries, VectorQueries, EventQueries,
+    MigrationQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,45 @@
+package graft.migration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Error-channel-as-data (F6: per-record try/catch quarantine,
+  * TicketProcessor.php:450-461, CustomerProcessor.php:163-166,
+  * TicketPublisher.php:49-76). A transform never throws per-row: rows carry
+  * `error_type` (null = ok) + `error_detail`, and the caller splits. The
+  * grouped CSV report is A3 (groupBy+collect) immediately re-flattened by
+  * A4 (explode) — expressed here as the direct groupBy count + examples.
+  */
+object ErrorChannel {
+  val ErrorType = "error_type"
+  val ErrorDetail = "error_detail"
+
+  def ok(df: DataFrame): DataFrame =
+    df.filter(col(ErrorType).isNull).drop(ErrorType, ErrorDetail)
+
+  def errors(df: DataFrame): DataFrame =
+    df.filter(col(ErrorType).isNotNull)
+      .select(col(ErrorType), col(ErrorDetail))
+
+  /** A3 error grouping (errorMapping[type][] = detail) with deterministic
+    * ordering; the row form the CSV sink (K4, AH:241-261) writes. */
+  def groupedReport(df: DataFrame): DataFrame =
+    errors(df)
+      .groupBy(col(ErrorType))
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col(ErrorDetail))), "; ").as("details"))
+      .orderBy(col(ErrorType))
+
+  /** K4 (AH:241-261): timestamped CSV error report. The timestamp is
+    * driver-side (X12) and injected so runs stay reproducible in tests. */
+  def writeCsvReport(df: DataFrame, outDir: String, stamp: String): Unit =
+    groupedReport(df)
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true")
+      .csv(s"$outDir/sync-errors-$stamp")
+
+  /** Conservation check: ok + err == total (the F6 invariant — record
+    * failure never drops rows silently). */
+  def conserves(df: DataFrame): Boolean =
+    ok(df).count() + errors(df).count() == df.count()
+}
