@@ -51,6 +51,13 @@ def main():
             want = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        # dtype parity warning: the driver may hash typed values, so an
+        # int32-vs-int64 or float-vs-double skew is a latent hash mismatch
+        gt = {c: str(got.dtypes[c]) for c in sorted(got.columns)}
+        wt = {c: str(want.dtypes[c]) for c in sorted(want.columns)}
+        skew = {c: (gt[c], wt[c]) for c in gt if c in wt and gt[c] != wt[c]}
+        if skew:
+            print(f"WARN {name}: dtype skew {skew}")
         g, w = normalize(got), normalize(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns spark={list(g.columns)} duckdb={list(w.columns)}")

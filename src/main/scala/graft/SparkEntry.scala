@@ -11,7 +11,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries, TextQueries, VectorQueries, EventQueries,
-    MigrationQueries)
+    MigrationQueries, MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.migration.MigrationFunctions.mimeSniff
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed by batched per-partition functions (the
+  * Scala analog of pandas-UDF `mapInPandas`: one iterator per partition,
+  * work chunked in fixed-size batches).
+  *
+  * The DECODE STEP IS A STUB — the container has no image/audio codecs, so
+  * `decodeStub` derives a deterministic fake feature vector from the
+  * payload bytes. Everything around it is real and tested: the schema, the
+  * binary ingestion, the batch shape, the partition-parallel execution, and
+  * the metadata pipeline (size, MIME sniff, content hash).
+  *
+  * At 100 TB: blobs arrive via the `binaryFile` source as (path, content)
+  * pairs partitioned by file; metadata extraction is a map-only stage (no
+  * shuffle); features join back to the catalog on media_id.
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+  val BatchSize = 64
+
+  /** Media row: opaque payload + typed metadata (SURVEY §1.3 BinaryType —
+    * the reference's attachment blob, TicketProcessor.php:295-299,
+    * generalized). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("mime_type", StringType, nullable = true),
+    StructField("content_hash", StringType, nullable = true)))
+
+  /** Ingest a text corpus as stand-in media blobs (payload = UTF-8 bytes):
+    * deterministic, and exercises the full binary metadata path. */
+  def ingestFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(lit("media/"), col("lang")).as("kind"),
+      col("text").cast("binary").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("mime_type", mimeSniff(col("payload")))
+      .withColumn("content_hash", md5(col("payload")))
+
+  /** STUB decode: a deterministic pseudo-feature vector from payload bytes
+    * (byte-histogram moments). A real deployment replaces ONLY this
+    * function with a codec call; signature and batch shape stay. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    if (payload == null || payload.isEmpty) return Array.fill(FeatureDim)(0f)
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xFF
+      out(i % FeatureDim) += b / 255.0f
+      i += 1
+    }
+    var d = 0
+    while (d < FeatureDim) { out(d) = out(d) / payload.length * FeatureDim; d += 1 }
+    out
+  }
+
+  /** Batched per-partition feature extraction (mapInPandas analog): the
+    * typed partition iterator streams through in BatchSize chunks — the
+    * chunk boundary is where a real implementation amortizes codec/model
+    * setup per batch. Map-only: no shuffle. */
+  def extractFeatures(media: DataFrame): Dataset[(Long, Array[Float])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          // per-batch setup would go here (codec init, model session, ...)
+          batch.iterator.map { case (id, payload) => (id, decodeStub(payload)) }
+        }
+      }
+  }
+
+  /** Feature extraction joined back to metadata — the catalog-side view. */
+  def featureTable(media: DataFrame): DataFrame =
+    extractFeatures(media).toDF("media_id", "feature")
+      .join(media.drop("payload"), Seq("media_id"))
+
+  /** STUB frame-sampler for video-ish payloads: returns (offset, length)
+    * windows — deterministic byte windows standing in for frames. */
+  def frameSample(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame =
+    media.select(col("media_id"), col("n_bytes"),
+      transform(
+        sequence(lit(0),
+          least(ceil(col("n_bytes") / frameBytes).cast("int") - 1, lit(maxFrames - 1))),
+        i => struct((i * frameBytes).cast("long").as("offset"),
+          least(lit(frameBytes).cast("long"),
+            col("n_bytes") - i * frameBytes).as("length"))).as("frames"))
+      .withColumn("n_frames", size(col("frames")))
+}

@@ -21,12 +21,14 @@ object MigrationQueries extends QueryPack {
     s"(${sqlStr(c.email)}, ${sqlStr(c.name)}, ${sqlOpt(c.about)}, ${sqlOpt(c.title)}, ${sqlOpt(c.company_name)})"
   }.mkString(", ")
 
+  // ::BIGINT on ids — DuckDB VALUES integer literals default to INT32 but
+  // the Spark side carries LongType (dtype parity for the hash compare)
   private val ticketValues: String = Fixtures.tickets.map { t =>
-    s"(${t.number}, ${sqlStr(t.state)}, ${sqlStr(t.title)}, ${sqlStr(t.mailbox)}, ${sqlStr(t.customer_href)})"
+    s"(${t.number}::BIGINT, ${sqlStr(t.state)}, ${sqlStr(t.title)}, ${sqlStr(t.mailbox)}, ${sqlStr(t.customer_href)})"
   }.mkString(", ")
 
   private val mailboxValues: String = Fixtures.hsMailboxes.map { m =>
-    s"(${m.id}, ${sqlStr(m.name)}, ${sqlStr(m.email)})"
+    s"(${m.id}::BIGINT, ${sqlStr(m.name)}, ${sqlStr(m.email)})"
   }.mkString(", ")
 
   /** P1+X1+X2+X4: the customer projection, flattened for oracle compare.

@@ -318,7 +318,8 @@ object RelationalQueries extends QueryPack {
       val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc)
       Tables(s, dir).supplier
         .select(col("s_nationkey"), col("s_suppkey"),
-          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
         .orderBy(col("s_nationkey"), col("s_suppkey"))
     },
     Some("""SELECT s_nationkey, s_suppkey,

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Rate-limited publish sink — the Spark form of the reference's
+  * acquire→process→publish throttle (A6: per-service rolling-60s counters
+  * + sleep, SyncCommandBase.php:18-33,163-193; K1/K2 per-record REST
+  * publishers CustomerPublisher.php:28-69, TicketPublisher.php:30-91).
+  *
+  * Design: `foreachPartition` + a token bucket per executor task. The
+  * cluster-wide rate is divided by the partition count, so
+  * `df.coalesce(n).foreachPartition(...)` with bucket rate R/n keeps the
+  * aggregate under R without any cross-executor coordination (the same
+  * decomposition maxRatePerPartition uses). Records post in batches —
+  * one call per `batchSize` rows, not per row.
+  *
+  * The HTTP layer is pluggable (`post`): tests inject a recorder; a real
+  * deployment injects an HTTP client. No network is touched here.
+  */
+object RateLimitedSink {
+
+  /** Rolling-window token bucket (the reference's 60 s window counter,
+    * SB:18-33). Injectable clock/sleeper for deterministic tests. */
+  final class TokenBucket(
+      maxPerWindow: Int,
+      windowMillis: Long = 60000L,
+      now: () => Long = () => System.currentTimeMillis(),
+      sleep: Long => Unit = Thread.sleep) extends Serializable {
+    private var windowStart = now()
+    private var used = 0
+    def acquire(): Unit = synchronized {
+      val t = now()
+      if (t - windowStart >= windowMillis) { windowStart = t; used = 0 }
+      if (used >= maxPerWindow) {
+        val wait = windowMillis - (t - windowStart)
+        if (wait > 0) sleep(wait)
+        windowStart = now(); used = 0
+      }
+      used += 1
+    }
+  }
+
+  /** Publish `df` through `post` at ≤ ratePerMinute calls/min aggregate.
+    * Returns the number of batches posted (driver-side metric, A2). */
+  def publish(
+      df: DataFrame,
+      ratePerMinute: Int,
+      batchSize: Int,
+      parallelism: Int)(
+      post: Seq[Row] => Unit): Long = {
+    val batches = new AtomicLong(0)
+    val perPartitionRate = math.max(1, ratePerMinute / parallelism)
+    val counter = df.sparkSession.sparkContext.longAccumulator("graft.publish.batches")
+    df.coalesce(parallelism).foreachPartition { (it: Iterator[Row]) =>
+      val bucket = new TokenBucket(perPartitionRate)
+      it.grouped(batchSize).foreach { batch =>
+        bucket.acquire()
+        post(batch)
+        counter.add(1)
+      }
+    }
+    batches.set(counter.value)
+    batches.get()
+  }
+}

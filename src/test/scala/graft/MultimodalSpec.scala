@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media =
+    Multimodal.ingestFromDocuments(Tables(spark, sfDir).documents).cache()
+
+  test("binary ingestion: schema, byte counts, deterministic hash") {
+    assert(media.schema.fieldNames.toSet ===
+      Set("media_id", "kind", "payload", "n_bytes", "mime_type", "content_hash"))
+    val r = media.filter(col("media_id") === 0).head()
+    assert(r.getAs[Long]("n_bytes") > 0)
+    assert(r.getAs[String]("content_hash").length === 32)
+    assert(r.getAs[String]("mime_type") === "application/octet-stream") // text bytes
+    val again = Multimodal.ingestFromDocuments(Tables(spark, sfDir).documents)
+      .filter(col("media_id") === 0).head()
+    assert(again.getAs[String]("content_hash") === r.getAs[String]("content_hash"))
+  }
+
+  test("batched feature extraction: conservation, dim, determinism") {
+    val feats = Multimodal.extractFeatures(media).collect().toMap
+    assert(feats.size === media.count())
+    assert(feats.values.forall(_.length === Multimodal.FeatureDim))
+    val feats2 = Multimodal.extractFeatures(media).collect().toMap
+    assert(feats(0L).toSeq === feats2(0L).toSeq)
+  }
+
+  test("feature table joins metadata back without payload") {
+    val ft = Multimodal.featureTable(media)
+    assert(ft.count() === media.count())
+    assert(!ft.schema.fieldNames.contains("payload"))
+    assert(ft.schema.fieldNames.contains("feature"))
+  }
+
+  test("frame sampling covers the payload in bounded windows") {
+    val frames = Multimodal.frameSample(media, frameBytes = 100, maxFrames = 4)
+    frames.collect().foreach { r =>
+      val n = r.getAs[Long]("n_bytes")
+      val fs = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(fs.nonEmpty && fs.size <= 4)
+      assert(fs.forall(_.getAs[Long]("length") <= 100))
+      assert(fs.head.getAs[Long]("offset") === 0L)
+      val covered = fs.map(_.getAs[Long]("length")).sum
+      assert(covered <= n)
+      if (n <= 400) assert(covered === n) // small payloads fully covered
+    }
+  }
+}

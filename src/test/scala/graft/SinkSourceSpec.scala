@@ -1,0 +1,78 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.functions._
+import graft.sources.{PagedSource, RateLimitedSink}
+import graft.migration.Fixtures
+
+/** Shared mutable recorder for the sink test — local-mode executors live in
+  * this JVM, so a static AtomicLong observes executor-side calls. */
+object SinkRecorder {
+  val batches = new AtomicLong(0)
+  val rows = new AtomicLong(0)
+}
+
+class SinkSourceSpec extends SparkSpec {
+
+  test("token bucket sleeps only when the window is exhausted (A6)") {
+    var clock = 0L
+    var slept = Vector.empty[Long]
+    val bucket = new RateLimitedSink.TokenBucket(
+      maxPerWindow = 2, windowMillis = 60000L,
+      now = () => clock, sleep = ms => { slept :+= ms; clock += ms })
+    bucket.acquire(); bucket.acquire()
+    assert(slept.isEmpty)
+    bucket.acquire() // third call in the same window must wait out the rest
+    assert(slept === Vector(60000L))
+    bucket.acquire()
+    assert(slept.size === 1) // fresh window, no extra sleep
+  }
+
+  test("publish: batched posts through foreachPartition, counts conserved") {
+    SinkRecorder.batches.set(0); SinkRecorder.rows.set(0)
+    val df = Fixtures.customersDf(spark)
+    val n = RateLimitedSink.publish(df, ratePerMinute = 100000,
+      batchSize = 3, parallelism = 2) { batch =>
+      SinkRecorder.batches.incrementAndGet()
+      SinkRecorder.rows.addAndGet(batch.size)
+    }
+    assert(SinkRecorder.rows.get() === df.count())
+    assert(SinkRecorder.batches.get() === n)
+    assert(n >= 3) // 8 rows, batch 3, 2 partitions => at least 3 batches
+  }
+
+  test("paged source: page recovery, range pruning, manifest counts (S1/S2/F4/A1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pages").toString
+    val pages = Fixtures.customers.grouped(3).zipWithIndex.toSeq
+    pages.foreach { case (group, i) =>
+      val rows = group.map { c =>
+        s"""{"email":${ujson(c.email)},"name":${ujson(c.name)}}"""
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/page-${i + 1}.json"),
+        rows.mkString("\n").getBytes("UTF-8"))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/meta.json"),
+      s"""{"pagination":{"total_count":${Fixtures.customers.size},"total_pages":${pages.size}}}"""
+        .getBytes("UTF-8"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("email", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+
+    val all = PagedSource.readPages(spark, dir, schema)
+    assert(all.count() === Fixtures.customers.size)
+    assert(all.select("page").distinct().count() === pages.size)
+
+    val ranged = PagedSource.readPages(spark, dir, schema, Some(2), Some(2))
+    assert(ranged.count() === 3)
+    assert(ranged.select("page").distinct().head().getInt(0) === 2)
+
+    val (totalCount, totalPages) = PagedSource.readManifest(spark, dir)
+    assert(totalCount === Fixtures.customers.size.toLong)
+    assert(totalPages === pages.size.toLong)
+  }
+
+  private def ujson(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}
