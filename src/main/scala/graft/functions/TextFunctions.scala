@@ -88,9 +88,15 @@ object TextFunctions {
     * but ANSI mode — Spark 4 default — rejects overflowing multiplies.) */
   def elementHashes(set: Column): Column = transform(set, w => xxhash64(w))
 
-  /** MinHash signature from pre-hashed elements: slot k is
-    * min over elements of xxhash64(h, k). */
+  /** MinHash signature from pre-hashed elements: slot k is min over
+    * elements of xxhash64(h, k). Delegates to the native expression (one
+    * loop per row); the composed form below is the parity oracle. */
   def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    graft.plans.NativeExprs.minhashSignature(hashes, numHashes)
+
+  /** Composed-Column reference for the minhash signature (64 interpreted
+    * transform+array_min passes — parity spec only). */
+  def minhashFromHashesViaColumns(hashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { k =>
       array_min(transform(hashes, h => xxhash64(h, lit(k))))
     }: _*)

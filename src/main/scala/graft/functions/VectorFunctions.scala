@@ -21,7 +21,14 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native expression (one loop/row); the composed
+    * form is kept as the parity oracle. Both widen to double before any
+    * multiply and accumulate sequentially, so they agree bitwise. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.NativeExprs.cosineSim(a, b)
+
+  def cosineViaColumns(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** L2-normalize a vector (zero vectors pass through unchanged). */
   def l2Normalize(a: Column): Column = {

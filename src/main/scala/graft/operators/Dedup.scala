@@ -63,11 +63,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // verify with the sorted-merge jaccard (native, allocation-free) and
+    // broadcast hash-set sides: pairs stream, arrays never shuffle
     candidates
-      .join(hashSets.select(col("doc_id").as("id_a"), col("wh").as("wh_a")), "id_a")
-      .join(hashSets.select(col("doc_id").as("id_b"), col("wh").as("wh_b")), "id_b")
+      .join(broadcast(hashSets.select(col("doc_id").as("id_a"), col("wh").as("wh_a"))), "id_a")
+      .join(broadcast(hashSets.select(col("doc_id").as("id_b"), col("wh").as("wh_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("wh_a"), col("wh_b")), 4).as("jaccard"))
+        round(graft.plans.NativeExprs.jaccardSorted(col("wh_a"), col("wh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

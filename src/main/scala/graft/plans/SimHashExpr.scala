@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
@@ -40,7 +40,7 @@ case class SimHash64Expr(child: Expression)
       val t = tokens(i)
       if (t.nonEmpty && seen.add(t)) {
         n += 1
-        val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+        val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
         var b = 0
         while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
       }

@@ -104,11 +104,11 @@ object TextQueries extends QueryPack {
   private val q36 = Q(
     "q36_shingle_stats",
     (s, dir) => Tables(s, dir).documents
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_shingles"),
-        size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"))
+        graft.plans.NativeExprs.shingleStats(col("text"), 3).as("st"))
+      .select(col("doc_id"), col("st.n_shingles").as("n_shingles"),
+        col("st.n_distinct_shingles").as("n_distinct_shingles"))
+      .filter(col("n_shingles") > 0)
       .orderBy(col("doc_id")),
     Some("""WITH w AS (SELECT doc_id,
         unnest(regexp_extract_all(text, '\S+')) AS word,

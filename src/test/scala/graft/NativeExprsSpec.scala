@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.plans.NativeExprs
+
+class NativeExprsSpec extends SparkSpec {
+
+  test("native minhash signature matches composed reference") {
+    val docs = Tables(spark, sfDir).documents.limit(50)
+      .select(array_distinct(elementHashes(tokens(col("text")))).as("wh"))
+    val mism = docs.select(
+      minhashFromHashes(col("wh"), 16).as("native"),
+      minhashFromHashesViaColumns(col("wh"), 16).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mism === 0L)
+  }
+
+  test("native shingle stats match composed shingles") {
+    val docs = Tables(spark, sfDir).documents.limit(100)
+    val mism = docs.select(
+      NativeExprs.shingleStats(col("text"), 3).as("st"),
+      size(shingles(col("text"), 3)).cast("long").as("n_comp"),
+      size(array_distinct(shingles(col("text"), 3))).cast("long").as("d_comp"))
+      .filter(col("st.n_shingles") =!= col("n_comp") ||
+        col("st.n_distinct_shingles") =!= col("d_comp"))
+      .count()
+    assert(mism === 0L)
+  }
+
+  test("native cosine is bitwise-identical to composed cosine") {
+    val e = Tables(spark, sfDir).embeddings.limit(30)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val mism = pairs.select(
+      cosine(col("ea"), col("eb")).as("native"),
+      cosineViaColumns(col("ea"), col("eb")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mism === 0L)
+  }
+
+  test("sorted-merge jaccard matches composed jaccard on hash sets") {
+    val docs = Tables(spark, sfDir).documents.limit(80)
+      .select(col("doc_id"),
+        array_sort(array_distinct(elementHashes(tokens(col("text"))))).as("wh"))
+    val a = docs.select(col("doc_id").as("ia"), col("wh").as("wa"))
+    val b = docs.select(col("doc_id").as("ib"), col("wh").as("wb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val mism = pairs.select(
+      NativeExprs.jaccardSorted(col("wa"), col("wb")).as("native"),
+      jaccard(col("wa"), col("wb")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mism === 0L)
+  }
+}
