@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audit: the 100 TB posture, asserted. Filters/projections must
+  * reach the parquet scan, dimension joins must broadcast, fact-fact joins
+  * must NOT degenerate to nested-loop/cartesian, and top-1-per-group must
+  * use WindowGroupLimit. Plans regress silently — these make the explain
+  * output part of the test surface.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q06: selective predicates are pushed to the parquet scan") {
+    val p = plan("q06_discount_revenue")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"))
+  }
+
+  test("q06: scan reads only the referenced columns") {
+    val p = plan("q06_discount_revenue")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"column pruning failed: $readSchema")
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q07: dimension join is a broadcast hash join") {
+    val p = plan("q07_brand_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q04/q05: semi and anti joins stay hash joins, never nested-loop") {
+    assert(!plan("q04_priority_exists").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("q05_quiet_customers_1995").contains("BroadcastNestedLoopJoin"))
+    assert(plan("q04_priority_exists").contains("LeftSemi"))
+    assert(plan("q05_quiet_customers_1995").contains("LeftAnti"))
+  }
+
+  test("q12: top-1-per-group uses WindowGroupLimit, not full sort of groups") {
+    assert(plan("q12_top_order_per_customer").contains("WindowGroupLimit"))
+  }
+
+  test("q23: point lookup pushes the id list into the scan") {
+    val p = plan("q23_point_lookup")
+    assert(p.contains("PushedFilters:") && p.contains("In(o_orderkey"))
+  }
+
+  test("q38: LSH dedup has no cartesian product anywhere") {
+    val p = plan("q38_minhash_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q46: ANN corpus never self-shuffles; queries are broadcast") {
+    val p = plan("q46_knn_bruteforce")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+}

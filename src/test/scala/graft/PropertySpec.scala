@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.migration._
+
+/** Property-based invariants (SURVEY §5): conservation, caps, the
+  * all-or-nothing email rule, fingerprint invariance — on ScalaCheck
+  * generators, not just the curated fixtures. (Plain Gen sampling; the
+  * scalatestplus bridge isn't in the offline dependency cache.) */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val p = Gen.Parameters.default.withSize(20)
+    (0 until n * 4).iterator
+      .flatMap(i => g.apply(p, org.scalacheck.rng.Seed(42L + i)))
+      .take(n).toSeq
+  }
+
+  private val nameGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 4)
+    parts <- Gen.listOfN(n, Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(30)))
+  } yield parts.mkString(" ")
+
+  private val emailGen: Gen[String] = for {
+    user <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(10))
+    dom <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(10))
+  } yield s"$user@$dom.com"
+
+  private val multiEmailGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 4)
+    emails <- Gen.listOfN(n, emailGen)
+    sep <- Gen.oneOf(" ", ";", ",")
+  } yield emails.mkString(sep)
+
+  test("customer transform: conservation + caps hold on generated input") {
+    import spark.implicits._
+    val rows = samples(Gen.zip(multiEmailGen, nameGen), 60)
+    val df = rows.map { case (e, n) =>
+      Schemas.GrooveCustomer(e, n, None, None, None, None, None, None, None, None)
+    }.toDF()
+    val out = CustomerTransform.toHelpScout(df)
+    assert(ErrorChannel.conserves(out))
+    val okRows = ErrorChannel.ok(out).collect()
+    assert(okRows.length === rows.length)
+    assert(okRows.forall { r =>
+      val fn = r.getAs[String]("first_name")
+      val org = r.getAs[String]("organization")
+      (fn == null || fn.length <= 40) && (org == null || org.length <= 60)
+    })
+    // all generated parts are valid emails => primary is the first part,
+    // never the unsplit blob
+    assert(okRows.forall(r => !r.getAs[String]("primary_email").contains(";")))
+  }
+
+  test("email split all-or-nothing: any invalid part falls back to whole string") {
+    val lists = samples(Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, emailGen)), 10)
+    val inputs = lists.map(emails => (emails :+ "not an email !").mkString(";"))
+    import spark.implicits._
+    val got = inputs.toDF("email")
+      .select(MigrationFunctions.primaryEmail(col("email")).as("p"), col("email"))
+      .collect()
+    assert(got.forall(r => r.getString(0) === r.getString(1)))
+    // and with only valid parts, primary == head
+    val clean = lists.map(_.mkString(";"))
+    val gotClean = clean.toDF("email")
+      .select(MigrationFunctions.primaryEmail(col("email")).as("p"), col("email"))
+      .collect()
+    assert(gotClean.forall(r => r.getString(0) === r.getString(1).split(";").head))
+  }
+
+  test("fingerprint: whitespace and case never change the dedup key") {
+    import spark.implicits._
+    val words = samples(Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(20)), 30)
+    val variants = words.flatMap(s =>
+      Seq((s, s), (s, s.toUpperCase), (s, s"  $s "), (s, s + " ")))
+    val distinctPerKey = variants.toDF("key", "variant")
+      .groupBy(col("key"))
+      .agg(countDistinct(graft.functions.TextFunctions.fingerprint(col("variant"))).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(distinctPerKey === 1L)
+  }
+}
