@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (SURVEY §7.4: "one viral ticket =
+  * many messages"). AQE's skew-join split handles most cases at runtime;
+  * explicit salting is for the pathological long-tail where one key
+  * dominates a partition regardless of split size.
+  *
+  * Pattern: the skewed (large) side gets a deterministic salt in
+  * [0, buckets) derived from a high-cardinality disambiguator column; the
+  * other side is replicated once per salt. The join key becomes
+  * (key, salt), spreading a hot key over `buckets` reducers. Deterministic
+  * (hash-derived salt, no rand()) so replays and oracles stay stable.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on bigKey==smallKey with the big side salted.
+    * Keys are NAMES (resolved on the salted frames — passing Columns
+    * captured from the input frames would carry stale expression ids).
+    * @param saltSource expression over `big`'s columns (plain col() refs)
+    *                   with high cardinality under one key, e.g. the fact
+    *                   table's line number */
+  def saltedEquiJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      saltSource: Column, buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(buckets)).cast("int"))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    saltedBig
+      .join(replicatedSmall,
+        col(bigKey) === col(smallKey) &&
+          saltedBig("__salt") === replicatedSmall("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+}

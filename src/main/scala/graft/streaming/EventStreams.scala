@@ -54,4 +54,51 @@ object EventStreams {
     spark.table(tableName)
       .orderBy(col("window_start"), col("event_type"))
   }
+
+  /** Dedup-on-replay (SURVEY §2.10: --checkDuplicates TP:353-373 as a
+    * streaming primitive): event-time watermark + state-store dedup on the
+    * record key. Duplicate arrivals inside the watermark horizon are
+    * dropped exactly once. */
+  def dedupedEventStream(spark: SparkSession, dir: String): DataFrame =
+    readEventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run the deduped stream to completion and return the sink table. */
+  def dedupToTable(spark: SparkSession, dir: String, tableName: String): DataFrame = {
+    val q = dedupedEventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName(tableName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
+  /** Custom keyed state via mapGroupsWithState (§2.10 "custom state"
+    * surface): a running per-user event count held in the state store,
+    * emitted in Update mode each micro-batch. */
+  def statefulUserCounts(spark: SparkSession, dir: String, tableName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val counts = readEventStream(spark, dir)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          (user, total)
+      }
+      .toDF("user_id", "n_events")
+    val q = counts.writeStream.format("memory").queryName(tableName)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // in Update mode each batch appends its latest value; keep the final
+    // state per user
+    spark.table(tableName)
+      .groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.max(col("n_events")).as("n_events"))
+  }
 }
