@@ -1,0 +1,214 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 implementation of the reference's paginated scan (S1/S2:
+  * SyncCustomers.php:57-83, SyncTickets.php:169-202) over the page-per-file
+  * JSON layout (`page-<n>.json` + `meta.json` manifest) — the "custom work
+  * needed" column of SURVEY §4 made real:
+  *
+  *  - one InputPartition per page → pages are the unit of parallelism, as
+  *    in the reference's page loop, but fetched concurrently;
+  *  - SupportsPushDownFilters on the synthetic `page` column → the
+  *    `--startPage/--stopPage` range (F4) prunes partitions at PLANNING
+  *    time; pruned pages are never opened;
+  *  - SupportsPushDownRequiredColumns → the Jackson parse only materializes
+  *    requested fields (column pruning inside the record decoder);
+  *  - SupportsReportStatistics from the manifest → the count-first planning
+  *    the reference does with its first `meta` fetch (A1, SC:57-63).
+  *
+  * Usage: spark.read.format("graft-pages").schema(s).load(dir). A live
+  * REST-backed variant swaps the file read in PagePartitionReader for an
+  * HTTP fetch; planning stays identical.
+  */
+class PagedJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-pages"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-pages requires an explicit schema (schema-on-read, SURVEY §1.1)")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-pages requires a path"))
+    new PagedJsonTable(schema, path)
+  }
+}
+
+class PagedJsonTable(userSchema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-pages:$path"
+  override def schema(): StructType = PagedJson.fullSchema(userSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedJsonScanBuilder(userSchema, path)
+}
+
+object PagedJson {
+  val PageCol = "page"
+  def fullSchema(userSchema: StructType): StructType =
+    userSchema.add(StructField(PageCol, IntegerType, nullable = false))
+  def listPages(path: String): Seq[(Int, String)] = {
+    val dir = new java.io.File(path)
+    val re = "page-(\\d+)\\.json".r
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case re(n) => Some(n.toInt -> f.getAbsolutePath)
+        case _ => None
+      }).sortBy(_._1)
+  }
+}
+
+class PagedJsonScanBuilder(userSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var minPage: Int = Int.MinValue
+  private var maxPage: Int = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = PagedJson.fullSchema(userSchema)
+
+  /** Accept page-range filters; everything else stays a residual Spark
+    * evaluates post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo(PagedJson.PageCol, _: Integer) => true
+      case GreaterThan(PagedJson.PageCol, _: Integer) => true
+      case GreaterThanOrEqual(PagedJson.PageCol, _: Integer) => true
+      case LessThan(PagedJson.PageCol, _: Integer) => true
+      case LessThanOrEqual(PagedJson.PageCol, _: Integer) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v: Integer) =>
+        minPage = math.max(minPage, v); maxPage = math.min(maxPage, v)
+      case GreaterThan(_, v: Integer) => minPage = math.max(minPage, v + 1)
+      case GreaterThanOrEqual(_, v: Integer) => minPage = math.max(minPage, v)
+      case LessThan(_, v: Integer) => maxPage = math.min(maxPage, v - 1)
+      case LessThanOrEqual(_, v: Integer) => maxPage = math.min(maxPage, v)
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new PagedJsonScan(userSchema, required, path, minPage, maxPage)
+}
+
+class PagedJsonScan(
+    userSchema: StructType,
+    required: StructType,
+    path: String,
+    minPage: Int,
+    maxPage: Int) extends Scan with Batch with SupportsReportStatistics {
+
+  private val pages: Seq[(Int, String)] =
+    PagedJson.listPages(path).filter { case (p, _) => p >= minPage && p <= maxPage }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-pages pages=[${pages.map(_._1).mkString(",")}] of $path"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    pages.map { case (p, f) => PagePartition(p, f): InputPartition }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedJsonReaderFactory(userSchema, required)
+
+  /** A1 count-first planning: row count from the manifest, no page opened.
+    * Page-pruned scans scale the estimate by the selected page fraction. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val totals: Option[(Long, Long)] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/meta.json")), "UTF-8")
+      val count = "\"total_count\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(txt).map(_.group(1).toLong)
+      val pagesTotal = "\"total_pages\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(txt).map(_.group(1).toLong)
+      for (c <- count; p <- pagesTotal) yield (c, p)
+    } catch { case _: Exception => None }
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(pages.map(f => new java.io.File(f._2).length()).sum)
+    override def numRows(): util.OptionalLong = totals match {
+      case Some((c, p)) if p > 0 =>
+        util.OptionalLong.of(math.max(1L, c * pages.size / p))
+      case _ => util.OptionalLong.empty()
+    }
+  }
+}
+
+case class PagePartition(page: Int, file: String) extends InputPartition
+
+class PagedJsonReaderFactory(userSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PagePartitionReader(partition.asInstanceOf[PagePartition], userSchema, required)
+}
+
+/** Reads one page file; JSON decoding materializes only the required
+  * non-page fields (pruned schema handed to Jackson), then appends the
+  * partition's page id when requested. */
+class PagePartitionReader(
+    partition: PagePartition,
+    userSchema: StructType,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val dataFields: Seq[StructField] =
+    required.fields.toSeq.filter(_.name != PagedJson.PageCol)
+  private val dataSchema = StructType(dataFields)
+  private val pageIdx: Int = required.fieldNames.indexOf(PagedJson.PageCol)
+
+  private lazy val parser = new JacksonParser(
+    dataSchema, new JSONOptions(Map.empty[String, String], "UTC", ""),
+    false, Seq.empty)
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(partition.file)).asScala.iterator
+      .filter(_.trim.nonEmpty)
+    lines.flatMap { line =>
+      parser.parse(line, CreateJacksonParser.string,
+        (s: String) => org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    }.map { dataRow =>
+      if (pageIdx < 0) dataRow.copy()
+      else {
+        val out = new GenericInternalRow(required.length)
+        var i = 0; var j = 0
+        while (i < required.length) {
+          if (i == pageIdx) out.update(i, partition.page)
+          else { out.update(i, dataRow.get(j, dataFields(j).dataType)); j += 1 }
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
