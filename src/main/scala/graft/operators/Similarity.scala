@@ -90,6 +90,84 @@ object Similarity {
       .orderBy(col("q_id"), col("cos_sim").desc, col(idCol))
   }
 
+  /** Deterministic mini k-means for the IVF coarse quantizer: centroids
+    * initialized from evenly-spaced corpus rows (sorted by id — no rand()),
+    * refined with a few distributed Lloyd iterations. Only the k×dim
+    * centroid matrix ever reaches the driver (model state, not data). */
+  def kmeansCentroids(
+      corpus: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val step = math.max(1L, n / k)
+    var centroids: Seq[(Int, Seq[Double])] = corpus
+      .select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .orderBy(col(idCol))
+      .limit((step * k).toInt)
+      .collect().zipWithIndex
+      .collect { case (r, i) if i % step == 0 => (i / step.toInt, r.getSeq[Double](1)) }
+      .take(k)
+    for (_ <- 0 until iters) {
+      val cdf = spark.createDataFrame(
+        centroids.map { case (cid, e) => (cid, e) }).toDF("cid", "centroid")
+      val assigned = assignToCentroids(corpus, cdf, idCol, embCol)
+      centroids = assigned
+        .select(col("cid"), posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1)
+    }
+    centroids
+  }
+
+  private def assignToCentroids(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid"))
+    corpus.join(broadcast(centroids))
+      .withColumn("__sim", cosine(col(embCol), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__sim", "__rn", "centroid")
+  }
+
+  /** IVF ANN: corpus partitioned into nlist inverted lists by nearest
+    * centroid; a query exactly re-ranks only the rows of its nprobe
+    * closest lists. At 100 TB the assigned corpus is written partitioned
+    * by `cid`, so a query touches nprobe partitions of storage. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 3, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, embCol)
+    val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
+    val lists = assignToCentroids(corpus, cdf, idCol, embCol)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cid"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .join(broadcast(cdf))
+      .withColumn("__sim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    val scored = lists
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(embCol), col("q_emb")), 4).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("q_id"), col("cos_sim").desc, col(idCol))
+  }
+
   /** Blocked near-duplicate pairs by embedding cosine: candidate pairs are
     * generated only inside a blocking key (here any column, e.g. a cluster
     * label or LSH bucket), never across the full corpus. */

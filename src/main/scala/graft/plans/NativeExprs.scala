@@ -160,6 +160,61 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
+  * hashes of character k-grams over the normalized text, keeping the
+  * minimum hash of each sliding window (rightmost on ties) and deduping
+  * consecutive picks. Guarantees any shared substring of length
+  * >= k + window - 1 contributes at least one common fingerprint — the
+  * containment-dedup primitive exact/MinHash dedup can't provide. */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  private val Base = 1000003L
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = ws.matcher(
+      input.asInstanceOf[UTF8String].toString.toLowerCase.trim).replaceAll(" ")
+    val n = text.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    // rolling polynomial hashes of all k-grams (wrapping 64-bit)
+    val grams = new Array[Long](n - k + 1)
+    var h = 0L; var pow = 1L
+    var i = 0
+    while (i < k) { h = h * Base + text.charAt(i); if (i < k - 1) pow *= Base; i += 1 }
+    grams(0) = h
+    i = k
+    while (i < n) {
+      h = (h - text.charAt(i - k) * pow) * Base + text.charAt(i)
+      grams(i - k + 1) = h
+      i += 1
+    }
+    if (grams.length <= window) {
+      var m = 0
+      var j = 1
+      while (j < grams.length) { if (grams(j) <= grams(m)) m = j; j += 1 }
+      return new GenericArrayData(Array(grams(m)))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](grams.length / window + 1)
+    var lastPick = -1
+    var w = 0
+    while (w <= grams.length - window) {
+      var m = w
+      var j = w + 1
+      while (j < w + window) { if (grams(j) <= grams(m)) m = j; j += 1 }
+      if (m != lastPick) { out += grams(m); lastPick = m }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprintsExpr =
+    copy(child = c)
+}
+
 object NativeExprs {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     toColumn(MinHashSigExpr(toExpression(hashes), numHashes))
@@ -169,4 +224,6 @@ object NativeExprs {
     toColumn(CosineSimExpr(toExpression(a), toExpression(b)))
   def jaccardSorted(a: Column, b: Column): Column =
     toColumn(JaccardSortedExpr(toExpression(a), toExpression(b)))
+  def winnowFingerprints(text: Column, k: Int, window: Int): Column =
+    toColumn(WinnowFingerprintsExpr(toExpression(text), k, window))
 }

@@ -503,7 +503,22 @@ object RelationalQueries extends QueryPack {
       (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey)
       GROUP BY n_lines ORDER BY n_lines"""))
 
+  /** Semi-structured JSON access via get_json_object (the raw-JSON
+    * fallback path S7, SURVEY §2.7 note) — vs DuckDB's JSON extension. */
+  private val q28 = Q(
+    "q28_json_extract",
+    (s, dir) => Tables(s, dir).events
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_mod")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events WHERE event_id < 1000 GROUP BY 1 ORDER BY k_mod"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }

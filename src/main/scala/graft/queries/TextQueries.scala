@@ -175,6 +175,34 @@ object TextQueries extends QueryPack {
     },
     None)
 
+  /** BPE-ish subword tokenization (letter runs / digit runs / single
+    * punctuation) — the regex token counter for training-data budgeting. */
+  private val q41 = Q(
+    "q41_bpeish_tokens",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"),
+        size(bpeishTokens(col("text"))).cast("long").as("n_subwords"),
+        size(array_distinct(bpeishTokens(col("text")))).cast("long").as("n_unique_subwords"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+      CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_unique_subwords
+      FROM documents ORDER BY doc_id"""))
+
+  /** Winnowing document fingerprints (rolling k-gram hashes, min per
+    * window — the MOSS scheme) via the native expression; rows-only,
+    * parity/overlap-tested in ScalaTest. */
+  private val q42 = Q(
+    "q42_winnow_fingerprints",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"),
+        graft.plans.NativeExprs.winnowFingerprints(col("text"), 5, 4).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        element_at(col("fps"), 1).as("first_fp"))
+      .orderBy(col("doc_id")),
+    None)
+
   override val all: Seq[Q] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

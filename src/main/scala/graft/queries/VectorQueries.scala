@@ -85,5 +85,17 @@ object VectorQueries extends QueryPack {
     },
     None)
 
-  override val all: Seq[Q] = Seq(q45, q46, q47, q48)
+  /** IVF ANN (mini-k-means coarse quantizer + nprobe inverted lists) —
+    * rows-only; recall vs q46 ground truth asserted in ScalaTest. */
+  private val q49 = Q(
+    "q49_knn_ivf",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.ivfTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id").isin(0L, 100L, 250L)),
+        k = 5, nlist = 8, nprobe = 3)
+    },
+    None)
+
+  override val all: Seq[Q] = Seq(q45, q46, q47, q48, q49)
 }

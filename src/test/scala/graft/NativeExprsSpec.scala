@@ -55,4 +55,25 @@ class NativeExprsSpec extends SparkSpec {
       .filter(col("native") =!= col("composed")).count()
     assert(mism === 0L)
   }
+
+  test("winnowing: shared long substrings yield common fingerprints") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      (1L, s"prefix words here $shared and a different tail"),
+      (2L, s"another opening $shared with other closing words"),
+      (3L, "completely unrelated content about spark query planning engines")
+    ).toDF("id", "text")
+    val fps = docs.select(col("id"),
+      NativeExprs.winnowFingerprints(col("text"), 5, 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlap12 = (fps(1L) intersect fps(2L)).size
+    val overlap13 = (fps(1L) intersect fps(3L)).size
+    assert(overlap12 > 0, "docs sharing a long phrase must share fingerprints")
+    assert(overlap12 > overlap13 * 3 || overlap13 == 0)
+    // deterministic
+    val again = docs.select(NativeExprs.winnowFingerprints(col("text"), 5, 4))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(again(0) === fps(1L))
+  }
 }

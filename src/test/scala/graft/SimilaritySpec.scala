@@ -42,4 +42,13 @@ class SimilaritySpec extends SparkSpec {
     val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.10, s"approx=$a exact=$e")
   }
+
+  test("IVF ANN recall@5 vs brute force") {
+    val truth = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
 }
