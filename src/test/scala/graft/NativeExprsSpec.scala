@@ -76,4 +76,22 @@ class NativeExprsSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0).toSet)
     assert(again(0) === fps(1L))
   }
+
+  test("native expressions are callable from SQL after registration") {
+    graft.plans.GraftFunctions.register(spark)
+    Tables(spark, sfDir).documents.limit(20).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(text) AS s,
+                shingle_stats(text, 3).n_shingles AS ns,
+                size(winnow_fingerprints(text, 5, 4)) AS nf
+         FROM docs_sql ORDER BY doc_id""").collect()
+    assert(viaSql.length === 20)
+    val viaCols = Tables(spark, sfDir).documents.limit(20)
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash64(col("text")).as("s"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql.map(_.getLong(1)).toSeq === viaCols.map(_.getLong(1)).toSeq)
+    val cs = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))").head().getDouble(0)
+    assert(cs === 1.0)
+  }
 }
