@@ -518,7 +518,73 @@ object RelationalQueries extends QueryPack {
       count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       FROM events WHERE event_id < 1000 GROUP BY 1 ORDER BY k_mod"""))
 
+  /** Exact interpolated percentiles (both engines use linear
+    * interpolation: Spark `percentile`, DuckDB `quantile_cont`). */
+  private val q29 = Q(
+    "q29_price_percentiles",
+    (s, dir) => Tables(s, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
+      .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+      round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Scalar-subquery filter (TPC-H Q22 flavor): customers above the
+    * global positive-balance average. Spark side broadcasts the 1-row
+    * aggregate rather than re-running it per row. */
+  private val q2a = Q(
+    "q2a_above_avg_balance",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val avgBal = t.customer.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("global_avg"))
+      t.customer
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("global_avg"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rich"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_rich,
+      round(sum(c_acctbal), 2) AS total_bal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** argmax aggregation: the top-revenue part per brand via max_by
+    * (DuckDB arg_max), with deterministic key tiebreak via max_by on a
+    * composed comparable. */
+  private val q2b = Q(
+    "q2b_brand_top_part",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+        .groupBy(col("p_brand"))
+        .agg(expr("max_by(p_partkey, struct(rev, -p_partkey))").as("top_partkey"),
+          round(max(col("rev")), 2).as("top_rev"))
+      .orderBy(col("p_brand"))
+    },
+    Some("""WITH r AS (SELECT p_brand, p_partkey,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_partkey),
+      w AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+        ORDER BY rev DESC, p_partkey) AS rn FROM r)
+      SELECT p_brand, p_partkey AS top_partkey, rev AS top_rev
+      FROM w WHERE rn = 1 ORDER BY p_brand"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
+    q29, q2a, q2b)
 }
