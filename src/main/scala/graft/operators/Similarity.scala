@@ -62,15 +62,19 @@ object Similarity {
       tables: Int = 4, idCol: String = "vec_id", embCol: String = "embedding",
       dim: Int = 64): DataFrame = {
     val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+    // single scan: emit (table, signature[, probes]) pairs with ONE
+    // posexplode instead of a per-table union (the union re-planned the
+    // corpus scan `tables` times — 4x the input work)
     def signedBuckets(df: DataFrame, id: Column, emb: Column, probe: Boolean): DataFrame = {
-      val perTable = planeSets.zipWithIndex.map { case (planes, t) =>
+      val entries = planeSets.zipWithIndex.flatMap { case (planes, t) =>
         val sig = lshSignature(emb, planes)
         val sigs = if (probe)
-          explode(array(sig +: (0 until nbits).map(b => sig.bitwiseXOR(lit(1 << b))): _*))
-        else sig
-        df.select(lit(t).as("tbl"), sigs.as("sig"), id, emb)
+          sig +: (0 until nbits).map(b => sig.bitwiseXOR(lit(1 << b)))
+        else Seq(sig)
+        sigs.map(s0 => struct(lit(t).as("tbl"), s0.as("sig")))
       }
-      perTable.reduce(_ unionByName _)
+      df.select(id, emb, explode(array(entries: _*)).as("ts"))
+        .select(col("ts.tbl").as("tbl"), col("ts.sig").as("sig"), id, emb)
     }
     val bucketed = signedBuckets(corpus, col(idCol), col(embCol), probe = false)
     val probes = signedBuckets(
