@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row kernels for the native expressions, shared between interpreted
+  * `nullSafeEval` and generated code. A top-level Scala object gets static
+  * forwarders, so whole-stage-codegen'd Java can call
+  * `graft.plans.NativeExprKernels.minhashSig(...)` directly — one static
+  * call per row with no boxing, which is what lets the expressions drop
+  * `CodegenFallback` (a fallback splits the WholeStageCodegen span and
+  * re-materializes an InternalRow per row on either side of the boundary).
+  */
+object NativeExprKernels {
+
+  // element-type codes for cosineSim's codegen-time specialization
+  final val ElemDouble = 0
+  final val ElemFloat = 1
+  final val ElemLong = 2
+  final val ElemInt = 3
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val WinnowBase = 1000003L
+
+  def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = XXH64.hashLong(arr.getLong(i), 42L)
+      var k = 0
+      while (k < numHashes) {
+        val v = XXH64.hashInt(k, base)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def shingleStats(input: UTF8String, n: Int): InternalRow = {
+    val tokens = ws.split(input.toString.trim).filter(_.nonEmpty)
+    val total = math.max(tokens.length - n + 1, 0)
+    val seen = new java.util.HashSet[String](math.max(16, total * 2))
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j)); j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    InternalRow(total.toLong, seen.size.toLong)
+  }
+
+  private def elemAt(arr: ArrayData, code: Int, i: Int): Double = code match {
+    case ElemDouble => arr.getDouble(i)
+    case ElemFloat  => arr.getFloat(i).toDouble
+    case ElemLong   => arr.getLong(i).toDouble
+    case ElemInt    => arr.getInt(i).toDouble
+  }
+
+  def cosineSim(x: ArrayData, y: ArrayData, lt: Int, rt: Int): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = elemAt(x, lt, i)
+      val yi = elemAt(y, rt, i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  def jaccardSorted(x: ArrayData, y: ArrayData): Double = {
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx == 0 && ny == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    inter.toDouble / (nx + ny - inter)
+  }
+
+  def winnowFingerprints(input: UTF8String, k: Int, window: Int): ArrayData = {
+    val text = ws.matcher(input.toString.toLowerCase.trim).replaceAll(" ")
+    val n = text.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val grams = new Array[Long](n - k + 1)
+    var h = 0L; var pow = 1L
+    var i = 0
+    while (i < k) { h = h * WinnowBase + text.charAt(i); if (i < k - 1) pow *= WinnowBase; i += 1 }
+    grams(0) = h
+    i = k
+    while (i < n) {
+      h = (h - text.charAt(i - k) * pow) * WinnowBase + text.charAt(i)
+      grams(i - k + 1) = h
+      i += 1
+    }
+    if (grams.length <= window) {
+      var m = 0
+      var j = 1
+      while (j < grams.length) { if (grams(j) <= grams(m)) m = j; j += 1 }
+      return new GenericArrayData(Array(grams(m)))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](grams.length / window + 1)
+    var lastPick = -1
+    var w = 0
+    while (w <= grams.length - window) {
+      var m = w
+      var j = w + 1
+      while (j < w + window) { if (grams(j) <= grams(m)) m = j; j += 1 }
+      if (m != lastPick) { out += grams(m); lastPick = m }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def simhash64(input: UTF8String): Long = {
+    val tokens = ws.split(input.toString.trim)
+    val seen = new java.util.HashSet[String](math.max(16, tokens.length * 2))
+    val counts = new Array[Int](64)
+    var n = 0
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (t.nonEmpty && seen.add(t)) {
+        n += 1
+        val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+        var b = 0
+        while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > n) sig |= (1L << b); b += 1 }
+    sig
+  }
+}

@@ -77,6 +77,38 @@ class NativeExprsSpec extends SparkSpec {
     assert(again(0) === fps(1L))
   }
 
+  test("native expressions survive codegen-strict mode (no interpreted fallback)") {
+    // with fallback disabled, a broken doGenCode throws instead of silently
+    // degrading to nullSafeEval — this pins the generated-code path
+    withSQLConf(
+      "spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val docs = Tables(spark, sfDir).documents.limit(20)
+        .select(col("doc_id"), col("text"),
+          array_sort(array_distinct(elementHashes(tokens(col("text"))))).as("wh"))
+      val out = docs.select(
+        graft.functions.TextFunctions.simhash64(col("text")).as("sh"),
+        NativeExprs.minhashSignature(col("wh"), 8).as("mh"),
+        NativeExprs.shingleStats(col("text"), 3).as("st"),
+        NativeExprs.winnowFingerprints(col("text"), 5, 4).as("wf"),
+        NativeExprs.jaccardSorted(col("wh"), col("wh")).as("jac"),
+        NativeExprs.cosineSim(array(lit(1.0), lit(2.0)), array(lit(2.0), lit(4.0))).as("cos"))
+        .collect()
+      assert(out.length === 20)
+      assert(out.forall(_.getDouble(4) === 1.0))
+      assert(out.forall(r => math.abs(r.getDouble(5) - 1.0) < 1e-12))
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native expressions are callable from SQL after registration") {
     graft.plans.GraftFunctions.register(spark)
     Tables(spark, sfDir).documents.limit(20).createOrReplaceTempView("docs_sql")
