@@ -123,6 +123,79 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment near-dup pairs via winnowing fingerprints
+    * (Schleimer/Wilkerson/Aiken): docs sharing a substring of length
+    * >= k+window-1 share at least one fingerprint, so a document quoted or
+    * embedded inside a larger one is found even when whole-set Jaccard is
+    * low — the case MinHash/SimHash dedup structurally miss.
+    *
+    * Plan shape: fingerprint each doc once (native codegen'd expression),
+    * explode to an inverted (fp -> doc) index, self-join on fp, count
+    * shared fps per pair. One shuffle keyed on the fingerprint. Boilerplate
+    * fingerprints appearing in > maxDf docs are dropped before the join —
+    * that's both the skew guard at 100 TB (a header shared by 1M docs would
+    * otherwise produce a 10^12-row bucket) and standard winnowing practice.
+    *
+    * Output: id_a < id_b, shared, containment = shared / min(|fps_a|,|fps_b|)
+    * (rounded 4dp) for pairs with containment >= threshold, sorted.
+    */
+  def winnowContainmentPairs(
+      df: DataFrame, textCol: Column, idCol: Column,
+      k: Int = 20, window: Int = 8, threshold: Double = 0.5,
+      maxDf: Long = 256L): DataFrame = {
+    val fps = df.select(idCol.cast("long").as("doc_id"),
+      array_distinct(
+        graft.plans.NativeExprs.winnowFingerprints(textCol, k, window)).as("fps"))
+    val index = fps
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val dfs = index.groupBy("fp").agg(count(lit(1)).as("df"))
+    // denominators count every fp below the boilerplate cutoff — INCLUDING
+    // df=1 singletons (a doc's unique content must keep diluting its
+    // containment score, or any two docs sharing one phrase score 1.0) —
+    // while fps above maxDf are boilerplate excluded from both sides
+    val kept = index.join(dfs.filter(col("df") <= maxDf), Seq("fp")).cache()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    // the pair join additionally skips df=1 (can't produce a pair) — pure
+    // shuffle-volume savings, invisible to the score
+    val pruned = kept.filter(col("df") >= 2)
+    val shared = pruned.select(col("fp"), col("doc_id").as("id_a"))
+      .join(pruned.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n_fps").as("n_a"))), "id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n_fps").as("n_b"))), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared") / least(col("n_a"), col("n_b")), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Containment dedup survivorship: a doc is dropped when >= threshold of
+    * its fingerprints appear in a LARGER doc (more fingerprints; ties by
+    * smaller id surviving) — i.e. contained/quoted documents collapse into
+    * their containers while the containers survive. */
+  def winnowDedupSurvivors(
+      df: DataFrame, textCol: Column, idCol: Column,
+      k: Int = 20, window: Int = 8, threshold: Double = 0.8,
+      maxDf: Long = 256L): DataFrame = {
+    val pairs = winnowContainmentPairs(df, textCol, idCol, k, window, threshold, maxDf)
+    val fps = df.select(idCol.cast("long").as("doc_id"),
+      size(array_distinct(
+        graft.plans.NativeExprs.winnowFingerprints(textCol, k, window))).as("n_fps"))
+    val withSizes = pairs
+      .join(broadcast(fps.select(col("doc_id").as("id_a"), col("n_fps").as("n_a"))), "id_a")
+      .join(broadcast(fps.select(col("doc_id").as("id_b"), col("n_fps").as("n_b"))), "id_b")
+    // the smaller-fingerprint-set side of each qualifying pair is dropped
+    val dropped = withSizes.select(
+      when(col("n_a") < col("n_b") || (col("n_a") === col("n_b") && col("id_a") > col("id_b")),
+        col("id_a")).otherwise(col("id_b")).as("doc_id")).distinct()
+    df.select(idCol.cast("long").as("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard between explicit row pairs (the verify primitive;
     * also a standalone operator for blocked candidate sets). `pairs` must
     * have id_a/id_b; df provides (id, text). */

@@ -203,6 +203,26 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id")),
     None)
 
+  /** Containment dedup over winnowing fingerprints: inverted fp index
+    * self-join with document-frequency skew guard — finds quoted/embedded
+    * documents whole-set Jaccard misses. Rows-only (winnowing isn't
+    * SQL-expressible); planted-containment precision/recall in DedupSpec. */
+  private val q43 = Q(
+    "q43_winnow_containment",
+    (s, dir) => Dedup.winnowContainmentPairs(
+      Tables(s, dir).documents, col("text"), col("doc_id"),
+      k = 20, window = 8, threshold = 0.5),
+    None)
+
+  /** Containment dedup survivorship: contained docs collapse into their
+    * containers (larger fingerprint set survives). Rows-only. */
+  private val q44 = Q(
+    "q44_winnow_dedup",
+    (s, dir) => Dedup.winnowDedupSurvivors(
+      Tables(s, dir).documents, col("text"), col("doc_id"),
+      k = 20, window = 8, threshold = 0.8),
+    None)
+
   override val all: Seq[Q] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

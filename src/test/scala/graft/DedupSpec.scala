@@ -57,4 +57,56 @@ class DedupSpec extends SparkSpec {
       val j = r.getDouble(2); j >= 0.0 && j <= 1.0
     })
   }
+
+  test("winnow containment finds planted quoted documents") {
+    import spark.implicits._
+    // doc 101 is doc 100 verbatim inside a much larger wrapper — whole-set
+    // jaccard between them is low, but containment of 100 in 101 is ~1.0
+    val core = (1 to 40).map(i => s"core sentence number $i about winnowing").mkString(" ")
+    val filler = (1 to 400).map(i => s"filler text block $i with unrelated words").mkString(" ")
+    val planted = Seq(
+      (100L, core),
+      (101L, s"$filler $core more trailing filler content"),
+      (102L, "a short standalone document with nothing shared at all"),
+      (103L, (1 to 300).map(i => s"different corpus segment $i entirely").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowContainmentPairs(
+        planted, col("text"), col("doc_id"), k = 8, window = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.exists { case (a, b, c) => a == 100L && b == 101L && c >= 0.9 },
+      s"planted containment pair missing: ${pairs.mkString(",")}")
+    assert(!pairs.exists { case (a, b, _) => b == 102L || a == 102L })
+    // survivorship: the contained doc (100, smaller fp set) is dropped,
+    // its container (101) and the unrelated docs survive
+    val survivors = Dedup.winnowDedupSurvivors(
+        planted, col("text"), col("doc_id"), k = 8, window = 4, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(101L, 102L, 103L))
+  }
+
+  test("winnow containment pairs on fixture are symmetric-safe and bounded") {
+    val pairs = Dedup.winnowContainmentPairs(
+      docs, col("text"), col("doc_id"), k = 8, window = 4, threshold = 0.5)
+    val rows = pairs.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r => val c = r.getDouble(3); c >= 0.5 && c <= 1.0 })
+    // the fixture's near-dups come in two flavors: character-level edits
+    // (shared long substrings — winnowing's territory) and whole-word
+    // shuffles (word-set overlap only — MinHash's territory, invisible to
+    // substring fingerprints). Ground-truth the first flavor as doc pairs
+    // sharing an identical 120-char prefix and require containment recall.
+    val prefixPairs = docs.select(col("doc_id"), substring(col("text"), 1, 120).as("p"))
+      .groupBy("p").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "filter(transform(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), " +
+          "s -> s), s -> s.a < s.b)")).as("pr"))
+      .select(col("pr.a"), col("pr.b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixPairs.nonEmpty, "fixture should contain identical-prefix near-dups")
+    val recall = (prefixPairs intersect got).size.toDouble / prefixPairs.size
+    assert(recall >= 0.9,
+      s"containment recall on shared-prefix pairs $recall (${prefixPairs.size} truth)")
+  }
 }
