@@ -107,5 +107,31 @@ object EventQueries extends QueryPack {
       event_type, count(*) AS n, round(sum(value), 2) AS total
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
-  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
+  /** Event-time sessionization as a STREAMING stateful operator
+    * (flatMapGroupsWithState + EventTimeTimeout, custom state-store
+    * sessions): emits every session the final watermark can flush — i.e.
+    * all sessions ending >= gap before max(ts). Oracle = the q52
+    * gaps-and-islands sessions restricted by that same predicate, with the
+    * rounding applied to the streamed running total (state accumulates raw
+    * doubles; IEEE addition order matches event-time order on both sides). */
+  private val q55 = Q(
+    "q55_stream_sessions",
+    (s, dir) => EventStreams.sessionsToTable(s, dir, "q55_stream_out")
+      .withColumn("total", round(col("total"), 2)),
+    Some("""WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      s AS (SELECT user_id, ts, value,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events, round(sum(value), 2) AS total
+      FROM s GROUP BY user_id, sid
+      HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+      ORDER BY user_id, session_start"""))
+
+  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55)
 }

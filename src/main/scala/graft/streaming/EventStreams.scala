@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+/** A closed event-time session emitted by [[EventStreams.sessionizeStream]]:
+  * `session_end_exclusive` = last event + gap, mirroring
+  * `session_window(...).end`. */
+case class SessionOut(
+    user_id: Long, session_start: java.sql.Timestamp,
+    session_end_exclusive: java.sql.Timestamp, n_events: Long, total: Double)
+
+/** Open-session state held in the state store, micros precision (ms-rounded
+  * state would disagree with batch session_window on micro-level gaps). */
+case class OpenSession(startUs: Long, lastUs: Long, n: Long, total: Double)
+
 /** Structured Streaming surface over the events table. The reference's
   * incremental traits (SURVEY §2.10: resumable page offsets SC:17/ST:162,
   * page micro-batches SB:163-193, dedup-on-replay TP:353-373) map here:
@@ -72,6 +83,96 @@ object EventStreams {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(tableName)
+  }
+
+  /** Event-time sessionization with custom state: flatMapGroupsWithState +
+    * EventTimeTimeout. Sessions extend while the next event arrives < gap
+    * after the last (the session_window rule); a session closed by an
+    * in-batch gap is emitted immediately, the trailing open session is
+    * parked in the state store with an event-time timer at last+gap and
+    * emitted when the watermark passes it — so emission needs no sentinel
+    * rows and state size is one OpenSession per active user, the bounded-
+    * state property that lets this run forever at scale.
+    *
+    * `events` must have user_id (long), ts (timestamp), value (double).
+    */
+  def sessionizeStream(
+      events: DataFrame, gapMinutes: Int,
+      watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def close(user: Long, s: OpenSession): SessionOut =
+      SessionOut(user,
+        new java.sql.Timestamp(s.startUs / 1000),
+        new java.sql.Timestamp((s.lastUs + gapUs) / 1000),
+        s.n, s.total)
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+
+    def fn(user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+           state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(user, s))
+      } else {
+        val evs = it.map { case (_, ts, v) => (micros(ts), v) }.toArray.sortBy(_._1)
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var open = state.getOption
+        evs.foreach { case (t, v) =>
+          open match {
+            case Some(s) if t < s.lastUs + gapUs =>
+              open = Some(OpenSession(s.startUs, math.max(s.lastUs, t), s.n + 1, s.total + v))
+            case Some(s) =>
+              closed += close(user, s)
+              open = Some(OpenSession(t, t, 1, v))
+            case None =>
+              open = Some(OpenSession(t, t, 1, v))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // timer must sit strictly past the current watermark
+          state.setTimeoutTimestamp(
+            math.max((s.lastUs + gapUs) / 1000, state.getCurrentWatermarkMs() + 1))
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      // the watermark column itself must reach the stateful operator —
+      // projecting ts to a long would fail the event-time-timeout check
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Run the session stream over the events table to completion and return
+    * emitted (closed) sessions. AvailableNow runs a final no-data batch
+    * after the watermark advances, so every session ending at least `gap`
+    * before the stream's max event time is flushed. */
+  def sessionsToTable(
+      spark: SparkSession, dir: String, tableName: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val q = sessionizeStream(readEventStream(spark, dir), gapMinutes)
+      .toDF()
+      .writeStream.format("memory").queryName(tableName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(tableName)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   /** Custom keyed state via mapGroupsWithState (§2.10 "custom state"

@@ -23,6 +23,59 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("flatMapGroupsWithState sessionization: controlled stream emits exact sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF()
+      .select(col("_1").as("user_id"), timestamp_seconds(col("_2")).as("ts"),
+        col("_3").as("value"))
+    val q = EventStreams.sessionizeStream(events, gapMinutes = 30).toDF()
+      .writeStream.format("memory").queryName("spec_sessions_mem")
+      .outputMode("append").start()
+    try {
+      // session A: two events 10 min apart; then 5h silence -> session B
+      input.addData((1L, 1000L, 1.0), (1L, 1600L, 2.0))
+      q.processAllAvailable()
+      input.addData((1L, 20000L, 3.0)) // advances watermark past A's end
+      q.processAllAvailable()
+      input.addData((2L, 100000L, 0.5)) // watermark driver: closes B
+      q.processAllAvailable()
+      input.addData((2L, 200000L, 0.5)) // fires B's timer
+      q.processAllAvailable()
+      val got = spark.table("spec_sessions_mem")
+        .filter(col("user_id") === 1L)
+        .select(col("session_start").cast("long"),
+          col("session_end_exclusive").cast("long"), col("n_events"), col("total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      assert(got.toSeq === Seq(
+        (1000L, 1600L + 1800L, 2L, 3.0),
+        (20000L, 20000L + 1800L, 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization over fixture matches batch session_window for flushed sessions") {
+    val got = EventStreams.sessionsToTable(spark, sfDir, "spec_sessions_fix")
+      .withColumn("total", round(col("total"), 2))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val ev = Tables(spark, sfDir).events
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // batch truth, restricted to sessions the watermark can have flushed
+    // (ending >= gap before the stream's max event time)
+    val want = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+      .filter(col("session_window.end") <= lit(maxTs))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("salted equi-join returns exactly the plain join's rows") {
     val t = Tables(spark, sfDir)
     val (li, pt) = (t.lineitem, t.part)
