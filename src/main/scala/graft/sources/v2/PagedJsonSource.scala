@@ -28,9 +28,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - SupportsReportStatistics from the manifest → the count-first planning
   *    the reference does with its first `meta` fetch (A1, SC:57-63).
   *
-  * Usage: spark.read.format("graft-pages").schema(s).load(dir). A live
-  * REST-backed variant swaps the file read in PagePartitionReader for an
-  * HTTP fetch; planning stays identical.
+  * Usage: spark.read.format("graft-pages").schema(s).load(dir). The same
+  * source is live-REST-backed when the path is an http(s) URL serving the
+  * identical layout (`<url>/meta.json`, `<url>/page-<n>.json`): planning
+  * (pushdown, statistics, partition-per-page) is shared, only the byte
+  * fetch differs, and executors throttle fetches through a per-JVM token
+  * bucket (`ratelimit` requests per `ratelimitWindowMs`) with retry/backoff
+  * on 429/5xx — the reference's per-service rolling-window limiter
+  * (SyncCommandBase.php:163-193) moved into the scan.
   */
 class PagedJsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pages"
@@ -44,38 +49,119 @@ class PagedJsonSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-pages requires a path"))
-    new PagedJsonTable(schema, path)
+    val path = Option(properties.get("path")).orElse(Option(properties.get("url")))
+      .getOrElse(throw new IllegalArgumentException("graft-pages requires a path or url"))
+    val rate = RateLimitConf(
+      Option(properties.get("ratelimit")).map(_.toInt).getOrElse(0),
+      Option(properties.get("ratelimitwindowms")).map(_.toLong).getOrElse(60000L))
+    new PagedJsonTable(schema, path, rate)
   }
 }
 
-class PagedJsonTable(userSchema: StructType, path: String)
+/** Source-side throttle config: maxPerWindow == 0 disables. */
+case class RateLimitConf(maxPerWindow: Int, windowMillis: Long) extends Serializable
+
+class PagedJsonTable(userSchema: StructType, path: String, rate: RateLimitConf)
     extends Table with SupportsRead {
   override def name(): String = s"graft-pages:$path"
   override def schema(): StructType = PagedJson.fullSchema(userSchema)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedJsonScanBuilder(userSchema, path)
+    new PagedJsonScanBuilder(userSchema, path, rate)
 }
 
 object PagedJson {
   val PageCol = "page"
   def fullSchema(userSchema: StructType): StructType =
     userSchema.add(StructField(PageCol, IntegerType, nullable = false))
-  def listPages(path: String): Seq[(Int, String)] = {
-    val dir = new java.io.File(path)
-    val re = "page-(\\d+)\\.json".r
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .flatMap(f => f.getName match {
-        case re(n) => Some(n.toInt -> f.getAbsolutePath)
-        case _ => None
-      }).sortBy(_._1)
+
+  def isHttp(path: String): Boolean =
+    path.startsWith("http://") || path.startsWith("https://")
+
+  /** (page, location) pairs. Files: directory listing. HTTP: manifest
+    * total_pages drives the page-URL range — the count-first call. */
+  def listPages(path: String): Seq[(Int, String)] =
+    if (isHttp(path)) {
+      val total = readManifest(path).map(_._2.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-pages: $path/meta.json with total_pages is required for HTTP scans"))
+      (1 to total).map(n => n -> s"$path/page-$n.json")
+    } else {
+      val dir = new java.io.File(path)
+      val re = "page-(\\d+)\\.json".r
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(f => f.getName match {
+          case re(n) => Some(n.toInt -> f.getAbsolutePath)
+          case _ => None
+        }).sortBy(_._1)
+    }
+
+  /** (total_count, total_pages) from the manifest, file or HTTP. */
+  def readManifest(path: String): Option[(Long, Long)] = try {
+    val txt =
+      if (isHttp(path)) HttpFetch.get(s"$path/meta.json", RateLimitConf(0, 0)).mkString("\n")
+      else new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/meta.json")), "UTF-8")
+    val count = "\"total_count\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    val pagesTotal = "\"total_pages\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    for (c <- count; p <- pagesTotal) yield (c, p)
+  } catch { case _: Exception => None }
+
+  /** Page body as lines, throttled + retried when remote. */
+  def fetchLines(location: String, rate: RateLimitConf): Iterator[String] =
+    if (isHttp(location)) HttpFetch.get(location, rate).iterator
+    else java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(location)).asScala.iterator
+}
+
+/** Executor-side HTTP fetch: JDK HttpURLConnection, per-JVM token buckets
+  * keyed by origin (all tasks in an executor share one window, the
+  * reference's per-service static counter SB:18-33; cluster-wide the rate
+  * multiplies by executor count — size `ratelimit` accordingly, the same
+  * decomposition RateLimitedSink.publish uses), and bounded retry with
+  * backoff on 429/5xx honoring Retry-After. */
+object HttpFetch {
+  private val buckets =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.RateLimitedSink.TokenBucket]()
+
+  private def origin(url: String): String = {
+    val u = java.net.URI.create(url)
+    s"${u.getScheme}://${u.getAuthority}"
+  }
+
+  def get(url: String, rate: RateLimitConf, maxRetries: Int = 3): Seq[String] = {
+    if (rate.maxPerWindow > 0)
+      buckets.computeIfAbsent(origin(url),
+        _ => new graft.sources.RateLimitedSink.TokenBucket(
+          rate.maxPerWindow, rate.windowMillis)).acquire()
+    var attempt = 0
+    while (true) {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      try {
+        val code = conn.getResponseCode
+        if (code == 200) {
+          val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+          try return src.getLines().toVector finally src.close()
+        }
+        val retryable = code == 429 || code >= 500
+        if (!retryable || attempt >= maxRetries)
+          throw new java.io.IOException(s"graft-pages: GET $url -> HTTP $code")
+        val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
+          .flatMap(s => scala.util.Try(s.toLong * 1000).toOption)
+          .getOrElse(250L * (1L << attempt))
+        Thread.sleep(retryAfterMs)
+        attempt += 1
+      } finally conn.disconnect()
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
 
-class PagedJsonScanBuilder(userSchema: StructType, path: String)
+class PagedJsonScanBuilder(userSchema: StructType, path: String, rate: RateLimitConf)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -113,7 +199,7 @@ class PagedJsonScanBuilder(userSchema: StructType, path: String)
     required = requiredSchema
 
   override def build(): Scan =
-    new PagedJsonScan(userSchema, required, path, minPage, maxPage)
+    new PagedJsonScan(userSchema, required, path, minPage, maxPage, rate)
 }
 
 class PagedJsonScan(
@@ -121,7 +207,8 @@ class PagedJsonScan(
     required: StructType,
     path: String,
     minPage: Int,
-    maxPage: Int) extends Scan with Batch with SupportsReportStatistics {
+    maxPage: Int,
+    rate: RateLimitConf) extends Scan with Batch with SupportsReportStatistics {
 
   private val pages: Seq[(Int, String)] =
     PagedJson.listPages(path).filter { case (p, _) => p >= minPage && p <= maxPage }
@@ -135,22 +222,15 @@ class PagedJsonScan(
     pages.map { case (p, f) => PagePartition(p, f): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedJsonReaderFactory(userSchema, required)
+    new PagedJsonReaderFactory(userSchema, required, rate)
 
   /** A1 count-first planning: row count from the manifest, no page opened.
     * Page-pruned scans scale the estimate by the selected page fraction. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val totals: Option[(Long, Long)] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$path/meta.json")), "UTF-8")
-      val count = "\"total_count\"\\s*:\\s*(\\d+)".r
-        .findFirstMatchIn(txt).map(_.group(1).toLong)
-      val pagesTotal = "\"total_pages\"\\s*:\\s*(\\d+)".r
-        .findFirstMatchIn(txt).map(_.group(1).toLong)
-      for (c <- count; p <- pagesTotal) yield (c, p)
-    } catch { case _: Exception => None }
+    private val totals: Option[(Long, Long)] = PagedJson.readManifest(path)
     override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.of(pages.map(f => new java.io.File(f._2).length()).sum)
+      if (PagedJson.isHttp(path)) util.OptionalLong.empty()
+      else util.OptionalLong.of(pages.map(f => new java.io.File(f._2).length()).sum)
     override def numRows(): util.OptionalLong = totals match {
       case Some((c, p)) if p > 0 =>
         util.OptionalLong.of(math.max(1L, c * pages.size / p))
@@ -161,10 +241,10 @@ class PagedJsonScan(
 
 case class PagePartition(page: Int, file: String) extends InputPartition
 
-class PagedJsonReaderFactory(userSchema: StructType, required: StructType)
+class PagedJsonReaderFactory(userSchema: StructType, required: StructType, rate: RateLimitConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PagePartitionReader(partition.asInstanceOf[PagePartition], userSchema, required)
+    new PagePartitionReader(partition.asInstanceOf[PagePartition], userSchema, required, rate)
 }
 
 /** Reads one page file; JSON decoding materializes only the required
@@ -173,7 +253,8 @@ class PagedJsonReaderFactory(userSchema: StructType, required: StructType)
 class PagePartitionReader(
     partition: PagePartition,
     userSchema: StructType,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType,
+    rate: RateLimitConf) extends PartitionReader[InternalRow] {
 
   private val dataFields: Seq[StructField] =
     required.fields.toSeq.filter(_.name != PagedJson.PageCol)
@@ -185,8 +266,7 @@ class PagePartitionReader(
     false, Seq.empty)
 
   private lazy val rows: Iterator[InternalRow] = {
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(partition.file)).asScala.iterator
+    val lines = PagedJson.fetchLines(partition.file, rate)
       .filter(_.trim.nonEmpty)
     lines.flatMap { line =>
       parser.parse(line, CreateJacksonParser.string,

@@ -1,6 +1,7 @@
 package graft
 
 import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.sources.{PagedSource, RateLimitedSink}
 import graft.migration.Fixtures
@@ -110,5 +111,66 @@ class SinkSourceSpec extends SparkSpec {
     val stats = df.queryExecution.optimizedPlan.stats
     assert(stats.rowCount.contains(BigInt(Fixtures.customers.size)) ||
       stats.sizeInBytes > 0) // rowCount surfaces when CBO reads v2 stats
+  }
+
+  test("DSv2 paged source over live HTTP: fetch, pushdown pruning, rate limit, retry") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val requested = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val pages = Fixtures.customers.grouped(3).zipWithIndex.toSeq
+    val bodies: Map[String, String] =
+      pages.map { case (group, i) =>
+        s"/api/page-${i + 1}.json" ->
+          group.map(c => s"""{"email":${ujson(c.email)},"name":${ujson(c.name)}}""")
+            .mkString("\n")
+      }.toMap +
+        ("/api/meta.json" ->
+          s"""{"pagination":{"total_count":${Fixtures.customers.size},"total_pages":${pages.size}}}""")
+
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val p = ex.getRequestURI.getPath
+        requested.add(p)
+        // first page-1 request 503s to exercise the retry path
+        if (p.endsWith("page-1.json") && failOnce.getAndSet(false)) {
+          ex.sendResponseHeaders(503, -1); ex.close(); return
+        }
+        bodies.get(p) match {
+          case Some(b) =>
+            val bytes = b.getBytes("UTF-8")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("email", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+      val df = spark.read.format("graft-pages").schema(schema)
+        .option("ratelimit", "2").option("ratelimitWindowMs", "300")
+        .load(base)
+
+      val t0 = System.nanoTime()
+      assert(df.count() === Fixtures.customers.size)
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      // 3 pages at 2 req / 300 ms -> at least one full-window sleep
+      assert(elapsedMs >= 250, s"rate limiter never throttled ($elapsedMs ms)")
+      assert(requested.asScala.count(_.endsWith("page-1.json")) === 2) // 503 + retry
+
+      // page-range pushdown: pruned pages are never requested over the wire
+      requested.clear()
+      val ranged = df.where(col("page") === 2)
+      assert(ranged.count() === 3)
+      val pagesFetched = requested.asScala.filter(_.contains("page-")).toSeq
+      assert(pagesFetched.forall(_.endsWith("page-2.json")),
+        s"pruned pages were fetched: $pagesFetched")
+    } finally server.stop(0)
   }
 }
