@@ -26,8 +26,14 @@ object Similarity {
     Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** nbits-bit signature column for an embedding. */
+  /** nbits-bit signature column for an embedding — native one-loop
+    * expression; the composed form below is its parity oracle. */
   def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    graft.plans.NativeExprs.lshSignature(v, planes)
+
+  /** Composed-Column signature (nbits interpreted aggregate() passes per
+    * row) — kept only for the bit-for-bit parity spec. */
+  def lshSignatureViaColumns(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       graft.functions.VectorFunctions.hyperplaneBit(v, p) * lit(1 << i)
     }.reduce(_ + _)

@@ -127,6 +127,26 @@ object NativeExprKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** nbits-bit random-hyperplane LSH signature: bit b = sign of the dot
+    * product with plane b. `planes` is the row-major nbits x dim matrix;
+    * one pass computes every bit (the composed-Column form runs nbits
+    * interpreted aggregate() lambdas per row). */
+  def lshSignature(arr: ArrayData, planes: Array[Double], nbits: Int, elemCode: Int): Int = {
+    val dim = planes.length / nbits
+    val n = math.min(arr.numElements(), dim)
+    var sig = 0
+    var b = 0
+    while (b < nbits) {
+      val off = b * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += elemAt(arr, elemCode, i) * planes(off + i); i += 1 }
+      if (dot >= 0.0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
   def simhash64(input: UTF8String): Long = {
     val tokens = ws.split(input.toString.trim)
     val seen = new java.util.HashSet[String](math.max(16, tokens.length * 2))

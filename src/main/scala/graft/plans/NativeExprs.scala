@@ -144,6 +144,39 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, window: Int)
     copy(child = c)
 }
 
+/** Random-hyperplane LSH signature (see NativeExprKernels.lshSignature).
+  * `planes` is the flattened row-major nbits x dim matrix; generated code
+  * receives it as a double[] reference object, so the whole signature is
+  * one static call per row inside whole-stage codegen. */
+case class LshSignatureExpr(child: Expression, planes: Seq[Double], nbits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_signature"
+
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
+  @transient private lazy val elemCode: Int =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType  => NativeExprKernels.ElemDouble
+      case FloatType   => NativeExprKernels.ElemFloat
+      case LongType    => NativeExprKernels.ElemLong
+      case IntegerType => NativeExprKernels.ElemInt
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprKernels.lshSignature(input.asInstanceOf[ArrayData], planesArr, nbits, elemCode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planesArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Kernel.fq}.lshSignature($c, $ref, $nbits, $elemCode);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshSignatureExpr =
+    copy(child = c)
+}
+
 object NativeExprs {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     toColumn(MinHashSigExpr(toExpression(hashes), numHashes))
@@ -155,4 +188,6 @@ object NativeExprs {
     toColumn(JaccardSortedExpr(toExpression(a), toExpression(b)))
   def winnowFingerprints(text: Column, k: Int, window: Int): Column =
     toColumn(WinnowFingerprintsExpr(toExpression(text), k, window))
+  def lshSignature(emb: Column, planes: Seq[Seq[Double]]): Column =
+    toColumn(LshSignatureExpr(toExpression(emb), planes.flatten, planes.size))
 }

@@ -77,6 +77,16 @@ class NativeExprsSpec extends SparkSpec {
     assert(again(0) === fps(1L))
   }
 
+  test("native LSH signature matches composed hyperplane-bit reference") {
+    val planes = graft.operators.Similarity.hyperplanes(nbits = 8, dim = 64)
+    val e = Tables(spark, sfDir).embeddings.limit(100)
+    val mism = e.select(
+      graft.operators.Similarity.lshSignature(col("embedding"), planes).as("native"),
+      graft.operators.Similarity.lshSignatureViaColumns(col("embedding"), planes).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mism === 0L)
+  }
+
   test("native expressions survive codegen-strict mode (no interpreted fallback)") {
     // with fallback disabled, a broken doGenCode throws instead of silently
     // degrading to nullSafeEval — this pins the generated-code path
@@ -92,7 +102,9 @@ class NativeExprsSpec extends SparkSpec {
         NativeExprs.shingleStats(col("text"), 3).as("st"),
         NativeExprs.winnowFingerprints(col("text"), 5, 4).as("wf"),
         NativeExprs.jaccardSorted(col("wh"), col("wh")).as("jac"),
-        NativeExprs.cosineSim(array(lit(1.0), lit(2.0)), array(lit(2.0), lit(4.0))).as("cos"))
+        NativeExprs.cosineSim(array(lit(1.0), lit(2.0)), array(lit(2.0), lit(4.0))).as("cos"),
+        NativeExprs.lshSignature(array(lit(1.0), lit(-1.0)),
+          Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))).as("lsh"))
         .collect()
       assert(out.length === 20)
       assert(out.forall(_.getDouble(4) === 1.0))
