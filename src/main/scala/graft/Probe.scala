@@ -10,9 +10,10 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
+    val cold = sys.env.contains("GRAFT_PROBE_COLD")
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, dir)
-      df.write.format("noop").mode("overwrite").save() // warm
+      if (!cold) df.write.format("noop").mode("overwrite").save() // warm
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(s"== $name: ${(System.nanoTime()-t0)/1e9}s")

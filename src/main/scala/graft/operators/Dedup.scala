@@ -137,7 +137,8 @@ object Dedup {
     * otherwise produce a 10^12-row bucket) and standard winnowing practice.
     *
     * Output: id_a < id_b, shared, containment = shared / min(|fps_a|,|fps_b|)
-    * (rounded 4dp) for pairs with containment >= threshold, sorted.
+    * (rounded 4dp), n_a, n_b (the pruned-set sizes, reused by survivorship)
+    * for pairs with containment >= threshold, sorted.
     */
   def winnowContainmentPairs(
       df: DataFrame, textCol: Column, idCol: Column,
@@ -148,12 +149,17 @@ object Dedup {
         graft.plans.NativeExprs.winnowFingerprints(textCol, k, window)).as("fps"))
     val index = fps
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-    val dfs = index.groupBy("fp").agg(count(lit(1)).as("df"))
-    // denominators count every fp below the boilerplate cutoff — INCLUDING
+    // df via a window over the fp shuffle (not groupBy + join-back: the
+    // window computes the count on the SAME exchange the pair self-join
+    // then reuses — one shuffle of the index, total, and no cache barrier).
+    // Denominators count every fp below the boilerplate cutoff — INCLUDING
     // df=1 singletons (a doc's unique content must keep diluting its
     // containment score, or any two docs sharing one phrase score 1.0) —
-    // while fps above maxDf are boilerplate excluded from both sides
-    val kept = index.join(dfs.filter(col("df") <= maxDf), Seq("fp")).cache()
+    // while fps above maxDf are boilerplate excluded from both sides.
+    val kept = index
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
     // the pair join additionally skips df=1 (can't produce a pair) — pure
     // shuffle-volume savings, invisible to the score
@@ -167,7 +173,8 @@ object Dedup {
       .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n_fps").as("n_a"))), "id_a")
       .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n_fps").as("n_b"))), "id_b")
       .select(col("id_a"), col("id_b"), col("shared"),
-        round(col("shared") / least(col("n_a"), col("n_b")), 4).as("containment"))
+        round(col("shared") / least(col("n_a"), col("n_b")), 4).as("containment"),
+        col("n_a"), col("n_b"))
       .filter(col("containment") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -180,15 +187,10 @@ object Dedup {
       df: DataFrame, textCol: Column, idCol: Column,
       k: Int = 20, window: Int = 8, threshold: Double = 0.8,
       maxDf: Long = 256L): DataFrame = {
+    // pairs already carry both pruned-set sizes — no fingerprint recompute
     val pairs = winnowContainmentPairs(df, textCol, idCol, k, window, threshold, maxDf)
-    val fps = df.select(idCol.cast("long").as("doc_id"),
-      size(array_distinct(
-        graft.plans.NativeExprs.winnowFingerprints(textCol, k, window))).as("n_fps"))
-    val withSizes = pairs
-      .join(broadcast(fps.select(col("doc_id").as("id_a"), col("n_fps").as("n_a"))), "id_a")
-      .join(broadcast(fps.select(col("doc_id").as("id_b"), col("n_fps").as("n_b"))), "id_b")
     // the smaller-fingerprint-set side of each qualifying pair is dropped
-    val dropped = withSizes.select(
+    val dropped = pairs.select(
       when(col("n_a") < col("n_b") || (col("n_a") === col("n_b") && col("id_a") > col("id_b")),
         col("id_a")).otherwise(col("id_b")).as("doc_id")).distinct()
     df.select(idCol.cast("long").as("doc_id"))
