@@ -198,6 +198,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components over an undirected near-duplicate pair set —
+    * the transitive-clustering step the greedy survivorship variants skip:
+    * if A~B and B~C, all three land in one cluster even when A~C was never
+    * a candidate pair.
+    *
+    * Algorithm: hash-min label propagation to a fixpoint — every node
+    * starts as its own label; each iteration propagates the min label
+    * across edges (one join + one min-aggregate per iteration, converges
+    * in O(cluster diameter) rounds; near-dup clusters are near-cliques so
+    * diameter is tiny). Lineage is cut with an eager localCheckpoint per
+    * round — at cluster scale swap in `checkpoint()` on a durable dir, or
+    * the two-phase large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") for O(log n) rounds
+    * on high-diameter graphs.
+    *
+    * Input: pairs with id_a/id_b. Output: (doc_id, cluster_id = min doc_id
+    * reachable), one row per vertex that appears in a pair, sorted.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.withColumnRenamed("label", "new_label")
+        .join(labels, Seq("id"))
+        .filter(col("new_label") =!= col("label"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard between explicit row pairs (the verify primitive;
     * also a standalone operator for blocked candidate sets). `pairs` must
     * have id_a/id_b; df provides (id, text). */

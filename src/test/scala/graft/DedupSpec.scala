@@ -84,6 +84,24 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Set(101L, 102L, 103L))
   }
 
+  test("connected components: chains, triangles, and isolated pairs cluster correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4 (transitivity across hops), triangle 10-11-12,
+    // isolated pair 20-21; 3 is also linked to 12 merging chain+triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Set(1L, 2L, 3L, 4L, 10L, 11L, 12L)
+    merged.foreach(id => assert(got(id) === 1L, s"node $id"))
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(got.size === 9)
+  }
+
   test("winnow containment pairs on fixture are symmetric-safe and bounded") {
     val pairs = Dedup.winnowContainmentPairs(
       docs, col("text"), col("doc_id"), k = 8, window = 4, threshold = 0.5)
