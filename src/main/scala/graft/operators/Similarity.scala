@@ -194,4 +194,19 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Embedding-cosine near-dup dedup survivorship (greedy keep-min-id, the
+    * same rule as Dedup.minhashDedupSurvivors): a vector survives unless a
+    * same-block vector with smaller id sits within the cosine threshold.
+    * Transitive clustering instead: feed the pairs to
+    * Dedup.connectedComponents. */
+  def embeddingDedupSurvivors(
+      corpus: DataFrame, blockCol: Column, minCos: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val dropped = blockedCosinePairs(corpus, blockCol, minCos, idCol, embCol)
+      .select(col("id_b").as("vec_id")).distinct()
+    corpus.select(col(idCol).cast("long").as("vec_id"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators.
+  *
+  * The reference's only range-flavored condition is the dedup probe's
+  * same-day window (J6, TicketProcessor.php:353-373); an event pipeline at
+  * scale needs the general form: the as-of join ("latest right row at or
+  * before each left row, per key").
+  *
+  * Implementation is the union + running-last trick, not a range join:
+  * tag both inputs, union them, and take `last(payload, ignoreNulls)` over
+  * a (key, time)-ordered window up to the current row. One shuffle + sort
+  * on (key, ts) total — no per-key collects, no candidate-interval
+  * explosion, skew bounded by the hottest key like any windowed op — so
+  * the plan survives arbitrary scale-up, unlike the naive non-equi join
+  * (BroadcastNestedLoop) Spark would pick for `l.ts >= r.ts`.
+  */
+object Temporal {
+
+  /** Left as-of join: every left row, joined to the latest right row with
+    * `right.tsCol <= left.tsCol` and equal keys (ties include the right
+    * row). Right columns surface as `<name><suffix>`; left rows with no
+    * prior right row keep nulls.
+    *
+    * @param rightPayloadCols right columns to carry (right's ts column is
+    *                         always carried)
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      rightPayloadCols: Seq[String] = Nil, suffix: String = "_asof"): DataFrame = {
+    val payloadFields = (rightTs +: rightPayloadCols).distinct
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(payloadFields.map(col): _*).as("__payload")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows order before left rows at equal ts, so ties match
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val outCols = left.columns.map(col) ++
+      payloadFields.map(f => col(s"__match.$f").as(s"$f$suffix"))
+    matched.select(outCols: _*)
+  }
+}

@@ -133,5 +133,33 @@ object EventQueries extends QueryPack {
       HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
       ORDER BY user_id, session_start"""))
 
-  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55)
+  /** As-of join: each purchase matched to the user's latest signup at or
+    * before it (union + running-last — one shuffle, no non-equi join; see
+    * operators.Temporal). Oracle = correlated max-subquery. */
+  private val q58 = Q(
+    "q58_asof_join",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"))
+      graft.operators.Temporal.asofJoin(
+          purchases, signups, Seq("user_id"), "ts", "ts")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          round(col("value"), 2).as("value"),
+          date_format(col("ts_asof"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT e.user_id, e.event_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        round(e.value, 2) AS value,
+        strftime((SELECT max(s.ts) FROM events s
+          WHERE s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts <= e.ts),
+          '%Y-%m-%d %H:%M:%S') AS signup_ts
+      FROM events e WHERE e.event_type = 'purchase'
+      ORDER BY e.user_id, e.event_id"""))
+
+  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58)
 }

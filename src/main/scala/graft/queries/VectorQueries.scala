@@ -97,5 +97,26 @@ object VectorQueries extends QueryPack {
     },
     None)
 
-  override val all: Seq[Q] = Seq(q45, q46, q47, q48, q49)
+  /** Embedding-cosine near-dup dedup survivorship (greedy keep-min-id over
+    * q47's blocked pairs) — completes the dedup family on vectors. */
+  private val q57 = Q(
+    "q57_embedding_dedup",
+    (s, dir) => Similarity.embeddingDedupSurvivors(
+      Tables(s, dir).embeddings, col("label"), 0.4),
+    Some("""WITH e AS (SELECT label, vec_id, embedding FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      d AS (SELECT id_a, id_b,
+        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        FROM p GROUP BY id_a, id_b),
+      dropped AS (SELECT DISTINCT id_b FROM d
+        WHERE round(dot / (sqrt(nx) * sqrt(ny)), 4) >= 0.4)
+      SELECT vec_id FROM embeddings
+      WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+      ORDER BY vec_id"""))
+
+  override val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q57)
 }

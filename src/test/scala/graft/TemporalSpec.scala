@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+import graft.sources.Tables
+
+class TemporalSpec extends SparkSpec {
+
+  test("asof join: latest-at-or-before per key, ties match, no-match is null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "p1"), // after r@50 and r@100 (tie) -> 100
+      (1L, 99L, "p2"),  // after r@50 only -> 50
+      (1L, 10L, "p3"),  // before all -> null
+      (2L, 500L, "p4")  // key with no right rows -> null
+    ).toDF("k", "t", "tag")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"), col("tag"))
+    val right = Seq(
+      (1L, 50L, "a"), (1L, 100L, "b"), (3L, 1L, "c")
+    ).toDF("k", "t", "r_tag")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"), col("r_tag"))
+
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("r_tag"))
+      .select(col("tag"), col("ts_asof").cast("long"), col("r_tag_asof"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))).toMap
+
+    assert(out("p1") === ((100L, "b")))
+    assert(out("p2") === ((50L, "a")))
+    assert(out("p3") === ((-1L, null)))
+    assert(out("p4") === ((-1L, null)))
+  }
+
+  test("asof join on fixture matches the correlated-subquery semantics") {
+    val ev = Tables(spark, sfDir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    val got = Temporal.asofJoin(purchases, signups, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("ts_asof"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    // reference: per-purchase max signup ts at or before, via a plain join
+    val want = purchases.as("p")
+      .join(signups.as("s"),
+        col("p.user_id") === col("s.user_id") && col("s.ts") <= col("p.ts"), "left")
+      .groupBy(col("p.event_id"))
+      .agg(max(col("s.ts")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got === want)
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+}
