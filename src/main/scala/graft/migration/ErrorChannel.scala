@@ -42,4 +42,44 @@ object ErrorChannel {
     * failure never drops rows silently). */
   def conserves(df: DataFrame): Boolean =
     ok(df).count() + errors(df).count() == df.count()
+
+  /** Attach zero-pass error metrics via `observe()`: n_rows / n_errors /
+    * n_ok accumulate DURING whatever action consumes the DataFrame — no
+    * second scan, unlike `conserves` — and surface through
+    * `QueryExecutionListener` / `StreamingQueryListener` (the A2 running
+    * counts + A5 progress feed at 100 TB, where counting twice is not an
+    * option). Read them from `df.observe`'s named metrics after an action
+    * or via `lastObservedMetrics`. */
+  val MetricsName = "graft_error_metrics"
+  def observed(df: DataFrame): DataFrame =
+    df.observe(MetricsName,
+      count(lit(1)).as("n_rows"),
+      count(when(col(ErrorType).isNotNull, 1)).as("n_errors"),
+      count(when(col(ErrorType).isNull, 1)).as("n_ok"))
+
+  /** Convenience: run `action` on the observed frame and return the
+    * (n_rows, n_errors, n_ok) the execution recorded. */
+  def runWithMetrics[A](df: DataFrame)(action: DataFrame => A): (A, (Long, Long, Long)) = {
+    val spark = df.sparkSession
+    @volatile var metrics: Option[(Long, Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.get(MetricsName).foreach { row =>
+          metrics = Some((row.getLong(0), row.getLong(1), row.getLong(2)))
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val result = action(observed(df))
+      // listener callbacks are async; poll briefly for delivery
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (metrics.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      (result, metrics.getOrElse(throw new IllegalStateException(
+        "observed metrics not delivered")))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -195,6 +195,78 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Write the LSH-bucketed corpus as a parquet index PARTITIONED BY
+    * (tbl, sig) — the persisted form of lshTopK's bucketing. At 100 TB the
+    * corpus is bucketed once and queried many times; a query's probe set
+    * touches tables x (nbits+1) of the tables x 2^nbits partitions, and
+    * the scan below prunes to exactly those directories. */
+  def writeLshIndex(
+      corpus: DataFrame, path: String, nbits: Int = 8, tables: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = 64): Unit = {
+    val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+    val entries = planeSets.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("tbl"), lshSignature(col(embCol), planes).as("sig"))
+    }
+    corpus.select(col(idCol), col(embCol), explode(array(entries: _*)).as("ts"))
+      .select(col("ts.tbl").as("tbl"), col("ts.sig").as("sig"), col(idCol), col(embCol))
+      .write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
+  }
+
+  /** Driver-side signature of one embedding (same math as the native
+    * expression; the query set is small by definition, so computing its
+    * probe signatures on the driver is free and buys STATIC partition
+    * pruning instead of hoping for runtime DPP). */
+  private def signatureOf(emb: Seq[Double], planes: Seq[Seq[Double]]): Int =
+    planes.zipWithIndex.foldLeft(0) { case (sig, (p, i)) =>
+      val dot = p.iterator.zip(emb.iterator).map { case (a, b) => a * b }.sum
+      if (dot >= 0.0) sig | (1 << i) else sig
+    }
+
+  /** ANN over a persisted LSH index: probe signatures (exact + 1-bit
+    * flips) are computed driver-side from the query vectors, the parquet
+    * scan prunes to exactly the probe partitions (PartitionFilters on
+    * tbl/sig — check with .explain), and candidates re-rank by exact
+    * cosine. Same output contract as lshTopK. */
+  def lshTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+      k: Int, nbits: Int = 8, tables: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>")).collect()
+    val probeRows: Seq[(Long, Int, Int, Seq[Double])] = (for {
+      r <- qRows.toSeq
+      emb = r.getSeq[Double](1)
+      (planes, t) <- planeSets.zipWithIndex
+      sig = signatureOf(emb, planes)
+      s <- sig +: (0 until nbits).map(b => sig ^ (1 << b))
+    } yield (r.getLong(0), t, s, emb)).distinct
+    val probeDf = probeRows.toDF("q_id", "tbl", "sig", "q_emb")
+    // static pruning: the scan reads ONLY the probe partitions
+    val probeFilter = probeRows.map(p => (p._2, p._3)).distinct
+      .groupBy(_._1).toSeq
+      .map { case (t, sigs) =>
+        col("tbl") === t && col("sig").isin(sigs.map(_._2).distinct: _*)
+      }
+      .reduce(_ || _)
+    val index = spark.read.parquet(path)
+    val scored = index.filter(probeFilter)
+      .join(broadcast(probeDf), Seq("tbl", "sig"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(embCol), col("q_emb")), 4).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("q_id"), col("cos_sim").desc, col(idCol))
+  }
+
   /** Embedding-cosine near-dup dedup survivorship (greedy keep-min-id, the
     * same rule as Dedup.minhashDedupSurvivors): a vector survives unless a
     * same-block vector with smaller id sits within the cosine threshold.

@@ -12,6 +12,15 @@ class MigrationSpec extends SparkSpec {
     assert(ErrorChannel.errors(out).count() === 1) // the no-email row
   }
 
+  test("observe() metrics count rows/errors in the consuming action's single pass") {
+    val out = CustomerTransform.toHelpScout(Fixtures.customersDf(spark))
+    val (collected, (nRows, nErrors, nOk)) =
+      ErrorChannel.runWithMetrics(out)(_.collect())
+    assert(nRows === collected.length.toLong)
+    assert(nErrors === 1L)
+    assert(nOk === nRows - nErrors)
+  }
+
   test("email split: all-or-nothing fallback (X4, CP:108-117)") {
     val out = CustomerTransform.toHelpScout(Fixtures.customersDf(spark))
     val bob = out.filter(col("groove_email").startsWith("bob@")).head()

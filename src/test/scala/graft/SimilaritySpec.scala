@@ -51,4 +51,33 @@ class SimilaritySpec extends SparkSpec {
     val recall = (got intersect truth).size.toDouble / truth.size
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
+
+  test("persisted LSH index: pruned-scan ANN matches in-memory lshTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    Similarity.writeLshIndex(emb, dir, nbits = 8, tables = 4)
+    val fromIndex = Similarity.lshTopKFromIndex(
+      spark, dir, queries, k = 5, nbits = 8, tables = 4)
+    val direct = Similarity.lshTopK(emb, queries, k = 5, nbits = 8, tables = 4)
+    val a = fromIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b, s"index-vs-direct mismatch: ${(a diff b) ++ (b diff a)}")
+    // the scan must prune to the probe partitions, not read the index
+    val planStr = fromIndex.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: ["), planStr.take(2000))
+    assert(planStr.contains("tbl"), "partition filter should constrain tbl/sig")
+    // probe partitions are a small fraction of tables * 2^nbits
+    val totalParts = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.isDirectory)
+    assert(totalParts > 100, s"expected many sig partitions, got $totalParts")
+  }
+
+  test("embedding dedup survivors drop exactly the dominated ids") {
+    val pairs = Similarity.blockedCosinePairs(emb, col("label"), 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survivors = Similarity.embeddingDedupSurvivors(emb, col("label"), 0.4)
+      .collect().map(_.getLong(0)).toSet
+    val droppedExpected = pairs.map(_._2)
+    val all = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors === (all -- droppedExpected))
+  }
 }

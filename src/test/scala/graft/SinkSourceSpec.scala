@@ -113,6 +113,31 @@ class SinkSourceSpec extends SparkSpec {
       stats.sizeInBytes > 0) // rowCount surfaces when CBO reads v2 stats
   }
 
+  test("progress/ETA listener tracks tasks and formats HH:MM:SS (K6/A5/X17)") {
+    import graft.sources.ProgressEtaListener
+    var now = 0L
+    val listener = new ProgressEtaListener(() => now)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.range(0, 1000, 1, 8).selectExpr("sum(id)").collect()
+      // listener bus is async; poll until the task events land
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while ({ val (d, t) = listener.progress; t == 0 || d < t } &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val (done, total) = listener.progress
+    assert(done === total && total >= 8, s"done=$done total=$total")
+    assert(listener.etaMillis.isEmpty) // all done -> nothing remaining
+    assert(listener.formatEta === "--:--:--")
+    // simulate: 4 of 8 tasks done, clock advanced 10s -> 10s remaining
+    val half = new ProgressEtaListener(() => now)
+    half.recordStage(8)
+    now = 10000L
+    (1 to 4).foreach(_ => half.recordTask())
+    assert(half.etaMillis === Some(10000L))
+    assert(half.formatEta === "00:00:10")
+  }
+
   test("DSv2 paged source over live HTTP: fetch, pushdown pruning, rate limit, retry") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val requested = java.util.Collections.synchronizedList(
