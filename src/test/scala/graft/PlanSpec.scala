@@ -49,6 +49,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("In(o_orderkey"))
   }
 
+  test("bucketed fact-fact join runs with zero exchanges") {
+    import graft.sources.{Bucketing, Tables}
+    val base = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    val t = Tables(spark, sfDir)
+    Bucketing.writeBucketed(t.lineitem.select("l_orderkey", "l_extendedprice"),
+      "li_bucketed", "l_orderkey", 8, s"$base/li")
+    Bucketing.writeBucketed(t.orders.select("o_orderkey", "o_orderdate"),
+      "ord_bucketed", "o_orderkey", 8, s"$base/ord")
+    // the scenario is two LARGE tables (broadcast off the table) — that is
+    // when bucketing earns its keep; at sf0.001 Spark would broadcast
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(
+        spark, "li_bucketed", "ord_bucketed", "l_orderkey", "o_orderkey")
+      val expected = t.lineitem.join(
+        t.orders, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${p.take(1500)}")
+      assert(p.contains("Bucketed: true"), "scan should be bucket-aware")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+  }
+
   test("q38: LSH dedup has no cartesian product anywhere") {
     val p = plan("q38_minhash_dedup")
     assert(!p.contains("CartesianProduct"))
