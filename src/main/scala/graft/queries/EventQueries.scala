@@ -161,5 +161,26 @@ object EventQueries extends QueryPack {
       FROM events e WHERE e.event_type = 'purchase'
       ORDER BY e.user_id, e.event_id"""))
 
-  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58)
+  /** Stream-stream interval join (watermarked both sides, bounded state):
+    * purchases within 60 minutes of the same user's signup, run as a
+    * Structured Streaming query into a memory sink. Inner interval joins
+    * on complete data emit exactly the batch-join rows, so a full SQL
+    * oracle applies. */
+  private val q59 = Q(
+    "q59_stream_interval_join",
+    (s, dir) => EventStreams.purchasesAfterSignupToTable(s, dir, "q59_stream_out")
+      .select(col("user_id"), col("purchase_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+      .orderBy(col("user_id"), col("purchase_id"), col("signup_ts")),
+    Some("""SELECT p.user_id, p.event_id AS purchase_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+      FROM events p JOIN events s
+        ON p.user_id = s.user_id
+        AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 60 MINUTE
+      ORDER BY p.user_id, purchase_id, signup_ts"""))
+
+  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59)
 }

@@ -175,6 +175,49 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Stream-stream interval join: left rows matched to right rows with the
+    * same key and `right.ts <= left.ts <= right.ts + maxDelay`. Both sides
+    * carry watermarks, so the join state is BOUNDED: a buffered right row
+    * is dropped once the watermark passes its ts + maxDelay, and a left
+    * row once it can no longer match — the property that lets this run
+    * indefinitely (an unconstrained stream-stream join would buffer both
+    * streams forever).
+    *
+    * Inputs must have (key, ts) plus payloads; columns are prefixed l_/r_
+    * in the output to keep the join self-describing.
+    */
+  def intervalJoinStreams(
+      left: DataFrame, right: DataFrame, key: String, ts: String,
+      maxDelayMinutes: Int, watermarkDelay: String = "0 seconds"): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+    val l = prefixed(left, "l_").withWatermark(s"l_$ts", watermarkDelay)
+    val r = prefixed(right, "r_").withWatermark(s"r_$ts", watermarkDelay)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"l_$ts") >= col(s"r_$ts") &&
+        col(s"l_$ts") <= col(s"r_$ts") + expr(s"INTERVAL $maxDelayMinutes MINUTES"))
+  }
+
+  /** Run the purchases-within-N-minutes-of-signup interval join over the
+    * events table as a stream-stream join and return the sink table. */
+  def purchasesAfterSignupToTable(
+      spark: SparkSession, dir: String, tableName: String,
+      maxDelayMinutes: Int = 60): DataFrame = {
+    val ev = readEventStream(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    val q = intervalJoinStreams(purchases, signups, "user_id", "ts", maxDelayMinutes)
+      .select(col("l_user_id").as("user_id"), col("l_event_id").as("purchase_id"),
+        col("l_ts").as("purchase_ts"), col("r_ts").as("signup_ts"))
+      .writeStream.format("memory").queryName(tableName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
   /** Custom keyed state via mapGroupsWithState (§2.10 "custom state"
     * surface): a running per-user event count held in the state store,
     * emitted in Update mode each micro-batch. */

@@ -76,6 +76,26 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val got = EventStreams.purchasesAfterSignupToTable(
+        spark, sfDir, "spec_ssjoin", maxDelayMinutes = 60)
+      .select(col("purchase_id"), col("signup_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val ev = Tables(spark, sfDir).events
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val want = p.join(s,
+        col("p_user") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("event_id"), col("s_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("salted equi-join returns exactly the plain join's rows") {
     val t = Tables(spark, sfDir)
     val (li, pt) = (t.lineitem, t.part)
