@@ -182,5 +182,14 @@ object EventQueries extends QueryPack {
         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 60 MINUTE
       ORDER BY p.user_id, purchase_id, signup_ts"""))
 
-  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59)
+  /** The q55 sessionization re-expressed on Spark 4's transformWithState
+    * (StatefulProcessor + explicit event-time timers, RocksDB state store)
+    * — same emitted set, same oracle. */
+  private val q5a = Q(
+    "q5a_stream_sessions_tws",
+    (s, dir) => EventStreams.sessionsToTableTws(s, dir, "q5a_stream_out")
+      .withColumn("total", round(col("total"), 2)),
+    q55.oracle)
+
+  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a)
 }

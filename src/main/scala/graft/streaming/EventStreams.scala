@@ -175,6 +175,120 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Event-time sessionization on the Spark 4 `transformWithState` API —
+    * the same semantics as [[sessionizeStream]] (see there), expressed as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] with explicit
+    * ValueState + event-time timers. Differences from the
+    * flatMapGroupsWithState form: state lives in the RocksDB state store
+    * (required by the API; the scale path for big keyspaces — state spills
+    * off-heap instead of occupying executor memory), and timers are
+    * first-class (registered/deleted per session extension) instead of a
+    * single per-key timeout. */
+  class SessionProcessor(gapUs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp, Double), SessionOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+
+    private def close(user: Long, s: OpenSession): SessionOut =
+      SessionOut(user,
+        new java.sql.Timestamp(s.startUs / 1000),
+        new java.sql.Timestamp((s.lastUs + gapUs) / 1000),
+        s.n, s.total)
+
+    private def expiryMs(s: OpenSession): Long = (s.lastUs + gapUs) / 1000
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val evs = rows.map { case (_, ts, v) => (micros(ts), v) }.toArray.sortBy(_._1)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur: Option[OpenSession] = if (open.exists()) Some(open.get()) else None
+      val hadTimer = cur.map(expiryMs)
+      evs.foreach { case (t, v) =>
+        cur match {
+          case Some(s) if t < s.lastUs + gapUs =>
+            cur = Some(OpenSession(s.startUs, math.max(s.lastUs, t), s.n + 1, s.total + v))
+          case Some(s) =>
+            closed += close(user, s)
+            cur = Some(OpenSession(t, t, 1, v))
+          case None =>
+            cur = Some(OpenSession(t, t, 1, v))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        val newExpiry = math.max(expiryMs(s), timerValues.getCurrentWatermarkInMs() + 1)
+        hadTimer.filter(_ != newExpiry).foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(newExpiry)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (open.exists()) {
+        val s = open.get()
+        if (expiryMs(s) <= expiredTimerInfo.getExpiryTimeInMs) {
+          open.clear()
+          Iterator.single(close(user, s))
+        } else Iterator.empty // stale timer from an extended session
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionizeStream]] on transformWithState (RocksDB state store). */
+  def sessionizeStreamTws(
+      events: DataFrame, gapMinutes: Int,
+      watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapUs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Run the transformWithState session stream to completion (RocksDB
+    * provider set for the run and restored after). */
+  def sessionsToTableTws(
+      spark: SparkSession, dir: String, tableName: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = sessionizeStreamTws(readEventStream(spark, dir), gapMinutes)
+        .toDF()
+        .writeStream.format("memory").queryName(tableName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.table(tableName)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Stream-stream interval join: left rows matched to right rows with the
     * same key and `right.ts <= left.ts <= right.ts + maxDelay`. Both sides
     * carry watermarks, so the join state is BOUNDED: a buffered right row

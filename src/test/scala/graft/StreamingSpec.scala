@@ -76,6 +76,17 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("transformWithState sessionization matches the flatMapGroupsWithState form") {
+    val tws = EventStreams.sessionsToTableTws(spark, sfDir, "spec_sessions_tws")
+      .withColumn("total", round(col("total"), 2))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val fmg = EventStreams.sessionsToTable(spark, sfDir, "spec_sessions_fmg")
+      .withColumn("total", round(col("total"), 2))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(tws.nonEmpty)
+    assert(tws === fmg)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val got = EventStreams.purchasesAfterSignupToTable(
         spark, sfDir, "spec_ssjoin", maxDelayMinutes = 60)
