@@ -178,6 +178,59 @@ object Similarity {
       .orderBy(col("q_id"), col("cos_sim").desc, col(idCol))
   }
 
+  /** Persist the IVF inverted lists as parquet PARTITIONED BY cid, plus
+    * the centroid matrix as a small side table — the "at 100 TB the
+    * assigned corpus is written partitioned by cid" path of ivfTopK made
+    * real. Assignment is computed once; every subsequent query touches
+    * nprobe partitions of storage. */
+  def writeIvfIndex(
+      corpus: DataFrame, path: String, nlist: Int = 8, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, embCol)
+    val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
+    assignToCentroids(corpus, cdf, idCol, embCol)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    cdf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN over a persisted IVF index: the nprobe nearest centroids per
+    * query come from the (tiny) centroid table driver-side, and the lists
+    * scan statically prunes to those cid partitions before the exact
+    * re-rank. Same output contract as ivfTopK when built with the same
+    * nlist/iters. */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cdf = spark.read.parquet(s"$path/centroids")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cid"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .join(broadcast(cdf))
+      .withColumn("__sim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    // the probed cids are few (|queries| x nprobe) — collect them so the
+    // scan prunes partitions statically
+    val probeCids = probes.select("cid").distinct().collect().map(_.getInt(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cid").isin(probeCids.toSeq: _*))
+    val scored = lists
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(embCol), col("q_emb")), 4).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("q_id"), col("cos_sim").desc, col(idCol))
+  }
+
   /** Blocked near-duplicate pairs by embedding cosine: candidate pairs are
     * generated only inside a blocking key (here any column, e.g. a cluster
     * label or LSH bucket), never across the full corpus. */

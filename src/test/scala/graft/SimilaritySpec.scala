@@ -71,6 +71,18 @@ class SimilaritySpec extends SparkSpec {
     assert(totalParts > 100, s"expected many sig partitions, got $totalParts")
   }
 
+  test("persisted IVF index: pruned-scan ANN matches in-memory ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    Similarity.writeIvfIndex(emb, dir, nlist = 8, iters = 3)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 5, nprobe = 3)
+    val direct = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 3, iters = 3)
+    val a = fromIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b, s"index-vs-direct mismatch: ${(a diff b) ++ (b diff a)}")
+    val planStr = fromIndex.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: ["), planStr.take(1500))
+  }
+
   test("embedding dedup survivors drop exactly the dominated ids") {
     val pairs = Similarity.blockedCosinePairs(emb, col("label"), 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
