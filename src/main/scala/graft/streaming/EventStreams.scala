@@ -42,6 +42,20 @@ object EventStreams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Stateful streaming queries materialize one state store PER SHUFFLE
+    * PARTITION per stateful operator (and one RocksDB instance each under
+    * that provider) — partition count is a deployment knob that must track
+    * key cardinality and executor count, not the batch default. The
+    * *ToTable runners below run with a small count suited to the fixture
+    * scale; a real deployment sizes it once per stream job. Applies only
+    * to queries STARTED under the conf (it's fixed at query start). */
+  private def withStreamingShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prior)
+  }
+
   /** Run a tumbling-window aggregation over the event stream to completion
     * (Trigger.AvailableNow + complete mode into a memory sink) and return
     * the result table. Batch-equivalent semantics — the oracle is the same
@@ -55,13 +69,15 @@ object EventStreams {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(tableName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(tableName)
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -77,11 +93,13 @@ object EventStreams {
 
   /** Run the deduped stream to completion and return the sink table. */
   def dedupToTable(spark: SparkSession, dir: String, tableName: String): DataFrame = {
-    val q = dedupedEventStream(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"))
-      .writeStream.format("memory").queryName(tableName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamingShufflePartitions(spark, 8) {
+      val q = dedupedEventStream(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(tableName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(tableName)
   }
 
@@ -163,11 +181,13 @@ object EventStreams {
   def sessionsToTable(
       spark: SparkSession, dir: String, tableName: String,
       gapMinutes: Int = 30): DataFrame = {
-    val q = sessionizeStream(readEventStream(spark, dir), gapMinutes)
-      .toDF()
-      .writeStream.format("memory").queryName(tableName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamingShufflePartitions(spark, 8) {
+      val q = sessionizeStream(readEventStream(spark, dir), gapMinutes)
+        .toDF()
+        .writeStream.format("memory").queryName(tableName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(tableName)
       .select(col("user_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -272,7 +292,7 @@ object EventStreams {
     val prior = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try withStreamingShufflePartitions(spark, 8) {
       val q = sessionizeStreamTws(readEventStream(spark, dir), gapMinutes)
         .toDF()
         .writeStream.format("memory").queryName(tableName)
@@ -323,12 +343,14 @@ object EventStreams {
       .select(col("user_id"), col("ts"), col("event_id"))
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts"))
-    val q = intervalJoinStreams(purchases, signups, "user_id", "ts", maxDelayMinutes)
-      .select(col("l_user_id").as("user_id"), col("l_event_id").as("purchase_id"),
-        col("l_ts").as("purchase_ts"), col("r_ts").as("signup_ts"))
-      .writeStream.format("memory").queryName(tableName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamingShufflePartitions(spark, 8) {
+      val q = intervalJoinStreams(purchases, signups, "user_id", "ts", maxDelayMinutes)
+        .select(col("l_user_id").as("user_id"), col("l_event_id").as("purchase_id"),
+          col("l_ts").as("purchase_ts"), col("r_ts").as("signup_ts"))
+        .writeStream.format("memory").queryName(tableName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(tableName)
   }
 
@@ -350,9 +372,11 @@ object EventStreams {
           (user, total)
       }
       .toDF("user_id", "n_events")
-    val q = counts.writeStream.format("memory").queryName(tableName)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamingShufflePartitions(spark, 8) {
+      val q = counts.writeStream.format("memory").queryName(tableName)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // in Update mode each batch appends its latest value; keep the final
     // state per user
     spark.table(tableName)
