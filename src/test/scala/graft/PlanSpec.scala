@@ -49,6 +49,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("In(o_orderkey"))
   }
 
+  test("q58: as-of join plans as one sort window, never a nested-loop join") {
+    val p = plan("q58_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a non-equi join:\n${p.take(1200)}")
+    assert(p.contains("Window"), "as-of runs on a running-last window")
+  }
+
+  test("q43/q56: dedup pair generation stays keyed, never cartesian") {
+    assert(!plan("q43_winnow_containment").contains("CartesianProduct"))
+    assert(!plan("q43_winnow_containment").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("q56_dedup_clusters").contains("CartesianProduct"))
+  }
+
   test("bucketed fact-fact join runs with zero exchanges") {
     import graft.sources.{Bucketing, Tables}
     val base = java.nio.file.Files.createTempDirectory("graft-buckets").toString

@@ -69,6 +69,53 @@ class PropertySpec extends SparkSpec {
     assert(gotClean.forall(r => r.getString(0) === r.getString(1).split(";").head))
   }
 
+  test("asof join conserves left rows and never matches a later right row") {
+    import spark.implicits._
+    val evGen = Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(0L, 100000L))
+    val leftRows = samples(evGen, 80).zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+    val rightRows = samples(evGen, 50).map { case (k, t) => (k, t) }
+    val left = leftRows.toDF("k", "t", "tag")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"), col("tag"))
+    val right = rightRows.toDF("k", "t")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"))
+    val out = graft.operators.Temporal.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select(col("k"), col("ts").cast("long").as("t"),
+        col("tag"), col("ts_asof").cast("long").as("m"))
+      .collect()
+    assert(out.length === leftRows.length, "as-of must conserve left rows")
+    // matched ts is the max right ts <= left ts for the key (brute force)
+    val byKey = rightRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.foreach { r =>
+      val expect = byKey.getOrElse(r.getLong(0), Nil).filter(_ <= r.getLong(1))
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(got === (if (expect.isEmpty) None else Some(expect.max)),
+        s"row ${r.getLong(2)}: got $got want ${expect.sorted}")
+    }
+  }
+
+  test("connected components: labels are cluster minima, closed under edges") {
+    import spark.implicits._
+    val pairGen = Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(1L, 30L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val pairs = samples(pairGen, 40).distinct
+    val labels = graft.operators.Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // closure: both endpoints of every edge share a label
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"edge ($a,$b) crosses clusters")
+    }
+    // minimality: each label is the smallest member of its cluster,
+    // and idempotence: re-clustering the labeled pairs changes nothing
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min === label)
+    }
+    val again = graft.operators.Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === labels)
+  }
+
   test("fingerprint: whitespace and case never change the dedup key") {
     import spark.implicits._
     val words = samples(Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(20)), 30)
