@@ -60,26 +60,10 @@ object ErrorChannel {
   /** Convenience: run `action` on the observed frame and return the
     * (n_rows, n_errors, n_ok) the execution recorded. */
   def runWithMetrics[A](df: DataFrame)(action: DataFrame => A): (A, (Long, Long, Long)) = {
-    val spark = df.sparkSession
-    @volatile var metrics: Option[(Long, Long, Long)] = None
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
-        qe.observedMetrics.get(MetricsName).foreach { row =>
-          metrics = Some((row.getLong(0), row.getLong(1), row.getLong(2)))
-        }
-      }
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      val result = action(observed(df))
-      // listener callbacks are async; poll briefly for delivery
-      val deadline = System.nanoTime() + 10_000_000_000L
-      while (metrics.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
-      (result, metrics.getOrElse(throw new IllegalStateException(
-        "observed metrics not delivered")))
-    } finally spark.listenerManager.unregister(listener)
+    val (result, row) = graft.sources.ObservedMetrics.run(df, MetricsName, Seq(
+      count(lit(1)).as("n_rows"),
+      count(when(col(ErrorType).isNotNull, 1)).as("n_errors"),
+      count(when(col(ErrorType).isNull, 1)).as("n_ok")))(action)
+    (result, (row.getLong(0), row.getLong(1), row.getLong(2)))
   }
 }

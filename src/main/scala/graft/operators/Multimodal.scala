@@ -96,4 +96,17 @@ object Multimodal {
           least(lit(frameBytes).cast("long"),
             col("n_bytes") - i * frameBytes).as("length"))).as("frames"))
       .withColumn("n_frames", size(col("frames")))
+
+  /** Zero-pass media-pipeline metrics (observe(), see ObservedMetrics):
+    * run `action` on the media frame and return
+    * (n_media, n_null_payloads, total_bytes) from that same pass. */
+  def runWithMediaMetrics[A](media: DataFrame)(
+      action: DataFrame => A): (A, (Long, Long, Long)) = {
+    val (result, row) = graft.sources.ObservedMetrics.run(
+      media, "graft_media_metrics", Seq(
+        count(lit(1)).as("n_media"),
+        count(when(col("payload").isNull, 1)).as("n_null_payloads"),
+        coalesce(sum(col("n_bytes")), lit(0L)).as("total_bytes")))(action)
+    (result, (row.getLong(0), row.getLong(1), row.getLong(2)))
+  }
 }

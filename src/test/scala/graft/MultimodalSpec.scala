@@ -49,4 +49,16 @@ class MultimodalSpec extends SparkSpec {
       if (n <= 400) assert(covered === n) // small payloads fully covered
     }
   }
+
+  test("media metrics accumulate in the consuming action's single pass") {
+    val media = graft.operators.Multimodal.ingestFromDocuments(
+      graft.sources.Tables(spark, sfDir).documents)
+    val (collected, (nMedia, nNull, totalBytes)) =
+      graft.operators.Multimodal.runWithMediaMetrics(media)(_.collect())
+    assert(nMedia === collected.length.toLong)
+    assert(nNull === 0L)
+    val expectBytes = media.agg(org.apache.spark.sql.functions.sum("n_bytes"))
+      .head().getLong(0)
+    assert(totalBytes === expectBytes)
+  }
 }
