@@ -51,19 +51,20 @@ object ErrorChannel {
     * option). Read them from `df.observe`'s named metrics after an action
     * or via `lastObservedMetrics`. */
   val MetricsName = "graft_error_metrics"
+
+  private def metricCols: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    count(when(col(ErrorType).isNotNull, 1)).as("n_errors"),
+    count(when(col(ErrorType).isNull, 1)).as("n_ok"))
+
   def observed(df: DataFrame): DataFrame =
-    df.observe(MetricsName,
-      count(lit(1)).as("n_rows"),
-      count(when(col(ErrorType).isNotNull, 1)).as("n_errors"),
-      count(when(col(ErrorType).isNull, 1)).as("n_ok"))
+    df.observe(MetricsName, metricCols.head, metricCols.tail: _*)
 
   /** Convenience: run `action` on the observed frame and return the
     * (n_rows, n_errors, n_ok) the execution recorded. */
   def runWithMetrics[A](df: DataFrame)(action: DataFrame => A): (A, (Long, Long, Long)) = {
-    val (result, row) = graft.sources.ObservedMetrics.run(df, MetricsName, Seq(
-      count(lit(1)).as("n_rows"),
-      count(when(col(ErrorType).isNotNull, 1)).as("n_errors"),
-      count(when(col(ErrorType).isNull, 1)).as("n_ok")))(action)
+    val (result, row) =
+      graft.sources.ObservedMetrics.run(df, MetricsName, metricCols)(action)
     (result, (row.getLong(0), row.getLong(1), row.getLong(2)))
   }
 }

@@ -39,17 +39,22 @@ object Pipelines {
     }
 
   private def publishOkAndReport(
-      transformed: DataFrame, ratePerMinute: Int, batchSize: Int,
+      transformed0: DataFrame, ratePerMinute: Int, batchSize: Int,
       parallelism: Int, errorCsv: Option[(String, String)])(
       post: Seq[Row] => Unit): SyncReport = {
-    val ok = ErrorChannel.ok(transformed)
-    val errs = ErrorChannel.errors(transformed)
-    val batches = RateLimitedSink.publish(ok, ratePerMinute, batchSize, parallelism)(post)
-    val nErrs = errs.count()
-    errorCsv.foreach { case (dir, stamp) =>
-      if (nErrs > 0) ErrorChannel.writeCsvReport(transformed, dir, stamp)
-    }
-    SyncReport(ok.count(), nErrs, batches)
+    // one materialization feeds publish, error count, and the CSV — over a
+    // live source a re-execution per consumer could disagree with what was
+    // actually posted (and would re-fetch the API after the side effect)
+    val transformed = transformed0.persist()
+    try {
+      val (batches, published) = RateLimitedSink.publishCounted(
+        ErrorChannel.ok(transformed), ratePerMinute, batchSize, parallelism)(post)
+      val nErrs = ErrorChannel.errors(transformed).count()
+      errorCsv.foreach { case (dir, stamp) =>
+        if (nErrs > 0) ErrorChannel.writeCsvReport(transformed, dir, stamp)
+      }
+      SyncReport(published, nErrs, batches)
+    } finally transformed.unpersist()
   }
 
   /** sync-customers (§3.1, SC:41-88): acquire → P1 transform → ok/err
@@ -104,11 +109,12 @@ object Pipelines {
   def viewTicket(
       tickets: DataFrame, messages: DataFrame, attachments: DataFrame,
       hsMailboxes: DataFrame, hsUsers: DataFrame, hsCustomers: DataFrame,
-      defaultMailboxEmail: String, number: Long): String = {
+      defaultMailboxEmail: String, number: Long,
+      opts: SyncOptions = SyncOptions()): String = {
     val one = tickets.filter(col("number") === number)
     val threads = TicketTransform.threadsByTicket(
       messages.filter(col("ticket_number") === number),
-      attachments, hsUsers, hsCustomers)
+      attachments, hsUsers, hsCustomers, opts.customerEmails)
     TicketTransform.conversations(
       one, threads, hsMailboxes, hsCustomers, defaultMailboxEmail)
       .toJSON.collect().mkString("\n")

@@ -240,6 +240,11 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    // partially-propagated labels are silently WRONG clusters — refuse
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(graph diameter exceeds the bound; raise maxIter or use " +
+        "large-star/small-star for high-diameter graphs)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -64,7 +64,7 @@ object Similarity {
     * bucket join is an equi-join on (table, signature) — never all-pairs —
     * and the (small) probe side is broadcast. */
   def lshTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int, nbits: Int = 6,
+      corpus: DataFrame, queries: DataFrame, k: Int, nbits: Int = 8,
       tables: Int = 4, idCol: String = "vec_id", embCol: String = "embedding",
       dim: Int = 64): DataFrame = {
     val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
@@ -298,13 +298,14 @@ object Similarity {
       s <- sig +: (0 until nbits).map(b => sig ^ (1 << b))
     } yield (r.getLong(0), t, s, emb)).distinct
     val probeDf = probeRows.toDF("q_id", "tbl", "sig", "q_emb")
-    // static pruning: the scan reads ONLY the probe partitions
+    // static pruning: the scan reads ONLY the probe partitions (an empty
+    // query set prunes everything rather than crashing an empty reduce)
     val probeFilter = probeRows.map(p => (p._2, p._3)).distinct
       .groupBy(_._1).toSeq
       .map { case (t, sigs) =>
         col("tbl") === t && col("sig").isin(sigs.map(_._2).distinct: _*)
       }
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val index = spark.read.parquet(path)
     val scored = index.filter(probeFilter)
       .join(broadcast(probeDf), Seq("tbl", "sig"))

@@ -37,10 +37,15 @@ object Temporal {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val r = right.select(
-      keyCols.map(col) ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__side"),
-        struct(payloadFields.map(col): _*).as("__payload")): _*)
+    // SQL join semantics: a null key or null ts on the right can never
+    // satisfy `right.ts <= left.ts AND keys equal` — but unfiltered it
+    // would sort nulls-first into the window and win last(ignoreNulls)
+    val r = right
+      .filter(col(rightTs).isNotNull && keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTs).as("__ts"), lit(0).as("__side"),
+          struct(payloadFields.map(col): _*).as("__payload")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows order before left rows at equal ts, so ties match
     val w = Window.partitionBy(keyCols.map(col): _*)

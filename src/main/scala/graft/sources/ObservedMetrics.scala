@@ -10,27 +10,33 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   * the consuming action's own pass. */
 object ObservedMetrics {
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Attach `metrics` under `name`, run `action`, return its result plus
-    * the metrics Row the execution recorded. */
+    * the metrics Row the execution recorded. The observation is registered
+    * under a per-call unique name internally, so concurrent runs sharing
+    * `name` on one session cannot deliver each other's rows. */
   def run[A](df: DataFrame, name: String, metrics: Seq[Column])(
       action: DataFrame => A): (A, Row) = {
     val spark = df.sparkSession
+    val unique = s"$name#${runSeq.incrementAndGet()}"
     @volatile var observed: Option[Row] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        qe.observedMetrics.get(name).foreach(row => observed = Some(row))
+        if (observed.isEmpty)
+          qe.observedMetrics.get(unique).foreach(row => observed = Some(row))
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
     try {
-      val result = action(df.observe(name, metrics.head, metrics.tail: _*))
+      val result = action(df.observe(unique, metrics.head, metrics.tail: _*))
       // listener callbacks are async; poll briefly for delivery
       val deadline = System.nanoTime() + 10_000_000_000L
       while (observed.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
       (result, observed.getOrElse(throw new IllegalStateException(
-        s"observed metrics '$name' not delivered")))
+        s"observed metrics '$unique' not delivered")))
     } finally spark.listenerManager.unregister(listener)
   }
 }

@@ -24,7 +24,8 @@ final class ProgressEtaListener(clock: () => Long = () => System.currentTimeMill
     recordStage(stage.stageInfo.numTasks)
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
-    recordTask()
+    // failed/killed/speculative-duplicate attempts are not progress
+    if (taskEnd.reason == org.apache.spark.Success) recordTask()
 
   def progress: (Int, Int) = (done.get(), total.get())
 

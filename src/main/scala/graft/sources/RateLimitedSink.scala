@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row}
-import java.util.concurrent.atomic.AtomicLong
 
 /** Rate-limited publish sink — the Spark form of the reference's
   * acquire→process→publish throttle (A6: per-service rolling-60s counters
@@ -48,19 +47,31 @@ object RateLimitedSink {
       ratePerMinute: Int,
       batchSize: Int,
       parallelism: Int)(
-      post: Seq[Row] => Unit): Long = {
-    val batches = new AtomicLong(0)
+      post: Seq[Row] => Unit): Long =
+    publishCounted(df, ratePerMinute, batchSize, parallelism)(post)._1
+
+  /** As [[publish]], returning (batches, rows) — both counted by the
+    * publish pass itself via accumulators, so the row count is exactly
+    * what was posted (a separate count() would re-execute the pipeline,
+    * which over a live source may no longer agree). */
+  def publishCounted(
+      df: DataFrame,
+      ratePerMinute: Int,
+      batchSize: Int,
+      parallelism: Int)(
+      post: Seq[Row] => Unit): (Long, Long) = {
     val perPartitionRate = math.max(1, ratePerMinute / parallelism)
-    val counter = df.sparkSession.sparkContext.longAccumulator("graft.publish.batches")
+    val batchCounter = df.sparkSession.sparkContext.longAccumulator("graft.publish.batches")
+    val rowCounter = df.sparkSession.sparkContext.longAccumulator("graft.publish.rows")
     df.coalesce(parallelism).foreachPartition { (it: Iterator[Row]) =>
       val bucket = new TokenBucket(perPartitionRate)
       it.grouped(batchSize).foreach { batch =>
         bucket.acquire()
         post(batch)
-        counter.add(1)
+        batchCounter.add(1)
+        rowCounter.add(batch.size)
       }
     }
-    batches.set(counter.value)
-    batches.get()
+    (batchCounter.value, rowCounter.value)
   }
 }

@@ -102,6 +102,19 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 9)
   }
 
+  test("connected components refuse to return partial labels past maxIter") {
+    import spark.implicits._
+    // a 30-node path graph needs ~29 hash-min rounds; maxIter=5 must throw
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 5)
+    }
+    // and with enough rounds the whole path is one cluster
+    val labels = Dedup.connectedComponents(chain, maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(1L))
+  }
+
   test("winnow containment pairs on fixture are symmetric-safe and bounded") {
     val pairs = Dedup.winnowContainmentPairs(
       docs, col("text"), col("doc_id"), k = 8, window = 4, threshold = 0.5)

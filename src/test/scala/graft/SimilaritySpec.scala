@@ -69,6 +69,9 @@ class SimilaritySpec extends SparkSpec {
     val totalParts = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles()).count(_.isDirectory)
     assert(totalParts > 100, s"expected many sig partitions, got $totalParts")
+    // empty query set returns empty, not an empty-reduce crash
+    assert(Similarity.lshTopKFromIndex(
+      spark, dir, queries.limit(0), k = 5, nbits = 8, tables = 4).count() === 0L)
   }
 
   test("persisted IVF index: pruned-scan ANN matches in-memory ivfTopK") {

@@ -31,6 +31,24 @@ class TemporalSpec extends SparkSpec {
     assert(out("p4") === ((-1L, null)))
   }
 
+  test("asof join ignores right rows with null ts or null key (SQL semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Some(100L)), (2L, Some(100L)))
+      .toDF("k", "t")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"))
+    val right = Seq(
+      (Some(1L), None, "null-ts"),          // null ts: can never match
+      (None, Some(50L), "null-key"),        // null key: can never match
+      (Some(1L), Some(40L), "real")
+    ).toDF("k", "t", "r_tag")
+      .select(col("k"), timestamp_seconds(col("t")).as("ts"), col("r_tag"))
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("r_tag"))
+      .select(col("k"), col("r_tag_asof"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("real"), "null-ts right row must not win the window")
+    assert(out(2L) === None, "null-key right row must match nothing")
+  }
+
   test("asof join on fixture matches the correlated-subquery semantics") {
     val ev = Tables(spark, sfDir).events
     val purchases = ev.filter(col("event_type") === "purchase")
