@@ -140,4 +140,37 @@ object TextFunctions {
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, 0.0).otherwise(inter / union)
   }
+
+  // PII patterns shared by redaction and counting (training-data scrubbing:
+  // emails, URLs, and phone-ish digit runs are the standard first pass
+  // before text enters a corpus). Order matters: URLs before phones so a
+  // port/path number isn't double-masked.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val PhonePattern = "\\+?[0-9][0-9()\\[\\]. -]{6,}[0-9]"
+
+  /** Mask emails/URLs/phone-like runs with typed tags. */
+  def redactPii(c: Column): Column = {
+    val noUrl = regexp_replace(c, UrlPattern, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailPattern, "<EMAIL>")
+    regexp_replace(noEmail, PhonePattern, "<PHONE>")
+  }
+
+  /** Per-kind PII hit counts (the audit side of redaction). */
+  def piiCounts(c: Column): Column = struct(
+    regexp_count(c, lit(EmailPattern)).cast("long").as("n_emails"),
+    regexp_count(c, lit(UrlPattern)).cast("long").as("n_urls"),
+    regexp_count(regexp_replace(c, UrlPattern, " "), lit(PhonePattern))
+      .cast("long").as("n_phones"))
+
+  /** Character-class profile: alpha/digit/space/other ratios (4dp) — the
+    * cheap quality signals a corpus filter cuts on. */
+  def charClassProfile(c: Column): Column = {
+    val len = greatest(length(c).cast("double"), lit(1.0))
+    struct(
+      round(regexp_count(c, lit("[A-Za-z]")).cast("double") / len, 4).as("alpha_ratio"),
+      round(regexp_count(c, lit("[0-9]")).cast("double") / len, 4).as("digit_ratio"),
+      round(regexp_count(c, lit("\\s")).cast("double") / len, 4).as("space_ratio"),
+      round(regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") / len, 4).as("other_ratio"))
+  }
 }

@@ -258,6 +258,51 @@ object TextQueries extends QueryPack {
         SELECT ee.dst AS id, cc.label FROM cc JOIN ee ON cc.id = ee.src)
       SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id ORDER BY doc_id"""))
 
+  /** PII scrubbing (emails/URLs/phone-ish runs -> typed tags) with per-kind
+    * audit counts — the standard first pass before text enters a training
+    * corpus. Oracle mirrors the regex chain in the same order (URLs first
+    * so path/port digits don't double-mask as phones). */
+  private val q66 = Q(
+    "q66_redact_pii",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"),
+        redactPii(col("text")).as("redacted"),
+        piiCounts(col("text")).as("pii"))
+      .select(col("doc_id"), col("redacted"),
+        col("pii.n_emails").as("n_emails"),
+        col("pii.n_urls").as("n_urls"),
+        col("pii.n_phones").as("n_phones"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        'https?://[^\s]+', '<URL>', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+?[0-9][0-9()\[\]. -]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+      CAST(len(regexp_extract_all(regexp_replace(text, 'https?://[^\s]+', ' ', 'g'), '\+?[0-9][0-9()\[\]. -]{6,}[0-9]')) AS BIGINT) AS n_phones
+      FROM documents ORDER BY doc_id"""))
+
+  /** Character-class quality profile (alpha/digit/space/other ratios) —
+    * the cheap corpus-filter signals, 4dp-rounded on both sides. */
+  private val q67 = Q(
+    "q67_char_classes",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"), charClassProfile(col("text")).as("p"))
+      .select(col("doc_id"),
+        col("p.alpha_ratio").as("alpha_ratio"),
+        col("p.digit_ratio").as("digit_ratio"),
+        col("p.space_ratio").as("space_ratio"),
+        col("p.other_ratio").as("other_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(length(text), 1), 4) AS alpha_ratio,
+      round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1), 4) AS digit_ratio,
+      round(CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE) / greatest(length(text), 1), 4) AS space_ratio,
+      round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 4) AS other_ratio
+      FROM documents ORDER BY doc_id"""))
+
   override val all: Seq[Q] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q56)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+      q44, q56, q66, q67)
 }

@@ -63,4 +63,28 @@ class TextFunctionsSpec extends SparkSpec {
       .filter(col("native") =!= col("composed")).count()
     assert(mism === 0L)
   }
+
+  test("PII redaction masks planted emails/URLs/phones and counts them") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact alice@example.com or visit https://ex.com/a?b=1 now"),
+      (2L, "call +1 (555) 123-4567 about the order"),
+      (3L, "no pii in this sentence at all")
+    ).toDF("id", "text")
+    val out = planted.select(col("id"),
+      redactPii(col("text")).as("r"), piiCounts(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getStruct(2).getLong(0), r.getStruct(2).getLong(1),
+          r.getStruct(2).getLong(2)))).toMap
+    assert(out(1L)._1 === "contact <EMAIL> or visit <URL> now")
+    assert((out(1L)._2, out(1L)._3, out(1L)._4) === ((1L, 1L, 0L)))
+    assert(out(2L)._1 === "call <PHONE> about the order")
+    assert((out(2L)._2, out(2L)._3, out(2L)._4) === ((0L, 0L, 1L)))
+    assert(out(3L)._1 === "no pii in this sentence at all")
+    // char-class ratios sum to ~1
+    val prof = planted.select(charClassProfile(col("text")).as("p"))
+      .select(expr("p.alpha_ratio + p.digit_ratio + p.space_ratio + p.other_ratio"))
+      .collect().map(_.getDouble(0))
+    assert(prof.forall(s => math.abs(s - 1.0) < 0.001))
+  }
 }
