@@ -302,7 +302,31 @@ object TextQueries extends QueryPack {
       round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 4) AS other_ratio
       FROM documents ORDER BY doc_id"""))
 
+  /** Sequence packing for training batches (operators.Packing): two-phase
+    * distributed exclusive cumsum (range partition -> parallel local
+    * windows -> broadcast prefix offsets; a naive global window would
+    * collapse to one partition), bin = floor(cum / budget). Oracle = the
+    * same arithmetic as one DuckDB window. */
+  private val q68 = Q(
+    "q68_sequence_packing",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.packedBins(
+        docs, col("doc_id"), col("n_tokens"), budget = 2048L)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens,
+        CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+        FROM t)
+      SELECT bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b GROUP BY bin ORDER BY bin"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q56, q66, q67)
+      q44, q56, q66, q67, q68)
 }

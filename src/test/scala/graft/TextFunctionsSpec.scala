@@ -64,6 +64,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("sequence packing: distributed cumsum == naive global window, bins bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+    val budget = 512L
+    val packed = graft.operators.Packing.sequencePack(
+      docs, col("doc_id"), col("n_tokens"), budget, partitions = 7)
+    val naive = docs.withColumn("cum",
+      coalesce(sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val a = packed.select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = naive.select("doc_id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "two-phase cumsum must equal the single-partition window")
+    // every bin except possibly the last stays within budget + one doc
+    val bins = graft.operators.Packing.packedBins(
+        docs, col("doc_id"), col("n_tokens"), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val maxDoc = docs.agg(max(col("n_tokens"))).head().getLong(0)
+    assert(bins.forall { case (_, t) => t <= budget + maxDoc })
+    assert(bins.length > 1)
+  }
+
   test("PII redaction masks planted emails/URLs/phones and counts them") {
     import spark.implicits._
     val planted = Seq(
