@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture control: deterministic stratified subsampling toward a
+  * target stratum mixture — the "data mixing" step of a training-data
+  * pipeline (upweight rare languages/sources by downsampling the rest).
+  *
+  * Sampling is hash-based, not `sampleBy`: a row survives iff
+  * xxhash64(id, seed) mapped to [0,1) falls under its stratum's fraction.
+  * That makes the sample a pure, deterministic FUNCTION of (id, seed) —
+  * reproducible across runs, cluster layouts, and partitionings, and
+  * stable under re-execution (Bernoulli `sampleBy` depends on partition
+  * iteration order). One scan, no shuffle: the fractions table broadcasts.
+  */
+object Sampling {
+
+  /** Per-row survival test: uniform in [0,1) from xxhash64(id, seed). */
+  private def unitHash(idCol: Column, seed: Long): Column =
+    (pmod(xxhash64(idCol, lit(seed)), lit(1000000000L)).cast("double") / 1e9)
+
+  /** Keep each stratum at `fractions(stratum)` (missing strata keep 0). */
+  def stratifiedSample(
+      df: DataFrame, strataCol: Column, idCol: Column,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val fdf = spark.createDataFrame(fractions.toSeq).toDF("__stratum", "__fraction")
+    df.withColumn("__stratum", strataCol.cast("string"))
+      .join(broadcast(fdf), Seq("__stratum"), "left")
+      .filter(unitHash(idCol, seed) < coalesce(col("__fraction"), lit(0.0)))
+      .drop("__stratum", "__fraction")
+  }
+
+  /** Sampling fractions that move the corpus toward `targetShares`
+    * (shares of the OUTPUT, summing to <= 1): the stratum needing the
+    * deepest cut keeps fraction 1.0 is wrong — instead the output size is
+    * maximized subject to every stratum hitting its share: output N is
+    * bounded by min over strata of count(s) / share(s); fraction(s) =
+    * N * share(s) / count(s). Strata absent from the target are dropped. */
+  def mixtureFractions(
+      df: DataFrame, strataCol: Column,
+      targetShares: Map[String, Double]): Map[String, Double] = {
+    val counts = df.groupBy(strataCol.cast("string").as("s"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val feasibleN = targetShares.collect {
+      case (s, share) if share > 0 && counts.getOrElse(s, 0L) > 0 =>
+        counts(s) / share
+    }
+    if (feasibleN.isEmpty) Map.empty
+    else {
+      val n = feasibleN.min
+      targetShares.collect {
+        case (s, share) if counts.getOrElse(s, 0L) > 0 =>
+          s -> math.min(1.0, n * share / counts(s))
+      }
+    }
+  }
+
+  /** Resample the corpus to the target stratum mixture (deterministic). */
+  def resampleToMixture(
+      df: DataFrame, strataCol: Column, idCol: Column,
+      targetShares: Map[String, Double], seed: Long = 42L): DataFrame =
+    stratifiedSample(df, strataCol, idCol,
+      mixtureFractions(df, strataCol, targetShares), seed)
+}

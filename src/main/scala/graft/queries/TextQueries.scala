@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sampling}
 
 /** Text-analysis + dedup surface over the `documents` table — the
   * LLM-training-data operators (BASELINE.json north star) layered on the
@@ -326,7 +326,24 @@ object TextQueries extends QueryPack {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM b GROUP BY bin ORDER BY bin"""))
 
+  /** Corpus mixture resampling (operators.Sampling): deterministic
+    * hash-gated stratified subsample toward an equal-language mixture.
+    * Rows-only (the survival hash is Spark's xxhash64 — not reproducible
+    * in the oracle engine); determinism + mixture tolerance in ScalaTest. */
+  private val q69 = Q(
+    "q69_mixture_resample",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val langs = Seq("en", "es", "de", "fr")
+      Sampling.resampleToMixture(
+          docs, col("lang"), col("doc_id"),
+          langs.map(_ -> 0.25).toMap)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q56, q66, q67, q68)
+      q44, q56, q66, q67, q68, q69)
 }

@@ -87,6 +87,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(bins.length > 1)
   }
 
+  test("mixture resampling: deterministic, subset, and near the target shares") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val target = Seq("en", "es", "de", "fr").map(_ -> 0.25).toMap
+    val a = Sampling.resampleToMixture(docs, col("lang"), col("doc_id"), target)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.resampleToMixture(docs, col("lang"), col("doc_id"), target)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "hash-gated sampling must be deterministic")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(all) && a.nonEmpty && a.size < all.size)
+    // realized shares within a loose Bernoulli tolerance of the target
+    val byLang = Sampling.resampleToMixture(docs, col("lang"), col("doc_id"), target)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byLang.values.sum.toDouble
+    byLang.foreach { case (lang, n) =>
+      assert(math.abs(n / total - 0.25) < 0.12, s"$lang share ${n / total}")
+    }
+    // a different seed draws a different (same-sized-ish) sample
+    val c = Sampling.resampleToMixture(docs, col("lang"), col("doc_id"), target, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c !== a)
+  }
+
   test("PII redaction masks planted emails/URLs/phones and counts them") {
     import spark.implicits._
     val planted = Seq(
