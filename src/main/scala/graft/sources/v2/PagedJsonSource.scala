@@ -97,8 +97,27 @@ object PagedJson {
         }).sortBy(_._1)
     }
 
-  /** (total_count, total_pages) from the manifest, file or HTTP. */
-  def readManifest(path: String): Option[(Long, Long)] = try {
+  // short-TTL manifest cache: one planning pass calls readManifest from
+  // both listPages and estimateStatistics — over HTTP that was two remote
+  // round-trips per query plan. The TTL keeps a long-lived session from
+  // planning against a stale page count forever.
+  private val ManifestTtlMs = 30000L
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[(Long, Long)])]()
+
+  /** (total_count, total_pages) from the manifest, file or HTTP (cached). */
+  def readManifest(path: String): Option[(Long, Long)] = {
+    val now = System.currentTimeMillis()
+    val cached = manifestCache.get(path)
+    if (cached != null && now - cached._1 < ManifestTtlMs) cached._2
+    else {
+      val fresh = fetchManifest(path)
+      manifestCache.put(path, (now, fresh))
+      fresh
+    }
+  }
+
+  private def fetchManifest(path: String): Option[(Long, Long)] = try {
     val txt =
       if (isHttp(path)) HttpFetch.get(s"$path/meta.json", RateLimitConf(0, 0)).mkString("\n")
       else new String(java.nio.file.Files.readAllBytes(
