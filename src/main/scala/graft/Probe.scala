@@ -3,11 +3,7 @@ import org.apache.spark.sql.SparkSession
 /** Scratch main for plan inspection while iterating; not part of the API. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     val cold = sys.env.contains("GRAFT_PROBE_COLD")
