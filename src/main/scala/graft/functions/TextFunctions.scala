@@ -156,12 +156,19 @@ object TextFunctions {
     regexp_replace(noEmail, PhonePattern, "<PHONE>")
   }
 
-  /** Per-kind PII hit counts (the audit side of redaction). */
-  def piiCounts(c: Column): Column = struct(
-    regexp_count(c, lit(EmailPattern)).cast("long").as("n_emails"),
-    regexp_count(c, lit(UrlPattern)).cast("long").as("n_urls"),
-    regexp_count(regexp_replace(c, UrlPattern, " "), lit(PhonePattern))
-      .cast("long").as("n_phones"))
+  /** Per-kind PII hit counts — counted on the SAME progressively-masked
+    * text the redaction chain sees, so each count equals the number of
+    * tags redactPii emits for that kind (an email inside a URL is a URL,
+    * not an email; two phones separated only by a URL stay two phones
+    * because the '<URL>' tag's letters break the digit run). */
+  def piiCounts(c: Column): Column = {
+    val noUrl = regexp_replace(c, UrlPattern, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailPattern, "<EMAIL>")
+    struct(
+      regexp_count(noUrl, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(c, lit(UrlPattern)).cast("long").as("n_urls"),
+      regexp_count(noEmail, lit(PhonePattern)).cast("long").as("n_phones"))
+  }
 
   /** Character-class profile: alpha/digit/space/other ratios (4dp) — the
     * cheap quality signals a corpus filter cuts on. */

@@ -34,11 +34,18 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // eager checkpoint: the totals collect below and the returned frame
+    // must see the SAME partition assignment (a re-executed range shuffle
+    // over a nondeterministic input could draw different boundaries than
+    // the ones the offsets were computed from), and it also avoids running
+    // the shuffle + window twice
     val local = ranged.withColumn("__local_cum",
       coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .localCheckpoint(true)
     // per-partition totals -> exclusive prefix offsets (driver-side: one
     // row per partition, the legitimate collect of a two-phase scan)
-    val totals = local.groupBy("__pid").agg(sum(col("n_tokens")).as("__psum"))
+    val totals = local.groupBy("__pid")
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__psum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((Int.MinValue, 0L)) {
       case ((_, acc), (pid, s)) => (pid, acc + s)

@@ -44,15 +44,22 @@ object Sampling {
     val counts = df.groupBy(strataCol.cast("string").as("s"))
       .count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a positively-weighted stratum with zero rows makes the target
+    // infeasible — fail loudly rather than silently renormalizing the
+    // mixture over the strata that happen to exist
+    val missing = targetShares.collect {
+      case (s, share) if share > 0 && counts.getOrElse(s, 0L) == 0L => s
+    }
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"target mixture is infeasible: strata ${missing.mkString(", ")} have no rows")
     val feasibleN = targetShares.collect {
-      case (s, share) if share > 0 && counts.getOrElse(s, 0L) > 0 =>
-        counts(s) / share
+      case (s, share) if share > 0 => counts(s) / share
     }
     if (feasibleN.isEmpty) Map.empty
     else {
       val n = feasibleN.min
       targetShares.collect {
-        case (s, share) if counts.getOrElse(s, 0L) > 0 =>
+        case (s, share) if share > 0 =>
           s -> math.min(1.0, n * share / counts(s))
       }
     }

@@ -278,9 +278,9 @@ object TextQueries extends QueryPack {
         'https?://[^\s]+', '<URL>', 'g'),
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         '\+?[0-9][0-9()\[\]. -]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
-      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-      CAST(len(regexp_extract_all(regexp_replace(text, 'https?://[^\s]+', ' ', 'g'), '\+?[0-9][0-9()\[\]. -]{6,}[0-9]')) AS BIGINT) AS n_phones
+      CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9][0-9()\[\]. -]{6,}[0-9]')) AS BIGINT) AS n_phones
       FROM documents ORDER BY doc_id"""))
 
   /** Character-class quality profile (alpha/digit/space/other ratios) —

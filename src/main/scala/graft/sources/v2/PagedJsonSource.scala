@@ -105,14 +105,16 @@ object PagedJson {
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[(Long, Long)])]()
 
-  /** (total_count, total_pages) from the manifest, file or HTTP (cached). */
+  /** (total_count, total_pages) from the manifest, file or HTTP (cached).
+    * Only SUCCESSFUL fetches are cached — caching a transient failure
+    * would poison planning on the path for the whole TTL. */
   def readManifest(path: String): Option[(Long, Long)] = {
     val now = System.currentTimeMillis()
     val cached = manifestCache.get(path)
     if (cached != null && now - cached._1 < ManifestTtlMs) cached._2
     else {
       val fresh = fetchManifest(path)
-      manifestCache.put(path, (now, fresh))
+      if (fresh.isDefined) manifestCache.put(path, (now, fresh))
       fresh
     }
   }

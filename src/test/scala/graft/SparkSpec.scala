@@ -3,15 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared test harness: one local SparkSession per JVM (getOrCreate), small
-  * shuffle partitioning, UTC — mirrors the driver's Verify session. Tests
-  * run against sf0.001 for speed; the DuckDB oracle gate covers sf0.01.
+/** Shared test harness: one local SparkSession per JVM (getOrCreate) built
+  * through GraftSession so specs run under the same conventions as the
+  * driver's Verify/Bench sessions (extensions, UTC, AQE). Tests run
+  * against sf0.001 for speed; the DuckDB oracle gate covers sf0.01.
   */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = graft.GraftSession.builder(shufflePartitions = 4)
     .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -110,6 +110,11 @@ class TextFunctionsSpec extends SparkSpec {
     val c = Sampling.resampleToMixture(docs, col("lang"), col("doc_id"), target, seed = 7L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(c !== a)
+    // an infeasible target (stratum with no rows) fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureFractions(docs, col("lang"),
+        Map("en" -> 0.5, "klingon" -> 0.5))
+    }
   }
 
   test("PII redaction masks planted emails/URLs/phones and counts them") {
@@ -129,6 +134,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2L)._1 === "call <PHONE> about the order")
     assert((out(2L)._2, out(2L)._3, out(2L)._4) === ((0L, 0L, 1L)))
     assert(out(3L)._1 === "no pii in this sentence at all")
+    // counts agree with the tags the redaction chain emits: an email
+    // swallowed by a URL is a URL, and phones split by a URL stay two
+    val tricky = Seq(
+      (10L, "go to https://api.x.com/send?to=bob@mail.com please"),
+      (11L, "call 555-123-9876 https://x.com 555-678-1234 now")
+    ).toDF("id", "text")
+    val t = tricky.select(col("id"), piiCounts(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1), r.getStruct(1).getLong(2)))).toMap
+    assert(t(10L) === ((0L, 1L, 0L)), s"url-embedded email miscounted: ${t(10L)}")
+    assert(t(11L) === ((0L, 1L, 2L)), s"url-separated phones miscounted: ${t(11L)}")
     // char-class ratios sum to ~1
     val prof = planted.select(charClassProfile(col("text")).as("p"))
       .select(expr("p.alpha_ratio + p.digit_ratio + p.space_ratio + p.other_ratio"))
