@@ -122,7 +122,12 @@ object TextFunctions {
     * majority vote of token-hash bits. 64 interpreted array passes per row
     * — parity oracle for the native expression, not the production path. */
   def simhash64ViaColumns(c: Column): Column = {
-    val th = transform(array_distinct(tokens(c)), w => xxhash64(w))
+    // drop zero-length tokens: split("") yields [""], and hashing it would
+    // make the empty document's signature xxhash64("") while the native
+    // kernel (which skips empties) returns 0 — parity must hold on
+    // degenerate input too
+    val th = transform(
+      filter(array_distinct(tokens(c)), w => length(w) > 0), w => xxhash64(w))
     val n = size(th)
     (0 until 64).map { i =>
       val votes = size(filter(th, h => shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L)))

@@ -63,11 +63,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // verify with the sorted-merge jaccard (native, allocation-free) and
-    // broadcast hash-set sides: pairs stream, arrays never shuffle
+    // verify with the sorted-merge jaccard (native, allocation-free). The
+    // hash-set sides join back by PLAIN keyed shuffle joins: hashSets has
+    // full-corpus cardinality (every doc's token-hash array), so a
+    // broadcast hint here would collect the corpus to the driver at scale —
+    // the arrays shuffle once each, keyed on doc id, and AQE is still free
+    // to broadcast at test scale where the side really is small.
     candidates
-      .join(broadcast(hashSets.select(col("doc_id").as("id_a"), col("wh").as("wh_a"))), "id_a")
-      .join(broadcast(hashSets.select(col("doc_id").as("id_b"), col("wh").as("wh_b"))), "id_b")
+      .join(hashSets.select(col("doc_id").as("id_a"), col("wh").as("wh_a")), "id_a")
+      .join(hashSets.select(col("doc_id").as("id_b"), col("wh").as("wh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(graft.plans.NativeExprs.jaccardSorted(col("wh_a"), col("wh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -169,9 +173,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
+    // sizes is one row per document — full-corpus cardinality, so no
+    // broadcast hint (unbroadcastable at billions of docs); plain keyed
+    // joins shuffle only (doc_id, n_fps) pairs, and AQE may still choose
+    // broadcast when the side is genuinely small.
     shared
-      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n_fps").as("n_a"))), "id_a")
-      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n_fps").as("n_b"))), "id_b")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fps").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fps").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("shared"),
         round(col("shared") / least(col("n_a"), col("n_b")), 4).as("containment"),
         col("n_a"), col("n_b"))

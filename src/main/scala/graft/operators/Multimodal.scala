@@ -89,12 +89,18 @@ object Multimodal {
     * windows — deterministic byte windows standing in for frames. */
   def frameSample(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame =
     media.select(col("media_id"), col("n_bytes"),
-      transform(
-        sequence(lit(0),
-          least(ceil(col("n_bytes") / frameBytes).cast("int") - 1, lit(maxFrames - 1))),
-        i => struct((i * frameBytes).cast("long").as("offset"),
-          least(lit(frameBytes).cast("long"),
-            col("n_bytes") - i * frameBytes).as("length"))).as("frames"))
+      // empty/null payloads get an empty frame list — without the guard,
+      // ceil(0/frameBytes)-1 = -1 makes sequence(0,-1) count DOWN and emit
+      // two bogus frames (same hazard as TextFunctions.shingles)
+      when(col("n_bytes") > 0,
+        transform(
+          sequence(lit(0),
+            least(ceil(col("n_bytes") / frameBytes).cast("int") - 1, lit(maxFrames - 1))),
+          i => struct((i * frameBytes).cast("long").as("offset"),
+            least(lit(frameBytes).cast("long"),
+              col("n_bytes") - i * frameBytes).as("length"))))
+        .otherwise(array().cast("array<struct<offset:bigint,length:bigint>>"))
+        .as("frames"))
       .withColumn("n_frames", size(col("frames")))
 
   /** Zero-pass media-pipeline metrics (observe(), see ObservedMetrics):

@@ -101,22 +101,20 @@ object Similarity {
   }
 
   /** Deterministic mini k-means for the IVF coarse quantizer: centroids
-    * initialized from evenly-spaced corpus rows (sorted by id — no rand()),
-    * refined with a few distributed Lloyd iterations. Only the k×dim
-    * centroid matrix ever reaches the driver (model state, not data). */
+    * seeded by the k rows with the smallest xxhash64(id) — a deterministic
+    * uniform sample (no rand()) that Spark plans as TakeOrderedAndProject,
+    * i.e. a distributed per-partition top-k followed by a driver merge of k
+    * candidates per partition. Refined with a few distributed Lloyd
+    * iterations. Only the k×dim centroid matrix (and k seed rows) ever
+    * reaches the driver — model state, not data. */
   def kmeansCentroids(
       corpus: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
-    val n = corpus.count()
-    val step = math.max(1L, n / k)
-    var centroids: Seq[(Int, Seq[Double])] = corpus
-      .select(col(idCol), col(embCol).cast("array<double>").as("e"))
-      .orderBy(col(idCol))
-      .limit((step * k).toInt)
-      .collect().zipWithIndex
-      .collect { case (r, i) if i % step == 0 => (i / step.toInt, r.getSeq[Double](1)) }
-      .take(k)
+    var centroids: Seq[(Int, Seq[Double])] =
+      seedRows(corpus, k, idCol, embCol)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     for (_ <- 0 until iters) {
       val cdf = spark.createDataFrame(
         centroids.map { case (cid, e) => (cid, e) }).toDF("cid", "centroid")
@@ -132,6 +130,15 @@ object Similarity {
     }
     centroids
   }
+
+  /** The k-seed sample plan (exposed for the PlanSpec scale audit): exactly
+    * k rows leave the executors, however large the corpus. */
+  private[graft] def seedRows(
+      corpus: DataFrame, k: Int, idCol: String, embCol: String): DataFrame =
+    corpus
+      .select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
 
   private def assignToCentroids(
       corpus: DataFrame, centroids: DataFrame,

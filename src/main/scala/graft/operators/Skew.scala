@@ -31,9 +31,12 @@ object Skew {
       pmod(xxhash64(saltSource), lit(buckets)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
+    // resolve the keys against each frame (unqualified col(bigKey) would
+    // throw AMBIGUOUS_REFERENCE whenever both sides share the key name —
+    // the common case for equi-joins)
     saltedBig
       .join(replicatedSmall,
-        col(bigKey) === col(smallKey) &&
+        saltedBig(bigKey) === replicatedSmall(smallKey) &&
           saltedBig("__salt") === replicatedSmall("__salt"),
         joinType)
       .drop("__salt")

@@ -50,6 +50,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling of an empty/null payload yields zero frames") {
+    import spark.implicits._
+    val degenerate = Seq(
+      (900L, Some(Array.emptyByteArray)), // n_bytes = 0
+      (901L, None: Option[Array[Byte]]),  // null payload
+      (902L, Some("x".getBytes("UTF-8"))) // 1 byte — exactly one frame
+    ).toDF("media_id", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    val out = Multimodal.frameSample(degenerate, frameBytes = 100, maxFrames = 4)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("n_frames")).toMap
+    assert(out(900L) === 0, "empty payload must not emit bogus frames")
+    assert(out(901L) === 0, "null payload falls through to the empty-frames branch")
+    assert(out(902L) === 1)
+  }
+
   test("media metrics accumulate in the consuming action's single pass") {
     val media = graft.operators.Multimodal.ingestFromDocuments(
       graft.sources.Tables(spark, sfDir).documents)

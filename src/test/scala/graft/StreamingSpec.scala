@@ -150,4 +150,23 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted === plain)
   }
+
+  test("salted equi-join resolves same-named keys on both sides") {
+    val t = Tables(spark, sfDir)
+    val li = t.lineitem.select(col("l_partkey").as("partkey"),
+      col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val pt = t.part.select(col("p_partkey").as("partkey"), col("p_brand"))
+    val plain = li.join(pt.withColumnRenamed("partkey", "pk"),
+        col("partkey") === col("pk"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // both sides name the key "partkey" — the common equi-join case that an
+    // unqualified col("partkey") === col("partkey") condition would reject
+    // with AMBIGUOUS_REFERENCE
+    val salted = Skew.saltedEquiJoin(li, pt, "partkey", "partkey",
+        saltSource = col("l_orderkey") * lit(8) + col("l_linenumber"), buckets = 8)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted === plain)
+  }
 }

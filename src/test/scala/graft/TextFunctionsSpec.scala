@@ -64,6 +64,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("simhash parity holds on degenerate strings (empty, whitespace-only)") {
+    import spark.implicits._
+    val rows = Seq("", "   ", "\t\n", "x", "  x  ").toDF("text")
+      .select(col("text"),
+        simhash64(col("text")).as("native"),
+        simhash64ViaColumns(col("text")).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"parity broke on ${r.getString(0).map(_.toInt)}")
+    }
+    // empty input means zero tokens — signature must be 0, not xxhash64("")
+    assert(rows.filter(r => r.getString(0).trim.isEmpty).forall(_.getLong(1) === 0L))
+  }
+
   test("sequence packing: distributed cumsum == naive global window, bins bounded") {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.sources.Tables(spark, sfDir).documents
