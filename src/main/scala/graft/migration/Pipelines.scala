@@ -27,6 +27,15 @@ case class SyncReport(published: Long, errors: Long, batches: Long)
   */
 object Pipelines {
 
+  /** S6: live attachment-payload fetch (TP:295-299) inserted automatically
+    * when the attachments input has no `payload` column — i.e. it came from
+    * the live API rather than a pre-materialized dump. Throttle/retry ride
+    * AttachmentFetch's defaults; callers needing a specific rate run
+    * `AttachmentFetch.fetchPayloads` explicitly before the pipeline. */
+  private def withPayloads(attachments: DataFrame): DataFrame =
+    if (attachments.columns.contains("payload")) attachments
+    else AttachmentFetch.fetchPayloads(attachments)
+
   /** F4: --startPage/--stopPage prune when the input carries a `page`
     * column (PagedSource / graft-pages attach one; fixtures don't). */
   private def pageFiltered(df: DataFrame, opts: SyncOptions): DataFrame =
@@ -97,7 +106,7 @@ object Pipelines {
     val selectedMessages = messages.join(
       selected.select(col("number").as("ticket_number")), Seq("ticket_number"), "left_semi")
     val threads = TicketTransform.threadsByTicket(
-      selectedMessages, attachments, hsUsers, hsCustomers, opts.customerEmails)
+      selectedMessages, withPayloads(attachments), hsUsers, hsCustomers, opts.customerEmails)
     val convs = TicketTransform.conversations(
       selected, threads, hsMailboxes, hsCustomers, defaultMailboxEmail,
       if (opts.checkDuplicates) Some(existingConversations) else None)
@@ -114,7 +123,7 @@ object Pipelines {
     val one = tickets.filter(col("number") === number)
     val threads = TicketTransform.threadsByTicket(
       messages.filter(col("ticket_number") === number),
-      attachments, hsUsers, hsCustomers, opts.customerEmails)
+      withPayloads(attachments), hsUsers, hsCustomers, opts.customerEmails)
     TicketTransform.conversations(
       one, threads, hsMailboxes, hsCustomers, defaultMailboxEmail)
       .toJSON.collect().mkString("\n")

@@ -141,7 +141,9 @@ object PagedJson {
   * reference's per-service static counter SB:18-33; cluster-wide the rate
   * multiplies by executor count — size `ratelimit` accordingly, the same
   * decomposition RateLimitedSink.publish uses), and bounded retry with
-  * backoff on 429/5xx honoring Retry-After. */
+  * backoff on 429/5xx honoring Retry-After. The binary form (`getBytes`)
+  * is shared by the page scan and the attachment-payload fetch stage
+  * (graft.migration.AttachmentFetch, S6). */
 object HttpFetch {
   private val buckets =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sources.RateLimitedSink.TokenBucket]()
@@ -151,7 +153,14 @@ object HttpFetch {
     s"${u.getScheme}://${u.getAuthority}"
   }
 
-  def get(url: String, rate: RateLimitConf, maxRetries: Int = 3): Seq[String] = {
+  def get(url: String, rate: RateLimitConf, maxRetries: Int = 3): Seq[String] =
+    new String(getBytes(url, rate, maxRetries), "UTF-8").linesIterator.toVector
+
+  /** Raw response bytes with the same throttle/retry contract as `get`.
+    * Throws IOException on non-retryable status or exhausted retries —
+    * callers that must not fail per-record (the attachment fetch stage)
+    * catch and route to their error channel. */
+  def getBytes(url: String, rate: RateLimitConf, maxRetries: Int = 3): Array[Byte] = {
     if (rate.maxPerWindow > 0)
       buckets.computeIfAbsent(origin(url),
         _ => new graft.sources.RateLimitedSink.TokenBucket(
@@ -165,8 +174,8 @@ object HttpFetch {
       try {
         val code = conn.getResponseCode
         if (code == 200) {
-          val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
-          try return src.getLines().toVector finally src.close()
+          val in = conn.getInputStream
+          try return in.readAllBytes() finally in.close()
         }
         val retryable = code == 429 || code >= 500
         if (!retryable || attempt >= maxRetries)

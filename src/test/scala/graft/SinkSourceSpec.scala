@@ -198,4 +198,84 @@ class SinkSourceSpec extends SparkSpec {
         s"pruned pages were fetched: $pagesFetched")
     } finally server.stop(0)
   }
+
+  test("S6 live attachment fetch: payloads, 404 -> failed note, 429 retry, throttle") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.migration.{AttachmentFetch, TicketTransform}
+    val pngBytes = Array(0x89.toByte, 0x50.toByte, 0x4E.toByte, 0x47.toByte) ++
+      "png-body".getBytes("UTF-8")
+    val pdfBytes = "%PDF-1.4 live".getBytes("UTF-8")
+    val flakyBytes = "flaky-body".getBytes("UTF-8")
+    val requested = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val flakyOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/files", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val p = ex.getRequestURI.getPath
+        requested.add(p)
+        val body: Option[Array[Byte]] = p match {
+          case s if s.endsWith("burning.png") => Some(pngBytes)
+          case s if s.endsWith("doc.pdf") => Some(pdfBytes)
+          case s if s.endsWith("flaky.bin") =>
+            if (flakyOnce.getAndSet(false)) { // 429 once, honoring Retry-After
+              ex.getResponseHeaders.add("Retry-After", "0")
+              ex.sendResponseHeaders(429, -1); ex.close(); return
+            } else Some(flakyBytes)
+          case _ => None
+        }
+        body match {
+          case Some(b) =>
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/files"
+      import spark.implicits._
+      val live = Seq(
+        ("m1", "burning.png", 2048L, s"$base/burning.png"),
+        ("m1", "doc.pdf", 4096L, s"$base/doc.pdf"),
+        ("m4", "flaky.bin", 1024L, s"$base/flaky.bin"),
+        ("m4", "missing.bin", 512L, s"$base/missing.bin"))
+        .toDF("message_id", "filename", "size", "url")
+
+      val t0 = System.nanoTime()
+      val fetched = AttachmentFetch.fetchPayloads(
+        live, ratePerWindow = 2, windowMillis = 300).cache()
+      val rows = fetched.orderBy("filename").collect()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      // 4 fetches + 1 retry at 2 req / 300 ms -> at least one window sleep
+      assert(elapsedMs >= 250, s"fetch throttle never engaged ($elapsedMs ms)")
+
+      val byName = rows.map(r => r.getAs[String]("filename") -> r).toMap
+      assert(byName("burning.png").getAs[Array[Byte]]("payload").sameElements(pngBytes))
+      assert(byName("doc.pdf").getAs[Array[Byte]]("payload").sameElements(pdfBytes))
+      assert(byName("flaky.bin").getAs[Array[Byte]]("payload").sameElements(flakyBytes))
+      assert(byName("missing.bin").isNullAt(byName("missing.bin").fieldIndex("payload")))
+      assert(byName("missing.bin").getAs[String](AttachmentFetch.FetchError).contains("404"))
+      assert(rows.filter(_.getAs[String]("filename") != "missing.bin")
+        .forall(_.isNullAt(rows.head.fieldIndex(AttachmentFetch.FetchError))))
+      // the 429'd URL was requested exactly twice (429 + retried 200)
+      assert(requested.asScala.count(_.endsWith("flaky.bin")) === 2)
+
+      // stage A consumes the fetched frame unchanged: mime sniff + hash on
+      // successes, the 404 row lands on the failed-note path (TP:313-333)
+      val (ok, failed) = TicketTransform.uploadAttachments(fetched)
+      val okRows = ok.orderBy("filename").collect()
+      assert(okRows.map(_.getAs[String]("filename")).toSeq ===
+        Seq("burning.png", "doc.pdf", "flaky.bin"))
+      assert(okRows.map(_.getAs[String]("mime_type")).toSeq ===
+        Seq("image/png", "application/pdf", "application/octet-stream"))
+      assert(okRows.forall(_.getAs[String]("hash").length === 32))
+      val failedRows = failed.collect()
+      assert(failedRows.map(_.getAs[String]("filename")).toSeq === Seq("missing.bin"))
+      assert(failedRows.head.getAs[String]("url").endsWith("missing.bin"))
+      fetched.unpersist()
+    } finally server.stop(0)
+  }
 }
