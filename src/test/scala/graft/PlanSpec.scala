@@ -98,4 +98,49 @@ class PlanSpec extends SparkSpec {
     val p = plan("q46_knn_bruteforce")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
   }
+
+  // ---- round-2 scale-fix pins: these plans must not regress ----------------
+
+  test("kmeans seeding collects exactly k rows via TakeOrderedAndProject") {
+    val emb = Tables(spark, sfDir).embeddings
+    val k = 5
+    val seeds = graft.operators.Similarity.seedRows(emb, k, "vec_id", "embedding")
+    val p = seeds.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"seed sample must be a distributed top-k, got:\n${p.take(800)}")
+    assert(p.contains(s"limit=$k"), s"top-k limit must be k=$k:\n${p.take(800)}")
+    assert(seeds.collect().length === k) // exactly k rows reach the driver
+  }
+
+  test("minhash/winnow verify joins never broadcast the corpus side") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val docs = Tables(spark, sfDir).documents
+    val minhash = graft.operators.Dedup.minhashNearDupPairs(
+      docs, col("text"), col("doc_id"))
+    val winnow = graft.operators.Dedup.winnowContainmentPairs(
+      docs, col("text"), col("doc_id"))
+    for ((df, name) <- Seq((minhash, "minhash"), (winnow, "winnow"))) {
+      // no broadcast() hint anywhere: a hint would force the corpus-side
+      // hash-set / sizes frames onto the driver regardless of size
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$name verify path carries broadcast hints: $hints")
+    }
+    // and with auto-broadcast off (the 100 TB posture: nothing fits), the
+    // physical joins stay shuffled — a reintroduced hint would still
+    // produce a BroadcastExchange here and fail this assertion
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (name <- Seq("minhash", "winnow")) {
+        val df = if (name == "minhash")
+          graft.operators.Dedup.minhashNearDupPairs(docs, col("text"), col("doc_id"))
+        else graft.operators.Dedup.winnowContainmentPairs(docs, col("text"), col("doc_id"))
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastExchange"),
+          s"$name plans a broadcast with auto-broadcast off:\n${p.take(1500)}")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$name verify join must be a shuffled join:\n${p.take(1500)}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+  }
 }
