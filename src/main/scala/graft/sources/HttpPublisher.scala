@@ -1,0 +1,154 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.util.CollectionAccumulator
+
+/** K1/K2 default HTTP publisher — the reference's per-record REST publish
+  * with ApiException capture (TicketPublisher.php:30-91,
+  * CustomerPublisher.php:28-69), shipped as a concrete `post` for
+  * [[RateLimitedSink.publish]] instead of leaving the HTTP layer abstract.
+  *
+  * Per record (TicketPublisher foreach): POST the row as JSON to
+  * `endpoint`; 2xx is success; 429/5xx retry with Retry-After backoff
+  * (bounded); any other response is captured — NEVER thrown — as an error
+  * pair into a driver-side accumulator, the Spark form of the reference's
+  * `$errorMapping[type][] = detail` (TicketPublisher.php:56-61):
+  *
+  *  - a structured API error body (`errors: [{property, message, ...}]`,
+  *    APIHelper.php:224-233) groups by each error's `message` with a
+  *    `[property] message` detail line — the same `[%s] %s` shape as the
+  *    X16 column function `MigrationFunctions.formatErrors`;
+  *  - an unstructured failure groups by `HTTP <code>` / the exception
+  *    message with the record identifier as the detail
+  *    (TicketPublisher.php:62, 64-76).
+  *
+  * The captured pairs convert to the standard error channel
+  * (`error_type`/`error_detail`), so `ErrorChannel.groupedReport` /
+  * `writeCsvReport` produce exactly the reference's grouped CSV
+  * (APIHelper.php:241-261) with no extra plumbing.
+  *
+  * Scale: the accumulator carries only FAILED records' (type, detail)
+  * strings — the expected-case volume is tiny; a pipeline expecting mass
+  * failure should quarantine pre-publish via ErrorChannel instead. Rate
+  * limiting stays the sink's job (token bucket per partition); this class
+  * only posts and records.
+  */
+final class HttpPublisher(
+    endpoint: String,
+    errors: CollectionAccumulator[(String, String)],
+    idCol: Option[String] = None,
+    maxRetries: Int = 3,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 30000) extends (Seq[Row] => Unit) with Serializable {
+
+  override def apply(batch: Seq[Row]): Unit = batch.foreach(postOne)
+
+  /** The record identifier in error details (the reference cites
+    * "(Groove ticket #N)", TicketPublisher.php:56). */
+  private def identify(row: Row): String =
+    idCol.map(c => s"($c=${row.getAs[Any](c)})")
+      .getOrElse(s"(record ${row.json.take(80)})")
+
+  private def postOne(row: Row): Unit = {
+    val body = row.json.getBytes("UTF-8")
+    var attempt = 0
+    try {
+      while (true) {
+        val conn = java.net.URI.create(endpoint).toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setDoOutput(true)
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        try {
+          val out = conn.getOutputStream
+          try { out.write(body); out.flush() } finally out.close()
+          val code = conn.getResponseCode
+          if (code >= 200 && code < 300) return
+          val retryable = code == 429 || code >= 500
+          if (retryable && attempt < maxRetries) {
+            val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
+              .flatMap(s => scala.util.Try(s.toLong * 1000).toOption)
+              .getOrElse(250L * (1L << attempt))
+            Thread.sleep(retryAfterMs)
+            attempt += 1
+          } else {
+            recordFailure(code, readErrorBody(conn), row)
+            return
+          }
+        } finally conn.disconnect()
+      }
+    } catch {
+      // connection-level failure (the reference's CurlException arm,
+      // TicketPublisher.php:64-67): captured, never thrown
+      case scala.util.control.NonFatal(e) =>
+        errors.add((String.valueOf(e.getMessage),
+          s"publish to $endpoint failed ${identify(row)}"))
+    }
+  }
+
+  private def readErrorBody(conn: java.net.HttpURLConnection): String = {
+    val in = Option(conn.getErrorStream).orElse(
+      scala.util.Try(Option(conn.getInputStream)).getOrElse(None))
+    in.map { s =>
+      try new String(s.readAllBytes(), "UTF-8") finally s.close()
+    }.getOrElse("")
+  }
+
+  private def recordFailure(code: Int, body: String, row: Row): Unit = {
+    val pairs = HttpPublisher.apiErrorPairs(body)
+    if (pairs.nonEmpty)
+      // ApiException with a structured errors array: group by the error
+      // message, detail = "[property] message (ident)" (TP:56-58)
+      pairs.foreach { case (property, message) =>
+        errors.add((message, s"Error: [$property] $message ${identify(row)}"))
+      }
+    else
+      // no structured errors: group by the HTTP failure itself (TP:62)
+      errors.add((s"HTTP $code", s"${identify(row)}: ${body.take(200)}"))
+  }
+}
+
+object HttpPublisher {
+
+  /** `{"property": "...", ..., "message": "..."}` pairs from an API error
+    * body — the fields ApiException exposes (APIHelper.php:228-231). A
+    * lenient regex parse: only same-object property→message order is
+    * recognized, anything else degrades to the unstructured arm. */
+  private val ApiErrorRe =
+    """"property"\s*:\s*"([^"]*)"\s*[^{}]*?"message"\s*:\s*"([^"]*)"""".r
+
+  private[sources] def apiErrorPairs(body: String): Seq[(String, String)] =
+    ApiErrorRe.findAllMatchIn(body).map(m => (m.group(1), m.group(2))).toSeq
+
+  /** Publish `df` to `endpoint` through [[RateLimitedSink.publishCounted]]
+    * with the default HTTP publisher. Returns (batches, rowsPosted, errors)
+    * where `errors` is an `error_type`/`error_detail` DataFrame ready for
+    * `ErrorChannel.groupedReport`/`writeCsvReport` (the reference's
+    * end-of-run CSV export, TicketPublisher.php:80-86). `rowsPosted`
+    * counts attempts; failed records appear in `errors` (one row per
+    * captured pair, as in `$errorMapping`). */
+  def publish(
+      df: DataFrame,
+      endpoint: String,
+      ratePerMinute: Int,
+      batchSize: Int,
+      parallelism: Int,
+      idCol: Option[String] = None,
+      maxRetries: Int = 3): (Long, Long, DataFrame) = {
+    val spark = df.sparkSession
+    val acc = spark.sparkContext
+      .collectionAccumulator[(String, String)]("graft.publish.errors")
+    val (batches, rows) = RateLimitedSink.publishCounted(
+      df, ratePerMinute, batchSize, parallelism)(
+      new HttpPublisher(endpoint, acc, idCol, maxRetries))
+    import spark.implicits._
+    val errDf = acc.value.asScala.toSeq
+      .toDF(graft.migration.ErrorChannel.ErrorType,
+        graft.migration.ErrorChannel.ErrorDetail)
+    (batches, rows, errDf)
+  }
+}

@@ -278,4 +278,82 @@ class SinkSourceSpec extends SparkSpec {
       fetched.unpersist()
     } finally server.stop(0)
   }
+
+  test("default HTTP publisher: per-record POST, ApiException capture, grouped report, X16 parity") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.migration.{ErrorChannel, MigrationFunctions}
+    import graft.sources.HttpPublisher
+    val posted = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val flakyOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val apiErrorBody =
+      """{"message":"Validation failed","errors":[
+        |{"property":"subject","message":"may not be empty","value":null},
+        |{"property":"customer","message":"unknown customer","value":"x"}]}""".stripMargin
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/conv", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        posted.add(body)
+        def respond(code: Int, b: Array[Byte]): Unit = {
+          if (b.isEmpty) ex.sendResponseHeaders(code, -1)
+          else { ex.sendResponseHeaders(code, b.length); ex.getResponseBody.write(b) }
+          ex.close()
+        }
+        if (body.contains("\"subject\":\"\""))
+          respond(400, apiErrorBody.getBytes("UTF-8"))        // ApiException arm
+        else if (body.contains("Flaky") && flakyOnce.getAndSet(false)) {
+          ex.getResponseHeaders.add("Retry-After", "0")
+          respond(429, Array.empty)                            // retried, succeeds
+        } else if (body.contains("Down")) {
+          ex.getResponseHeaders.add("Retry-After", "0")
+          respond(500, "upstream down".getBytes("UTF-8"))      // unstructured arm
+        } else respond(201, Array.empty)
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/conv"
+      import spark.implicits._
+      val conversations = Seq(
+        (1001L, "Printer on fire"), (1002L, ""), (1003L, "Flaky"), (1004L, "Down"))
+        .toDF("groove_ticket_number", "subject")
+
+      val (batches, rows, errs) = HttpPublisher.publish(
+        conversations, endpoint, ratePerMinute = 100000, batchSize = 2,
+        parallelism = 2, idCol = Some("groove_ticket_number"), maxRetries = 1)
+      assert(rows === 4 && batches >= 2)
+      // one POST per record: 4 records + 1 flaky retry + 1 Down retry = 6
+      assert(posted.size === 6, s"got ${posted.size} posts: $posted")
+      assert(posted.asScala.exists(b =>
+        b.contains("\"groove_ticket_number\":1001") && b.contains("Printer on fire")))
+
+      // error channel: 2 structured pairs for #1002 + 1 unstructured for #1004
+      val errRows = errs.orderBy(ErrorChannel.ErrorType).collect()
+      assert(errRows.map(_.getString(0)).toSeq ===
+        Seq("HTTP 500", "may not be empty", "unknown customer"))
+      val detailFor = errRows.map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(detailFor("may not be empty")
+        .contains("[subject] may not be empty (groove_ticket_number=1002)"))
+      assert(detailFor("unknown customer")
+        .contains("[customer] unknown customer (groove_ticket_number=1002)"))
+      assert(detailFor("HTTP 500").contains("(groove_ticket_number=1004)"))
+
+      // the grouped report is the reference's CSV shape (error_type, n, details)
+      val report = ErrorChannel.groupedReport(
+        errs.select(col(ErrorChannel.ErrorType), col(ErrorChannel.ErrorDetail))).collect()
+      assert(report.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("HTTP 500", 1L), ("may not be empty", 1L), ("unknown customer", 1L)))
+
+      // X16 parity: the column-side formatErrors renders the same [prop] msg
+      // lines the publisher captured from the API error body
+      val formatted = Seq(1).toDF("one").select(MigrationFunctions.formatErrors(
+        array(
+          struct(lit("subject").as("property"), lit("may not be empty").as("message")),
+          struct(lit("customer").as("property"), lit("unknown customer").as("message"))))
+        .as("f")).head().getString(0)
+      assert(formatted === "[subject] may not be empty; [customer] unknown customer")
+      assert(detailFor("may not be empty").contains("[subject] may not be empty"))
+      assert(detailFor("unknown customer").contains("[customer] unknown customer"))
+    } finally server.stop(0)
+  }
 }
