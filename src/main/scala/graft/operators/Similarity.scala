@@ -240,11 +240,26 @@ object Similarity {
 
   /** Blocked near-duplicate pairs by embedding cosine: candidate pairs are
     * generated only inside a blocking key (here any column, e.g. a cluster
-    * label or LSH bucket), never across the full corpus. */
+    * label or LSH bucket), never across the full corpus.
+    *
+    * Hot-block guard: the pair join is quadratic WITHIN a block, so one
+    * degenerate block (a catch-all cluster label, an overloaded LSH bucket)
+    * would emit O(n²) pairs at 100 TB. Blocks larger than `maxBlock` rows
+    * are dropped whole before the self-join — the same
+    * boilerplate-exclusion discipline as the winnowing df cap
+    * (Dedup.winnowContainmentPairs): a block that big means the blocking
+    * key has stopped discriminating, and its pairs are noise, not
+    * candidates. The count rides a window over the SAME blk exchange the
+    * self-join uses — no extra shuffle, no cache barrier. Pair output is
+    * thereby bounded by |blocks| × maxBlock². */
   def blockedCosinePairs(
       corpus: DataFrame, blockCol: Column, minCos: Double,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBlock: Long = 10000L): DataFrame = {
     val e = corpus.select(blockCol.as("blk"), col(idCol), col(embCol))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("__bn") <= maxBlock)
+      .drop("__bn")
     val a = e.select(col("blk"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
     val b = e.select(col("blk"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
     a.join(b, Seq("blk"))
@@ -335,8 +350,9 @@ object Similarity {
     * Dedup.connectedComponents. */
   def embeddingDedupSurvivors(
       corpus: DataFrame, blockCol: Column, minCos: Double,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val dropped = blockedCosinePairs(corpus, blockCol, minCos, idCol, embCol)
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBlock: Long = 10000L): DataFrame = {
+    val dropped = blockedCosinePairs(corpus, blockCol, minCos, idCol, embCol, maxBlock)
       .select(col("id_b").as("vec_id")).distinct()
     corpus.select(col(idCol).cast("long").as("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")

@@ -95,4 +95,30 @@ class SimilaritySpec extends SparkSpec {
     val all = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(survivors === (all -- droppedExpected))
   }
+
+  test("blockedCosinePairs drops planted hot blocks, keeps cold ones intact") {
+    import spark.implicits._
+    // planted: a degenerate 20-row "hot" block of identical vectors (every
+    // pair similar -> 190 pairs unguarded) and a 3-row "cold" block
+    val hot = (0L until 20L).map(i => (i, "hot", Seq(1.0f, 0.0f)))
+    val cold = Seq(
+      (100L, "cold", Seq(1.0f, 0.1f)),
+      (101L, "cold", Seq(1.0f, 0.2f)),
+      (102L, "cold", Seq(0.9f, 0.1f)))
+    val df = (hot ++ cold).toDF("vec_id", "blk_key", "embedding")
+
+    val unguarded = Similarity.blockedCosinePairs(df, col("blk_key"), 0.5)
+    assert(unguarded.count() === 190L + 3L) // C(20,2) hot + C(3,2) cold
+
+    val guarded = Similarity.blockedCosinePairs(df, col("blk_key"), 0.5, maxBlock = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((100L, 101L), (100L, 102L), (101L, 102L)),
+      s"hot block must be excluded whole, cold pairs untouched: $guarded")
+
+    // survivorship under the guard: hot ids all survive (no pairs emitted)
+    val survivors = Similarity.embeddingDedupSurvivors(
+      df, col("blk_key"), 0.5, maxBlock = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === (0L until 20L).toSet + 100L)
+  }
 }
