@@ -182,11 +182,16 @@ object TicketTransform {
       existingConversations: Option[DataFrame] = None): DataFrame = {
 
     // F1/J6: skip tickets matching an existing conversation on same day +
-    // ci-equal subject (--checkDuplicates, TP:353-373)
+    // ci-equal subject (--checkDuplicates, TP:353-373). No broadcast hint:
+    // `existing` is a sink-state extract whose size the engine does not
+    // control — at scale it can exceed any broadcast limit, so the join is
+    // left to AQE, which still broadcasts when the side is actually small.
+    // Both conjuncts are equi (lower(title)=lower(subject), date=date), so
+    // the anti-join shuffles on the pair key when it does not broadcast.
     val base = tickets.withColumnRenamed("number", "ticket_number")
     val deduped = existingConversations match {
       case Some(existing) =>
-        base.join(broadcast(existing),
+        base.join(existing,
           ciEq(base("title"), existing("subject")) &&
             to_date(base("created_at")) === to_date(existing("modifiedAt")),
           "left_anti")

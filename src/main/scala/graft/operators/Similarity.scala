@@ -119,25 +119,37 @@ object Similarity {
       val cdf = spark.createDataFrame(
         centroids.map { case (cid, e) => (cid, e) }).toDF("cid", "centroid")
       val assigned = assignToCentroids(corpus, cdf, idCol, embCol)
-      centroids = assigned
+      val updated: Map[Int, Seq[Double]] = assigned
         .select(col("cid"), posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("centroid"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-        .sortBy(_._1)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+      // a centroid that captured no rows this round (duplicate seed losing
+      // every tie, or a list emptied by a better neighbor) carries through
+      // UNCHANGED rather than being dropped — the Lloyd groupBy only emits
+      // assigned cids, and silently returning < k centroids would shrink
+      // ivfTopK's nlist out from under the caller
+      centroids = centroids.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
     }
     centroids
   }
 
   /** The k-seed sample plan (exposed for the PlanSpec scale audit): exactly
-    * k rows leave the executors, however large the corpus. */
+    * k rows leave the executors, however large the corpus.
+    *
+    * Determinism contract: the sample orders by (xxhash64(id), id,
+    * xxhash64(embedding)) — with unique ids the first two keys are already
+    * total, and the embedding hash settles duplicate-id corpora too, so
+    * the same corpus always seeds the same centroids. */
   private[graft] def seedRows(
       corpus: DataFrame, k: Int, idCol: String, embCol: String): DataFrame =
     corpus
       .select(col(idCol), col(embCol).cast("array<double>").as("e"))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol), xxhash64(col("e")))
       .limit(k)
 
   private def assignToCentroids(

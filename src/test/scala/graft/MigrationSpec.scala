@@ -92,6 +92,39 @@ class MigrationSpec extends SparkSpec {
     assert(noDedup.collect().map(_.getLong(0)).contains(1007L))
   }
 
+  test("dedup anti-join survives without a broadcast hint on the existing side") {
+    // the existing-conversations side is a sink-state extract of unbounded
+    // size — the probe must not force a broadcast, and must still work when
+    // auto-broadcast is off entirely (the 100 TB posture)
+    val threads = TicketTransform.threadsByTicket(
+      Fixtures.messagesDf(spark), Fixtures.attachmentsDf(spark),
+      Fixtures.hsUsersDf(spark), Fixtures.hsCustomersDf(spark))
+    val withDedup = TicketTransform.conversations(
+      Fixtures.ticketsDf(spark), threads, Fixtures.hsMailboxesDf(spark),
+      Fixtures.hsCustomersDf(spark), Fixtures.defaultMailboxEmail,
+      Some(Fixtures.existingConversationsDf(spark)))
+    // no hint in the anti-join: the only ResolvedHints in the plan are the
+    // intentional dimension broadcasts (mailboxes/customers/default)
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    val antiJoins = withDedup.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }
+    assert(antiJoins.nonEmpty)
+    val hintedAnti = withDedup.queryExecution.analyzed.collect {
+      case j: Join if j.joinType == LeftAnti &&
+        j.right.collect { case h: ResolvedHint => h }.nonEmpty => j
+    }
+    assert(hintedAnti.isEmpty, "dedup probe must not hint-broadcast existing")
+    // with auto-broadcast off the anti-join still returns the same rows
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ids = withDedup.collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(1007L) && ids.contains(1001L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+  }
+
   test("validation gate reports exactly the two planted misses (J7/J8)") {
     Validation.gate(
       Fixtures.grooveMailboxesDf(spark), Fixtures.hsMailboxesDf(spark),

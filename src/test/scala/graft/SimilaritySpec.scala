@@ -121,4 +121,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(survivors === (0L until 20L).toSet + 100L)
   }
+
+  test("kmeans keeps k centroids when duplicate seeds lose every tie") {
+    import spark.implicits._
+    // 6 rows, only 2 distinct embeddings: with k=4 at least two seeds are
+    // identical, the duplicate's centroid captures no rows (ties break to
+    // the smaller cid), and the Lloyd update must carry it through rather
+    // than silently shrinking the centroid set
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.0f, 1.0f)), (6L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(df, k = 4, iters = 2)
+    assert(centroids.length === 4, s"centroid set shrank: $centroids")
+    assert(centroids.map(_._1) === Seq(0, 1, 2, 3))
+    // and ivf over the same corpus still probes without crashing
+    val got = Similarity.ivfTopK(df, df.filter(col("vec_id") === 1L),
+      k = 2, nlist = 4, nprobe = 2, iters = 2)
+    assert(got.count() === 2)
+  }
 }

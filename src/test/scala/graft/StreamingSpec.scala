@@ -163,10 +163,28 @@ class StreamingSpec extends SparkSpec {
     // both sides name the key "partkey" — the common equi-join case that an
     // unqualified col("partkey") === col("partkey") condition would reject
     // with AMBIGUOUS_REFERENCE
-    val salted = Skew.saltedEquiJoin(li, pt, "partkey", "partkey",
+    val saltedDf = Skew.saltedEquiJoin(li, pt, "partkey", "partkey",
         saltSource = col("l_orderkey") * lit(8) + col("l_linenumber"), buckets = 8)
+    // the small side's duplicate key column is dropped, so downstream
+    // col("partkey") resolves instead of hitting AMBIGUOUS_REFERENCE one
+    // operator later
+    assert(saltedDf.columns.count(_ == "partkey") === 1,
+      s"output schema: ${saltedDf.columns.mkString(",")}")
+    assert(!saltedDf.columns.contains("__salt"))
+    val salted = saltedDf
       .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted === plain)
+    // downstream references on the surviving key column work
+    assert(saltedDf.select(col("partkey")).limit(1).count() === 1)
+  }
+
+  test("salted equi-join rejects join types broken by small-side replication") {
+    val t = Tables(spark, sfDir)
+    val ex = intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(t.lineitem, t.part, "l_partkey", "p_partkey",
+        saltSource = col("l_orderkey"), buckets = 8, joinType = "right_outer")
+    }
+    assert(ex.getMessage.contains("salt-safe"))
   }
 }
