@@ -103,16 +103,30 @@ object Multimodal {
         .as("frames"))
       .withColumn("n_frames", size(col("frames")))
 
+  val MediaMetricsName = "graft_media_metrics"
+
+  private def mediaMetricCols: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_media"),
+    count(when(col("payload").isNull, 1)).as("n_null_payloads"),
+    coalesce(sum(col("n_bytes")), lit(0L)).as("total_bytes"))
+
   /** Zero-pass media-pipeline metrics (observe(), see ObservedMetrics):
     * run `action` on the media frame and return
     * (n_media, n_null_payloads, total_bytes) from that same pass. */
   def runWithMediaMetrics[A](media: DataFrame)(
       action: DataFrame => A): (A, (Long, Long, Long)) = {
     val (result, row) = graft.sources.ObservedMetrics.run(
-      media, "graft_media_metrics", Seq(
-        count(lit(1)).as("n_media"),
-        count(when(col("payload").isNull, 1)).as("n_null_payloads"),
-        coalesce(sum(col("n_bytes")), lit(0L)).as("total_bytes")))(action)
+      media, MediaMetricsName, mediaMetricCols)(action)
     (result, (row.getLong(0), row.getLong(1), row.getLong(2)))
   }
+
+  /** Media frame with the pipeline metrics baked in under the FIXED name
+    * [[MediaMetricsName]] — for declarative query paths (q70-q72) where the
+    * consuming action is the caller's: whatever runs the query also records
+    * (n_media, n_null_payloads, total_bytes) on the same pass, readable via
+    * `ObservedMetrics.capture` or any QueryExecutionListener. Attach ONCE
+    * per plan — a frame observed here then used in two branches of a
+    * self-join would double-count. */
+  def observedMedia(media: DataFrame): DataFrame =
+    media.observe(MediaMetricsName, mediaMetricCols.head, mediaMetricCols.tail: _*)
 }

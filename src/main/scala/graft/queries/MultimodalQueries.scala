@@ -7,12 +7,19 @@ import graft.operators.Multimodal
 /** Multimodal binary-column surface: ingestion metadata (oracle-checked —
   * byte counts and content hashes are recomputable in SQL), the batched
   * feature-extraction plumbing (rows-only; decode is a documented stub),
-  * and frame-sampling window math (oracle-checked). */
+  * and frame-sampling window math (oracle-checked).
+  *
+  * Every query observes the media frame (Multimodal.observedMedia): the
+  * per-stage counters (n_media, n_null_payloads, total_bytes) accumulate on
+  * the SAME pass that answers the query — the A2/A5 zero-extra-scan
+  * discipline applied to the media pipeline; MultimodalSpec reads them via
+  * ObservedMetrics.capture. */
 object MultimodalQueries extends QueryPack {
 
   private val q70 = Q(
     "q70_media_metadata",
-    (s, dir) => Multimodal.ingestFromDocuments(Tables(s, dir).documents)
+    (s, dir) => Multimodal.observedMedia(
+        Multimodal.ingestFromDocuments(Tables(s, dir).documents))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
@@ -29,7 +36,12 @@ object MultimodalQueries extends QueryPack {
     "q71_media_features",
     (s, dir) => {
       val media = Multimodal.ingestFromDocuments(Tables(s, dir).documents)
-      Multimodal.featureTable(media)
+      // featureTable inlined so ONLY the decode branch is observed — the
+      // media frame forks into (features ⋈ metadata) and observing both
+      // branches would double-count (see observedMedia scaladoc)
+      Multimodal.extractFeatures(Multimodal.observedMedia(media))
+        .toDF("media_id", "feature")
+        .join(media.drop("payload"), Seq("media_id"))
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"),
@@ -41,12 +53,16 @@ object MultimodalQueries extends QueryPack {
   private val q72 = Q(
     "q72_frame_sampling",
     (s, dir) => {
-      val media = Multimodal.ingestFromDocuments(Tables(s, dir).documents)
+      val media = Multimodal.observedMedia(
+        Multimodal.ingestFromDocuments(Tables(s, dir).documents))
+      // no global orderBy: a full sort of a map-only frame would (a) be the
+      // wrong shape at 100 TB and (b) double-scan the input — the range
+      // partitioner samples the unshuffled child, so the observed metrics
+      // would count every row twice (driver compare sorts rows itself)
       Multimodal.frameSample(media, frameBytes = 100, maxFrames = 4)
         .select(col("media_id"), col("n_frames"),
           aggregate(col("frames"), lit(0L), (acc, f) => acc + f.getField("length"))
             .as("covered_bytes"))
-        .orderBy(col("media_id"))
     },
     Some("""SELECT doc_id AS media_id,
       CAST(least(ceil(strlen(text) / 100.0), 4) AS INTEGER) AS n_frames,

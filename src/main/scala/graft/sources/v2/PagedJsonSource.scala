@@ -49,11 +49,15 @@ class PagedJsonSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).orElse(Option(properties.get("url")))
+    // properties arrive CASE-SENSITIVE here (unlike inferSchema's map), so
+    // re-wrap: a user's `.option("ratelimitWindowMs", ...)` must not be
+    // silently ignored in favor of the 60 s default
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).orElse(Option(opts.get("url")))
       .getOrElse(throw new IllegalArgumentException("graft-pages requires a path or url"))
     val rate = RateLimitConf(
-      Option(properties.get("ratelimit")).map(_.toInt).getOrElse(0),
-      Option(properties.get("ratelimitwindowms")).map(_.toLong).getOrElse(60000L))
+      Option(opts.get("ratelimit")).map(_.toInt).getOrElse(0),
+      Option(opts.get("ratelimitwindowms")).map(_.toLong).getOrElse(60000L))
     new PagedJsonTable(schema, path, rate)
   }
 }

@@ -76,4 +76,21 @@ class MultimodalSpec extends SparkSpec {
       .head().getLong(0)
     assert(totalBytes === expectBytes)
   }
+
+  test("q70-q72 record per-stage media metrics on the query's own pass") {
+    import graft.sources.ObservedMetrics
+    val nDocs = Tables(spark, sfDir).documents.count()
+    val expectBytes = media.agg(sum("n_bytes")).head().getLong(0)
+    for (name <- Seq("q70_media_metadata", "q71_media_features", "q72_frame_sampling")) {
+      val (rows, metrics) = ObservedMetrics.capture(spark, Multimodal.MediaMetricsName) {
+        SparkEntry.queries(name)(spark, sfDir).collect()
+      }
+      assert(rows.nonEmpty, s"$name returned no rows")
+      assert(metrics.getAs[Long]("n_media") === nDocs,
+        s"$name n_media=${metrics.getAs[Long]("n_media")} != $nDocs")
+      assert(metrics.getAs[Long]("n_null_payloads") === 0L)
+      assert(metrics.getAs[Long]("total_bytes") === expectBytes,
+        s"$name metrics rode a different pass: $metrics")
+    }
+  }
 }

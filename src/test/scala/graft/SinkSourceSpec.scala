@@ -196,6 +196,11 @@ class SinkSourceSpec extends SparkSpec {
       val pagesFetched = requested.asScala.filter(_.contains("page-")).toSeq
       assert(pagesFetched.forall(_.endsWith("page-2.json")),
         s"pruned pages were fetched: $pagesFetched")
+      // manifest caching: both queries' planning passes (listPages +
+      // estimateStatistics each) ride ONE meta.json fetch within the TTL —
+      // the first query's — so the second query fetched zero manifests
+      assert(requested.asScala.count(_.endsWith("meta.json")) === 0,
+        s"manifest re-fetched at plan time: ${requested.asScala.toSeq}")
     } finally server.stop(0)
   }
 
