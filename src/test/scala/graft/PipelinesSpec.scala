@@ -77,4 +77,105 @@ class PipelinesSpec extends SparkSpec {
     assert(dump.contains("Printer on fire"))
     assert(dump.contains("\"groove_ticket_number\":1001"))
   }
+
+  test("full lifecycle over the wire: paged acquire, live attachment fetch, HTTP publish") {
+    // The complete reference run end-to-end over HTTP: tickets acquired
+    // through the graft-pages DSv2 source, attachment payloads fetched live
+    // (S6, one URL 404s onto the failed-note path), conversations published
+    // per-record through the default HTTP publisher (K2). Ground truth is
+    // the same pipeline run from in-memory fixtures: the wire run must
+    // publish the identical record set.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.HttpPublisher
+    import scala.jdk.CollectionConverters._
+
+    val ticketLines = Fixtures.ticketsDf(spark).toJSON.collect().toSeq
+    val attachmentBytes: Map[String, Array[Byte]] = Fixtures.attachments
+      .flatMap(a => a.payload.map(p => a.filename -> p)).toMap
+    val published = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val served = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, code: Int, b: Array[Byte]): Unit = {
+      if (b.isEmpty) ex.sendResponseHeaders(code, -1)
+      else { ex.sendResponseHeaders(code, b.length); ex.getResponseBody.write(b) }
+      ex.close()
+    }
+    server.createContext("/groove", new HttpHandler { // paged ticket scan
+      override def handle(ex: HttpExchange): Unit = {
+        val p = ex.getRequestURI.getPath
+        served.add(p)
+        if (p.endsWith("meta.json")) respond(ex, 200,
+          s"""{"pagination":{"total_count":${ticketLines.size},"total_pages":2}}"""
+            .getBytes("UTF-8"))
+        else if (p.endsWith("page-1.json")) respond(ex, 200,
+          ticketLines.take(3).mkString("\n").getBytes("UTF-8"))
+        else if (p.endsWith("page-2.json")) respond(ex, 200,
+          ticketLines.drop(3).mkString("\n").getBytes("UTF-8"))
+        else respond(ex, 404, Array.empty)
+      }
+    })
+    server.createContext("/files", new HttpHandler { // live attachment payloads
+      override def handle(ex: HttpExchange): Unit = {
+        val name = ex.getRequestURI.getPath.split('/').last
+        served.add(ex.getRequestURI.getPath)
+        attachmentBytes.get(name) match {
+          case Some(b) => respond(ex, 200, b)
+          case None => respond(ex, 404, Array.empty) // broken.bin -> failed note
+        }
+      }
+    })
+    server.createContext("/hs", new HttpHandler { // publish endpoint
+      override def handle(ex: HttpExchange): Unit = {
+        published.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        respond(ex, 201, Array.empty)
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // ground truth: fixture-driven run through the local recorder
+      posted.clear()
+      Pipelines.syncTickets(
+        Fixtures.ticketsDf(spark), Fixtures.messagesDf(spark),
+        Fixtures.attachmentsDf(spark),
+        Fixtures.grooveMailboxesDf(spark), Fixtures.grooveAgentsDf(spark),
+        Fixtures.hsMailboxesDf(spark), Fixtures.hsUsersDf(spark),
+        Fixtures.hsCustomersDf(spark), Fixtures.existingConversationsDf(spark),
+        Fixtures.defaultMailboxEmail, SyncOptions(bypassValidation = true))(post)
+        .toOption.get
+      val expected = posted.asScala.map(_.json).toSet
+
+      // wire run: tickets over graft-pages, attachments without payloads
+      // (forces the live fetch stage), publish through HttpPublisher
+      val wireTickets = spark.read.format("graft-pages")
+        .schema(Fixtures.ticketsDf(spark).schema).load(s"$base/groove")
+      import spark.implicits._
+      val liveAttachments = Fixtures.attachments
+        .map(a => (a.message_id, a.filename, a.size, s"$base/files/${a.filename}"))
+        .toDF("message_id", "filename", "size", "url")
+      val acc = spark.sparkContext.collectionAccumulator[(String, String)]("e2e-errs")
+      val report = Pipelines.syncTickets(
+        wireTickets, Fixtures.messagesDf(spark), liveAttachments,
+        Fixtures.grooveMailboxesDf(spark), Fixtures.grooveAgentsDf(spark),
+        Fixtures.hsMailboxesDf(spark), Fixtures.hsUsersDf(spark),
+        Fixtures.hsCustomersDf(spark), Fixtures.existingConversationsDf(spark),
+        Fixtures.defaultMailboxEmail, SyncOptions(bypassValidation = true))(
+        new HttpPublisher(s"$base/hs/conversations", acc,
+          idCol = Some("groove_ticket_number"))).toOption.get
+
+      assert(report.published.toInt === expected.size)
+      assert(acc.value.isEmpty, s"publish errors: ${acc.value}")
+      // the ONLY legitimate difference: the failed-attachment note embeds
+      // the URL it actually fetched — live server here, fixture host there
+      val normalized = published.asScala.toSet[String]
+        .map(_.replace(s"$base/files/", "https://files.example.com/"))
+      assert(normalized === expected,
+        "wire run must publish the identical record set")
+      // the payloads really crossed the wire; the broken one really 404'd
+      assert(served.asScala.exists(_.endsWith("burning.png")))
+      assert(served.asScala.exists(_.endsWith("broken.bin")))
+      assert(served.asScala.exists(_.endsWith("page-2.json")))
+    } finally server.stop(0)
+  }
 }
