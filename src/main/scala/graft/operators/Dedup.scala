@@ -257,6 +257,82 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the high-diameter companion to [[connectedComponents]]:
+    * hash-min needs O(diameter) rounds, this needs O(log n), so a
+    * 10k-hop chain of near-dups (dedup graphs are usually near-cliques,
+    * but containment chains are not) converges in ~15 rounds instead of
+    * 10k.
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its neighborhood (one symmetric groupBy + join-back);
+    *  - small-star: every node links its smaller neighbors AND itself to
+    *    the minimum of its smaller neighborhood (one groupBy + join-back
+    *    on the child→parent orientation large-star leaves behind).
+    *
+    * Each round is two keyed shuffles; the fixpoint is a star forest whose
+    * centers are the component minima. Same contract as
+    * [[connectedComponents]]: converge-or-throw, output (doc_id,
+    * cluster_id = min reachable id), one row per vertex in `pairs`.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val verts = pairs.select(col("id_a").cast("long").as("id"))
+      .union(pairs.select(col("id_b").cast("long").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // canonical child→parent orientation (u > v), the shape small-star
+    // consumes and both operations preserve
+    var g = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = g.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(g)).localCheckpoint(true)
+      // set-equality fixpoint probe: same cardinality and no new edges
+      converged = next.count() == g.count() &&
+        next.except(g).limit(1).count() == 0
+      g = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds " +
+        "(expected O(log n); raise maxIter)")
+    verts.join(g.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One large-star round: (v, min(Γ(u) ∪ u)) for every neighbor v > u,
+    * over the symmetric neighborhood. Output keeps u > v. */
+  private def largeStar(g: DataFrame): DataFrame = {
+    val sym = g.unionByName(g.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round over child→parent edges (u > v): every smaller
+    * neighbor and u itself link to the minimum parent. Output keeps u > v. */
+  private def smallStar(g: DataFrame): DataFrame = {
+    val mins = g.groupBy("u").agg(min("v").as("m"))
+    val relinked = g.join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val self = mins.select(col("u"), col("m").as("v"))
+    relinked.unionByName(self)
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard between explicit row pairs (the verify primitive;
     * also a standalone operator for blocked candidate sets). `pairs` must
     * have id_a/id_b; df provides (id, text). */

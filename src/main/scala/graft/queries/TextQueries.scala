@@ -223,28 +223,26 @@ object TextQueries extends QueryPack {
       k = 20, window = 8, threshold = 0.8),
     None)
 
-  /** Transitive dedup clustering: connected components over a union of two
-    * blocking relations (shared 120-char prefix, shared 100-char suffix) —
-    * the union is NOT transitive, so label propagation does real work.
-    * Full DuckDB oracle via a recursive-CTE reachability closure. */
-  private val q56 = Q(
-    "q56_dedup_clusters",
-    (s, dir) => {
-      val docs = Tables(s, dir).documents
-      def keyPairs(key: org.apache.spark.sql.Column, minLen: Int) = {
-        val keyed = docs.filter(length(col("text")) >= minLen)
-          .select(col("doc_id"), key.as("k"))
-        keyed.select(col("k"), col("doc_id").as("id_a"))
-          .join(keyed.select(col("k"), col("doc_id").as("id_b")), Seq("k"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"))
-      }
-      val pairs = keyPairs(substring(col("text"), 1, 120), 120)
-        .union(keyPairs(expr("substring(text, length(text) - 99, 100)"), 100))
-        .distinct()
-      Dedup.connectedComponents(pairs)
-    },
-    Some("""WITH RECURSIVE
+  /** The q56/q73 blocking graph: a union of two blocking relations (shared
+    * 120-char prefix, shared 100-char suffix) — the union is NOT
+    * transitive, so label propagation does real work. */
+  private def blockingPairs(docs: org.apache.spark.sql.DataFrame) = {
+    def keyPairs(key: org.apache.spark.sql.Column, minLen: Int) = {
+      val keyed = docs.filter(length(col("text")) >= minLen)
+        .select(col("doc_id"), key.as("k"))
+      keyed.select(col("k"), col("doc_id").as("id_a"))
+        .join(keyed.select(col("k"), col("doc_id").as("id_b")), Seq("k"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }
+    keyPairs(substring(col("text"), 1, 120), 120)
+      .union(keyPairs(expr("substring(text, length(text) - 99, 100)"), 100))
+      .distinct()
+  }
+
+  /** The q56/q73 ground truth: a recursive-CTE reachability closure. */
+  private val closureOracle =
+    """WITH RECURSIVE
       pk AS (SELECT doc_id, substr(text, 1, 120) AS k FROM documents WHERE length(text) >= 120),
       sk AS (SELECT doc_id, substr(text, length(text) - 99, 100) AS k FROM documents WHERE length(text) >= 100),
       e AS (
@@ -256,7 +254,22 @@ object TextQueries extends QueryPack {
         SELECT src AS id, src AS label FROM ee
         UNION
         SELECT ee.dst AS id, cc.label FROM cc JOIN ee ON cc.id = ee.src)
-      SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id ORDER BY doc_id"""))
+      SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id ORDER BY doc_id"""
+
+  /** Transitive dedup clustering via hash-min label propagation
+    * (O(diameter) rounds — near-clique dedup graphs converge fast). */
+  private val q56 = Q(
+    "q56_dedup_clusters",
+    (s, dir) => Dedup.connectedComponents(blockingPairs(Tables(s, dir).documents)),
+    Some(closureOracle))
+
+  /** Same clustering via large-star/small-star (O(log n) rounds — the
+    * high-diameter scale path), against the same closure oracle: both
+    * algorithms must produce the identical component labeling. */
+  private val q73 = Q(
+    "q73_dedup_clusters_star",
+    (s, dir) => Dedup.connectedComponentsStar(blockingPairs(Tables(s, dir).documents)),
+    Some(closureOracle))
 
   /** PII scrubbing (emails/URLs/phone-ish runs -> typed tags) with per-kind
     * audit counts — the standard first pass before text enters a training
@@ -345,5 +358,5 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q56, q66, q67, q68, q69)
+      q44, q56, q66, q67, q68, q69, q73)
 }

@@ -115,6 +115,48 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.toSet === Set(1L))
   }
 
+  test("large-star/small-star CC matches hash-min on the hand graph") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Set(1L, 2L, 3L, 4L, 10L, 11L, 12L).foreach(id => assert(got(id) === 1L))
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(got.size === 9)
+  }
+
+  test("star CC converges in O(log n) rounds where hash-min needs O(diameter)") {
+    import spark.implicits._
+    // a 64-hop path: hash-min needs ~63 rounds (throws at 20); star
+    // needs ~log2(64) alternating rounds and sails through the same budget
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 20)
+    }
+    val star = Dedup.connectedComponentsStar(chain, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size === 64 && star.values.toSet === Set(1L))
+  }
+
+  test("star CC equals hash-min labeling on a random blocking graph") {
+    import spark.implicits._
+    // deterministic random graph: many small components of varied shape
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val hashMin = Dedup.connectedComponents(pairs, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === hashMin)
+  }
+
   test("winnow containment pairs on fixture are symmetric-safe and bounded") {
     val pairs = Dedup.winnowContainmentPairs(
       docs, col("text"), col("doc_id"), k = 8, window = 4, threshold = 0.5)
