@@ -106,19 +106,39 @@ object Similarity {
     * i.e. a distributed per-partition top-k followed by a driver merge of k
     * candidates per partition. Refined with a few distributed Lloyd
     * iterations. Only the k×dim centroid matrix (and k seed rows) ever
-    * reaches the driver — model state, not data. */
+    * reaches the driver — model state, not data.
+    *
+    * Quantizer training is SAMPLE-BOUNDED (the standard IVF shape): when
+    * the corpus exceeds `trainCap` rows, Lloyd runs on a deterministic
+    * hash-gated subsample of ~trainCap rows instead of the full corpus —
+    * at 100 TB, training the coarse quantizer must not cost `iters` full
+    * scans; the full corpus is scanned once, at assignment time
+    * (ivfTopK/writeIvfIndex). The training set is eagerly checkpointed so
+    * the Lloyd iterations re-scan memory, not the source. */
   def kmeansCentroids(
       corpus: DataFrame, k: Int, iters: Int = 3,
-      idCol: String = "vec_id", embCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
+    val slim = corpus.select(col(idCol), col(embCol))
+    val n = slim.count()
+    val training = (if (n <= trainCap) slim
+      else {
+        // deterministic unbiased gate (same device as Sampling's hash gate):
+        // keep a row iff its id-hash falls under the target fraction — no
+        // sort, no single-task gather, replay-stable
+        val denom = 1000000L
+        val keep = math.max(1L, denom * trainCap / n)
+        slim.filter(pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep))
+      }).localCheckpoint(true)
     var centroids: Seq[(Int, Seq[Double])] =
-      seedRows(corpus, k, idCol, embCol)
+      seedRows(training, k, idCol, embCol)
         .collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     for (_ <- 0 until iters) {
       val cdf = spark.createDataFrame(
         centroids.map { case (cid, e) => (cid, e) }).toDF("cid", "centroid")
-      val assigned = assignToCentroids(corpus, cdf, idCol, embCol)
+      val assigned = assignToCentroids(training, cdf, idCol, embCol)
       val updated: Map[Int, Seq[Double]] = assigned
         .select(col("cid"), posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))

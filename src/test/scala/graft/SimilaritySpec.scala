@@ -122,6 +122,18 @@ class SimilaritySpec extends SparkSpec {
     assert(survivors === (0L until 20L).toSet + 100L)
   }
 
+  test("sample-bounded quantizer training: deterministic, k centroids, sane ANN") {
+    // trainCap below the corpus size forces the hash-gated subsample path
+    val a = Similarity.kmeansCentroids(emb, k = 8, iters = 2, trainCap = 100L)
+    val b = Similarity.kmeansCentroids(emb, k = 8, iters = 2, trainCap = 100L)
+    assert(a === b, "hash-gated training sample must be replay-stable")
+    assert(a.length === 8)
+    assert(a.map(_._1) === (0 until 8))
+    // full-corpus assignment over sample-trained centroids still answers
+    val got = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 3)
+    assert(got.count() === 15)
+  }
+
   test("kmeans keeps k centroids when duplicate seeds lose every tie") {
     import spark.implicits._
     // 6 rows, only 2 distinct embeddings: with k=4 at least two seeds are
