@@ -190,9 +190,10 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 3, iters: Int = 3,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, embCol)
+    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap)
     val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
     val lists = assignToCentroids(corpus, cdf, idCol, embCol)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cid"))
@@ -224,9 +225,10 @@ object Similarity {
     * nprobe partitions of storage. */
   def writeIvfIndex(
       corpus: DataFrame, path: String, nlist: Int = 8, iters: Int = 3,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L): Unit = {
     val spark = corpus.sparkSession
-    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, embCol)
+    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap)
     val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
     assignToCentroids(corpus, cdf, idCol, embCol)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
