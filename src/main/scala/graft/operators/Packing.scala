@@ -65,4 +65,39 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
         min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
       .orderBy(col("bin"))
+
+  /** Document chunking for context-window-bounded training: split each
+    * document into fixed-size character windows with `overlapChars` of
+    * overlap (the standard sliding-window prep before tokenization when a
+    * corpus exceeds the model's context). Chunk i covers
+    * `[i*stride, i*stride + chunkChars)` with stride = chunkChars -
+    * overlapChars; the final chunk may run short; empty documents emit no
+    * chunks. Map-side only — one scan, a sequence/explode per row, no
+    * shuffle — so it composes with dedup/quality filters at any scale.
+    *
+    * Output: doc_id, chunk_id (0-based), chunk, chunk_len. Chunk counts
+    * use exact integer math (no float ceil), so the row set is
+    * reproducible and SQL-restatable — q74 hash-checks it against DuckDB.
+    */
+  def chunkDocuments(
+      df: DataFrame, textCol: Column, idCol: Column,
+      chunkChars: Int, overlapChars: Int = 0): DataFrame = {
+    require(chunkChars > 0, "chunkChars must be positive")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      s"overlap must be in [0, chunkChars): $overlapChars vs $chunkChars")
+    val stride = chunkChars - overlapChars
+    val len = length(textCol)
+    // extra chunks past the first: ceil(max(len - chunkChars, 0) / stride)
+    // in exact integer arithmetic (floor((len - chunkChars + stride - 1) / stride))
+    val extra = greatest(lit(0L),
+      floor((len.cast("long") - chunkChars + stride - 1) / lit(stride.toDouble))
+        .cast("long"))
+    df.filter(len > 0)
+      .select(idCol.cast("long").as("doc_id"), textCol.as("__t"),
+        posexplode(sequence(lit(0L), extra)).as(Seq("chunk_id", "__i")))
+      .select(col("doc_id"), col("chunk_id"),
+        col("__t").substr(
+          (col("__i") * stride + 1).cast("int"), lit(chunkChars)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+  }
 }

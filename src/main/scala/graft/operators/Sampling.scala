@@ -71,4 +71,36 @@ object Sampling {
       targetShares: Map[String, Double], seed: Long = 42L): DataFrame =
     stratifiedSample(df, strataCol, idCol,
       mixtureFractions(df, strataCol, targetShares), seed)
+
+  /** Deterministic train/val/test (or any n-way) split: each row gets
+    * exactly one label, chosen by where its unit hash falls among the
+    * cumulative split fractions. A pure function of (id, seed) — the same
+    * row lands in the same split on every run, cluster layout, and
+    * re-execution, which is what keeps eval sets leak-free when the corpus
+    * is rebuilt. Map-only: no shuffle, no count, arbitrarily wide.
+    *
+    * @param splits ordered (label, fraction) pairs; fractions must sum to
+    *               1 (±1e-9) — an explicit contract beats silently
+    *               renormalizing a typo'd 0.8/0.1/0.2
+    */
+  def assignSplits(
+      df: DataFrame, idCol: Column,
+      splits: Seq[(String, Double)], seed: Long = 42L,
+      labelCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(splits.forall(_._2 >= 0), "split fractions must be non-negative")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    val u = unitHash(idCol, seed)
+    // cumulative upper bounds; the last bucket takes everything below 1.0
+    // (incl. float-sum slack), so every row gets exactly one label
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val labeled = splits.init.zip(bounds.init)
+      .foldLeft(when(lit(false), lit(null).cast("string"))) {
+        case (acc, ((label, _), upper)) => acc.when(u < upper, label)
+      }
+      .otherwise(splits.last._1)
+    df.withColumn(labelCol, labeled)
+  }
 }

@@ -356,7 +356,37 @@ object TextQueries extends QueryPack {
     },
     None)
 
+  /** Context-window document chunking (operators.Packing.chunkDocuments):
+    * 200-char windows, 50-char overlap. Map-only (no orderBy: the driver
+    * compare sorts rows; a global sort of a map-only frame would add a
+    * sampling re-scan). Full oracle: DuckDB lateral generate_series +
+    * substr reproduce the window math exactly. */
+  private val q74 = Q(
+    "q74_doc_chunking",
+    (s, dir) => graft.operators.Packing.chunkDocuments(
+      Tables(s, dir).documents, col("text"), col("doc_id"),
+      chunkChars = 200, overlapChars = 50),
+    Some("""WITH e AS (
+        SELECT doc_id, text,
+          unnest(range(0, CAST(greatest(0, (length(text) - 200 + 149) // 150) AS BIGINT) + 1)) AS i
+        FROM documents WHERE length(text) > 0)
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        substr(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk,
+        CAST(length(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS INTEGER) AS chunk_len
+      FROM e"""))
+
+  /** Deterministic train/val/test split (operators.Sampling.assignSplits).
+    * Rows-only (xxhash64 split hash isn't reproducible in DuckDB);
+    * disjoint/exhaustive/deterministic/fraction properties in ScalaTest. */
+  private val q75 = Q(
+    "q75_train_val_test_split",
+    (s, dir) => Sampling.assignSplits(
+        Tables(s, dir).documents,
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split")),
+    None)
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q56, q66, q67, q68, q69, q73)
+      q44, q56, q66, q67, q68, q69, q73, q74, q75)
 }

@@ -127,4 +127,59 @@ class PropertySpec extends SparkSpec {
       .agg(max(col("n"))).head().getLong(0)
     assert(distinctPerKey === 1L)
   }
+
+  test("chunking: coverage, overlap, bounds on generated documents") {
+    import spark.implicits._
+    val texts = samples(Gen.alphaStr.map(_.take(700)), 40) ++ Seq("", "x", "y" * 200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val chunks = graft.operators.Packing.chunkDocuments(
+        df, col("text"), col("doc_id"), chunkChars = 200, overlapChars = 50)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val cs = chunks.getOrElse(i.toLong, Array.empty)
+      if (t.isEmpty) assert(cs.isEmpty, s"doc $i: empty doc must emit no chunks")
+      else {
+        // chunk_ids are 0..n-1; stitched with 150-char stride they rebuild
+        // the document exactly (overlap regions agree by construction)
+        assert(cs.map(_.getInt(1)).toSeq === cs.indices)
+        val rebuilt = cs.map(_.getString(2)).zipWithIndex.map {
+          case (c, 0) => c
+          case (c, _) => c.drop(50)
+        }.mkString
+        assert(rebuilt === t, s"doc $i: chunks must cover the text exactly")
+        assert(cs.forall(_.getString(2).length <= 200))
+        assert(cs.init.forall(_.getString(2).length === 200))
+      }
+    }
+  }
+
+  test("split assignment: exhaustive, disjoint, deterministic, near-target") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = graft.operators.Sampling.assignSplits(df, col("id"), splits)
+    val counts = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 4000L, "every row gets exactly one label")
+    assert(counts.keySet === Set("train", "val", "test"))
+    // hash-gated fractions land near target (±4% absolute at n=4000)
+    assert(math.abs(counts("train") / 4000.0 - 0.8) < 0.04, counts.toString)
+    assert(math.abs(counts("val") / 4000.0 - 0.1) < 0.04, counts.toString)
+    // deterministic: identical assignment on re-run, different under a
+    // different seed (the salt actually matters)
+    val again = graft.operators.Sampling.assignSplits(df, col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === first)
+    val reseeded = graft.operators.Sampling.assignSplits(df, col("id"), splits, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reseeded !== first)
+    // malformed fractions are rejected, not renormalized
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.assignSplits(df, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.2))
+    }
+  }
 }
