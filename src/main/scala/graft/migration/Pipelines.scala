@@ -31,10 +31,22 @@ object Pipelines {
     * when the attachments input has no `payload` column — i.e. it came from
     * the live API rather than a pre-materialized dump. Throttle/retry ride
     * AttachmentFetch's defaults; callers needing a specific rate run
-    * `AttachmentFetch.fetchPayloads` explicitly before the pipeline. */
-  private def withPayloads(attachments: DataFrame): DataFrame =
-    if (attachments.columns.contains("payload")) attachments
-    else AttachmentFetch.fetchPayloads(attachments)
+    * `AttachmentFetch.fetchPayloads` explicitly before the pipeline.
+    *
+    * The fetch is restricted to attachments referenced by the SELECTED
+    * messages first (semi-join on the attachments_href message id, the
+    * reference's per-message attachment fetch, TP:280-284) — a --tickets
+    * point migration must fetch that ticket's payloads, not the corpus's. */
+  private def withPayloads(
+      attachments: DataFrame, selectedMessages: DataFrame): DataFrame = {
+    val relevant = attachments.join(
+      selectedMessages.filter(col("attachments_href").isNotNull)
+        .select(MigrationFunctions.hrefAttachmentMessageId(
+          col("attachments_href")).as("message_id")),
+      Seq("message_id"), "left_semi")
+    if (relevant.columns.contains("payload")) relevant
+    else AttachmentFetch.fetchPayloads(relevant)
+  }
 
   /** F4: --startPage/--stopPage prune when the input carries a `page`
     * column (PagedSource / graft-pages attach one; fixtures don't). */
@@ -106,7 +118,8 @@ object Pipelines {
     val selectedMessages = messages.join(
       selected.select(col("number").as("ticket_number")), Seq("ticket_number"), "left_semi")
     val threads = TicketTransform.threadsByTicket(
-      selectedMessages, withPayloads(attachments), hsUsers, hsCustomers, opts.customerEmails)
+      selectedMessages, withPayloads(attachments, selectedMessages),
+      hsUsers, hsCustomers, opts.customerEmails)
     val convs = TicketTransform.conversations(
       selected, threads, hsMailboxes, hsCustomers, defaultMailboxEmail,
       if (opts.checkDuplicates) Some(existingConversations) else None)
@@ -121,9 +134,10 @@ object Pipelines {
       defaultMailboxEmail: String, number: Long,
       opts: SyncOptions = SyncOptions()): String = {
     val one = tickets.filter(col("number") === number)
+    val oneMessages = messages.filter(col("ticket_number") === number)
     val threads = TicketTransform.threadsByTicket(
-      messages.filter(col("ticket_number") === number),
-      withPayloads(attachments), hsUsers, hsCustomers, opts.customerEmails)
+      oneMessages, withPayloads(attachments, oneMessages),
+      hsUsers, hsCustomers, opts.customerEmails)
     TicketTransform.conversations(
       one, threads, hsMailboxes, hsCustomers, defaultMailboxEmail)
       .toJSON.collect().mkString("\n")

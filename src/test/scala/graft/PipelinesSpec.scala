@@ -176,6 +176,23 @@ class PipelinesSpec extends SparkSpec {
       assert(served.asScala.exists(_.endsWith("burning.png")))
       assert(served.asScala.exists(_.endsWith("broken.bin")))
       assert(served.asScala.exists(_.endsWith("page-2.json")))
+
+      // a --tickets point migration fetches ONLY that ticket's payloads:
+      // the live fetch is semi-joined to the selected messages first
+      served.clear()
+      Pipelines.syncTickets(
+        wireTickets, Fixtures.messagesDf(spark), liveAttachments,
+        Fixtures.grooveMailboxesDf(spark), Fixtures.grooveAgentsDf(spark),
+        Fixtures.hsMailboxesDf(spark), Fixtures.hsUsersDf(spark),
+        Fixtures.hsCustomersDf(spark), Fixtures.existingConversationsDf(spark),
+        Fixtures.defaultMailboxEmail,
+        SyncOptions(bypassValidation = true, tickets = Seq(1001L)))(
+        new HttpPublisher(s"$base/hs/conversations", acc,
+          idCol = Some("groove_ticket_number"))).toOption.get
+      val fetched = served.asScala.filter(_.startsWith("/files/")).toSeq
+      assert(fetched.nonEmpty && fetched.forall(p =>
+        p.endsWith("burning.png") || p.endsWith("manual.pdf")),
+        s"point migration fetched unrelated payloads: $fetched")
     } finally server.stop(0)
   }
 }
