@@ -289,14 +289,17 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    var converged = g.isEmpty
+    // the fixpoint of LS∘SS is exactly a star forest: no parent is itself a
+    // child (LS/SS preserve components, so star-forest ⇒ every component is
+    // one star ⇒ labels final). One semi-join probe per round — cheaper and
+    // sharper than a whole-set equality compare.
+    def isStarForest(edges: DataFrame): Boolean =
+      edges.join(edges.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty
+    var converged = isStarForest(g)
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(g)).localCheckpoint(true)
-      // set-equality fixpoint probe: same cardinality and no new edges
-      converged = next.count() == g.count() &&
-        next.except(g).limit(1).count() == 0
-      g = next
+      g = smallStar(largeStar(g)).localCheckpoint(true)
+      converged = isStarForest(g)
       i += 1
     }
     if (!converged) throw new IllegalStateException(
