@@ -336,6 +336,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Train/eval decontamination: flag training documents that share at
+    * least `minShared` distinct word n-grams with ANY document of a
+    * held-out set — the overlap check a training corpus runs against its
+    * benchmark/eval suites before anything trains on it (the reference has
+    * no analog; this generalizes its dedup probe J6 across two corpora).
+    *
+    * Plan shape: each side explodes to distinct (gram, doc) postings; ONE
+    * equi-join on the gram string (exact — no hashing, so the result is
+    * SQL-restatable and q76 hash-checks it); per-train-doc rollup counts
+    * shared grams and touched eval docs. Boilerplate grams appearing in
+    * more than `maxDf` docs ON EITHER SIDE are dropped before the join via
+    * a count-window on the join exchange — same skew guard as the
+    * winnowing inverted index: one viral disclaimer line must not produce
+    * a |train|×|eval| bucket at 100 TB.
+    *
+    * Output: train_id, n_shared_grams, n_eval_docs (sorted) for training
+    * docs at or over the threshold. Feed the ids to an anti-join to scrub.
+    */
+  def contamination(
+      train: DataFrame, eval: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 13, minShared: Long = 1L, maxDf: Long = 1000L): DataFrame = {
+    def postings(df: DataFrame, as: String) = df
+      .select(idCol.cast("long").as(as),
+        explode(array_distinct(shingles(textCol, n))).as("gram"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    postings(train, "train_id")
+      .join(postings(eval, "eval_id"), Seq("gram"))
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_shared_grams") >= minShared)
+      .orderBy(col("train_id"))
+  }
+
   /** Exact n-gram Jaccard between explicit row pairs (the verify primitive;
     * also a standalone operator for blocked candidate sets). `pairs` must
     * have id_a/id_b; df provides (id, text). */

@@ -386,7 +386,38 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("split")),
     None)
 
+  /** Train/eval decontamination (operators.Dedup.contamination): the
+    * held-out slice is doc_id % 10 == 0; word 8-grams; full oracle via
+    * DuckDB window string_agg n-gram construction (the q36 pattern
+    * generalized to a frame) — both engines build the grams and the
+    * cross-corpus join independently. */
+  private val q76 = Q(
+    "q76_decontamination",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.operators.Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), n = 8)
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+        generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos FROM documents),
+      g0 AS (SELECT doc_id,
+          string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wc
+        FROM w),
+      g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE wc = 8),
+      tr AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+      te AS (SELECT * FROM g WHERE doc_id % 10 = 0)
+      SELECT tr.doc_id AS train_id,
+        CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+        CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_eval_docs
+      FROM tr JOIN te ON tr.gram = te.gram
+      GROUP BY tr.doc_id ORDER BY train_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q56, q66, q67, q68, q69, q73, q74, q75)
+      q44, q56, q66, q67, q68, q69, q73, q74, q75, q76)
 }

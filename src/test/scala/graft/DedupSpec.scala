@@ -157,6 +157,34 @@ class DedupSpec extends SparkSpec {
     assert(star === hashMin)
   }
 
+  test("decontamination flags planted overlaps; boilerplate grams are capped") {
+    import spark.implicits._
+    val quote = (0 until 10).map(i => s"q$i").mkString(" ")     // 10 words -> 3 8-grams
+    val boiler = (0 until 8).map(i => s"b$i").mkString(" ")     // exactly one 8-gram
+    val evalDocs = Seq(
+      (1000L, s"e0 e1 e2 $quote e3 e4"),
+      (1001L, s"$boiler z0 z1"))
+    val trainDocs =
+      Seq((1L, s"t0 t1 $quote t2 t3"),                           // real contamination
+        (2L, s"u0 u1 u2 u3 u4 u5 u6 u7 u8")) ++                  // clean
+        (10L until 30L).map(i => (i, s"v$i w$i x$i $boiler"))    // boilerplate only
+    val train = trainDocs.toDF("doc_id", "text")
+    val eval = evalDocs.toDF("doc_id", "text")
+
+    // with the df cap at 5, the 20-doc boilerplate gram is dropped: only
+    // the genuine quote overlap survives
+    val capped = Dedup.contamination(
+        train, eval, col("text"), col("doc_id"), n = 8, maxDf = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq === Seq((1L, 3L, 1L)))
+
+    // with the cap lifted, every boilerplate carrier is (correctly) flagged
+    val uncapped = Dedup.contamination(
+        train, eval, col("text"), col("doc_id"), n = 8, maxDf = 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(uncapped === (Set(1L) ++ (10L until 30L)))
+  }
+
   test("winnow containment pairs on fixture are symmetric-safe and bounded") {
     val pairs = Dedup.winnowContainmentPairs(
       docs, col("text"), col("doc_id"), k = 8, window = 4, threshold = 0.5)
