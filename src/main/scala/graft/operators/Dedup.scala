@@ -373,6 +373,16 @@ object Dedup {
       .orderBy(col("train_id"))
   }
 
+  /** The scrub composed: training rows minus [[contamination]] hits (a
+    * keyed anti-join — the cleaned corpus keeps train's full schema). */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 13, minShared: Long = 1L, maxDf: Long = 1000L): DataFrame = {
+    val hits = contamination(train, eval, textCol, idCol, n, minShared, maxDf)
+      .select(col("train_id"))
+    train.join(hits, idCol.cast("long") === col("train_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard between explicit row pairs (the verify primitive;
     * also a standalone operator for blocked candidate sets). `pairs` must
     * have id_a/id_b; df provides (id, text). */

@@ -183,6 +183,13 @@ class DedupSpec extends SparkSpec {
         train, eval, col("text"), col("doc_id"), n = 8, maxDf = 1000L)
       .collect().map(_.getLong(0)).toSet
     assert(uncapped === (Set(1L) ++ (10L until 30L)))
+
+    // the composed scrub drops exactly the flagged rows, schema intact
+    val clean = Dedup.decontaminate(
+      train, eval, col("text"), col("doc_id"), n = 8, maxDf = 5L)
+    assert(clean.columns.toSeq === train.columns.toSeq)
+    assert(clean.collect().map(_.getLong(0)).toSet ===
+      trainDocs.map(_._1).toSet - 1L)
   }
 
   test("winnow containment pairs on fixture are symmetric-safe and bounded") {
