@@ -56,10 +56,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "as-of runs on a running-last window")
   }
 
-  test("q43/q56: dedup pair generation stays keyed, never cartesian") {
+  test("q43/q56/q76: dedup pair generation stays keyed, never cartesian") {
     assert(!plan("q43_winnow_containment").contains("CartesianProduct"))
     assert(!plan("q43_winnow_containment").contains("BroadcastNestedLoopJoin"))
     assert(!plan("q56_dedup_clusters").contains("CartesianProduct"))
+    assert(!plan("q76_decontamination").contains("CartesianProduct"))
+    assert(!plan("q76_decontamination").contains("BroadcastNestedLoopJoin"))
   }
 
   test("bucketed fact-fact join runs with zero exchanges") {
