@@ -354,16 +354,24 @@ object Dedup {
     * Output: train_id, n_shared_grams, n_eval_docs (sorted) for training
     * docs at or over the threshold. Feed the ids to an anti-join to scrub.
     */
+  /** @param hashGrams join on xxhash64(gram) instead of the gram string —
+    *        the 100 TB posture: postings shuffle 8 bytes per gram instead
+    *        of the n-word string, at a 2⁻⁶⁴-per-pair false-positive risk.
+    *        Default false (exact strings), which keeps q76 SQL-restatable. */
   def contamination(
       train: DataFrame, eval: DataFrame, textCol: Column, idCol: Column,
-      n: Int = 13, minShared: Long = 1L, maxDf: Long = 1000L): DataFrame = {
-    def postings(df: DataFrame, as: String) = df
-      .select(idCol.cast("long").as(as),
+      n: Int = 13, minShared: Long = 1L, maxDf: Long = 1000L,
+      hashGrams: Boolean = false): DataFrame = {
+    def postings(df: DataFrame, as: String) = {
+      val exploded = df.select(idCol.cast("long").as(as),
         explode(array_distinct(shingles(textCol, n))).as("gram"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+      (if (hashGrams) exploded.select(col(as), xxhash64(col("gram")).as("gram"))
+       else exploded)
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+        .filter(col("df") <= maxDf)
+        .drop("df")
+    }
     postings(train, "train_id")
       .join(postings(eval, "eval_id"), Seq("gram"))
       .groupBy(col("train_id"))

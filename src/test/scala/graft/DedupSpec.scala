@@ -190,6 +190,13 @@ class DedupSpec extends SparkSpec {
     assert(clean.columns.toSeq === train.columns.toSeq)
     assert(clean.collect().map(_.getLong(0)).toSet ===
       trainDocs.map(_._1).toSet - 1L)
+
+    // the hashed-gram scale variant agrees with the exact-string join
+    val hashed = Dedup.contamination(
+        train, eval, col("text"), col("doc_id"), n = 8, maxDf = 5L,
+        hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashed.toSeq === capped.toSeq)
   }
 
   test("winnow containment pairs on fixture are symmetric-safe and bounded") {
