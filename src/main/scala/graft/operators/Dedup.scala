@@ -37,7 +37,9 @@ object Dedup {
     * @param numHashes minhash signature width (bands * rowsPerBand)
     * @param bands     LSH bands; collision prob ≈ 1-(1-j^r)^b
     * @param threshold exact-Jaccard verify threshold
-    * Output: id_a < id_b, jaccard (rounded 4dp), sorted.
+    * Output: id_a < id_b, jaccard (rounded 4dp). Unsorted — a global sort
+    * of a corpus-cardinality frame is a needless range shuffle at 100 TB;
+    * callers that need a total order (the oracle queries) sort themselves.
     */
   def minhashNearDupPairs(
       df: DataFrame, textCol: Column, idCol: Column,
@@ -75,7 +77,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(graft.plans.NativeExprs.jaccardSorted(col("wh_a"), col("wh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Greedy near-dup dedup survivorship: a doc survives unless it has a
@@ -89,7 +90,6 @@ object Dedup {
       .select(col("id_b").as("doc_id")).distinct()
     df.select(idCol.cast("long").as("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, candidates = docs agreeing
@@ -113,7 +113,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Greedy simhash dedup survivorship (see minhashDedupSurvivors). */
@@ -124,7 +123,6 @@ object Dedup {
       .select(col("id_b").as("doc_id")).distinct()
     df.select(idCol.cast("long").as("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
   }
 
   /** Containment near-dup pairs via winnowing fingerprints
@@ -142,7 +140,8 @@ object Dedup {
     *
     * Output: id_a < id_b, shared, containment = shared / min(|fps_a|,|fps_b|)
     * (rounded 4dp), n_a, n_b (the pruned-set sizes, reused by survivorship)
-    * for pairs with containment >= threshold, sorted.
+    * for pairs with containment >= threshold. Unsorted (see
+    * [[minhashNearDupPairs]]).
     */
   def winnowContainmentPairs(
       df: DataFrame, textCol: Column, idCol: Column,
@@ -153,38 +152,40 @@ object Dedup {
         graft.plans.NativeExprs.winnowFingerprints(textCol, k, window)).as("fps"))
     val index = fps
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-    // df via a window over the fp shuffle (not groupBy + join-back: the
-    // window computes the count on the SAME exchange the pair self-join
-    // then reuses — one shuffle of the index, total, and no cache barrier).
+    // df via ONE hash aggregate on the fp exchange, joined straight back to
+    // the same exchange (Catalyst/AQE reuse it): a count per fp needs no
+    // sort, so the old per-consumer Window — which re-ran its sort+count
+    // for every reader of `kept` and made q44 cost 2x q43 — is gone.
     // Denominators count every fp below the boilerplate cutoff — INCLUDING
     // df=1 singletons (a doc's unique content must keep diluting its
     // containment score, or any two docs sharing one phrase score 1.0) —
     // while fps above maxDf are boilerplate excluded from both sides.
-    val kept = index
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+    val fpDf = index.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
-    // the pair join additionally skips df=1 (can't produce a pair) — pure
-    // shuffle-volume savings, invisible to the score
-    val pruned = kept.filter(col("df") >= 2)
-    val shared = pruned.select(col("fp"), col("doc_id").as("id_a"))
-      .join(pruned.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+    val kept = index.join(fpDf, Seq("fp"))
+    // one per-doc rollup produces BOTH the containment denominator and the
+    // pair-join postings (df>=2 only — a df=1 fp can't produce a pair, so
+    // dropping them is pure shuffle-volume savings, invisible to the
+    // score). Each posting then carries its doc's n_fps through the
+    // self-join, so the old sizes join-backs (two extra pair-cardinality
+    // shuffles) disappear entirely. The collected arrays are the same
+    // per-doc fingerprint sets `fps` already materialized — bounded by doc
+    // length / window, never corpus-cardinality.
+    val byDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_fps"),
+      collect_list(when(col("df") >= 2L, col("fp"))).as("pair_fps"))
+    val pruned = byDoc.select(col("doc_id"), col("n_fps"),
+      explode(col("pair_fps")).as("fp"))
+    pruned.select(col("fp"), col("doc_id").as("id_a"), col("n_fps").as("n_a"))
+      .join(pruned.select(col("fp"), col("doc_id").as("id_b"), col("n_fps").as("n_b")),
+        Seq("fp"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
-    // sizes is one row per document — full-corpus cardinality, so no
-    // broadcast hint (unbroadcastable at billions of docs); plain keyed
-    // joins shuffle only (doc_id, n_fps) pairs, and AQE may still choose
-    // broadcast when the side is genuinely small.
-    shared
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_fps").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_fps").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("shared"),
         round(col("shared") / least(col("n_a"), col("n_b")), 4).as("containment"),
         col("n_a"), col("n_b"))
       .filter(col("containment") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Containment dedup survivorship: a doc is dropped when >= threshold of
@@ -203,7 +204,6 @@ object Dedup {
         col("id_a")).otherwise(col("id_b")).as("doc_id")).distinct()
     df.select(idCol.cast("long").as("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
   }
 
   /** Connected components over an undirected near-duplicate pair set —
@@ -222,7 +222,8 @@ object Dedup {
     * on high-diameter graphs.
     *
     * Input: pairs with id_a/id_b. Output: (doc_id, cluster_id = min doc_id
-    * reachable), one row per vertex that appears in a pair, sorted.
+    * reachable), one row per vertex that appears in a pair. Unsorted (see
+    * [[minhashNearDupPairs]]).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
@@ -254,7 +255,6 @@ object Dedup {
         "(graph diameter exceeds the bound; raise maxIter or use " +
         "large-star/small-star for high-diameter graphs)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Connected components via alternating large-star/small-star rounds
@@ -289,12 +289,18 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    // the fixpoint of LS∘SS is exactly a star forest: no parent is itself a
-    // child (LS/SS preserve components, so star-forest ⇒ every component is
-    // one star ⇒ labels final). One semi-join probe per round — cheaper and
-    // sharper than a whole-set equality compare.
+    // the fixpoint of LS∘SS is exactly a star forest: every child points to
+    // EXACTLY ONE parent AND no parent is itself a child (LS/SS preserve
+    // components, so star-forest ⇒ every component is one star ⇒ labels
+    // final). Both probes are required: checking only parent∩child wrongly
+    // declares graphs like {(10,5),(20,5),(10,1),(20,2)} converged —
+    // children with two parents whose parents are never children — and
+    // splits one component into several clusters. Two cheap limit-1 probes
+    // per round: a degree count on the same child key smallStar shuffles
+    // on, then the parent∩child semi-join.
     def isStarForest(edges: DataFrame): Boolean =
-      edges.join(edges.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty
+      edges.groupBy("u").agg(count(lit(1)).as("deg")).filter(col("deg") > 1L).isEmpty &&
+        edges.join(edges.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty
     var converged = isStarForest(g)
     var i = 0
     while (!converged && i < maxIter) {
@@ -308,7 +314,6 @@ object Dedup {
     verts.join(g.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("label"), col("id")).as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** One large-star round: (v, min(Γ(u) ∪ u)) for every neighbor v > u,
@@ -351,8 +356,9 @@ object Dedup {
     * winnowing inverted index: one viral disclaimer line must not produce
     * a |train|×|eval| bucket at 100 TB.
     *
-    * Output: train_id, n_shared_grams, n_eval_docs (sorted) for training
-    * docs at or over the threshold. Feed the ids to an anti-join to scrub.
+    * Output: train_id, n_shared_grams, n_eval_docs for training docs at or
+    * over the threshold (unsorted, see [[minhashNearDupPairs]]). Feed the
+    * ids to an anti-join to scrub.
     */
   /** @param hashGrams join on xxhash64(gram) instead of the gram string —
     *        the 100 TB posture: postings shuffle 8 bytes per gram instead
@@ -378,7 +384,6 @@ object Dedup {
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .filter(col("n_shared_grams") >= minShared)
-      .orderBy(col("train_id"))
   }
 
   /** The scrub composed: training rows minus [[contamination]] hits (a

@@ -57,14 +57,15 @@ object Packing {
       .select(col("id"), col("n_tokens"), col("cum"), col("bin"))
   }
 
-  /** Bin-level rollup of [[sequencePack]]. */
+  /** Bin-level rollup of [[sequencePack]]. Unsorted — the bin count grows
+    * with the corpus, so a global sort here would be a needless range
+    * shuffle at scale; callers that need a total order sort themselves. */
   def packedBins(
       df: DataFrame, orderCol: Column, tokensCol: Column, budget: Long): DataFrame =
     sequencePack(df, orderCol, tokensCol, budget)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
         min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
-      .orderBy(col("bin"))
 
   /** Document chunking for context-window-bounded training: split each
     * document into fixed-size character windows with `overlapChars` of

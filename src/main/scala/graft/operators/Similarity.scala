@@ -301,7 +301,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Write the LSH-bucketed corpus as a parquet index PARTITIONED BY
@@ -390,6 +389,5 @@ object Similarity {
       .select(col("id_b").as("vec_id")).distinct()
     corpus.select(col(idCol).cast("long").as("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")
-      .orderBy(col("vec_id"))
   }
 }

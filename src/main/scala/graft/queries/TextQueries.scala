@@ -260,7 +260,8 @@ object TextQueries extends QueryPack {
     * (O(diameter) rounds — near-clique dedup graphs converge fast). */
   private val q56 = Q(
     "q56_dedup_clusters",
-    (s, dir) => Dedup.connectedComponents(blockingPairs(Tables(s, dir).documents)),
+    (s, dir) => Dedup.connectedComponents(blockingPairs(Tables(s, dir).documents))
+      .orderBy(col("doc_id")),
     Some(closureOracle))
 
   /** Same clustering via large-star/small-star (O(log n) rounds — the
@@ -268,7 +269,8 @@ object TextQueries extends QueryPack {
     * algorithms must produce the identical component labeling. */
   private val q73 = Q(
     "q73_dedup_clusters_star",
-    (s, dir) => Dedup.connectedComponentsStar(blockingPairs(Tables(s, dir).documents)),
+    (s, dir) => Dedup.connectedComponentsStar(blockingPairs(Tables(s, dir).documents))
+      .orderBy(col("doc_id")),
     Some(closureOracle))
 
   /** PII scrubbing (emails/URLs/phone-ish runs -> typed tags) with per-kind
@@ -327,6 +329,7 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
       graft.operators.Packing.packedBins(
         docs, col("doc_id"), col("n_tokens"), budget = 2048L)
+        .orderBy(col("bin"))
     },
     Some("""WITH t AS (SELECT doc_id,
         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
@@ -399,6 +402,7 @@ object TextQueries extends QueryPack {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
         col("text"), col("doc_id"), n = 8)
+        .orderBy(col("train_id"))
     },
     Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos FROM documents),

@@ -59,7 +59,8 @@ object VectorQueries extends QueryPack {
   private val q47 = Q(
     "q47_blocked_cosine_pairs",
     (s, dir) => Similarity.blockedCosinePairs(
-      Tables(s, dir).embeddings, col("label"), 0.4),
+        Tables(s, dir).embeddings, col("label"), 0.4)
+      .orderBy(col("id_a"), col("id_b")),
     Some("""WITH e AS (SELECT label, vec_id, embedding FROM embeddings),
       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         unnest(a.embedding) AS x, unnest(b.embedding) AS y
@@ -102,7 +103,8 @@ object VectorQueries extends QueryPack {
   private val q57 = Q(
     "q57_embedding_dedup",
     (s, dir) => Similarity.embeddingDedupSurvivors(
-      Tables(s, dir).embeddings, col("label"), 0.4),
+        Tables(s, dir).embeddings, col("label"), 0.4)
+      .orderBy(col("vec_id")),
     Some("""WITH e AS (SELECT label, vec_id, embedding FROM embeddings),
       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         unnest(a.embedding) AS x, unnest(b.embedding) AS y

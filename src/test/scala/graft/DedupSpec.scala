@@ -143,6 +143,23 @@ class DedupSpec extends SparkSpec {
     assert(star.size === 64 && star.values.toSet === Set(1L))
   }
 
+  test("star CC does not declare a multi-parent non-star graph converged") {
+    import spark.implicits._
+    // regression: children {10,20} each have two parents ({5,1} and {5,2})
+    // while no parent is itself a child, so a parent∩child-only convergence
+    // probe accepts this graph at entry and splits the single component
+    // {1,2,5,10,20} into three clusters (and emits two rows per child).
+    // The strengthened probe must iterate until everything labels as 1.
+    val pairs = Seq((5L, 10L), (5L, 20L), (1L, 10L), (2L, 20L)).toDF("id_a", "id_b")
+    val rows = Dedup.connectedComponentsStar(pairs).collect()
+    assert(rows.length === 5, "exactly one row per vertex")
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Set(1L, 2L, 5L, 10L, 20L).foreach(id => assert(got(id) === 1L, s"node $id"))
+    val hashMin = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === hashMin)
+  }
+
   test("star CC equals hash-min labeling on a random blocking graph") {
     import spark.implicits._
     // deterministic random graph: many small components of varied shape

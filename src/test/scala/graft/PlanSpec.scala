@@ -145,4 +145,31 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
   }
+
+  // ---- round-4 pins: single-pass winnow df + unsorted operator cores -------
+
+  test("winnow containment computes fingerprint-df in one pass, no Window") {
+    val docs = Tables(spark, sfDir).documents
+    val pairs = graft.operators.Dedup.winnowContainmentPairs(
+      docs, col("text"), col("doc_id"))
+    val p = pairs.queryExecution.executedPlan.toString
+    // the r3 shape ran a count().over(partitionBy(fp)) Window that
+    // re-executed its sort+count once per consumer (q44 = 2x q43); the
+    // single-pass shape is a hash aggregate on the fp exchange — no
+    // Window (and no sort) anywhere in the containment plan
+    assert(!p.contains("Window"),
+      s"containment must not plan a per-consumer fp Window:\n${p.take(1500)}")
+  }
+
+  test("survivor operators plan no global sort (sorting is the query layer's)") {
+    val docs = Tables(spark, sfDir).documents
+    val survivors = graft.operators.Dedup.winnowDedupSurvivors(
+      docs, col("text"), col("doc_id"))
+    val p = survivors.queryExecution.executedPlan.toString
+    // operator cores return unsorted: a global orderBy here is a
+    // corpus-cardinality range shuffle per call at 100 TB. rangepartitioning
+    // only appears when a global Sort survives planning.
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"survivors must not range-shuffle for a total order:\n${p.take(1500)}")
+  }
 }
