@@ -45,7 +45,13 @@ object Pipelines {
           col("attachments_href")).as("message_id")),
       Seq("message_id"), "left_semi")
     if (relevant.columns.contains("payload")) relevant
-    else AttachmentFetch.fetchPayloads(relevant)
+    // eager localCheckpoint: the fetched frame feeds BOTH the uploaded and
+    // failed-note branches of the final plan (and publish + error-count
+    // actions) — left lazy, the side-effecting HTTP fetch stage would
+    // re-GET every attachment once per consumer, and a URL that succeeds
+    // in one execution but fails in the other could appear both uploaded
+    // and failed-noted. Checkpointing pins one fetch outcome per URL.
+    else AttachmentFetch.fetchPayloads(relevant).localCheckpoint(true)
   }
 
   /** F4: --startPage/--stopPage prune when the input carries a `page`

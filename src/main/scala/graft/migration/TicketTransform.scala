@@ -38,8 +38,13 @@ object TicketTransform {
         mimeSniff(col("payload")).as("mime_type"),
         uploadHash(col("payload")).as("hash"),
         oversized(col("size")).as("oversize"))
+    // live-fetched inputs carry the failure detail (AttachmentFetch);
+    // pre-materialized dumps don't — degrade to a null reason
     val failed = attachments.filter(col("payload").isNull)
-      .select(col("message_id"), col("filename"), col("url"))
+      .select(col("message_id"), col("filename"), col("url"),
+        (if (attachments.columns.contains(AttachmentFetch.FetchError))
+           col(AttachmentFetch.FetchError)
+         else lit(null).cast("string")).as("fetch_reason"))
     (ok, failed)
   }
 
@@ -133,9 +138,16 @@ object TicketTransform {
         toIso(col("created_at")).as("created_at_iso"),
         lit(1).as("seq"),
         lit("note").as("thread_type"),
-        format_string(
-          "Attachment %s could not be migrated: <a href=\"%s\">%s</a>",
-          col("filename"), col("url"), col("filename")).as("body"),
+        // the reference reports WHY the upload failed alongside the note
+        // (TP:314 error output); the engine embeds the reason in the note
+        // body when the fetch stage captured one
+        concat(
+          format_string(
+            "Attachment %s could not be migrated: <a href=\"%s\">%s</a>",
+            col("filename"), col("url"), col("filename")),
+          when(col("fetch_reason").isNotNull,
+            concat(lit(" (fetch failed: "), col("fetch_reason"), lit(")")))
+            .otherwise(lit(""))).as("body"),
         struct(lit("user").as("type"), lit(null).cast("long").as("id"),
           lit(null).cast("string").as("email")).as("created_by"),
         array().cast("array<string>").as("to_list"),

@@ -166,16 +166,30 @@ class PipelinesSpec extends SparkSpec {
 
       assert(report.published.toInt === expected.size)
       assert(acc.value.isEmpty, s"publish errors: ${acc.value}")
-      // the ONLY legitimate difference: the failed-attachment note embeds
-      // the URL it actually fetched — live server here, fixture host there
+      // the failed note must carry the live fetch failure's reason (the
+      // reference reports the caught exception next to the note, TP:314)
+      val failedNote = published.asScala.find(_.contains("could not be migrated"))
+      assert(failedNote.exists(_.contains("(fetch failed: ")), s"note: $failedNote")
+      assert(failedNote.exists(_.contains("404")), s"note: $failedNote")
+      // the TWO legitimate differences vs the fixture run: the failed note
+      // embeds the URL it actually fetched (live server here, fixture host
+      // there), and only the live run knows WHY the fetch failed
       val normalized = published.asScala.toSet[String]
         .map(_.replace(s"$base/files/", "https://files.example.com/"))
+        .map(_.replaceAll(" \\(fetch failed: [^)]*\\)", ""))
       assert(normalized === expected,
         "wire run must publish the identical record set")
       // the payloads really crossed the wire; the broken one really 404'd
       assert(served.asScala.exists(_.endsWith("burning.png")))
       assert(served.asScala.exists(_.endsWith("broken.bin")))
       assert(served.asScala.exists(_.endsWith("page-2.json")))
+      // and each exactly ONCE: the fetch stage is checkpointed, so the
+      // ok/failed split and the publish/error-count actions must not
+      // re-execute the side-effecting GET per consumer
+      val fetchCounts = served.asScala.filter(_.startsWith("/files/"))
+        .groupBy(identity).map { case (p, hits) => p -> hits.size }
+      assert(fetchCounts.nonEmpty && fetchCounts.values.forall(_ === 1),
+        s"attachment URLs re-fetched: $fetchCounts")
 
       // a --tickets point migration fetches ONLY that ticket's payloads:
       // the live fetch is semi-joined to the selected messages first
