@@ -11,8 +11,15 @@ import org.apache.spark.util.CollectionAccumulator
   * [[RateLimitedSink.publish]] instead of leaving the HTTP layer abstract.
   *
   * Per record (TicketPublisher foreach): POST the row as JSON to
-  * `endpoint`; 2xx is success; 429/5xx retry with Retry-After backoff
-  * (bounded); any other response is captured — NEVER thrown — as an error
+  * `endpoint`; 2xx is success; 429/5xx retry with Retry-After backoff.
+  * The honored sleep is hard-clamped at `maxRetryAfterMs` (default 4 s,
+  * above the exponential schedule's 250·2^attempt ceiling): a server
+  * demanding a longer hold — `Retry-After: 86400` would otherwise stall an
+  * executor task inside `foreachPartition` for a day — fails the record
+  * into the error channel instead of being honored. Both delta-seconds and
+  * HTTP-date `Retry-After` forms are parsed (RFC 9110 §10.2.3); an
+  * unparseable value falls back to the exponential schedule. Any other
+  * response is captured — NEVER thrown — as an error
   * pair into a driver-side accumulator, the Spark form of the reference's
   * `$errorMapping[type][] = detail` (TicketPublisher.php:56-61):
   *
@@ -41,7 +48,8 @@ final class HttpPublisher(
     idCol: Option[String] = None,
     maxRetries: Int = 3,
     connectTimeoutMs: Int = 10000,
-    readTimeoutMs: Int = 30000) extends (Seq[Row] => Unit) with Serializable {
+    readTimeoutMs: Int = 30000,
+    maxRetryAfterMs: Long = 4000L) extends (Seq[Row] => Unit) with Serializable {
 
   override def apply(batch: Seq[Row]): Unit = batch.foreach(postOne)
 
@@ -70,10 +78,19 @@ final class HttpPublisher(
           if (code >= 200 && code < 300) return
           val retryable = code == 429 || code >= 500
           if (retryable && attempt < maxRetries) {
-            val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
-              .flatMap(s => scala.util.Try(s.toLong * 1000).toOption)
-              .getOrElse(250L * (1L << attempt))
-            Thread.sleep(retryAfterMs)
+            val headerMs = Option(conn.getHeaderField("Retry-After"))
+              .flatMap(HttpPublisher.parseRetryAfterMs)
+            if (headerMs.exists(_ > maxRetryAfterMs)) {
+              // a day-long hold is a refusal, not a retry hint: fail the
+              // record rather than stall the task (or disobey the server
+              // by retrying early)
+              recordFailure(code,
+                s"Retry-After ${headerMs.get / 1000}s exceeds the " +
+                  s"${maxRetryAfterMs}ms retry clamp", row)
+              return
+            }
+            Thread.sleep(
+              headerMs.getOrElse(250L * (1L << attempt)).min(maxRetryAfterMs))
             attempt += 1
           } else {
             recordFailure(code, readErrorBody(conn), row)
@@ -123,6 +140,18 @@ object HttpPublisher {
 
   private[sources] def apiErrorPairs(body: String): Seq[(String, String)] =
     ApiErrorRe.findAllMatchIn(body).map(m => (m.group(1), m.group(2))).toSeq
+
+  /** `Retry-After` → millis: delta-seconds (`120`) or HTTP-date
+    * (`Tue, 12 Aug 2026 17:00:00 GMT`), per RFC 9110 §10.2.3; a past date
+    * is 0 (retry now), anything unparseable is None (caller falls back to
+    * exponential backoff). */
+  private[graft] def parseRetryAfterMs(s: String): Option[Long] =
+    scala.util.Try(s.trim.toLong * 1000L).toOption.orElse(scala.util.Try {
+      val at = java.time.ZonedDateTime.parse(
+        s.trim, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+      math.max(0L, java.time.Duration.between(
+        java.time.Instant.now(), at.toInstant).toMillis)
+    }.toOption)
 
   /** Publish `df` to `endpoint` through [[RateLimitedSink.publishCounted]]
     * with the default HTTP publisher. Returns (batches, rowsPosted, errors)

@@ -145,10 +145,17 @@ object PagedJson {
   * reference's per-service static counter SB:18-33; cluster-wide the rate
   * multiplies by executor count — size `ratelimit` accordingly, the same
   * decomposition RateLimitedSink.publish uses), and bounded retry with
-  * backoff on 429/5xx honoring Retry-After. The binary form (`getBytes`)
+  * backoff on 429/5xx honoring Retry-After — clamped, like HttpPublisher,
+  * at `MaxRetryAfterMs`: a hold longer than the clamp is an IOException
+  * (the server is refusing service, and a scan task must not stall for
+  * hours inside a partition read). The binary form (`getBytes`)
   * is shared by the page scan and the attachment-payload fetch stage
   * (graft.migration.AttachmentFetch, S6). */
 object HttpFetch {
+  /** Ceiling on an honored Retry-After sleep (matches HttpPublisher's
+    * default clamp). */
+  val MaxRetryAfterMs: Long = 4000L
+
   private val buckets =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sources.RateLimitedSink.TokenBucket]()
 
@@ -184,10 +191,14 @@ object HttpFetch {
         val retryable = code == 429 || code >= 500
         if (!retryable || attempt >= maxRetries)
           throw new java.io.IOException(s"graft-pages: GET $url -> HTTP $code")
-        val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
-          .flatMap(s => scala.util.Try(s.toLong * 1000).toOption)
-          .getOrElse(250L * (1L << attempt))
-        Thread.sleep(retryAfterMs)
+        val headerMs = Option(conn.getHeaderField("Retry-After"))
+          .flatMap(graft.sources.HttpPublisher.parseRetryAfterMs)
+        if (headerMs.exists(_ > MaxRetryAfterMs))
+          throw new java.io.IOException(
+            s"graft-pages: GET $url -> HTTP $code, Retry-After " +
+              s"${headerMs.get / 1000}s exceeds the ${MaxRetryAfterMs}ms clamp")
+        Thread.sleep(
+          headerMs.getOrElse(250L * (1L << attempt)).min(MaxRetryAfterMs))
         attempt += 1
       } finally conn.disconnect()
     }

@@ -361,4 +361,77 @@ class SinkSourceSpec extends SparkSpec {
       assert(detailFor("unknown customer").contains("[customer] unknown customer"))
     } finally server.stop(0)
   }
+
+  test("Retry-After parsing: delta-seconds, HTTP-date, garbage") {
+    import graft.sources.HttpPublisher
+    assert(HttpPublisher.parseRetryAfterMs("120") === Some(120000L))
+    assert(HttpPublisher.parseRetryAfterMs(" 0 ") === Some(0L))
+    // a past HTTP-date means "retry now", never negative
+    assert(HttpPublisher.parseRetryAfterMs("Wed, 21 Oct 2015 07:28:00 GMT")
+      === Some(0L))
+    // a far-future HTTP-date lands in the right ballpark (>1h from now)
+    val future = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+      .plusHours(2).format(
+        java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+    assert(HttpPublisher.parseRetryAfterMs(future).exists(_ > 3600L * 1000))
+    assert(HttpPublisher.parseRetryAfterMs("soon") === None)
+    assert(HttpPublisher.parseRetryAfterMs("") === None)
+  }
+
+  test("publisher clamps Retry-After: a day-long hold fails fast into the error channel") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.HttpPublisher
+    val hits = new AtomicLong(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/conv", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        ex.getResponseHeaders.add("Retry-After", "86400") // one day
+        ex.sendResponseHeaders(429, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/conv"
+      import spark.implicits._
+      val df = Seq((1L, "held")).toDF("id", "subject")
+      val t0 = System.nanoTime()
+      val (_, rows, errs) = HttpPublisher.publish(
+        df, endpoint, ratePerMinute = 100000, batchSize = 1,
+        parallelism = 1, idCol = Some("id"), maxRetries = 3)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      // returned within the clamp (not 86400 s), gave up on first response
+      assert(elapsedMs < 30000L, s"took ${elapsedMs}ms")
+      assert(hits.get() === 1L, "an over-clamp hold must not be retried")
+      assert(rows === 1)
+      val err = errs.collect()
+      assert(err.length === 1)
+      assert(err.head.getString(0) === "HTTP 429")
+      assert(err.head.getString(1).contains("Retry-After 86400s exceeds"))
+      assert(err.head.getString(1).contains("(id=1)"))
+    } finally server.stop(0)
+  }
+
+  test("HttpFetch clamps Retry-After: over-clamp hold throws instead of stalling") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.v2.{HttpFetch, RateLimitConf}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/blob", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getResponseHeaders.add("Retry-After", "99999")
+        ex.sendResponseHeaders(429, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/blob"
+      val t0 = System.nanoTime()
+      val e = intercept[java.io.IOException] {
+        HttpFetch.getBytes(url, RateLimitConf(0, 60000L))
+      }
+      assert((System.nanoTime() - t0) / 1000000L < 30000L)
+      assert(e.getMessage.contains("exceeds the 4000ms clamp"))
+    } finally server.stop(0)
+  }
 }
