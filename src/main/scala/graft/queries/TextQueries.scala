@@ -393,7 +393,11 @@ object TextQueries extends QueryPack {
     * held-out slice is doc_id % 10 == 0; word 8-grams; full oracle via
     * DuckDB window string_agg n-gram construction (the q36 pattern
     * generalized to a frame) — both engines build the grams and the
-    * cross-corpus join independently. */
+    * cross-corpus join independently. The operator's boilerplate guard
+    * (drop grams with per-side df > maxDf) is restated in the oracle as a
+    * per-side count window over the distinct postings, so the two engines
+    * agree BY CONSTRUCTION, not merely while no fixture gram crosses the
+    * cap; the planted over-cap case is pinned in DedupSpec. */
   private val q76 = Q(
     "q76_decontamination",
     (s, dir) => {
@@ -413,8 +417,12 @@ object TextQueries extends QueryPack {
             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wc
         FROM w),
       g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE wc = 8),
-      tr AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
-      te AS (SELECT * FROM g WHERE doc_id % 10 = 0)
+      tr AS (SELECT doc_id, gram FROM (
+          SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+          FROM g WHERE doc_id % 10 <> 0) WHERE df <= 1000),
+      te AS (SELECT doc_id, gram FROM (
+          SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+          FROM g WHERE doc_id % 10 = 0) WHERE df <= 1000)
       SELECT tr.doc_id AS train_id,
         CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
         CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_eval_docs

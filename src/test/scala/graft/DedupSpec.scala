@@ -178,30 +178,44 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val quote = (0 until 10).map(i => s"q$i").mkString(" ")     // 10 words -> 3 8-grams
     val boiler = (0 until 8).map(i => s"b$i").mkString(" ")     // exactly one 8-gram
+    val header = (0 until 8).map(i => s"h$i").mkString(" ")     // exactly one 8-gram
     val evalDocs = Seq(
       (1000L, s"e0 e1 e2 $quote e3 e4"),
-      (1001L, s"$boiler z0 z1"))
+      (1001L, s"$boiler z0 z1")) ++
+      // the eval-side boilerplate: 7 held-out docs share one header gram,
+      // crossing the df cap on the EVAL side of the join
+      (2000L until 2007L).map(i => (i, s"m$i $header"))
     val trainDocs =
       Seq((1L, s"t0 t1 $quote t2 t3"),                           // real contamination
-        (2L, s"u0 u1 u2 u3 u4 u5 u6 u7 u8")) ++                  // clean
+        (2L, s"u0 u1 u2 u3 u4 u5 u6 u7 u8"),                     // clean
+        (3L, s"n0 n1 $header")) ++                               // header only
         (10L until 30L).map(i => (i, s"v$i w$i x$i $boiler"))    // boilerplate only
     val train = trainDocs.toDF("doc_id", "text")
     val eval = evalDocs.toDF("doc_id", "text")
 
-    // with the df cap at 5, the 20-doc boilerplate gram is dropped: only
-    // the genuine quote overlap survives
+    // with the df cap at 5, the 20-train-doc boilerplate gram and the
+    // 7-eval-doc header gram are both dropped (the cap applies per side):
+    // only the genuine quote overlap survives
     val capped = Dedup.contamination(
         train, eval, col("text"), col("doc_id"), n = 8, maxDf = 5L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(capped.toSeq === Seq((1L, 3L, 1L)))
 
-    // with the cap lifted, every boilerplate carrier is (correctly) flagged
+    // with the cap lifted, every boilerplate/header carrier is
+    // (correctly) flagged
     val uncapped = Dedup.contamination(
         train, eval, col("text"), col("doc_id"), n = 8, maxDf = 1000L)
       .collect().map(_.getLong(0)).toSet
-    assert(uncapped === (Set(1L) ++ (10L until 30L)))
+    assert(uncapped === (Set(1L, 3L) ++ (10L until 30L)))
+    // ...and the header carrier counts all 7 eval docs it touches
+    val headerRow = Dedup.contamination(
+        train, eval, col("text"), col("doc_id"), n = 8, maxDf = 1000L)
+      .filter(col("train_id") === 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(headerRow.toSeq === Seq((3L, 1L, 7L)))
 
     // the composed scrub drops exactly the flagged rows, schema intact
+    // (doc 3 survives at maxDf=5: its only shared gram is over-cap)
     val clean = Dedup.decontaminate(
       train, eval, col("text"), col("doc_id"), n = 8, maxDf = 5L)
     assert(clean.columns.toSeq === train.columns.toSeq)
