@@ -112,25 +112,47 @@ object Similarity {
     * the corpus exceeds `trainCap` rows, Lloyd runs on a deterministic
     * hash-gated subsample of ~trainCap rows instead of the full corpus —
     * at 100 TB, training the coarse quantizer must not cost `iters` full
-    * scans; the full corpus is scanned once, at assignment time
-    * (ivfTopK/writeIvfIndex). The training set is eagerly checkpointed so
-    * the Lloyd iterations re-scan memory, not the source. */
+    * scans. The training set is eagerly checkpointed so the Lloyd
+    * iterations re-scan memory, not the source.
+    *
+    * Sizing the gate needs the corpus row count. Pass `corpusRows` (the
+    * catalog/stats count a deployment already has) and NO sizing scan
+    * runs — the only full pass over the corpus is then assignment time
+    * (ivfTopK/writeIvfIndex). When absent, a column-pruned `count()` runs
+    * first: near-free on a parquet scan (footer row counts), a real
+    * extra pass on a computed frame — at 100 TB, pass the count. The
+    * gate fraction only sets the expected sample size, so an estimate is
+    * fine: too-low keeps more rows than trainCap, too-high trains on
+    * fewer. A wild over-estimate cannot break the k-centroid contract
+    * either — if the gated sample lands under a usable floor
+    * (min(trainCap, max(4k, 64)) rows) the gate widens geometrically and
+    * re-scans until it clears the floor, an n-free self-correction that
+    * costs extra source scans only in the degenerate case. */
   def kmeansCentroids(
       corpus: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
-      trainCap: Long = 65536L): Seq[(Int, Seq[Double])] = {
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     val slim = corpus.select(col(idCol), col(embCol))
-    val n = slim.count()
-    val training = (if (n <= trainCap) slim
+    val n = corpusRows.getOrElse(slim.count())
+    val training = (if (n <= trainCap) slim.localCheckpoint(true)
       else {
         // deterministic unbiased gate (same device as Sampling's hash gate):
         // keep a row iff its id-hash falls under the target fraction — no
         // sort, no single-task gather, replay-stable
         val denom = 1000000L
-        val keep = math.max(1L, denom * trainCap / n)
-        slim.filter(pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep))
-      }).localCheckpoint(true)
+        val floor = math.min(trainCap, math.max(4L * k, 64L))
+        var keep = math.max(1L, denom * trainCap / n)
+        var sample = slim.filter(
+          pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
+        // counting the checkpointed sample is in-memory, not a source scan
+        while (sample.count() < floor && keep < denom) {
+          keep = math.min(denom, keep * 8)
+          sample = slim.filter(
+            pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
+        }
+        sample
+      })
     var centroids: Seq[(Int, Seq[Double])] =
       seedRows(training, k, idCol, embCol)
         .collect().zipWithIndex
@@ -191,9 +213,10 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 3, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
-      trainCap: Long = 65536L): DataFrame = {
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap)
+    val centroids =
+      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
     val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
     val lists = assignToCentroids(corpus, cdf, idCol, embCol)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cid"))
@@ -226,9 +249,10 @@ object Similarity {
   def writeIvfIndex(
       corpus: DataFrame, path: String, nlist: Int = 8, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
-      trainCap: Long = 65536L): Unit = {
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
-    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap)
+    val centroids =
+      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
     val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
     assignToCentroids(corpus, cdf, idCol, embCol)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")

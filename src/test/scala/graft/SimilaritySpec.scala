@@ -132,6 +132,19 @@ class SimilaritySpec extends SparkSpec {
     // full-corpus assignment over sample-trained centroids still answers
     val got = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 3)
     assert(got.count() === 15)
+
+    // the 100 TB path: a caller-supplied row count replaces the sizing
+    // scan; supplying the exact count reproduces the counted result
+    // bit-for-bit, and a rough over-estimate still trains k centroids
+    // (the fraction only sets the expected sample size)
+    val n = emb.count()
+    val c = Similarity.kmeansCentroids(emb, k = 8, iters = 2,
+      trainCap = 100L, corpusRows = Some(n))
+    assert(c === a, "explicit corpusRows must reproduce the counted gate")
+    val over = Similarity.kmeansCentroids(emb, k = 8, iters = 2,
+      trainCap = 100L, corpusRows = Some(n * 10))
+    assert(over.length === 8)
+    assert(over.map(_._1) === (0 until 8))
   }
 
   test("kmeans keeps k centroids when duplicate seeds lose every tie") {
