@@ -46,9 +46,10 @@ object EventStreams {
     * PARTITION per stateful operator (and one RocksDB instance each under
     * that provider) — partition count is a deployment knob that must track
     * key cardinality and executor count, not the batch default. The
-    * *ToTable runners below run with a small count suited to the fixture
-    * scale; a real deployment sizes it once per stream job. Applies only
-    * to queries STARTED under the conf (it's fixed at query start). */
+    * *ToTable runners below default to a small count suited to the fixture
+    * scale; a real deployment sizes it once per stream job via
+    * [[StreamRunConf]]. Applies only to queries STARTED under the conf
+    * (it's fixed at query start). */
   private def withStreamingShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
@@ -56,12 +57,31 @@ object EventStreams {
     try f finally spark.conf.set(key, prior)
   }
 
+  /** Deployment knobs for the run-to-completion `*ToTable` runners:
+    *
+    *  - `shufflePartitions` — state-store count per stateful operator
+    *    (default 8, the fixture scale; deployments size it to key
+    *    cardinality × executor count — it is FIXED at first start for the
+    *    life of a checkpoint);
+    *  - `checkpointDir` — explicit checkpoint location. Default None lets
+    *    the engine use a temp dir, fine for run-to-completion fixtures; a
+    *    resumable production stream MUST pin one (it is the stream's
+    *    identity: offsets + state live there, see resumable-offsets spec).
+    */
+  case class StreamRunConf(
+      shufflePartitions: Int = 8,
+      checkpointDir: Option[String] = None) {
+    private[streaming] def options: Map[String, String] =
+      checkpointDir.map("checkpointLocation" -> _).toMap
+  }
+
   /** Run a tumbling-window aggregation over the event stream to completion
     * (Trigger.AvailableNow + complete mode into a memory sink) and return
     * the result table. Batch-equivalent semantics — the oracle is the same
     * date_trunc SQL as the batch query. */
   def tumblingAggToTable(
-      spark: SparkSession, dir: String, tableName: String): DataFrame = {
+      spark: SparkSession, dir: String, tableName: String,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
     val agg = readEventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -69,11 +89,12 @@ object EventStreams {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
-    withStreamingShufflePartitions(spark, 8) {
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
       val q = agg.writeStream
         .format("memory")
         .queryName(tableName)
         .outputMode("complete")
+        .options(conf.options)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -92,12 +113,14 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Run the deduped stream to completion and return the sink table. */
-  def dedupToTable(spark: SparkSession, dir: String, tableName: String): DataFrame = {
-    withStreamingShufflePartitions(spark, 8) {
+  def dedupToTable(spark: SparkSession, dir: String, tableName: String,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
       val q = dedupedEventStream(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .writeStream.format("memory").queryName(tableName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode("append").options(conf.options)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
     spark.table(tableName)
@@ -180,12 +203,14 @@ object EventStreams {
     * before the stream's max event time is flushed. */
   def sessionsToTable(
       spark: SparkSession, dir: String, tableName: String,
-      gapMinutes: Int = 30): DataFrame = {
-    withStreamingShufflePartitions(spark, 8) {
+      gapMinutes: Int = 30,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
       val q = sessionizeStream(readEventStream(spark, dir), gapMinutes)
         .toDF()
         .writeStream.format("memory").queryName(tableName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode("append").options(conf.options)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
     spark.table(tableName)
@@ -287,16 +312,18 @@ object EventStreams {
     * provider set for the run and restored after). */
   def sessionsToTableTws(
       spark: SparkSession, dir: String, tableName: String,
-      gapMinutes: Int = 30): DataFrame = {
+      gapMinutes: Int = 30,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStreamingShufflePartitions(spark, 8) {
+    try withStreamingShufflePartitions(spark, conf.shufflePartitions) {
       val q = sessionizeStreamTws(readEventStream(spark, dir), gapMinutes)
         .toDF()
         .writeStream.format("memory").queryName(tableName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode("append").options(conf.options)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)
@@ -337,18 +364,20 @@ object EventStreams {
     * events table as a stream-stream join and return the sink table. */
   def purchasesAfterSignupToTable(
       spark: SparkSession, dir: String, tableName: String,
-      maxDelayMinutes: Int = 60): DataFrame = {
+      maxDelayMinutes: Int = 60,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
     val ev = readEventStream(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts"))
-    withStreamingShufflePartitions(spark, 8) {
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
       val q = intervalJoinStreams(purchases, signups, "user_id", "ts", maxDelayMinutes)
         .select(col("l_user_id").as("user_id"), col("l_event_id").as("purchase_id"),
           col("l_ts").as("purchase_ts"), col("r_ts").as("signup_ts"))
         .writeStream.format("memory").queryName(tableName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode("append").options(conf.options)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
     spark.table(tableName)
@@ -357,7 +386,8 @@ object EventStreams {
   /** Custom keyed state via mapGroupsWithState (§2.10 "custom state"
     * surface): a running per-user event count held in the state store,
     * emitted in Update mode each micro-batch. */
-  def statefulUserCounts(spark: SparkSession, dir: String, tableName: String): DataFrame = {
+  def statefulUserCounts(spark: SparkSession, dir: String, tableName: String,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val counts = readEventStream(spark, dir)
@@ -372,9 +402,10 @@ object EventStreams {
           (user, total)
       }
       .toDF("user_id", "n_events")
-    withStreamingShufflePartitions(spark, 8) {
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
       val q = counts.writeStream.format("memory").queryName(tableName)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        .outputMode("update").options(conf.options)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
     // in Update mode each batch appends its latest value; keep the final

@@ -14,6 +14,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === got.count())
   }
 
+  test("StreamRunConf knobs: partition count and pinned checkpoint honored, same result") {
+    val default = EventStreams.tumblingAggToTable(spark, sfDir, "spec_knobs_a")
+      .collect().map(_.toSeq)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_knobs_ckpt").toString
+    val tuned = EventStreams.tumblingAggToTable(spark, sfDir, "spec_knobs_b",
+      conf = EventStreams.StreamRunConf(
+        shufflePartitions = 4, checkpointDir = Some(ckpt)))
+      .collect().map(_.toSeq)
+    assert(tuned === default)
+    // the pinned checkpoint is the stream's identity: offsets were written
+    val offsets = new java.io.File(s"$ckpt/offsets")
+    assert(offsets.isDirectory && offsets.list().nonEmpty,
+      s"expected offsets under the pinned checkpoint at $ckpt")
+  }
+
   test("stateful per-user counts match the batch groupBy") {
     val got = EventStreams.statefulUserCounts(spark, sfDir, "spec_state_out")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
