@@ -10,11 +10,15 @@ import graft.migration.MigrationFunctions.mimeSniff
   * Scala analog of pandas-UDF `mapInPandas`: one iterator per partition,
   * work chunked in fixed-size batches).
   *
-  * The DECODE STEP IS A STUB — the container has no image/audio codecs, so
-  * `decodeStub` derives a deterministic fake feature vector from the
-  * payload bytes. Everything around it is real and tested: the schema, the
-  * binary ingestion, the batch shape, the partition-parallel execution, and
-  * the metadata pipeline (size, MIME sniff, content hash).
+  * The decode step is REAL for the formats the in-JDK codec reads
+  * (PNG/JPEG/GIF/BMP via javax.imageio — [[decodeImage]] computes pixel
+  * statistics), gated on the payload's magic numbers. Everything else
+  * (audio, video, exotic image formats — the container ships no external
+  * codecs) falls back to [[decodeStub]], a deterministic fake derived from
+  * the payload bytes. The rest of the pipeline is real and tested either
+  * way: the schema, the binary ingestion, the batch shape, the
+  * partition-parallel execution, and the metadata pipeline (size, MIME
+  * sniff, content hash).
   *
   * At 100 TB: blobs arrive via the `binaryFile` source as (path, content)
   * pairs partitioned by file; metadata extraction is a map-only stage (no
@@ -64,6 +68,65 @@ object Multimodal {
     out
   }
 
+  /** JVM-side magic-number gate for the formats javax.imageio decodes —
+    * the executor-side twin of the column function
+    * `MigrationFunctions.mimeSniff` (X13). Sniffing first keeps the codec
+    * attempt (and its failure path) off non-image payloads. */
+  private[graft] def looksDecodableImage(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** REAL image decode (javax.imageio — in the JDK, no external codec):
+    * pixel statistics as the feature vector, dim = [[FeatureDim]]:
+    * (width, height, mean R, mean G, mean B, mean luma, luma stddev,
+    * aspect ratio), channel means normalized to [0,1]. None when the
+    * payload isn't a decodable image — corrupt bytes or a format the JDK
+    * codec doesn't read — so callers can fall back rather than fail the
+    * task on one bad blob. */
+  def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    if (!looksDecodableImage(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      var sr, sg, sb, sl, sl2 = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF
+          val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val meanL = sl / n
+      val varL = math.max(0.0, sl2 / n - meanL * meanL)
+      Some(Array(
+        w.toFloat, h.toFloat,
+        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+        (sb / n / 255.0).toFloat, (meanL / 255.0).toFloat,
+        (math.sqrt(varL) / 255.0).toFloat, (w.toDouble / h).toFloat))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The pipeline's decode: real pixel features when the JDK codec reads
+    * the payload, [[decodeStub]] otherwise. Total — never throws on bad
+    * bytes. */
+  def decode(payload: Array[Byte]): Array[Float] =
+    decodeImage(payload).getOrElse(decodeStub(payload))
+
   /** Batched per-partition feature extraction (mapInPandas analog): the
     * typed partition iterator streams through in BatchSize chunks — the
     * chunk boundary is where a real implementation amortizes codec/model
@@ -75,7 +138,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           // per-batch setup would go here (codec init, model session, ...)
-          batch.iterator.map { case (id, payload) => (id, decodeStub(payload)) }
+          batch.iterator.map { case (id, payload) => (id, decode(payload)) }
         }
       }
   }

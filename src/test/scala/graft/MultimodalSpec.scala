@@ -29,6 +29,40 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0L).toSeq === feats2(0L).toSeq)
   }
 
+  test("real PNG decodes end-to-end through the batched pipeline") {
+    import spark.implicits._
+    // 2x1 image: one pure-red pixel, one pure-blue — every feature is
+    // hand-computable from the decode contract
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    img.setRGB(1, 0, 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.looksDecodableImage(png))
+
+    val textBytes = "plain text".getBytes("UTF-8")
+    val mixed = Seq((1L, png), (2L, textBytes)).toDF("media_id", "payload")
+    val feats = Multimodal.extractFeatures(mixed).collect().toMap
+    val f = feats(1L)
+    assert(f.length === Multimodal.FeatureDim)
+    assert(f(0) === 2.0f && f(1) === 1.0f)            // width, height
+    assert(math.abs(f(2) - 0.5f) < 1e-4)              // mean R: (255+0)/2/255
+    assert(math.abs(f(3) - 0.0f) < 1e-4)              // mean G
+    assert(math.abs(f(4) - 0.5f) < 1e-4)              // mean B
+    assert(math.abs(f(5) - 0.20650f) < 1e-4)          // mean luma: (.299+.114)/2
+    assert(math.abs(f(6) - 0.09250f) < 1e-4)          // luma std: |.299-.114|/2
+    assert(f(7) === 2.0f)                             // aspect
+    // the real decode is not the stub; non-image payloads still stub
+    assert(f.toSeq !== Multimodal.decodeStub(png).toSeq)
+    assert(feats(2L).toSeq === Multimodal.decodeStub(textBytes).toSeq)
+    // bytes with an image magic number but a corrupt body fall back to the
+    // stub instead of failing the task
+    val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    assert(Multimodal.decode(fake).toSeq === Multimodal.decodeStub(fake).toSeq)
+  }
+
   test("feature table joins metadata back without payload") {
     val ft = Multimodal.featureTable(media)
     assert(ft.count() === media.count())
