@@ -189,9 +189,76 @@ object TextQueries extends QueryPack {
       CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_unique_subwords
       FROM documents ORDER BY doc_id"""))
 
+  /** The winnowing scheme restated for the DuckDB oracle — full cross-
+    * engine hash-match, not rows-only. The kernel
+    * (NativeExprKernels.winnowFingerprints) is: normalize (lowercase,
+    * trim, collapse \s+), rolling k-gram polynomial hash base 1000003
+    * with Java wrap-around (= mod 2^64, compared SIGNED), rightmost
+    * minimum per sliding window of `w` hashes, deduped by position. The
+    * SQL computes each gram hash as a k-term Σ c·Bᵉ in HUGEINT mod 2^64
+    * (the Bᵉ mod 2^64 constants below come from Scala's own wrapping
+    * Long multiply), maps to signed BIGINT, and picks window minima with
+    * arg_min over a composite (signed h, rightmost pos) key packed into
+    * one HUGEINT. Every CTE mirrors one stage of the operator:
+    * norm/chars/grams = the kernel, wins/picks = window-min + positional
+    * dedup, postings..scored = Dedup.winnowContainmentPairs' inverted-
+    * index plan (df cap, df>=2 pair pruning, containment score). */
+  private def winnowOracleCore(k: Int, w: Int, maxDf: Long): String = {
+    val pows = Iterator.iterate(1L)(_ * 1000003L).take(k)
+      .map(p => s"${java.lang.Long.toUnsignedString(p)}::HUGEINT")
+      .mkString("[", ",", "]")
+    s"""WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    chars AS (
+      SELECT doc_id, unnest(string_split(t, '')) AS ch,
+             generate_subscripts(string_split(t, ''), 1) AS i FROM norm),
+    grams AS (
+      SELECT doc_id, i AS pos,
+        CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+             THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS h
+      FROM (
+        SELECT a.doc_id, a.i,
+          sum(CAST(unicode(b.ch) AS HUGEINT) * ($pows)[a.i + $k - b.i])
+            % 18446744073709551616::HUGEINT AS m
+        FROM chars a JOIN chars b
+          ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + ${k - 1}
+        GROUP BY a.doc_id, a.i HAVING count(*) = $k) t(doc_id, i, m)),
+    wins AS (
+      SELECT doc_id, pos,
+        arg_min(pos,
+          (CAST(h AS HUGEINT) + 9223372036854775808::HUGEINT)
+            * 4294967296::HUGEINT + (4294967295 - pos))
+          OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mpos,
+        count(*) OVER (PARTITION BY doc_id) AS g FROM grams),
+    picks AS (
+      SELECT DISTINCT w.doc_id, w.mpos FROM wins w
+      WHERE w.pos <= greatest(1, w.g - $w + 1)),
+    postings AS (
+      SELECT DISTINCT p.doc_id, g.h AS fp
+      FROM picks p JOIN grams g ON g.doc_id = p.doc_id AND g.pos = p.mpos),
+    fpdf AS (
+      SELECT fp, count(*) AS df FROM postings
+      GROUP BY fp HAVING count(*) <= $maxDf),
+    kept AS (SELECT p.doc_id, p.fp, f.df FROM postings p JOIN fpdf f USING (fp)),
+    bydoc AS (SELECT doc_id, count(*) AS n_fps FROM kept GROUP BY doc_id),
+    pairfps AS (SELECT doc_id, fp FROM kept WHERE df >= 2),
+    rawpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM pairfps a JOIN pairfps b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+        round(shared / least(na.n_fps, nb.n_fps), 4) AS containment,
+        CAST(na.n_fps AS BIGINT) AS n_a, CAST(nb.n_fps AS BIGINT) AS n_b
+      FROM rawpairs JOIN bydoc na ON id_a = na.doc_id
+                    JOIN bydoc nb ON id_b = nb.doc_id)"""
+  }
+
   /** Winnowing document fingerprints (rolling k-gram hashes, min per
-    * window — the MOSS scheme) via the native expression; rows-only,
-    * parity/overlap-tested in ScalaTest. */
+    * window — the MOSS scheme) via the native expression. Full oracle:
+    * see [[winnowOracleCore]]. */
   private val q42 = Q(
     "q42_winnow_fingerprints",
     (s, dir) => Tables(s, dir).documents
@@ -201,27 +268,41 @@ object TextQueries extends QueryPack {
         size(col("fps")).cast("long").as("n_fingerprints"),
         element_at(col("fps"), 1).as("first_fp"))
       .orderBy(col("doc_id")),
-    None)
+    Some(winnowOracleCore(k = 5, w = 4, maxDf = 256L) + """
+      SELECT d.doc_id,
+        CAST(coalesce(f.n, 0) AS BIGINT) AS n_fingerprints, f.first_fp
+      FROM documents d LEFT JOIN (
+        SELECT p.doc_id, count(*) AS n, arg_min(g.h, p.mpos) AS first_fp
+        FROM picks p JOIN grams g ON g.doc_id = p.doc_id AND g.pos = p.mpos
+        GROUP BY p.doc_id) f USING (doc_id)
+      ORDER BY d.doc_id"""))
 
   /** Containment dedup over winnowing fingerprints: inverted fp index
     * self-join with document-frequency skew guard — finds quoted/embedded
-    * documents whole-set Jaccard misses. Rows-only (winnowing isn't
-    * SQL-expressible); planted-containment precision/recall in DedupSpec. */
+    * documents whole-set Jaccard misses. Full oracle: the same inverted-
+    * index algebra over [[winnowOracleCore]]'s fingerprints. */
   private val q43 = Q(
     "q43_winnow_containment",
     (s, dir) => Dedup.winnowContainmentPairs(
       Tables(s, dir).documents, col("text"), col("doc_id"),
       k = 20, window = 8, threshold = 0.5),
-    None)
+    Some(winnowOracleCore(k = 20, w = 8, maxDf = 256L) +
+      " SELECT * FROM scored WHERE containment >= 0.5"))
 
   /** Containment dedup survivorship: contained docs collapse into their
-    * containers (larger fingerprint set survives). Rows-only. */
+    * containers (larger fingerprint set survives). Full oracle. */
   private val q44 = Q(
     "q44_winnow_dedup",
     (s, dir) => Dedup.winnowDedupSurvivors(
       Tables(s, dir).documents, col("text"), col("doc_id"),
       k = 20, window = 8, threshold = 0.8),
-    None)
+    Some(winnowOracleCore(k = 20, w = 8, maxDf = 256L) + """
+      , dropped AS (
+        SELECT DISTINCT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a > id_b)
+          THEN id_a ELSE id_b END AS doc_id
+        FROM scored WHERE containment >= 0.8)
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)"""))
 
   /** The q56/q73 blocking graph: a union of two blocking relations (shared
     * 120-char prefix, shared 100-char suffix) — the union is NOT
