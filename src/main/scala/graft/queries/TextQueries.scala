@@ -423,10 +423,64 @@ object TextQueries extends QueryPack {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM b GROUP BY bin ORDER BY bin"""))
 
+  /** Spark's `xxhash64(doc_id, lit(42))` restated for DuckDB — the survival
+    * hash behind Sampling's deterministic gates (q69/q75). XXH64 of one
+    * 8-byte long is a CLOSED FORMULA (no byte loop): seed mix, one
+    * multiply-rotate-multiply lane, merge, avalanche — every step 64-bit
+    * wrapping arithmetic DuckDB does in HUGEINT (mulmod via 32-bit limb
+    * split: a·b mod 2^64 = (a_lo·b + ((a_hi·b) mod 2^32)·2^32) mod 2^64,
+    * keeping intermediates under 2^96), with xor/logical-shift through
+    * lossless UBIGINT casts. Spark chains multi-arg xxhash64 by feeding
+    * each column's hash in as the next seed (seed 42 start), so the gate is
+    * XXH64(42, seed = XXH64(doc_id, 42)); `unit` then applies Spark's
+    * pmod(·, 1e9)/1e9 to the signed value. Emits CTEs ending in
+    * `unit(doc_id, lang, u)`. */
+  private def xxhashUnitOracleCore: String = {
+    val M = BigInt(2).pow(64)
+    val (p1, p2, p3) = (BigInt("11400714785074694791"),
+      BigInt("14029467366897019727"), BigInt("1609587929392839161"))
+    val (p4, p5) = (BigInt("9650029242287828579"), BigInt("2870177450012600261"))
+    val big = s"$M::HUGEINT"
+    def mulmod(a: String, b: BigInt) =
+      s"((($a % 4294967296::HUGEINT) * $b::HUGEINT" +
+        s" + ((($a // 4294967296::HUGEINT) * $b::HUGEINT) % 4294967296::HUGEINT)" +
+        s" * 4294967296::HUGEINT) % $big)"
+    def rotl(x: String, r: Int) =
+      s"((($x * ${BigInt(2).pow(r)}::HUGEINT) % $big) + ($x // ${BigInt(2).pow(64 - r)}::HUGEINT))"
+    def xor(a: String, b: String) =
+      s"CAST(xor(CAST($a AS UBIGINT), CAST($b AS UBIGINT)) AS HUGEINT)"
+    def shr(x: String, s: Int) = s"($x // ${BigInt(2).pow(s)}::HUGEINT)"
+    def stages(t: String, v: String, seed: String, src: String): (Seq[String], String) = (Seq(
+      s"x${t}a AS (SELECT *, ($seed + ${p5 + 8}::HUGEINT) % $big AS ${t}h0, ${mulmod(v, p2)} AS ${t}k1a FROM $src)",
+      s"x${t}b AS (SELECT *, ${rotl(s"${t}k1a", 31)} AS ${t}k1b FROM x${t}a)",
+      s"x${t}c AS (SELECT *, ${mulmod(s"${t}k1b", p1)} AS ${t}k1c FROM x${t}b)",
+      s"x${t}d AS (SELECT *, ${xor(s"${t}h0", s"${t}k1c")} AS ${t}h1 FROM x${t}c)",
+      s"x${t}e AS (SELECT *, ${rotl(s"${t}h1", 27)} AS ${t}h1r FROM x${t}d)",
+      s"x${t}f AS (SELECT *, (${mulmod(s"${t}h1r", p1)} + $p4::HUGEINT) % $big AS ${t}h2 FROM x${t}e)",
+      s"x${t}g AS (SELECT *, ${xor(s"${t}h2", shr(s"${t}h2", 33))} AS ${t}f1 FROM x${t}f)",
+      s"x${t}h AS (SELECT *, ${mulmod(s"${t}f1", p2)} AS ${t}f2 FROM x${t}g)",
+      s"x${t}i AS (SELECT *, ${xor(s"${t}f2", shr(s"${t}f2", 29))} AS ${t}f3 FROM x${t}h)",
+      s"x${t}j AS (SELECT *, ${mulmod(s"${t}f3", p3)} AS ${t}f4 FROM x${t}i)",
+      s"x${t}k AS (SELECT *, ${xor(s"${t}f4", shr(s"${t}f4", 32))} AS h$t FROM x${t}j)"),
+      s"x${t}k")
+    val base = "base AS (SELECT doc_id, lang, CASE WHEN doc_id < 0" +
+      s" THEN doc_id + $big ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents)"
+    val (c1, last1) = stages("p", "v", "42::HUGEINT", "base")
+    val (c2, last2) = stages("q", "42::HUGEINT", "hp", last1)
+    (Seq(base) ++ c1 ++ c2).mkString("WITH ", ",\n", ",\n") +
+      s"""unit AS (
+        SELECT doc_id, lang,
+          (((CASE WHEN hq >= 9223372036854775808::HUGEINT
+              THEN hq - $big ELSE hq END
+             % 1000000000) + 1000000000) % 1000000000) / 1e9 AS u
+        FROM $last2)"""
+  }
+
   /** Corpus mixture resampling (operators.Sampling): deterministic
     * hash-gated stratified subsample toward an equal-language mixture.
-    * Rows-only (the survival hash is Spark's xxhash64 — not reproducible
-    * in the oracle engine); determinism + mixture tolerance in ScalaTest. */
+    * Full oracle: [[xxhashUnitOracleCore]] reproduces the survival hash
+    * and the mixture fractions are recomputed from per-stratum counts with
+    * the identical IEEE double steps (c/share, min, n·share/c). */
   private val q69 = Q(
     "q69_mixture_resample",
     (s, dir) => {
@@ -438,7 +492,16 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some(xxhashUnitOracleCore + """,
+      counts AS (SELECT lang AS s, count(*) AS c FROM documents
+        WHERE lang IN ('en','es','de','fr') GROUP BY lang),
+      nmax AS (SELECT min(c / 0.25) AS n FROM counts),
+      fr AS (SELECT s, least(1.0, (SELECT n FROM nmax) * 0.25 / c) AS f
+        FROM counts)
+      SELECT u.doc_id, u.lang
+      FROM unit u LEFT JOIN fr ON u.lang = fr.s
+      WHERE u.u < coalesce(fr.f, 0.0)
+      ORDER BY u.doc_id"""))
 
   /** Context-window document chunking (operators.Packing.chunkDocuments):
     * 200-char windows, 50-char overlap. Map-only (no orderBy: the driver
@@ -460,15 +523,25 @@ object TextQueries extends QueryPack {
       FROM e"""))
 
   /** Deterministic train/val/test split (operators.Sampling.assignSplits).
-    * Rows-only (xxhash64 split hash isn't reproducible in DuckDB);
-    * disjoint/exhaustive/deterministic/fraction properties in ScalaTest. */
+    * Full oracle: [[xxhashUnitOracleCore]] reproduces the split hash; the
+    * CASE bounds are the exact doubles Scala's cumulative scanLeft
+    * produces (0.8 + 0.1 = 0.9000000000000001 — embedding "0.9" would
+    * misclassify a row whose unit hash lands exactly on the bound). */
   private val q75 = Q(
     "q75_train_val_test_split",
     (s, dir) => Sampling.assignSplits(
         Tables(s, dir).documents,
         col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("doc_id"), col("split")),
-    None)
+    Some {
+      val bounds = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      xxhashUnitOracleCore + s"""
+      SELECT doc_id,
+        CASE WHEN u < ${bounds(0)} THEN 'train'
+             WHEN u < ${bounds(1)} THEN 'val'
+             ELSE 'test' END AS split
+      FROM unit"""
+    })
 
   /** Train/eval decontamination (operators.Dedup.contamination): the
     * held-out slice is doc_id % 10 == 0; word 8-grams; full oracle via
