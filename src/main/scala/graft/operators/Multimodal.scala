@@ -96,11 +96,15 @@ object Multimodal {
       val h = img.getHeight
       if (w <= 0 || h <= 0) return None
       var sr, sg, sb, sl, sl2 = 0.0
+      // one bulk raster read per row, not one getRGB call per pixel — the
+      // per-call colour-model conversion dominates decode otherwise
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           val r = (rgb >> 16) & 0xFF
           val g = (rgb >> 8) & 0xFF
           val b = rgb & 0xFF
