@@ -180,19 +180,36 @@ object MigrationQueries extends QueryPack {
       ORDER BY groove_ticket_number"""))
 
   /** X13 MIME sniffing over the attachment payload blobs (binary column)
-    * plus the upload-stage hash and oversize guard (X14/K3). */
+    * plus the upload-stage hash and oversize guard (X14/K3). Oracle: a
+    * hand-derived golden, the q64 device — every value is independently
+    * computable from the fixture spec (Fixtures.scala:100-116): mime from
+    * the documented magic numbers, hash = md5 of the spelled-out payload
+    * bytes (verified against a standalone md5 outside either engine),
+    * oversize = declared size > the 10 MB guard, and broken.bin's null row
+    * is the payload-less fetch-failure path. */
   private val q65 = Q(
     "q65_attachment_upload",
     (s, _) => {
       val (ok, failed) = TicketTransform.uploadAttachments(Fixtures.attachmentsDf(s))
+      // oversize rides as a string: the driver compare reprs a null BOOLEAN
+      // differently per engine (None vs NaN), strings null identically
       ok.select(col("message_id"), col("filename"), col("mime_type"),
-          col("hash"), col("oversize"))
+          col("hash"), col("oversize").cast("string").as("oversize"))
         .unionByName(failed.select(col("message_id"), col("filename"),
           lit(null).cast("string").as("mime_type"),
-          lit(null).cast("string").as("hash"), lit(null).cast("boolean").as("oversize")))
+          lit(null).cast("string").as("hash"), lit(null).cast("string").as("oversize")))
         .orderBy(col("message_id"), col("filename"))
     },
-    None) // payload bytes aren't restateable as readable VALUES; golden-tested in ScalaTest
+    Some("""SELECT * FROM (VALUES
+      ('m1', 'burning.png', 'image/png',
+        '8abb360ba01c0917895c0fd99a1215df', 'false'),
+      ('m1', 'manual.pdf', 'application/pdf',
+        '307ddb5f41f66df59f1e28b325a31c3e', 'false'),
+      ('m4', 'broken.bin', NULL, NULL, NULL),
+      ('m4', 'huge.zip', 'application/zip',
+        'e21793897de69b3982022c5f38b1fb43', 'true'))
+      AS t(message_id, filename, mime_type, hash, oversize)
+      ORDER BY message_id, filename"""))
 
   override val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65)
 }
