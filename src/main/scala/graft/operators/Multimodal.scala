@@ -51,20 +51,26 @@ object Multimodal {
       .withColumn("mime_type", mimeSniff(col("payload")))
       .withColumn("content_hash", md5(col("payload")))
 
-  /** STUB decode: a deterministic pseudo-feature vector from payload bytes
-    * (byte-histogram moments). A real deployment replaces ONLY this
-    * function with a codec call; signature and batch shape stay. */
+  /** STUB decode for payloads the real codec can't read: a deterministic
+    * pseudo-feature vector from payload bytes (per-lane byte means). Lane
+    * sums are exact integers normalized once in double — order-independent
+    * and restatable in plain SQL, which is what lets q71 carry a full
+    * cross-engine oracle. A real deployment replaces ONLY this function
+    * with a codec call; signature and batch shape stay. */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     if (payload == null || payload.isEmpty) return Array.fill(FeatureDim)(0f)
-    val out = new Array[Float](FeatureDim)
+    val sums = new Array[Long](FeatureDim)
     var i = 0
     while (i < payload.length) {
-      val b = payload(i) & 0xFF
-      out(i % FeatureDim) += b / 255.0f
+      sums(i % FeatureDim) += payload(i) & 0xFF
       i += 1
     }
+    val out = new Array[Float](FeatureDim)
     var d = 0
-    while (d < FeatureDim) { out(d) = out(d) / payload.length * FeatureDim; d += 1 }
+    while (d < FeatureDim) {
+      out(d) = (sums(d).toDouble / 255.0 / payload.length * FeatureDim).toFloat
+      d += 1
+    }
     out
   }
 

@@ -30,8 +30,13 @@ object MultimodalQueries extends QueryPack {
       count(DISTINCT md5(text)) AS n_distinct_hash
       FROM documents GROUP BY 1 ORDER BY kind"""))
 
-  /** Stubbed decode → per-kind feature stats; deterministic, validated in
-    * MultimodalSpec, not SQL-restateable (rows-only). */
+  /** Decode → per-kind feature stats. The fixture payloads are text bytes,
+    * so every row takes the stub path (magic-number gate), and the stub is
+    * DESIGNED restatable: integer per-lane byte sums normalized once in
+    * double, cast to float32 — the oracle mirrors the arithmetic
+    * step-for-step (s/255.0/len*8 then REAL cast) and re-derives the lane
+    * membership from 1-based character positions. Docs with empty text
+    * produce the stub's all-zero vector via the left-join coalesce. */
   private val q71 = Q(
     "q71_media_features",
     (s, dir) => {
@@ -48,7 +53,24 @@ object MultimodalQueries extends QueryPack {
           round(avg(element_at(col("feature"), Multimodal.FeatureDim)), 4).as("avg_flast"))
         .orderBy(col("kind"))
     },
-    None)
+    Some("""WITH cs AS (
+        SELECT doc_id, lang, unnest(string_split(text,'')) AS ch,
+               generate_subscripts(string_split(text,''),1) AS i
+        FROM documents),
+      per_doc AS (
+        SELECT doc_id, lang,
+          sum(CASE WHEN (i-1)%8 = 0 THEN unicode(ch) ELSE 0 END) AS s0,
+          sum(CASE WHEN (i-1)%8 = 7 THEN unicode(ch) ELSE 0 END) AS s7,
+          count(*) AS len
+        FROM cs GROUP BY doc_id, lang),
+      feat AS (
+        SELECT d.doc_id, d.lang,
+          CAST(coalesce(p.s0 / 255.0 / p.len * 8, 0.0) AS REAL) AS f0,
+          CAST(coalesce(p.s7 / 255.0 / p.len * 8, 0.0) AS REAL) AS f7
+        FROM documents d LEFT JOIN per_doc p USING (doc_id, lang))
+      SELECT 'media/' || lang AS kind, count(*) AS n,
+        round(avg(f0), 4) AS avg_f0, round(avg(f7), 4) AS avg_flast
+      FROM feat GROUP BY 1 ORDER BY kind"""))
 
   private val q72 = Q(
     "q72_frame_sampling",
