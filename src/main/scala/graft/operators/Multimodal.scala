@@ -95,8 +95,16 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
     if (!looksDecodableImage(payload)) return None
     try {
-      val img = javax.imageio.ImageIO.read(
+      // explicit memory-cache stream: the InputStream overload defaults to
+      // a disk-backed FileCacheImageInputStream (temp file create/delete
+      // per blob) even though the bytes are already in memory
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read(ImageInputStream) closes the stream itself on success;
+      // the best-effort close covers the null/throw paths without letting a
+      // double-close IOException erase a successful decode
+      val img = try javax.imageio.ImageIO.read(iis)
+        finally scala.util.Try(iis.close())
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight

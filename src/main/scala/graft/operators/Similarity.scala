@@ -127,7 +127,12 @@ object Similarity {
     * either — if the gated sample lands under a usable floor
     * (min(trainCap, max(4k, 64)) rows) the gate widens geometrically and
     * re-scans until it clears the floor, an n-free self-correction that
-    * costs extra source scans only in the degenerate case. */
+    * costs extra source scans only in the degenerate case. ONE direction
+    * is trusted, not verified: a supplied count AT OR BELOW trainCap
+    * asserts "this corpus is small enough to train on whole" and eagerly
+    * materializes the full corpus with no gate — verifying it would be
+    * exactly the sizing scan this parameter exists to avoid, so don't
+    * pass a count you don't trust to at least an order of magnitude. */
   def kmeansCentroids(
       corpus: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
@@ -148,6 +153,9 @@ object Similarity {
         // counting the checkpointed sample is in-memory, not a source scan
         while (sample.count() < floor && keep < denom) {
           keep = math.min(denom, keep * 8)
+          // release the superseded eager checkpoint before widening, or
+          // every rejected sample's blocks stay pinned through training
+          sample.unpersist()
           sample = slim.filter(
             pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
         }

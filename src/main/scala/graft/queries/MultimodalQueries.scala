@@ -36,7 +36,11 @@ object MultimodalQueries extends QueryPack {
     * double, cast to float32 — the oracle mirrors the arithmetic
     * step-for-step (s/255.0/len*8 then REAL cast) and re-derives the lane
     * membership from 1-based character positions. Docs with empty text
-    * produce the stub's all-zero vector via the left-join coalesce. */
+    * produce the stub's all-zero vector via the left-join coalesce.
+    * ASSUMES ASCII fixture text: the stub lanes over UTF-8 BYTES, the
+    * oracle over CHARACTERS (unicode(ch)) — identical only while every
+    * char is one byte (verified for all three driver SFs; a multi-byte
+    * char would shift lanes and lengths on the Spark side only). */
   private val q71 = Q(
     "q71_media_features",
     (s, dir) => {

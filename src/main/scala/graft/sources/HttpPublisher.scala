@@ -143,10 +143,16 @@ object HttpPublisher {
 
   /** `Retry-After` → millis: delta-seconds (`120`) or HTTP-date
     * (`Tue, 12 Aug 2026 17:00:00 GMT`), per RFC 9110 §10.2.3; a past date
-    * is 0 (retry now), anything unparseable is None (caller falls back to
-    * exponential backoff). */
+    * or negative delta is 0 (retry now), an overflowing delta saturates
+    * (the caller's clamp then fails the record), anything unparseable is
+    * None (caller falls back to exponential backoff). Never negative —
+    * a negative return would reach Thread.sleep and throw. */
   private[graft] def parseRetryAfterMs(s: String): Option[Long] =
-    scala.util.Try(s.trim.toLong * 1000L).toOption.orElse(scala.util.Try {
+    scala.util.Try(s.trim.toLong).toOption.map { sec =>
+      if (sec <= 0L) 0L
+      else if (sec > Long.MaxValue / 1000L) Long.MaxValue
+      else sec * 1000L
+    }.orElse(scala.util.Try {
       val at = java.time.ZonedDateTime.parse(
         s.trim, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
       math.max(0L, java.time.Duration.between(

@@ -202,17 +202,13 @@ class DedupSpec extends SparkSpec {
     assert(capped.toSeq === Seq((1L, 3L, 1L)))
 
     // with the cap lifted, every boilerplate/header carrier is
-    // (correctly) flagged
+    // (correctly) flagged, and the header carrier counts all 7 eval docs
+    // it touches (one job, both assertions from the collected rows)
     val uncapped = Dedup.contamination(
         train, eval, col("text"), col("doc_id"), n = 8, maxDf = 1000L)
-      .collect().map(_.getLong(0)).toSet
-    assert(uncapped === (Set(1L, 3L) ++ (10L until 30L)))
-    // ...and the header carrier counts all 7 eval docs it touches
-    val headerRow = Dedup.contamination(
-        train, eval, col("text"), col("doc_id"), n = 8, maxDf = 1000L)
-      .filter(col("train_id") === 3L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(headerRow.toSeq === Seq((3L, 1L, 7L)))
+    assert(uncapped.map(_._1).toSet === (Set(1L, 3L) ++ (10L until 30L)))
+    assert(uncapped.filter(_._1 == 3L).toSeq === Seq((3L, 1L, 7L)))
 
     // the composed scrub drops exactly the flagged rows, schema intact
     // (doc 3 survives at maxDf=5: its only shared gram is over-cap)

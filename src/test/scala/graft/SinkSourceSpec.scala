@@ -376,6 +376,10 @@ class SinkSourceSpec extends SparkSpec {
     assert(HttpPublisher.parseRetryAfterMs(future).exists(_ > 3600L * 1000))
     assert(HttpPublisher.parseRetryAfterMs("soon") === None)
     assert(HttpPublisher.parseRetryAfterMs("") === None)
+    // hostile values must never produce a negative sleep (Thread.sleep
+    // throws) — negatives retry now, overflows saturate into the clamp
+    assert(HttpPublisher.parseRetryAfterMs("-1") === Some(0L))
+    assert(HttpPublisher.parseRetryAfterMs("9223372036854776") === Some(Long.MaxValue))
   }
 
   test("publisher clamps Retry-After: a day-long hold fails fast into the error channel") {
