@@ -351,10 +351,23 @@ object Dedup {
     * equi-join on the gram string (exact — no hashing, so the result is
     * SQL-restatable and q76 hash-checks it); per-train-doc rollup counts
     * shared grams and touched eval docs. Boilerplate grams appearing in
-    * more than `maxDf` docs ON EITHER SIDE are dropped before the join via
-    * a count-window on the join exchange — same skew guard as the
-    * winnowing inverted index: one viral disclaimer line must not produce
-    * a |train|×|eval| bucket at 100 TB.
+    * more than `maxDf` docs ON EITHER SIDE are dropped before the join —
+    * same skew guard as the winnowing inverted index: one viral disclaimer
+    * line must not produce a |train|×|eval| bucket at 100 TB.
+    *
+    * The df guard is a map-side-combining `groupBy(gram).count()` over the
+    * postings (each task emits ONE partial count per gram, so the reduce
+    * task for even a 10⁹-posting viral gram receives numPartitions rows,
+    * not 10⁹), followed by an anti-join dropping the over-cap grams. The
+    * postings are locally checkpointed (lazily) so the gram explode runs
+    * ONCE per side, feeding both the df count and the join — without the
+    * checkpoint Catalyst re-derives the explode in each subtree, which is
+    * why the earlier count-window shape won the fixture-scale A/B (NOTES
+    * rounds-4/5); the Window, however, shuffles EVERY posting of a gram to
+    * one task to count it, which is a straggler at 10⁹ postings. The
+    * over-cap gram set is tiny by construction (≤ |postings|/maxDf keys),
+    * so AQE broadcasts the anti-join in the normal case and its skew-join
+    * split covers the pathological one.
     *
     * Output: train_id, n_shared_grams, n_eval_docs for training docs at or
     * over the threshold (unsorted, see [[minhashNearDupPairs]]). Feed the
@@ -369,14 +382,18 @@ object Dedup {
       n: Int = 13, minShared: Long = 1L, maxDf: Long = 1000L,
       hashGrams: Boolean = false): DataFrame = {
     def postings(df: DataFrame, as: String) = {
-      val exploded = df.select(idCol.cast("long").as(as),
+      val raw = df.select(idCol.cast("long").as(as),
         explode(array_distinct(shingles(textCol, n))).as("gram"))
-      (if (hashGrams) exploded.select(col(as), xxhash64(col("gram")).as("gram"))
-       else exploded)
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("gram")))
-        .filter(col("df") <= maxDf)
-        .drop("df")
+      // Lazy local checkpoint: the explode computes once (first action) and
+      // both consumers below read the persisted postings. Construction stays
+      // pure — no Spark job runs until the caller acts on the result.
+      val exploded =
+        (if (hashGrams) raw.select(col(as), xxhash64(col("gram")).as("gram"))
+         else raw).localCheckpoint(eager = false)
+      val overCap = exploded.groupBy("gram").count()
+        .filter(col("count") > maxDf)
+        .select("gram")
+      exploded.join(overCap, Seq("gram"), "left_anti")
     }
     postings(train, "train_id")
       .join(postings(eval, "eval_id"), Seq("gram"))

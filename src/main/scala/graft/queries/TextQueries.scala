@@ -551,7 +551,10 @@ object TextQueries extends QueryPack {
     * (drop grams with per-side df > maxDf) is restated in the oracle as a
     * per-side count window over the distinct postings, so the two engines
     * agree BY CONSTRUCTION, not merely while no fixture gram crosses the
-    * cap; the planted over-cap case is pinned in DedupSpec. */
+    * cap; the planted over-cap case is pinned in DedupSpec. (The Spark
+    * side computes the same df via a map-side-combining aggregate + anti
+    * join — skew-safe at scale; the window form is fine for the oracle,
+    * which only ever runs at fixture SFs.) */
   private val q76 = Q(
     "q76_decontamination",
     (s, dir) => {

@@ -64,6 +64,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q76_decontamination").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q76: df guard aggregates with map-side combine, never a per-gram window") {
+    // A count().over(Window.partitionBy(gram)) sends EVERY posting of a gram
+    // to one task — the viral gram the guard exists to drop is exactly the
+    // key that concentrates. The guard must be a partial-aggregating
+    // groupBy(gram).count() plus an anti-join of the over-cap grams.
+    val p = plan("q76_decontamination")
+    assert(!p.contains("Window"), s"df guard regressed to a window:\n${p.take(1200)}")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("LeftAnti"))
+  }
+
   test("bucketed fact-fact join runs with zero exchanges") {
     import graft.sources.{Bucketing, Tables}
     val base = java.nio.file.Files.createTempDirectory("graft-buckets").toString
