@@ -10,12 +10,13 @@ import graft.migration.MigrationFunctions.mimeSniff
   * Scala analog of pandas-UDF `mapInPandas`: one iterator per partition,
   * work chunked in fixed-size batches).
   *
-  * The decode step is REAL for the formats the in-JDK codec reads
-  * (PNG/JPEG/GIF/BMP via javax.imageio — [[decodeImage]] computes pixel
-  * statistics), gated on the payload's magic numbers. Everything else
-  * (audio, video, exotic image formats — the container ships no external
-  * codecs) falls back to [[decodeStub]], a deterministic fake derived from
-  * the payload bytes. The rest of the pipeline is real and tested either
+  * The decode step is REAL for the formats the in-JDK codecs read:
+  * PNG/JPEG/GIF/BMP via javax.imageio ([[decodeImage]], pixel statistics)
+  * and WAV/AIFF PCM via javax.sound.sampled ([[decodeAudio]], waveform
+  * statistics), each gated on the payload's magic numbers. Everything else
+  * (video, compressed audio, exotic image formats — the container ships no
+  * external codecs) falls back to [[decodeStub]], a deterministic fake
+  * derived from the payload bytes. The rest of the pipeline is real and tested either
   * way: the schema, the binary ingestion, the batch shape, the
   * partition-parallel execution, and the metadata pipeline (size, MIME
   * sniff, content hash).
@@ -131,7 +132,7 @@ object Multimodal {
       val n = w.toDouble * h
       val meanL = sl / n
       val varL = math.max(0.0, sl2 / n - meanL * meanL)
-      Some(Array(
+      Some(checkedFeatures(
         w.toFloat, h.toFloat,
         (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
         (sb / n / 255.0).toFloat, (meanL / 255.0).toFloat,
@@ -139,11 +140,103 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** The pipeline's decode: real pixel features when the JDK codec reads
-    * the payload, [[decodeStub]] otherwise. Total — never throws on bad
-    * bytes. */
+  /** Every real-decode path builds its vector through this, so a
+    * [[FeatureDim]] change fails fast at the build site instead of
+    * silently diverging from [[decodeStub]] and the declared schema. */
+  private def checkedFeatures(fs: Float*): Array[Float] = {
+    require(fs.length == FeatureDim,
+      s"decoder produced ${fs.length} features, schema declares $FeatureDim")
+    fs.toArray
+  }
+
+  /** JVM-side magic-number gate for the containers javax.sound.sampled
+    * reads in-JDK: RIFF/WAVE and FORM/AIFF(-C). */
+  private[graft] def looksDecodableAudio(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+        p(8) == 'A' && p(9) == 'I' && p(10) == 'F' &&
+        (p(11) == 'F' || p(11) == 'C')))
+
+  /** REAL audio decode (javax.sound.sampled — in the JDK, no external
+    * codec): waveform statistics as the feature vector, dim =
+    * [[FeatureDim]]: (sample rate Hz, channels, duration sec, RMS, peak,
+    * zero-crossing rate, DC offset, bits per sample); amplitudes
+    * normalized to [-1,1] on the channel-averaged mono mix. Covers 8/16-bit
+    * integer PCM, both endiannesses (WAV is little-, AIFF big-endian).
+    * None on anything else — corrupt bytes, compressed payloads, exotic
+    * sample widths — so callers fall back to the stub rather than fail the
+    * task on one bad blob. */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Float]] = {
+    if (!looksDecodableAudio(payload)) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        if (ch <= 0 || (bits != 8 && bits != 16) ||
+          (enc != PCM_SIGNED && enc != PCM_UNSIGNED)) return None
+        // blobs are in-memory pipeline payloads (bounded by the source), so
+        // draining the decoded stream once is the batch-friendly shape
+        val pcm = in.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * ch
+        val nFrames = pcm.length / frameBytes
+        if (nFrames == 0) return None
+        val big = fmt.isBigEndian
+        var sum, sum2, peak = 0.0
+        var crossings = 0L
+        var prevSign = 0
+        var f = 0
+        while (f < nFrames) {
+          var mix = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = f * frameBytes + c * bytesPerSample
+            val v =
+              if (bits == 16) {
+                val s =
+                  if (big) ((pcm(o) << 8) | (pcm(o + 1) & 0xFF)).toShort
+                  else ((pcm(o + 1) << 8) | (pcm(o) & 0xFF)).toShort
+                (if (enc == PCM_UNSIGNED) (s & 0xFFFF) - 32768 else s.toInt) / 32768.0
+              } else {
+                (if (enc == PCM_UNSIGNED) (pcm(o) & 0xFF) - 128 else pcm(o).toInt) / 128.0
+              }
+            mix += v
+            c += 1
+          }
+          mix /= ch
+          sum += mix; sum2 += mix * mix
+          val a = math.abs(mix)
+          if (a > peak) peak = a
+          val sign = java.lang.Double.compare(mix, 0.0).sign
+          if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+          if (sign != 0) prevSign = sign
+          f += 1
+        }
+        val n = nFrames.toDouble
+        Some(checkedFeatures(
+          fmt.getSampleRate, ch.toFloat,
+          (n / fmt.getFrameRate).toFloat,
+          math.sqrt(sum2 / n).toFloat, peak.toFloat,
+          (crossings.toDouble / math.max(1L, nFrames - 1)).toFloat,
+          (sum / n).toFloat, bits.toFloat))
+      } finally scala.util.Try(in.close())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The pipeline's decode: real pixel/waveform features when an in-JDK
+    * codec reads the payload, [[decodeStub]] otherwise. Total — never
+    * throws on bad bytes. */
   def decode(payload: Array[Byte]): Array[Float] =
-    decodeImage(payload).getOrElse(decodeStub(payload))
+    decodeImage(payload)
+      .orElse(decodeAudio(payload))
+      .getOrElse(decodeStub(payload))
 
   /** Batched per-partition feature extraction (mapInPandas analog): the
     * typed partition iterator streams through in BatchSize chunks — the

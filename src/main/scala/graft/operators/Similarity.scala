@@ -127,12 +127,16 @@ object Similarity {
     * either — if the gated sample lands under a usable floor
     * (min(trainCap, max(4k, 64)) rows) the gate widens geometrically and
     * re-scans until it clears the floor, an n-free self-correction that
-    * costs extra source scans only in the degenerate case. ONE direction
-    * is trusted, not verified: a supplied count AT OR BELOW trainCap
+    * costs extra source scans only in the degenerate case. The other
+    * direction self-corrects too: a supplied count AT OR BELOW trainCap
     * asserts "this corpus is small enough to train on whole" and eagerly
-    * materializes the full corpus with no gate — verifying it would be
-    * exactly the sizing scan this parameter exists to avoid, so don't
-    * pass a count you don't trust to at least an order of magnitude. */
+    * materializes the full corpus with no gate — but the checkpoint's own
+    * row count (in-memory, no source scan) is then checked against the
+    * claim, and a lie falls back to the gated path sized by the TRUE
+    * count it just paid for. The blast radius of a wrong small count is
+    * therefore one spilled checkpoint (localCheckpoint persists
+    * MEMORY_AND_DISK — it spills rather than OOMs), never a full corpus
+    * dragged through every Lloyd iteration. */
   def kmeansCentroids(
       corpus: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
@@ -140,27 +144,38 @@ object Similarity {
     val spark = corpus.sparkSession
     val slim = corpus.select(col(idCol), col(embCol))
     val n = corpusRows.getOrElse(slim.count())
-    val training = (if (n <= trainCap) slim.localCheckpoint(true)
-      else {
-        // deterministic unbiased gate (same device as Sampling's hash gate):
-        // keep a row iff its id-hash falls under the target fraction — no
-        // sort, no single-task gather, replay-stable
-        val denom = 1000000L
-        val floor = math.min(trainCap, math.max(4L * k, 64L))
-        var keep = math.max(1L, denom * trainCap / n)
-        var sample = slim.filter(
+    def gated(n: Long): DataFrame = {
+      // deterministic unbiased gate (same device as Sampling's hash gate):
+      // keep a row iff its id-hash falls under the target fraction — no
+      // sort, no single-task gather, replay-stable
+      val denom = 1000000L
+      val floor = math.min(trainCap, math.max(4L * k, 64L))
+      var keep = math.max(1L, denom * trainCap / n)
+      var sample = slim.filter(
+        pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
+      // counting the checkpointed sample is in-memory, not a source scan
+      while (sample.count() < floor && keep < denom) {
+        keep = math.min(denom, keep * 8)
+        // release the superseded eager checkpoint before widening, or
+        // every rejected sample's blocks stay pinned through training
+        sample.unpersist()
+        sample = slim.filter(
           pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
-        // counting the checkpointed sample is in-memory, not a source scan
-        while (sample.count() < floor && keep < denom) {
-          keep = math.min(denom, keep * 8)
-          // release the superseded eager checkpoint before widening, or
-          // every rejected sample's blocks stay pinned through training
-          sample.unpersist()
-          sample = slim.filter(
-            pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
+      }
+      sample
+    }
+    val training = (if (n <= trainCap) {
+        val whole = slim.localCheckpoint(true)
+        val actual = whole.count() // in-memory count of the checkpoint
+        if (actual <= trainCap) whole
+        else {
+          // the trusted count lied; the recount above cost nothing extra
+          // and IS the true count — release the oversize checkpoint and
+          // re-enter the gated path sized by it
+          whole.unpersist()
+          gated(actual)
         }
-        sample
-      })
+      } else gated(n))
     var centroids: Seq[(Int, Seq[Double])] =
       seedRows(training, k, idCol, embCol)
         .collect().zipWithIndex

@@ -39,8 +39,9 @@ object MultimodalQueries extends QueryPack {
     * produce the stub's all-zero vector via the left-join coalesce.
     * ASSUMES ASCII fixture text: the stub lanes over UTF-8 BYTES, the
     * oracle over CHARACTERS (unicode(ch)) — identical only while every
-    * char is one byte (verified for all three driver SFs; a multi-byte
-    * char would shift lanes and lengths on the Spark side only). */
+    * char is one byte (FixtureSpec pins length == octet_length at all
+    * three driver SFs, so a multi-byte fixture fails a named test
+    * instead of this oracle's driver hash). */
   private val q71 = Q(
     "q71_media_features",
     (s, dir) => {

@@ -202,7 +202,14 @@ object TextQueries extends QueryPack {
     * one HUGEINT. Every CTE mirrors one stage of the operator:
     * norm/chars/grams = the kernel, wins/picks = window-min + positional
     * dedup, postings..scored = Dedup.winnowContainmentPairs' inverted-
-    * index plan (df cap, df>=2 pair pruning, containment score). */
+    * index plan (df cap, df>=2 pair pruning, containment score).
+    *
+    * ASSUMES ASCII fixture text (same caveat as q71): the kernel hashes
+    * UTF-16 code units (charAt) while the SQL hashes DuckDB unicode(ch)
+    * codepoints — identical only while every char is single-byte/BMP.
+    * FixtureSpec pins `length(text) == octet_length(text)` at every
+    * driver SF, so a future non-ASCII fixture fails a named test instead
+    * of silently breaking the q42-q44 driver hashes. */
   private def winnowOracleCore(k: Int, w: Int, maxDf: Long): String = {
     val pows = Iterator.iterate(1L)(_ * 1000003L).take(k)
       .map(p => s"${java.lang.Long.toUnsignedString(p)}::HUGEINT")

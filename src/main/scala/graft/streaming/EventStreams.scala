@@ -64,9 +64,17 @@ object EventStreams {
     *    cardinality × executor count — it is FIXED at first start for the
     *    life of a checkpoint);
     *  - `checkpointDir` — explicit checkpoint location. Default None lets
-    *    the engine use a temp dir, fine for run-to-completion fixtures; a
-    *    resumable production stream MUST pin one (it is the stream's
-    *    identity: offsets + state live there, see resumable-offsets spec).
+    *    the engine use a temp dir, fine for run-to-completion fixtures.
+    *    SCOPE: for these `*ToTable` runners the knob pins offsets/state for
+    *    a SINGLE run-to-completion invocation (placement, inspection,
+    *    quota) — it does NOT make the runner restartable, because they
+    *    write to the memory sink, which only supports checkpoint recovery
+    *    in complete mode: an append-mode runner (dedup/sessions/
+    *    interval-join/stateful-counts) re-started against the same pinned
+    *    dir throws. A resumable production stream pins a checkpoint AND
+    *    swaps the memory sink for a durable one (the checkpoint is the
+    *    stream's identity: offsets + state live there — the
+    *    resumable-offsets spec drives exactly that shape on a file sink).
     */
   case class StreamRunConf(
       shufflePartitions: Int = 8,

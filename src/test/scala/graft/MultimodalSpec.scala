@@ -63,6 +63,57 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(fake).toSeq === Multimodal.decodeStub(fake).toSeq)
   }
 
+  test("real WAV decodes end-to-end through the batched pipeline") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 1 s of 8 kHz mono 16-bit PCM: a square wave with 8-sample half-period
+    // at amplitude 8192 (= 0.25 full-scale) — every feature is
+    // hand-computable from the decode contract
+    val nFrames = 8000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val amp: Short = if ((i / 8) % 2 == 0) 8192 else -8192
+      pcm(2 * i) = (amp & 0xFF).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+    }
+    def container(tpe: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
+      val data = if (!bigEndian) pcm else pcm.grouped(2).flatMap(_.reverse).toArray
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong), tpe, bos)
+      bos.toByteArray
+    }
+    val wav = container(AudioFileFormat.Type.WAVE, bigEndian = false)
+    assert(Multimodal.looksDecodableAudio(wav))
+    assert(!Multimodal.looksDecodableImage(wav))
+
+    val textBytes = "plain text".getBytes("UTF-8")
+    val mixed = Seq((1L, wav), (2L, textBytes)).toDF("media_id", "payload")
+    val feats = Multimodal.extractFeatures(mixed).collect().toMap
+    val f = feats(1L)
+    assert(f.length === Multimodal.FeatureDim)
+    assert(f(0) === 8000.0f && f(1) === 1.0f)         // sample rate, channels
+    assert(f(2) === 1.0f)                             // duration: 8000/8000
+    assert(f(3) === 0.25f)                            // RMS: all samples ±0.25
+    assert(f(4) === 0.25f)                            // peak
+    // 999 block boundaries flip sign across 7999 consecutive pairs
+    assert(math.abs(f(5) - 999.0f / 7999.0f) < 1e-6)
+    assert(f(6) === 0.0f)                             // DC: 500 blocks each sign
+    assert(f(7) === 16.0f)                            // bits per sample
+    // big-endian AIFF of the SAME waveform decodes to the same features
+    val aiff = container(AudioFileFormat.Type.AIFF, bigEndian = true)
+    assert(Multimodal.looksDecodableAudio(aiff))
+    assert(Multimodal.decodeAudio(aiff).get.toSeq === f.toSeq)
+    // the real decode is not the stub; non-audio payloads still stub
+    assert(f.toSeq !== Multimodal.decodeStub(wav).toSeq)
+    assert(feats(2L).toSeq === Multimodal.decodeStub(textBytes).toSeq)
+    // bytes with a RIFF magic but a corrupt body fall back to the stub
+    val fake = "RIFFxxxxWAVEgarbage".getBytes("UTF-8")
+    assert(Multimodal.looksDecodableAudio(fake))
+    assert(Multimodal.decode(fake).toSeq === Multimodal.decodeStub(fake).toSeq)
+  }
+
   test("feature table joins metadata back without payload") {
     val ft = Multimodal.featureTable(media)
     assert(ft.count() === media.count())

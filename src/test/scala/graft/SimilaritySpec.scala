@@ -145,6 +145,14 @@ class SimilaritySpec extends SparkSpec {
       trainCap = 100L, corpusRows = Some(n * 10))
     assert(over.length === 8)
     assert(over.map(_._1) === (0 until 8))
+
+    // a LIED small count ("corpus fits under trainCap" when it doesn't)
+    // self-corrects: the checkpoint recount exposes the truth and the
+    // gated path re-enters with it — bit-for-bit the honest result, never
+    // a full corpus carried through training
+    val lied = Similarity.kmeansCentroids(emb, k = 8, iters = 2,
+      trainCap = 100L, corpusRows = Some(10L))
+    assert(lied === a, "a wrong small count must fall back to the counted gate")
   }
 
   test("kmeans keeps k centroids when duplicate seeds lose every tie") {
