@@ -22,7 +22,10 @@ object SparkEntry {
     packs.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops. The
+    * literal token `__VERIFY_OUT__` (used by the q38/q39 signature-fixture
+    * oracles) is replaced by graft.Verify with the absolute dump dir, so
+    * an oracle can read a sibling query's parquet output. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracleSql).toMap
 }
