@@ -26,6 +26,16 @@ object Similarity {
     Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Snap a Lloyd-averaged centroid element to 9 decimal places. The avg
+    * merges per-partition partial sums in shuffle-fetch order, and double
+    * addition is not associative — two runs over the same corpus can
+    * differ in the last ulp. Queries re-run the (cheap, deterministic)
+    * training rather than sharing driver state, so the snap makes
+    * "same corpus → bit-identical centroids" hold across runs instead of
+    * merely "almost always"; 9dp is ~1e6× coarser than the ulp noise and
+    * ~1e5× finer than any assignment-relevant distinction. */
+  private def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
+
   /** nbits-bit signature column for an embedding — native one-loop
     * expression; the composed form below is its parity oracle. */
   def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
@@ -190,7 +200,7 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("centroid"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).map(round9))).toMap
       // a centroid that captured no rows this round (duplicate seed losing
       // every tie, or a list emptied by a better neighbor) carries through
       // UNCHANGED rather than being dropped — the Lloyd groupBy only emits
@@ -246,7 +256,10 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
       .join(broadcast(cdf))
-      .withColumn("__sim", cosine(col("q_emb"), col("centroid")))
+      // probe ranking at 9dp (ties → cid): the raw double is engine-fold-
+      // order specific, so snapping makes the nprobe choice restatable by
+      // the DuckDB oracle without betting on bit-identical float sums
+      .withColumn("__sim", round(cosine(col("q_emb"), col("centroid")), 9))
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cid"))
@@ -296,7 +309,10 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
       .join(broadcast(cdf))
-      .withColumn("__sim", cosine(col("q_emb"), col("centroid")))
+      // probe ranking at 9dp (ties → cid): the raw double is engine-fold-
+      // order specific, so snapping makes the nprobe choice restatable by
+      // the DuckDB oracle without betting on bit-identical float sums
+      .withColumn("__sim", round(cosine(col("q_emb"), col("centroid")), 9))
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cid"))
@@ -421,6 +437,52 @@ object Similarity {
       .filter(col("rn") <= k)
       .drop("rn")
       .orderBy(col("q_id"), col("cos_sim").desc, col(idCol))
+  }
+
+  /** The LSH bucket membership as a query-able table: one (tbl, sig,
+    * vec_id) row per corpus row per hyperplane table — the same seeded
+    * planes and native signature expression lshTopK buckets by, so the
+    * table IS the index's bucket directory. Map-only (no shuffle; at
+    * scale a straight scan→write, the tabular twin of writeLshIndex's
+    * partitioned layout). Doubles as the cross-engine fixture for q48's
+    * oracle: the float hyperplane geometry is not SQL-restatable, so both
+    * engines take the signatures as given and independently re-derive the
+    * probe expansion (sig XOR 1<<b), bucket join, and exact re-rank —
+    * the algebra that can actually break. */
+  def lshBucketTable(
+      corpus: DataFrame, nbits: Int = 8, tables: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+    val entries = planeSets.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("tbl"), lshSignature(col(embCol), planes).as("sig"))
+    }
+    corpus.select(col(idCol), explode(array(entries: _*)).as("ts"))
+      .select(col("ts.tbl").as("tbl"), col("ts.sig").as("sig"), col(idCol))
+  }
+
+  /** The IVF index as one denormalized table: (cid, centroid, vec_id) —
+    * every corpus row tagged with its inverted list plus that list's
+    * centroid, i.e. writeIvfIndex's lists+centroids joined back together.
+    * One quantizer training + one assignment pass (training is
+    * deterministic: seeded hash-gated sample, Lloyd updates snapped to
+    * 9dp — see round9 — so a re-run reproduces it bit-for-bit). Doubles
+    * as the fixture for q49's oracle: kmeans state is not
+    * SQL-restatable, so DuckDB takes centroids/assignments as given and
+    * re-derives the nprobe centroid ranking, list join, and exact
+    * re-rank. */
+  def ivfIndexTable(
+      corpus: DataFrame, nlist: Int = 8, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids =
+      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
+    val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
+    assignToCentroids(corpus, cdf, idCol, embCol)
+      .select(col("cid"), col(idCol))
+      .join(broadcast(cdf), Seq("cid"))
+      .select(col("cid"), col("centroid"), col(idCol))
   }
 
   /** Embedding-cosine near-dup dedup survivorship (greedy keep-min-id, the

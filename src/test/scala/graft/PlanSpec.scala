@@ -107,6 +107,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q78: LSH bucket table export is map-only — no exchange, no sort") {
+    val p = plan("q78_lsh_bucket_table")
+    assert(!p.contains("Exchange"),
+      s"bucket-table export must be a straight scan→write at 100 TB:\n${p.take(800)}")
+    assert(!p.contains("Sort"), s"no sort in a map-only export:\n${p.take(800)}")
+  }
+
   test("q46: ANN corpus never self-shuffles; queries are broadcast") {
     val p = plan("q46_knn_bruteforce")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

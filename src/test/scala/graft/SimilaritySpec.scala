@@ -155,6 +155,36 @@ class SimilaritySpec extends SparkSpec {
     assert(lied === a, "a wrong small count must fall back to the counted gate")
   }
 
+  test("lshBucketTable is the bucket directory lshTopK joins against") {
+    val bt = Similarity.lshBucketTable(emb, nbits = 8, tables = 4).cache()
+    val n = emb.count()
+    assert(bt.count() === n * 4, "one row per corpus vector per table")
+    assert(bt.select("tbl", "vec_id").distinct().count() === n * 4)
+    assert(bt.filter(col("sig") < 0 || col("sig") >= 256).count() === 0,
+      "signatures confined to nbits")
+    // parity: the composed-Column signature form reproduces table 0's sigs
+    val planes = Similarity.hyperplanes(8, 64, seed = 42L)
+    val recomputed = emb.select(col("vec_id"),
+      Similarity.lshSignatureViaColumns(col("embedding"), planes).as("sig2"))
+    assert(bt.filter(col("tbl") === 0).join(recomputed, "vec_id")
+      .filter(col("sig") =!= col("sig2")).count() === 0,
+      "table-0 signatures must match the composed parity form")
+    bt.unpersist()
+  }
+
+  test("ivfIndexTable: exact training centroids, every row on exactly one list") {
+    val ix = Similarity.ivfIndexTable(emb, nlist = 8, iters = 3).cache()
+    val n = emb.count()
+    assert(ix.count() === n, "one row per corpus vector")
+    assert(ix.select("vec_id").distinct().count() === n)
+    val fromTable = ix.select(col("cid"), col("centroid")).distinct()
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val trained = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+    assert(fromTable === trained,
+      "index-table centroids must reproduce a fresh deterministic training bit-for-bit")
+    ix.unpersist()
+  }
+
   test("kmeans keeps k centroids when duplicate seeds lose every tie") {
     import spark.implicits._
     // 6 rows, only 2 distinct embeddings: with k=4 at least two seeds are
