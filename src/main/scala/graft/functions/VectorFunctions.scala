@@ -30,6 +30,13 @@ object VectorFunctions {
   def cosineViaColumns(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Squared L2 distance — sequential in-index fold like the cosine
+    * kernel, so a same-order SQL restatement agrees bit-for-bit. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  def l2Dist(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
+
   /** L2-normalize a vector (zero vectors pass through unchanged). */
   def l2Normalize(a: Column): Column = {
     val n = norm(a)

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Product quantization — the ANN memory-footprint path at 100 TB.
+  *
+  * A 64-dim float32 embedding is 256 bytes; its PQ code (m=8 subspaces,
+  * ksub=16 codewords each here, 256 in production) is ONE BIGINT. The
+  * candidate-generation scan then reads an 8-byte column instead of the
+  * vector itself — a ~32× reduction in scan bytes that composes with the
+  * IVF layout (store codes partitioned by cid) — and only the `refine`
+  * survivors per query ever touch the real vectors for the exact re-rank.
+  *
+  * Everything is metric-L2 (the standard PQ formulation); for cosine
+  * semantics, l2-normalize first (VectorFunctions.l2Normalize) — on unit
+  * vectors L2 ranking and cosine ranking coincide.
+  *
+  * Determinism contract (what makes the cross-engine oracles sound, same
+  * discipline as Similarity.kmeansCentroids): codebook training seeds from
+  * the ksub smallest id-hashes, Lloyd updates are snapped to 9dp, and
+  * every distance used for an argmin/rank is snapped to 9dp with an
+  * explicit (code / vec_id) tiebreak — so a re-run reproduces codebooks,
+  * codes, and candidate sets bit-for-bit, and a same-order SQL restatement
+  * agrees without betting on identical float folds.
+  */
+object Pq {
+
+  /** Train per-subspace codebooks with ONE distributed pipeline (not m
+    * independent kmeans runs): the training sample explodes into
+    * (sub, subvector) rows once, every Lloyd iteration assigns all
+    * subspaces in a single broadcast join + window pass, and the update
+    * aggregates by (sub, code). Training is sample-bounded exactly like
+    * the IVF quantizer (shared boundedTrainingSample; pass `corpusRows`
+    * at 100 TB and no sizing scan runs). Returns (sub, code, codeword)
+    * triples — m×ksub×dsub doubles of model state on the driver.
+    *
+    * Seeding: the ksub rows with the smallest id-hash (one distributed
+    * top-k via Similarity.seedRows) seed ALL subspaces — codeword (s, c)
+    * starts as seed row c's s-th subvector. A codeword that captures no
+    * rows in an iteration carries through unchanged (duplicate-seed ties
+    * lose every row to the smaller code; silently shrinking the codebook
+    * would break the fixed-width code layout). */
+  def pqCodebooks(
+      corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding", dim: Int = 64,
+      trainCap: Long = 65536L,
+      corpusRows: Option[Long] = None): Seq[(Int, Int, Seq[Double])] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(ksub <= 256, s"ksub=$ksub exceeds one code byte")
+    require(m <= 8, s"m=$m code bytes exceed one BIGINT")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    val slim = corpus.select(col(idCol), col(embCol))
+    val training = Similarity.boundedTrainingSample(
+      slim, idCol, trainCap, 4L * ksub, corpusRows)
+    // one explode → (id, sub, subvec); reused by every Lloyd pass
+    val subRows = training
+      .select(col(idCol), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col(embCol).cast("array<double>"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col(idCol), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    var books: Seq[(Int, Int, Seq[Double])] =
+      Similarity.seedRows(training, ksub, idCol, embCol)
+        .collect().zipWithIndex.flatMap { case (r, c) =>
+          val e = r.getSeq[Double](1)
+          (0 until m).map(s => (s, c, e.slice(s * dsub, (s + 1) * dsub)))
+        }.toSeq
+    for (_ <- 0 until iters) {
+      val cbDf = spark.createDataFrame(books).toDF("sub", "code", "cw")
+      val w = Window.partitionBy(col(idCol), col("sub"))
+        .orderBy(col("__d"), col("code"))
+      val assigned = subRows.join(broadcast(cbDf), Seq("sub"))
+        .withColumn("__d", round(l2Sq(col("sv"), col("cw")), 9))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val updated: Map[(Int, Int), Seq[Double]] = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("v")).as("mu"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("ps"))
+        .select(col("sub"), col("code"),
+          transform(col("ps"), p => p.getField("mu")).as("cw"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Double](2).map(Similarity.round9))).toMap
+      books = books.map { case (s, c, old) =>
+        (s, c, updated.getOrElse((s, c), old))
+      }
+    }
+    books
+  }
+
+  /** The codebooks as a small (sub, code, codeword) table — model state
+    * made query-able, and the cross-engine fixture for the q81/q82
+    * oracles (kmeans training is not SQL-restatable; encode and search
+    * are, once the codewords are given). */
+  def pqCodebookTable(
+      corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding", dim: Int = 64,
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): DataFrame = {
+    val books =
+      pqCodebooks(corpus, m, ksub, iters, idCol, embCol, dim, trainCap, corpusRows)
+    corpus.sparkSession.createDataFrame(books).toDF("sub", "code", "codeword")
+  }
+
+  /** Map-only encode: per subspace, the code of the nearest codeword
+    * (9dp-snapped L2², first-min ⇒ smallest code), all m bytes packed
+    * into one BIGINT (sub s occupies bits [8s, 8s+8)). The codebook rides
+    * as a double[] reference object inside a native Catalyst expression
+    * (graft.plans.PqEncodeExpr) — one loop per row, no join, no shuffle,
+    * a straight scan→write at 100 TB. The composed-Column form below is
+    * its bit-for-bit parity oracle (PqSpec). */
+  def encodeExpr(
+      emb: Column, books: Seq[(Int, Int, Seq[Double])], dsub: Int): Column = {
+    val m = books.map(_._1).max + 1
+    val ksub = books.map(_._2).max + 1
+    require(books.length == m * ksub, s"codebook must be complete: $m×$ksub")
+    val flat = books.sortBy(t => (t._1, t._2)).flatMap(_._3)
+    graft.plans.NativeExprs.pqEncode(emb, flat, m, ksub, dsub)
+  }
+
+  /** Composed-Column encode (m×ksub interpreted aggregate() passes per
+    * row) — kept only as the parity reference for the native kernel. */
+  def encodeExprViaColumns(
+      emb: Column, books: Seq[(Int, Int, Seq[Double])], dsub: Int): Column = {
+    val bySub = books.groupBy(_._1).toSeq.sortBy(_._1)
+    bySub.map { case (s, cws) =>
+      val sub = slice(emb.cast("array<double>"), s * dsub + 1, dsub)
+      val dists = array(cws.sortBy(_._2).map { case (_, _, cw) =>
+        round(aggregate(zip_with(sub, array(cw.map(lit): _*),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _), 9)
+      }: _*)
+      // array_position finds the FIRST equal element → ties break to the
+      // smallest code, matching the oracle's (dist, code) row_number order
+      (array_position(dists, array_min(dists)) - 1).cast("long") *
+        lit(1L << (8 * s))
+    }.reduce(_ + _)
+  }
+
+  /** (id, code) for every corpus row — the 8-byte search column a 100 TB
+    * deployment materializes next to (or instead of) the raw vectors. */
+  def pqEncode(
+      corpus: DataFrame, books: Seq[(Int, Int, Seq[Double])],
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val m = books.map(_._1).max + 1
+    corpus.select(col(idCol),
+      encodeExpr(col(embCol), books, dim / m).as("code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: per query, a lookup
+    * table of 9dp-snapped subspace distances to every codeword is built
+    * DRIVER-side (m×ksub doubles — model-sized, not data-sized) and
+    * broadcast; a corpus row's approximate distance is then m array
+    * lookups summed — no vector math on the scan side at all. The
+    * `refine` closest candidates per query re-rank by exact L2 (4dp) on
+    * the real vectors. Corpus scans stream; only query/LUT state
+    * broadcasts; the windows are per-query top-k, never a global sort. */
+  def pqAdcTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      books: Seq[(Int, Int, Seq[Double])], refine: Int = 50,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val m = books.map(_._1).max + 1
+    val ksub = books.map(_._2).max + 1
+    val dsub = dim / m
+    // driver-side LUT per query: entry (s*ksub + c) = round9(L2²(q_sub_s, cw_{s,c}))
+    val byKey = books.map { case (s, c, cw) => ((s, c), cw) }.toMap
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>")).collect()
+    val lutRows: Seq[(Long, Seq[Double], Seq[Double])] = qRows.toSeq.map { r =>
+      val emb = r.getSeq[Double](1)
+      val lut = for (s <- 0 until m; c <- 0 until ksub) yield {
+        val cw = byKey((s, c))
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = emb(s * dsub + i) - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        // decimal HALF_UP like the Spark `round` expression (and DuckDB's
+        // round) — NOT math.rint: LUT entries are re-derived by the q82
+        // oracle, so driver-side rounding must be in the same parity
+        // class as the engine-side rounds it is compared against
+        BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      (r.getLong(0), emb, lut)
+    }
+    import spark.implicits._
+    val qDf = lutRows.toDF("q_id", "q_emb", "lut")
+    val codes = pqEncode(corpus, books, idCol, embCol, dim)
+    // adc = Σ_s lut[s*ksub + byte_s(code)] — m element_at lookups, summed
+    // in subspace order (the oracle re-sums the same 9dp-snapped entries)
+    val adc = (0 until m).map { s =>
+      val byte = shiftright(col("code"), 8 * s).bitwiseAND(lit(255)).cast("int")
+      element_at(col("lut"), lit(s * ksub) + byte + lit(1))
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col(idCol))
+    val cands = codes.join(broadcast(qDf), col(idCol) =!= col("q_id"))
+      .withColumn("__adc", round(adc, 9))
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= refine)
+      .select(col("q_id"), col(idCol), col("q_emb"))
+    // exact re-rank touches only |queries| × refine real vectors
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("l2_dist"), col(idCol))
+    cands.join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+      .select(col("q_id"), col(idCol),
+        round(l2Dist(col(embCol), col("q_emb")), 4).as("l2_dist"))
+      .withColumn("__rn", row_number().over(wK))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("q_id"), col("l2_dist"), col(idCol))
+  }
+}

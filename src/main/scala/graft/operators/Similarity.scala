@@ -34,7 +34,7 @@ object Similarity {
     * "same corpus → bit-identical centroids" hold across runs instead of
     * merely "almost always"; 9dp is ~1e6× coarser than the ulp noise and
     * ~1e5× finer than any assignment-relevant distinction. */
-  private def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
+  private[operators] def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
 
   /** nbits-bit signature column for an embedding — native one-loop
     * expression; the composed form below is its parity oracle. */
@@ -153,39 +153,8 @@ object Similarity {
       trainCap: Long = 65536L, corpusRows: Option[Long] = None): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     val slim = corpus.select(col(idCol), col(embCol))
-    val n = corpusRows.getOrElse(slim.count())
-    def gated(n: Long): DataFrame = {
-      // deterministic unbiased gate (same device as Sampling's hash gate):
-      // keep a row iff its id-hash falls under the target fraction — no
-      // sort, no single-task gather, replay-stable
-      val denom = 1000000L
-      val floor = math.min(trainCap, math.max(4L * k, 64L))
-      var keep = math.max(1L, denom * trainCap / n)
-      var sample = slim.filter(
-        pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
-      // counting the checkpointed sample is in-memory, not a source scan
-      while (sample.count() < floor && keep < denom) {
-        keep = math.min(denom, keep * 8)
-        // release the superseded eager checkpoint before widening, or
-        // every rejected sample's blocks stay pinned through training
-        sample.unpersist()
-        sample = slim.filter(
-          pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
-      }
-      sample
-    }
-    val training = (if (n <= trainCap) {
-        val whole = slim.localCheckpoint(true)
-        val actual = whole.count() // in-memory count of the checkpoint
-        if (actual <= trainCap) whole
-        else {
-          // the trusted count lied; the recount above cost nothing extra
-          // and IS the true count — release the oversize checkpoint and
-          // re-enter the gated path sized by it
-          whole.unpersist()
-          gated(actual)
-        }
-      } else gated(n))
+    val training =
+      boundedTrainingSample(slim, idCol, trainCap, 4L * k, corpusRows)
     var centroids: Seq[(Int, Seq[Double])] =
       seedRows(training, k, idCol, embCol)
         .collect().zipWithIndex
@@ -211,6 +180,50 @@ object Similarity {
       }
     }
     centroids
+  }
+
+  /** Sample-bounded deterministic training frame, shared by the IVF
+    * quantizer and PQ codebook training (see kmeansCentroids' scaladoc for
+    * the full sizing contract): an eager localCheckpoint of either the
+    * whole (small) corpus or a hash-gated ~trainCap-row subsample, with
+    * geometric gate-widening to a `kFloor` usable floor and self-correcting
+    * trusted counts in both directions. */
+  private[operators] def boundedTrainingSample(
+      slim: DataFrame, idCol: String, trainCap: Long, kFloor: Long,
+      corpusRows: Option[Long]): DataFrame = {
+    val n = corpusRows.getOrElse(slim.count())
+    def gated(n: Long): DataFrame = {
+      // deterministic unbiased gate (same device as Sampling's hash gate):
+      // keep a row iff its id-hash falls under the target fraction — no
+      // sort, no single-task gather, replay-stable
+      val denom = 1000000L
+      val floor = math.min(trainCap, math.max(kFloor, 64L))
+      var keep = math.max(1L, denom * trainCap / n)
+      var sample = slim.filter(
+        pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
+      // counting the checkpointed sample is in-memory, not a source scan
+      while (sample.count() < floor && keep < denom) {
+        keep = math.min(denom, keep * 8)
+        // release the superseded eager checkpoint before widening, or
+        // every rejected sample's blocks stay pinned through training
+        sample.unpersist()
+        sample = slim.filter(
+          pmod(xxhash64(col(idCol)), lit(denom)) < lit(keep)).localCheckpoint(true)
+      }
+      sample
+    }
+    if (n <= trainCap) {
+      val whole = slim.localCheckpoint(true)
+      val actual = whole.count() // in-memory count of the checkpoint
+      if (actual <= trainCap) whole
+      else {
+        // the trusted count lied; the recount above cost nothing extra
+        // and IS the true count — release the oversize checkpoint and
+        // re-enter the gated path sized by it
+        whole.unpersist()
+        gated(actual)
+      }
+    } else gated(n)
   }
 
   /** The k-seed sample plan (exposed for the PlanSpec scale audit): exactly

@@ -147,6 +147,41 @@ object NativeExprKernels {
     sig
   }
 
+  /** PQ encode: per subspace s, the 0-based index of the nearest codeword
+    * by 9dp-snapped L2² (BigDecimal.valueOf HALF_UP — the exact rounding
+    * the Catalyst `round` expression applies, so this loop is bit-for-bit
+    * the composed slice→zip_with→aggregate→round→array_position form it
+    * replaces; strict `<` keeps the FIRST min ⇒ smallest code). Codes
+    * pack into bits [8s, 8s+8) of one long. `books` is the flattened
+    * (sub, code, dim)-major m×ksub×dsub codeword tensor. */
+  def pqEncode(arr: ArrayData, books: Array[Double], m: Int, ksub: Int,
+      dsub: Int, elemCode: Int): Long = {
+    var code = 0L
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = elemAt(arr, elemCode, s * dsub + i) - books(base + i)
+          d += diff * diff
+          i += 1
+        }
+        val snapped = java.math.BigDecimal.valueOf(d)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (snapped < bestD) { bestD = snapped; best = c }
+        c += 1
+      }
+      code |= best.toLong << (8 * s)
+      s += 1
+    }
+    code
+  }
+
   def simhash64(input: UTF8String): Long = {
     val tokens = ws.split(input.toString.trim)
     val seen = new java.util.HashSet[String](math.max(16, tokens.length * 2))

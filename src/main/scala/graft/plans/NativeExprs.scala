@@ -177,6 +177,42 @@ case class LshSignatureExpr(child: Expression, planes: Seq[Double], nbits: Int)
     copy(child = c)
 }
 
+/** Product-quantization encode (see NativeExprKernels.pqEncode): all m
+  * nearest-codeword searches in one loop per row, codebook shipped as a
+  * flattened double[] reference object — the composed form ran m×ksub
+  * interpreted aggregate() lambdas per row and its codegen alone dwarfed
+  * the fixture-scale compute. */
+case class PqEncodeExpr(
+    child: Expression, books: Seq[Double], m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val booksArr: Array[Double] = books.toArray
+  @transient private lazy val elemCode: Int =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType  => NativeExprKernels.ElemDouble
+      case FloatType   => NativeExprKernels.ElemFloat
+      case LongType    => NativeExprKernels.ElemLong
+      case IntegerType => NativeExprKernels.ElemInt
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprKernels.pqEncode(
+      input.asInstanceOf[ArrayData], booksArr, m, ksub, dsub, elemCode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", booksArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Kernel.fq}.pqEncode($c, $ref, $m, $ksub, $dsub, $elemCode);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
 object NativeExprs {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     toColumn(MinHashSigExpr(toExpression(hashes), numHashes))
@@ -190,4 +226,6 @@ object NativeExprs {
     toColumn(WinnowFingerprintsExpr(toExpression(text), k, window))
   def lshSignature(emb: Column, planes: Seq[Seq[Double]]): Column =
     toColumn(LshSignatureExpr(toExpression(emb), planes.flatten, planes.size))
+  def pqEncode(emb: Column, books: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
+    toColumn(PqEncodeExpr(toExpression(emb), books, m, ksub, dsub))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.Similarity
+import graft.operators.{Pq, Similarity}
 
 /** Similarity-search surface over the `embeddings` table (64-dim float
   * vectors): vector math via higher-order functions, brute-force cosine
@@ -219,5 +219,95 @@ object VectorQueries extends QueryPack {
       WHERE vec_id NOT IN (SELECT id_b FROM dropped)
       ORDER BY vec_id"""))
 
-  override val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q57, q78, q79)
+  /** PQ codebooks (m=8 subspaces × ksub=16 codewords over 64 dims) as a
+    * table — the model a 100 TB deployment trains once; the fixture for
+    * the q81/q82 oracles (kmeans training is not SQL-restatable; encode
+    * and ADC search are, once codewords are given). Rows-only itself. */
+  private val q80 = Q(
+    "q80_pq_codebooks",
+    (s, dir) => Pq.pqCodebookTable(
+      Tables(s, dir).embeddings, m = 8, ksub = 16, iters = 3),
+    None)
+
+  /** PQ encode: every embedding compressed to ONE BIGINT (8 subspace
+    * bytes) — the 8-byte search column that replaces 256-byte vectors in
+    * the 100 TB candidate scan. FULL ORACLE via the q80 codebook fixture:
+    * DuckDB re-derives each subspace's nearest codeword (9dp-snapped L2²,
+    * ties → smallest code — exactly encodeExpr's first-min rule) and
+    * repacks the bytes. Training re-runs deterministically (snapped Lloyd
+    * updates), so the codewords match q80's export bit-for-bit. */
+  private val q81 = Q(
+    "q81_pq_codes",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Pq.pqEncode(emb, Pq.pqCodebooks(emb, m = 8, ksub = 16, iters = 3))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH cb AS (SELECT sub, code, codeword
+        FROM read_parquet('__VERIFY_OUT__/q80_pq_codebooks/*.parquet')),
+      sv AS (SELECT e.vec_id, cb.sub, cb.code,
+          round(list_sum(list_transform(
+            list_zip(e.embedding[cb.sub*8+1 : cb.sub*8+8], cb.codeword),
+            p -> (CAST(p[1] AS DOUBLE) - p[2])
+               * (CAST(p[1] AS DOUBLE) - p[2]))), 9) AS d
+        FROM embeddings e CROSS JOIN cb),
+      pick AS (SELECT vec_id, sub, code,
+          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM sv)
+      SELECT vec_id, CAST(sum(code * (1::BIGINT << (8*sub))) AS BIGINT) AS code
+      FROM pick WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** PQ ANN via ADC + exact refine. FULL ORACLE via the q80+q81 fixtures:
+    * DuckDB rebuilds each query's lookup table from the codewords
+    * (9dp-snapped subspace L2²), sums the m looked-up entries per corpus
+    * code (re-snapped at 9dp, ties → vec_id) for the refine=50 candidate
+    * cut, and re-ranks candidates by exact L2 at 4dp — cross-checking the
+    * byte-unpack / LUT-lookup / top-k algebra end to end. Recall vs exact
+    * brute force is asserted in PqSpec. */
+  private val q82 = Q(
+    "q82_knn_pq",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Pq.pqAdcTopK(
+        emb, emb.filter(col("vec_id").isin(0L, 100L, 250L)), k = 5,
+        books = Pq.pqCodebooks(emb, m = 8, ksub = 16, iters = 3), refine = 50)
+    },
+    Some("""WITH cb AS (SELECT sub, code, codeword
+        FROM read_parquet('__VERIFY_OUT__/q80_pq_codebooks/*.parquet')),
+      codes AS (SELECT vec_id, code
+        FROM read_parquet('__VERIFY_OUT__/q81_pq_codes/*.parquet')),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id IN (0, 100, 250)),
+      lut AS (SELECT q.q_id, cb.sub, cb.code,
+          round(list_sum(list_transform(
+            list_zip(q.q_emb[cb.sub*8+1 : cb.sub*8+8], cb.codeword),
+            p -> (CAST(p[1] AS DOUBLE) - p[2])
+               * (CAST(p[1] AS DOUBLE) - p[2]))), 9) AS d
+        FROM q CROSS JOIN cb),
+      cx AS (SELECT c.vec_id, f.sub,
+          CAST((c.code >> (8*f.sub)) & 255 AS INTEGER) AS bcode
+        FROM codes c CROSS JOIN (SELECT unnest(range(8)) AS sub) f),
+      adc AS (SELECT l.q_id, c.vec_id, round(sum(l.d), 9) AS adist
+        FROM cx c JOIN lut l ON l.sub = c.sub AND l.code = c.bcode
+        WHERE c.vec_id <> l.q_id
+        GROUP BY l.q_id, c.vec_id),
+      cand AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+            ORDER BY adist, vec_id) AS rn FROM adc) WHERE rn <= 50),
+      ex AS (SELECT cand.q_id, cand.vec_id,
+          unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+        FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+          JOIN q ON q.q_id = cand.q_id),
+      d2 AS (SELECT q_id, vec_id,
+          sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+            * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))) AS ss
+        FROM ex GROUP BY q_id, vec_id),
+      s AS (SELECT q_id, vec_id, round(sqrt(ss), 4) AS l2_dist,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY round(sqrt(ss), 4), vec_id) AS rn
+        FROM d2)
+      SELECT q_id, vec_id, l2_dist FROM s WHERE rn <= 5 ORDER BY q_id, rn"""))
+
+  override val all: Seq[Q] =
+    Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82)
 }

@@ -114,6 +114,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort"), s"no sort in a map-only export:\n${p.take(800)}")
   }
 
+  test("PQ encode is map-only — the codebook rides as literals, no join") {
+    val emb = Tables(spark, sfDir).embeddings
+    val books = graft.operators.Pq.pqCodebooks(emb, m = 8, ksub = 16, iters = 1)
+    val p = graft.operators.Pq.pqEncode(emb, books)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"encode must be a straight scan at 100 TB:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"codebook must not join:\n${p.take(800)}")
+  }
+
+  test("q82: ADC refine cut is a group-limit window; corpus side streams") {
+    val p = plan("q82_knn_pq")
+    assert(p.contains("WindowGroupLimit"),
+      s"refine cut must push a per-partition group limit:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q46: ANN corpus never self-shuffles; queries are broadcast") {
     val p = plan("q46_knn_bruteforce")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Pq
+import graft.functions.VectorFunctions._
+
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sfDir).embeddings.cache()
+  private lazy val queries = emb.filter(col("vec_id").isin(0L, 100L, 250L))
+  private lazy val books = Pq.pqCodebooks(emb, m = 8, ksub = 16, iters = 3)
+
+  test("codebook training is deterministic and fully shaped") {
+    val again = Pq.pqCodebooks(emb, m = 8, ksub = 16, iters = 3)
+    assert(books === again, "re-training must reproduce codebooks bit-for-bit")
+    assert(books.length === 8 * 16)
+    assert(books.map(b => (b._1, b._2)).toSet ===
+      (for (s <- 0 until 8; c <- 0 until 16) yield (s, c)).toSet)
+    assert(books.forall(_._3.length === 8), "every codeword spans dsub=8 dims")
+  }
+
+  test("encode packs one valid byte per subspace into one BIGINT") {
+    val codes = Pq.pqEncode(emb, books).cache()
+    val n = emb.count()
+    assert(codes.count() === n)
+    assert(codes.select("vec_id").distinct().count() === n)
+    val bad = codes.filter((0 until 8).map(s =>
+      shiftright(col("code"), 8 * s).bitwiseAND(lit(255)) >= 16).reduce(_ || _))
+    assert(bad.count() === 0, "every subspace byte must be a valid code < ksub")
+    codes.unpersist()
+  }
+
+  test("native encode kernel matches the composed-Column form bit-for-bit") {
+    val mismatches = emb.select(
+        Pq.encodeExpr(col("embedding"), books, dsub = 8).as("native"),
+        Pq.encodeExprViaColumns(col("embedding"), books, dsub = 8).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(mismatches.count() === 0)
+  }
+
+  test("codebook table export matches the trained model bit-for-bit") {
+    val fromTable = Pq.pqCodebookTable(emb, m = 8, ksub = 16, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(fromTable === books.sortBy(t => (t._1, t._2)))
+  }
+
+  test("ADC + refine recall@5 vs exact L2 brute force") {
+    val truth = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(l2Dist(col("embedding"), col("q_emb")), 4).as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Pq.pqAdcTopK(emb, queries, k = 5, books, refine = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === 15)
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"PQ refine recall too low: $recall")
+  }
+}
