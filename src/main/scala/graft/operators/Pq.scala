@@ -164,11 +164,27 @@ object Pq {
       books: Seq[(Int, Int, Seq[Double])], refine: Int = 50,
       idCol: String = "vec_id", embCol: String = "embedding",
       dim: Int = 64): DataFrame = {
-    val spark = corpus.sparkSession
+    val m = books.map(_._1).max + 1
+    val ksub = books.map(_._2).max + 1
+    val qDf = queryLutDf(corpus.sparkSession, queries, books, idCol, embCol, dim)
+    val codes = pqEncode(corpus, books, idCol, embCol, dim)
+    adcRefineTopK(codes, corpus, qDf, k, refine, m, ksub, idCol, embCol)
+  }
+
+  /** Per-query ADC lookup tables, built DRIVER-side (m×ksub doubles per
+    * query — model-sized): entry (s*ksub + c) = 9dp-snapped L2² between
+    * the query's subvector s and codeword (s, c). Snapping is decimal
+    * HALF_UP like the Spark `round` expression (and DuckDB's round) —
+    * NOT math.rint: LUT entries are re-derived by the q82 oracle, so
+    * driver-side rounding must be in the same parity class as the
+    * engine-side rounds it is compared against. */
+  private def queryLutDf(
+      spark: SparkSession, queries: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])],
+      idCol: String, embCol: String, dim: Int): DataFrame = {
     val m = books.map(_._1).max + 1
     val ksub = books.map(_._2).max + 1
     val dsub = dim / m
-    // driver-side LUT per query: entry (s*ksub + c) = round9(L2²(q_sub_s, cw_{s,c}))
     val byKey = books.map { case (s, c, cw) => ((s, c), cw) }.toMap
     val qRows = queries
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>")).collect()
@@ -183,17 +199,21 @@ object Pq {
           d += diff * diff
           i += 1
         }
-        // decimal HALF_UP like the Spark `round` expression (and DuckDB's
-        // round) — NOT math.rint: LUT entries are re-derived by the q82
-        // oracle, so driver-side rounding must be in the same parity
-        // class as the engine-side rounds it is compared against
         BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
       (r.getLong(0), emb, lut)
     }
     import spark.implicits._
-    val qDf = lutRows.toDF("q_id", "q_emb", "lut")
-    val codes = pqEncode(corpus, books, idCol, embCol, dim)
+    lutRows.toDF("q_id", "q_emb", "lut")
+  }
+
+  /** ADC scoring + refine cut + exact re-rank over a (id, code) frame —
+    * shared by the flat search (pqAdcTopK) and the persisted IVF×PQ index
+    * (pqIvfTopKFromIndex, where `codes` is already partition-pruned to
+    * the probed lists). */
+  private def adcRefineTopK(
+      codes: DataFrame, corpus: DataFrame, qDf: DataFrame, k: Int,
+      refine: Int, m: Int, ksub: Int, idCol: String, embCol: String): DataFrame = {
     // adc = Σ_s lut[s*ksub + byte_s(code)] — m element_at lookups, summed
     // in subspace order (the oracle re-sums the same 9dp-snapped entries)
     val adc = (0 until m).map { s =>
@@ -215,5 +235,79 @@ object Pq {
       .filter(col("__rn") <= k)
       .drop("__rn")
       .orderBy(col("q_id"), col("l2_dist"), col(idCol))
+  }
+
+  /** Persist the IVF×PQ index — the 100 TB ANN layout in full: PQ codes
+    * written PARTITIONED BY the coarse inverted list (`cid`), plus the
+    * centroid and codebook model tables. A query then touches nprobe
+    * partitions of 8-byte codes, and raw vectors only for its refine
+    * survivors. Coarse assignment here is by L2 to the centroid
+    * (9dp-snapped, ties → cid) — self-consistent with the PQ metric; the
+    * centroids come from the same deterministic kmeans training as the
+    * IVF path (which is a partitioner here, not a ranking). */
+  def writePqIvfIndex(
+      corpus: DataFrame, path: String, nlist: Int = 8, iters: Int = 3,
+      m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding", dim: Int = 64,
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = Similarity.kmeansCentroids(
+      corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
+    val books =
+      pqCodebooks(corpus, m, ksub, iters, idCol, embCol, dim, trainCap, corpusRows)
+    val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
+    val wA = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cid"))
+    corpus.select(col(idCol), col(embCol))
+      .join(broadcast(cdf))
+      .withColumn("__d", round(l2Sq(col(embCol), col("centroid")), 9))
+      .withColumn("__rn", row_number().over(wA))
+      .filter(col("__rn") === 1)
+      .select(col("cid"), col(idCol),
+        encodeExpr(col(embCol), books, dim / m).as("code"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    cdf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    spark.createDataFrame(books).toDF("sub", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** ANN over the persisted IVF×PQ index: the nprobe nearest lists per
+    * query come from the (tiny) centroid table driver-side (same L2 rule
+    * as the write-side assignment), the codes scan statically prunes to
+    * those cid partitions, ADC scores the pruned codes, and only refine
+    * survivors touch the raw corpus vectors. With nprobe = nlist this
+    * reproduces pqAdcTopK exactly (PqSpec pins it). */
+  def pqIvfTopKFromIndex(
+      spark: SparkSession, path: String, corpus: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 3, refine: Int = 50,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val books = spark.read.parquet(s"$path/books")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    val m = books.map(_._1).max + 1
+    val ksub = books.map(_._2).max + 1
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val qDf = queryLutDf(spark, queries, books, idCol, embCol, dim)
+    // driver-side probe selection (queries × nlist distances — model-sized)
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>")).collect()
+    val probeCids: Seq[Int] = (for {
+      r <- qRows.toSeq
+      emb = r.getSeq[Double](1)
+      (cid, _) <- centroids.map { case (cid, ctr) =>
+          var d = 0.0
+          var i = 0
+          while (i < math.min(emb.length, ctr.length)) {
+            val diff = emb(i) - ctr(i)
+            d += diff * diff
+            i += 1
+          }
+          (cid, BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.sortBy { case (cid, d) => (d, cid) }.take(nprobe)
+    } yield cid).distinct
+    val codes = spark.read.parquet(s"$path/lists")
+      .filter(col("cid").isin(probeCids: _*))
+      .select(col(idCol), col("code"))
+    adcRefineTopK(codes, corpus, qDf, k, refine, m, ksub, idCol, embCol)
   }
 }

@@ -46,6 +46,29 @@ class PqSpec extends SparkSpec {
     assert(fromTable === books.sortBy(t => (t._1, t._2)))
   }
 
+  test("persisted IVF×PQ index: pruned-scan search; all-lists probe = flat PQ") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqivf-index").toString
+    Pq.writePqIvfIndex(emb, dir, nlist = 8, iters = 3, m = 8, ksub = 16)
+    // probing EVERY list must reproduce the flat (un-partitioned) ADC
+    // search exactly — the partitioning is a pure re-layout of the codes
+    val full = Pq.pqIvfTopKFromIndex(
+        spark, dir, emb, queries, k = 5, nprobe = 8, refine = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val flat = Pq.pqAdcTopK(emb, queries, k = 5, books, refine = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full === flat, s"all-lists probe diverged: ${(full diff flat) ++ (flat diff full)}")
+    // a narrow probe still answers k rows per query off a PRUNED scan
+    val probed = Pq.pqIvfTopKFromIndex(
+      spark, dir, emb, queries, k = 5, nprobe = 3, refine = 50)
+    assert(probed.count() === 15)
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: ["), planStr.take(1500))
+    assert(planStr.contains("cid"), "partition filter should constrain cid")
+    // empty query set returns empty, not an empty-reduce/empty-isin crash
+    assert(Pq.pqIvfTopKFromIndex(
+      spark, dir, emb, queries.limit(0), k = 5, nprobe = 3).count() === 0L)
+  }
+
   test("ADC + refine recall@5 vs exact L2 brute force") {
     val truth = emb.select(col("vec_id"), col("embedding"))
       .join(broadcast(queries.select(col("vec_id").as("q_id"),
