@@ -256,14 +256,16 @@ object Pq {
     val books =
       pqCodebooks(corpus, m, ksub, iters, idCol, embCol, dim, trainCap, corpusRows)
     val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
-    val wA = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cid"))
+    // assignment as a pure expression over the (tiny, literal) centroid
+    // set — first-min over 9dp-snapped L2² ⇒ ties to the smallest cid,
+    // the same rule the probe side applies driver-side. No join, no
+    // window: the whole index write is a zero-shuffle scan→write.
+    val cdists = array(centroids.sortBy(_._1).map { case (_, ctr) =>
+      round(l2Sq(col(embCol), array(ctr.map(lit): _*)), 9)
+    }: _*)
     corpus.select(col(idCol), col(embCol))
-      .join(broadcast(cdf))
-      .withColumn("__d", round(l2Sq(col(embCol), col("centroid")), 9))
-      .withColumn("__rn", row_number().over(wA))
-      .filter(col("__rn") === 1)
-      .select(col("cid"), col(idCol),
-        encodeExpr(col(embCol), books, dim / m).as("code"))
+      .select((array_position(cdists, array_min(cdists)) - 1).cast("int").as("cid"),
+        col(idCol), encodeExpr(col(embCol), books, dim / m).as("code"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
     cdf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     spark.createDataFrame(books).toDF("sub", "code", "codeword")

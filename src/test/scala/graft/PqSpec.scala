@@ -67,6 +67,23 @@ class PqSpec extends SparkSpec {
     // empty query set returns empty, not an empty-reduce/empty-isin crash
     assert(Pq.pqIvfTopKFromIndex(
       spark, dir, emb, queries.limit(0), k = 5, nprobe = 3).count() === 0L)
+    // write-side list assignment agrees with an independent driver-side
+    // recomputation of the nearest centroid (the all-lists parity above
+    // cannot see a wrong assignment — every list is probed there)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val embMap = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def nearest(v: Seq[Double]): Int = centroids.map { case (cid, ctr) =>
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val df = v(i) - ctr(i); d += df * df; i += 1 }
+      (BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+    }.min._2
+    val misassigned = spark.read.parquet(s"$dir/lists")
+      .select(col("vec_id"), col("cid")).collect()
+      .count(r => nearest(embMap(r.getLong(0))) != r.getInt(1))
+    assert(misassigned === 0, s"$misassigned vectors on the wrong list")
   }
 
   test("ADC + refine recall@5 vs exact L2 brute force") {
