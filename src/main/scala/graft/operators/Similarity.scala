@@ -160,9 +160,7 @@ object Similarity {
         .collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     for (_ <- 0 until iters) {
-      val cdf = spark.createDataFrame(
-        centroids.map { case (cid, e) => (cid, e) }).toDF("cid", "centroid")
-      val assigned = assignToCentroids(training, cdf, idCol, embCol)
+      val assigned = assignToCentroids(training, centroids, idCol, embCol)
       val updated: Map[Int, Seq[Double]] = assigned
         .select(col("cid"), posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
@@ -240,15 +238,25 @@ object Similarity {
       .orderBy(xxhash64(col(idCol)), col(idCol), xxhash64(col("e")))
       .limit(k)
 
+  /** Nearest-centroid assignment as a PURE EXPRESSION over the (driver-
+    * resident, model-sized) centroid seq: cid = first index of the max
+    * cosine (ties → smallest cid, the same rule as the window form this
+    * replaces — which broadcast-joined k rows onto every corpus row and
+    * then SHUFFLED the whole frame through a per-id window just to pick
+    * one). Map-only: Lloyd's assignment step and IVF list assignment now
+    * add zero exchanges; the only shuffle left in training is the
+    * map-side-combining update aggregate. Requires cids 0..k-1
+    * (kmeansCentroids constructs exactly that). */
   private def assignToCentroids(
-      corpus: DataFrame, centroids: DataFrame,
+      corpus: DataFrame, centroids: Seq[(Int, Seq[Double])],
       idCol: String, embCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid"))
-    corpus.join(broadcast(centroids))
-      .withColumn("__sim", cosine(col(embCol), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__sim", "__rn", "centroid")
+    require(centroids.map(_._1).sorted == centroids.indices.toSeq,
+      "centroid ids must be contiguous 0..k-1")
+    val sims = array(centroids.sortBy(_._1).map { case (_, ctr) =>
+      cosine(col(embCol), array(ctr.map(lit): _*))
+    }: _*)
+    corpus.withColumn("cid",
+      (array_position(sims, array_max(sims)) - 1).cast("int"))
   }
 
   /** IVF ANN: corpus partitioned into nlist inverted lists by nearest
@@ -264,7 +272,7 @@ object Similarity {
     val centroids =
       kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
     val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
-    val lists = assignToCentroids(corpus, cdf, idCol, embCol)
+    val lists = assignToCentroids(corpus, centroids, idCol, embCol)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cid"))
     val probes = queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
@@ -303,7 +311,7 @@ object Similarity {
     val centroids =
       kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
     val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
-    assignToCentroids(corpus, cdf, idCol, embCol)
+    assignToCentroids(corpus, centroids, idCol, embCol)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
     cdf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -492,7 +500,7 @@ object Similarity {
     val centroids =
       kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
     val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
-    assignToCentroids(corpus, cdf, idCol, embCol)
+    assignToCentroids(corpus, centroids, idCol, embCol)
       .select(col("cid"), col(idCol))
       .join(broadcast(cdf), Seq("cid"))
       .select(col("cid"), col("centroid"), col(idCol))

@@ -114,6 +114,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort"), s"no sort in a map-only export:\n${p.take(800)}")
   }
 
+  test("q79: IVF assignment is a map-only expression — no shuffle exchange") {
+    val p = plan("q79_ivf_index_table")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"centroid assignment must not shuffle the corpus:\n${p.take(1200)}")
+  }
+
   test("PQ encode is map-only — the codebook rides as literals, no join") {
     val emb = Tables(spark, sfDir).embeddings
     val books = graft.operators.Pq.pqCodebooks(emb, m = 8, ksub = 16, iters = 1)
