@@ -387,6 +387,11 @@ object Dedup {
       // Lazy local checkpoint: the explode computes once (first action) and
       // both consumers below read the persisted postings. Construction stays
       // pure — no Spark job runs until the caller acts on the result.
+      // Lifecycle: the checkpointed blocks (MEMORY_AND_DISK, spill-not-OOM)
+      // are released by Spark's ContextCleaner once the result frame is
+      // garbage-collected — there is no earlier explicit release point
+      // because the checkpoint IS part of the returned plan; a long-lived
+      // driver holding many contamination results holds their postings too.
       val exploded =
         (if (hashGrams) raw.select(col(as), xxhash64(col("gram")).as("gram"))
          else raw).localCheckpoint(eager = false)

@@ -95,7 +95,7 @@ object Multimodal {
     * task on one bad blob. */
   def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
     if (!looksDecodableImage(payload)) return None
-    try {
+    val raw: Option[Seq[Float]] = try {
       // explicit memory-cache stream: the InputStream overload defaults to
       // a disk-backed FileCacheImageInputStream (temp file create/delete
       // per blob) even though the bytes are already in memory
@@ -132,12 +132,15 @@ object Multimodal {
       val n = w.toDouble * h
       val meanL = sl / n
       val varL = math.max(0.0, sl2 / n - meanL * meanL)
-      Some(checkedFeatures(
+      Some(Seq(
         w.toFloat, h.toFloat,
         (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
         (sb / n / 255.0).toFloat, (meanL / 255.0).toFloat,
         (math.sqrt(varL) / 255.0).toFloat, (w.toDouble / h).toFloat))
     } catch { case scala.util.control.NonFatal(_) => None }
+    // the dimension check runs OUTSIDE the bad-bytes catch — a FeatureDim
+    // drift must fail fast, not be swallowed into a silent stub fallback
+    raw.map(fs => checkedFeatures(fs: _*))
   }
 
   /** Every real-decode path builds its vector through this, so a
@@ -170,7 +173,7 @@ object Multimodal {
     * task on one bad blob. */
   def decodeAudio(payload: Array[Byte]): Option[Array[Float]] = {
     if (!looksDecodableAudio(payload)) return None
-    try {
+    val raw: Option[Seq[Float]] = try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -220,7 +223,7 @@ object Multimodal {
           f += 1
         }
         val n = nFrames.toDouble
-        Some(checkedFeatures(
+        Some(Seq(
           fmt.getSampleRate, ch.toFloat,
           (n / fmt.getFrameRate).toFloat,
           math.sqrt(sum2 / n).toFloat, peak.toFloat,
@@ -228,6 +231,8 @@ object Multimodal {
           (sum / n).toFloat, bits.toFloat))
       } finally scala.util.Try(in.close())
     } catch { case scala.util.control.NonFatal(_) => None }
+    // dimension check OUTSIDE the bad-bytes catch (see decodeImage)
+    raw.map(fs => checkedFeatures(fs: _*))
   }
 
   /** The pipeline's decode: real pixel/waveform features when an in-JDK

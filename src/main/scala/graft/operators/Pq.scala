@@ -166,53 +166,68 @@ object Pq {
       dim: Int = 64): DataFrame = {
     val m = books.map(_._1).max + 1
     val ksub = books.map(_._2).max + 1
-    val qDf = queryLutDf(corpus.sparkSession, queries, books, idCol, embCol, dim)
-    val codes = pqEncode(corpus, books, idCol, embCol, dim)
-    adcRefineTopK(codes, corpus, qDf, k, refine, m, ksub, idCol, embCol)
+    val qDf = queryLutDf(corpus.sparkSession,
+      collectQueries(queries, idCol, embCol), books, dim)
+    val paired = pqEncode(corpus, books, idCol, embCol, dim)
+      .join(broadcast(qDf), col(idCol) =!= col("q_id"))
+    adcRefineTopK(paired, corpus, k, refine, m, ksub, idCol, embCol)
   }
 
-  /** Per-query ADC lookup tables, built DRIVER-side (m×ksub doubles per
-    * query — model-sized): entry (s*ksub + c) = 9dp-snapped L2² between
-    * the query's subvector s and codeword (s, c). Snapping is decimal
-    * HALF_UP like the Spark `round` expression (and DuckDB's round) —
-    * NOT math.rint: LUT entries are re-derived by the q82 oracle, so
-    * driver-side rounding must be in the same parity class as the
-    * engine-side rounds it is compared against. */
+  /** The (id, embedding) query rows, collected ONCE per search — the
+    * query set is model-sized by contract (same as the LSH/IVF index
+    * probes), so driver-side LUT/probe math on it is free. */
+  private def collectQueries(
+      queries: DataFrame, idCol: String, embCol: String): Seq[(Long, Seq[Double])] =
+    queries.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** 9dp-snapped L2² between a[aOff, aOff+n) and b[0, n) — the ONE
+    * driver-side distance used for both LUT entries and probe selection,
+    * so the two can never desynchronize. Snapping is decimal HALF_UP like
+    * the Spark `round` expression (and DuckDB's round) — NOT math.rint:
+    * these values are re-derived by the q82 oracle, so driver-side
+    * rounding must sit in the same parity class as the engine-side
+    * rounds it is compared against. A length mismatch throws instead of
+    * silently truncating the distance. */
+  private def snappedL2(a: Seq[Double], b: Seq[Double], aOff: Int, n: Int): Double = {
+    require(aOff + n <= a.length && b.length == n,
+      s"dimension mismatch: |a|=${a.length} offset=$aOff n=$n |b|=${b.length}")
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val diff = a(aOff + i) - b(i)
+      d += diff * diff
+      i += 1
+    }
+    BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Per-query ADC lookup tables (m×ksub doubles per query —
+    * model-sized): entry (s*ksub + c) = snappedL2 between the query's
+    * subvector s and codeword (s, c). */
   private def queryLutDf(
-      spark: SparkSession, queries: DataFrame,
-      books: Seq[(Int, Int, Seq[Double])],
-      idCol: String, embCol: String, dim: Int): DataFrame = {
+      spark: SparkSession, qRows: Seq[(Long, Seq[Double])],
+      books: Seq[(Int, Int, Seq[Double])], dim: Int): DataFrame = {
     val m = books.map(_._1).max + 1
     val ksub = books.map(_._2).max + 1
     val dsub = dim / m
     val byKey = books.map { case (s, c, cw) => ((s, c), cw) }.toMap
-    val qRows = queries
-      .select(col(idCol).cast("long"), col(embCol).cast("array<double>")).collect()
-    val lutRows: Seq[(Long, Seq[Double], Seq[Double])] = qRows.toSeq.map { r =>
-      val emb = r.getSeq[Double](1)
-      val lut = for (s <- 0 until m; c <- 0 until ksub) yield {
-        val cw = byKey((s, c))
-        var d = 0.0
-        var i = 0
-        while (i < dsub) {
-          val diff = emb(s * dsub + i) - cw(i)
-          d += diff * diff
-          i += 1
-        }
-        BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      }
-      (r.getLong(0), emb, lut)
+    val lutRows: Seq[(Long, Seq[Double], Seq[Double])] = qRows.map { case (qid, emb) =>
+      val lut = for (s <- 0 until m; c <- 0 until ksub)
+        yield snappedL2(emb, byKey((s, c)), s * dsub, dsub)
+      (qid, emb, lut)
     }
     import spark.implicits._
     lutRows.toDF("q_id", "q_emb", "lut")
   }
 
-  /** ADC scoring + refine cut + exact re-rank over a (id, code) frame —
-    * shared by the flat search (pqAdcTopK) and the persisted IVF×PQ index
-    * (pqIvfTopKFromIndex, where `codes` is already partition-pruned to
-    * the probed lists). */
+  /** ADC scoring + refine cut + exact re-rank over an already-paired
+    * (q_id, id, code, q_emb, lut) frame — shared by the flat search
+    * (every query × every code) and the persisted IVF×PQ index (each
+    * query × ONLY its probed lists; the pairing is where per-query
+    * nprobe semantics live, so it stays with the caller). */
   private def adcRefineTopK(
-      codes: DataFrame, corpus: DataFrame, qDf: DataFrame, k: Int,
+      paired: DataFrame, corpus: DataFrame, k: Int,
       refine: Int, m: Int, ksub: Int, idCol: String, embCol: String): DataFrame = {
     // adc = Σ_s lut[s*ksub + byte_s(code)] — m element_at lookups, summed
     // in subspace order (the oracle re-sums the same 9dp-snapped entries)
@@ -221,7 +236,7 @@ object Pq {
       element_at(col("lut"), lit(s * ksub) + byte + lit(1))
     }.reduce(_ + _)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col(idCol))
-    val cands = codes.join(broadcast(qDf), col(idCol) =!= col("q_id"))
+    val cands = paired
       .withColumn("__adc", round(adc, 9))
       .withColumn("__rn", row_number().over(wAdc))
       .filter(col("__rn") <= refine)
@@ -273,11 +288,15 @@ object Pq {
   }
 
   /** ANN over the persisted IVF×PQ index: the nprobe nearest lists per
-    * query come from the (tiny) centroid table driver-side (same L2 rule
-    * as the write-side assignment), the codes scan statically prunes to
-    * those cid partitions, ADC scores the pruned codes, and only refine
-    * survivors touch the raw corpus vectors. With nprobe = nlist this
-    * reproduces pqAdcTopK exactly (PqSpec pins it). */
+    * query come from the (tiny) centroid table driver-side (same
+    * snappedL2 rule as the write-side assignment), the codes scan
+    * statically prunes to the union of probed cid partitions, and each
+    * query is then paired with ONLY its own probed lists (an equi-join
+    * on the (q_id, cid) probe pairs — a query's candidates, and thus its
+    * result, never depend on what else is in the batch). ADC scores the
+    * paired codes; only refine survivors touch the raw corpus vectors.
+    * With nprobe = nlist this reproduces pqAdcTopK exactly (PqSpec pins
+    * it). */
   def pqIvfTopKFromIndex(
       spark: SparkSession, path: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 3, refine: Int = 50,
@@ -289,27 +308,25 @@ object Pq {
     val ksub = books.map(_._2).max + 1
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-    val qDf = queryLutDf(spark, queries, books, idCol, embCol, dim)
+    val qRows = collectQueries(queries, idCol, embCol)
+    val qDf = queryLutDf(spark, qRows, books, dim)
     // driver-side probe selection (queries × nlist distances — model-sized)
-    val qRows = queries
-      .select(col(idCol).cast("long"), col(embCol).cast("array<double>")).collect()
-    val probeCids: Seq[Int] = (for {
-      r <- qRows.toSeq
-      emb = r.getSeq[Double](1)
-      (cid, _) <- centroids.map { case (cid, ctr) =>
-          var d = 0.0
-          var i = 0
-          while (i < math.min(emb.length, ctr.length)) {
-            val diff = emb(i) - ctr(i)
-            d += diff * diff
-            i += 1
-          }
-          (cid, BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }.sortBy { case (cid, d) => (d, cid) }.take(nprobe)
-    } yield cid).distinct
+    val probePairs: Seq[(Long, Int)] = for {
+      (qid, emb) <- qRows
+      cid <- centroids
+        .map { case (cid, ctr) => (snappedL2(emb, ctr, 0, ctr.length), cid) }
+        .sorted.take(nprobe).map(_._2)
+    } yield (qid, cid)
+    import spark.implicits._
+    val probeDf = probePairs.toDF("q_id", "cid")
     val codes = spark.read.parquet(s"$path/lists")
-      .filter(col("cid").isin(probeCids: _*))
-      .select(col(idCol), col("code"))
-    adcRefineTopK(codes, corpus, qDf, k, refine, m, ksub, idCol, embCol)
+      .filter(col("cid").isin(probePairs.map(_._2).distinct: _*))
+      .select(col("cid"), col(idCol), col("code"))
+    val paired = codes
+      .join(broadcast(probeDf), Seq("cid"))
+      .join(broadcast(qDf), Seq("q_id"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol), col("code"), col("q_emb"), col("lut"))
+    adcRefineTopK(paired, corpus, k, refine, m, ksub, idCol, embCol)
   }
 }

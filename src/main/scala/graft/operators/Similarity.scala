@@ -26,6 +26,13 @@ object Similarity {
     Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** THE multi-table plane derivation (table t seeds at 42L + t) — the
+    * single definition shared by lshTopK, writeLshIndex, lshTopKFromIndex,
+    * and lshBucketTable, so a seed-formula change cannot silently
+    * desynchronize the q48 fixture from the operator it oracles. */
+  private def tablePlaneSets(nbits: Int, tables: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+
   /** Snap a Lloyd-averaged centroid element to 9 decimal places. The avg
     * merges per-partition partial sums in shuffle-fetch order, and double
     * addition is not associative — two runs over the same corpus can
@@ -77,7 +84,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int, nbits: Int = 8,
       tables: Int = 4, idCol: String = "vec_id", embCol: String = "embedding",
       dim: Int = 64): DataFrame = {
-    val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+    val planeSets = tablePlaneSets(nbits, tables, dim)
     // single scan: emit (table, signature[, probes]) pairs with ONE
     // posexplode instead of a per-table union (the union re-planned the
     // corpus scan `tables` times — 4x the input work)
@@ -255,8 +262,12 @@ object Similarity {
     val sims = array(centroids.sortBy(_._1).map { case (_, ctr) =>
       cosine(col(embCol), array(ctr.map(lit): _*))
     }: _*)
+    // a null embedding yields null sims — coalesce to list 0, the same
+    // deterministic bucket the window form gave it (all-null __sim sorted
+    // nulls-last, ties to the smallest cid), so rows never vanish through
+    // downstream cid joins
     corpus.withColumn("cid",
-      (array_position(sims, array_max(sims)) - 1).cast("int"))
+      coalesce((array_position(sims, array_max(sims)) - 1).cast("int"), lit(0)))
   }
 
   /** IVF ANN: corpus partitioned into nlist inverted lists by nearest
@@ -396,7 +407,7 @@ object Similarity {
       corpus: DataFrame, path: String, nbits: Int = 8, tables: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding",
       dim: Int = 64): Unit = {
-    val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+    val planeSets = tablePlaneSets(nbits, tables, dim)
     val entries = planeSets.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("tbl"), lshSignature(col(embCol), planes).as("sig"))
     }
@@ -426,7 +437,7 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding",
       dim: Int = 64): DataFrame = {
     import spark.implicits._
-    val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+    val planeSets = tablePlaneSets(nbits, tables, dim)
     val qRows = queries
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>")).collect()
     val probeRows: Seq[(Long, Int, Int, Seq[Double])] = (for {
@@ -474,7 +485,7 @@ object Similarity {
       corpus: DataFrame, nbits: Int = 8, tables: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding",
       dim: Int = 64): DataFrame = {
-    val planeSets = (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
+    val planeSets = tablePlaneSets(nbits, tables, dim)
     val entries = planeSets.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("tbl"), lshSignature(col(embCol), planes).as("sig"))
     }

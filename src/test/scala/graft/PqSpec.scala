@@ -61,6 +61,14 @@ class PqSpec extends SparkSpec {
     val probed = Pq.pqIvfTopKFromIndex(
       spark, dir, emb, queries, k = 5, nprobe = 3, refine = 50)
     assert(probed.count() === 15)
+    // per-query nprobe semantics: a query scores ONLY its own probed
+    // lists, so its result cannot depend on what else is in the batch
+    val alone = Pq.pqIvfTopKFromIndex(
+        spark, dir, emb, emb.filter(col("vec_id") === 0L), k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inBatch = probed.collect().filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(alone === inBatch, "batch membership changed a query's result")
     val planStr = probed.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters: ["), planStr.take(1500))
     assert(planStr.contains("cid"), "partition filter should constrain cid")
