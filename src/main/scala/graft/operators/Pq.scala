@@ -202,23 +202,26 @@ object Pq {
     BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
-  /** Per-query ADC lookup tables (m×ksub doubles per query —
-    * model-sized): entry (s*ksub + c) = snappedL2 between the query's
-    * subvector s and codeword (s, c). */
-  private def queryLutDf(
-      spark: SparkSession, qRows: Seq[(Long, Seq[Double])],
-      books: Seq[(Int, Int, Seq[Double])], dim: Int): DataFrame = {
+  /** One ADC lookup table (m×ksub doubles): entry (s*ksub + c) =
+    * snappedL2 between `vec`'s subvector s and codeword (s, c). */
+  private def lutOf(
+      vec: Seq[Double], books: Seq[(Int, Int, Seq[Double])],
+      dim: Int): Seq[Double] = {
     val m = books.map(_._1).max + 1
     val ksub = books.map(_._2).max + 1
     val dsub = dim / m
     val byKey = books.map { case (s, c, cw) => ((s, c), cw) }.toMap
-    val lutRows: Seq[(Long, Seq[Double], Seq[Double])] = qRows.map { case (qid, emb) =>
-      val lut = for (s <- 0 until m; c <- 0 until ksub)
-        yield snappedL2(emb, byKey((s, c)), s * dsub, dsub)
-      (qid, emb, lut)
-    }
+    for (s <- 0 until m; c <- 0 until ksub)
+      yield snappedL2(vec, byKey((s, c)), s * dsub, dsub)
+  }
+
+  /** Per-query ADC lookup tables, model-sized. */
+  private def queryLutDf(
+      spark: SparkSession, qRows: Seq[(Long, Seq[Double])],
+      books: Seq[(Int, Int, Seq[Double])], dim: Int): DataFrame = {
     import spark.implicits._
-    lutRows.toDF("q_id", "q_emb", "lut")
+    qRows.map { case (qid, emb) => (qid, emb, lutOf(emb, books, dim)) }
+      .toDF("q_id", "q_emb", "lut")
   }
 
   /** ADC scoring + refine cut + exact re-rank over an already-paired
@@ -252,37 +255,71 @@ object Pq {
       .orderBy(col("q_id"), col("l2_dist"), col(idCol))
   }
 
+  /** Zero-shuffle list-assignment expression: first-min over 9dp-snapped
+    * L2² against the (tiny, literal) centroid set ⇒ ties to the smallest
+    * cid — the same rule the probe side applies driver-side. */
+  private def assignCidExpr(
+      embCol: String, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val cdists = array(centroids.sortBy(_._1).map { case (_, ctr) =>
+      round(l2Sq(col(embCol), array(ctr.map(lit): _*)), 9)
+    }: _*)
+    (array_position(cdists, array_min(cdists)) - 1).cast("int")
+  }
+
+  /** Residual of a vector against its assigned centroid, as a pure
+    * column over the literal (nlist × dim) centroid matrix. */
+  private def residualExpr(
+      embCol: String, cidCol: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val matrix = array(centroids.sortBy(_._1).map { case (_, ctr) =>
+      array(ctr.map(lit): _*)
+    }: _*)
+    zip_with(col(embCol).cast("array<double>"),
+      element_at(matrix, cidCol + 1), (x, c) => x - c)
+  }
+
   /** Persist the IVF×PQ index — the 100 TB ANN layout in full: PQ codes
     * written PARTITIONED BY the coarse inverted list (`cid`), plus the
     * centroid and codebook model tables. A query then touches nprobe
     * partitions of 8-byte codes, and raw vectors only for its refine
-    * survivors. Coarse assignment here is by L2 to the centroid
-    * (9dp-snapped, ties → cid) — self-consistent with the PQ metric; the
-    * centroids come from the same deterministic kmeans training as the
-    * IVF path (which is a partitioner here, not a ranking). */
+    * survivors. Coarse assignment is by L2 to the centroid (9dp-snapped,
+    * ties → cid) — self-consistent with the PQ metric; the centroids
+    * come from the same deterministic kmeans training as the IVF path
+    * (which is a partitioner here, not a ranking). Assignment and encode
+    * are pure expressions, so the whole write is a zero-shuffle
+    * scan→write (plus the training passes).
+    *
+    * `residual = true` is the FAISS-style refinement: the codebooks are
+    * trained on, and the codes encode, r = v − centroid(v) instead of v
+    * itself. Residuals are smaller in norm than raw vectors, so the same
+    * ksub codewords quantize them with less error — better ADC fidelity
+    * at the identical 8-byte code size. The search side must be called
+    * with the same flag (its LUTs are then built per (query, probed
+    * list) against the query's OWN residual to that centroid). */
   def writePqIvfIndex(
       corpus: DataFrame, path: String, nlist: Int = 8, iters: Int = 3,
       m: Int = 8, ksub: Int = 16,
       idCol: String = "vec_id", embCol: String = "embedding", dim: Int = 64,
-      trainCap: Long = 65536L, corpusRows: Option[Long] = None): Unit = {
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None,
+      residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val centroids = Similarity.kmeansCentroids(
       corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
+    val withCid = corpus.select(col(idCol), col(embCol))
+      .withColumn("cid", assignCidExpr(embCol, centroids))
+    // the PQ training/encode vector: the raw embedding, or its residual
+    // to the assigned centroid (note: training then samples the RESIDUAL
+    // frame, so the codebooks model exactly what the codes will encode)
+    val pqv =
+      if (residual) residualExpr(embCol, col("cid"), centroids) else col(embCol)
+    val frame = withCid.withColumn("__pqv", pqv)
     val books =
-      pqCodebooks(corpus, m, ksub, iters, idCol, embCol, dim, trainCap, corpusRows)
-    val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
-    // assignment as a pure expression over the (tiny, literal) centroid
-    // set — first-min over 9dp-snapped L2² ⇒ ties to the smallest cid,
-    // the same rule the probe side applies driver-side. No join, no
-    // window: the whole index write is a zero-shuffle scan→write.
-    val cdists = array(centroids.sortBy(_._1).map { case (_, ctr) =>
-      round(l2Sq(col(embCol), array(ctr.map(lit): _*)), 9)
-    }: _*)
-    corpus.select(col(idCol), col(embCol))
-      .select((array_position(cdists, array_min(cdists)) - 1).cast("int").as("cid"),
-        col(idCol), encodeExpr(col(embCol), books, dim / m).as("code"))
+      pqCodebooks(frame, m, ksub, iters, idCol, "__pqv", dim, trainCap, corpusRows)
+    frame
+      .select(col("cid"), col(idCol),
+        encodeExpr(col("__pqv"), books, dim / m).as("code"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
-    cdf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    spark.createDataFrame(centroids).toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     spark.createDataFrame(books).toDF("sub", "code", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
   }
@@ -301,7 +338,7 @@ object Pq {
       spark: SparkSession, path: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 3, refine: Int = 50,
       idCol: String = "vec_id", embCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, residual: Boolean = false): DataFrame = {
     val books = spark.read.parquet(s"$path/books")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
     val m = books.map(_._1).max + 1
@@ -309,22 +346,36 @@ object Pq {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     val qRows = collectQueries(queries, idCol, embCol)
-    val qDf = queryLutDf(spark, qRows, books, dim)
     // driver-side probe selection (queries × nlist distances — model-sized)
-    val probePairs: Seq[(Long, Int)] = for {
-      (qid, emb) <- qRows
-      cid <- centroids
-        .map { case (cid, ctr) => (snappedL2(emb, ctr, 0, ctr.length), cid) }
-        .sorted.take(nprobe).map(_._2)
-    } yield (qid, cid)
+    val probes: Seq[(Long, Seq[Double], Seq[(Int, Seq[Double])])] =
+      qRows.map { case (qid, emb) =>
+        val picked = centroids
+          .map { case (cid, ctr) => (snappedL2(emb, ctr, 0, ctr.length), cid, ctr) }
+          .sortBy(t => (t._1, t._2)).take(nprobe)
+        (qid, emb, picked.map(t => (t._2, t._3)))
+      }
     import spark.implicits._
-    val probeDf = probePairs.toDF("q_id", "cid")
+    // per-(query, list) pairing; in residual mode each pair carries its
+    // OWN lut, built against the query's residual to THAT list's centroid
+    // (the codes encode corpus residuals, so ADC must compare residual to
+    // residual); in absolute mode every pair of a query shares one lut
+    lazy val sharedLut: Map[Long, Seq[Double]] =
+      qRows.map { case (qid, emb) => qid -> lutOf(emb, books, dim) }.toMap
+    val pairRows: Seq[(Long, Int, Seq[Double], Seq[Double])] = for {
+      (qid, emb, picked) <- probes
+      (cid, ctr) <- picked
+    } yield {
+      val lut =
+        if (residual) lutOf(emb.indices.map(i => emb(i) - ctr(i)), books, dim)
+        else sharedLut(qid)
+      (qid, cid, emb, lut)
+    }
+    val probeDf = pairRows.toDF("q_id", "cid", "q_emb", "lut")
     val codes = spark.read.parquet(s"$path/lists")
-      .filter(col("cid").isin(probePairs.map(_._2).distinct: _*))
+      .filter(col("cid").isin(pairRows.map(_._2).distinct: _*))
       .select(col("cid"), col(idCol), col("code"))
     val paired = codes
       .join(broadcast(probeDf), Seq("cid"))
-      .join(broadcast(qDf), Seq("q_id"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol), col("code"), col("q_emb"), col("lut"))
     adcRefineTopK(paired, corpus, k, refine, m, ksub, idCol, embCol)

@@ -94,6 +94,39 @@ class PqSpec extends SparkSpec {
     assert(misassigned === 0, s"$misassigned vectors on the wrong list")
   }
 
+  test("residual IVF×PQ index: per-list residual LUTs, recall at least matches absolute") {
+    def truthTopK: Set[(Long, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+        .orderBy(col("d"), col("vec_id"))
+      emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(queries.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"))), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(l2Dist(col("embedding"), col("q_emb")), 4).as("d"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val truth = truthTopK
+    def recallOf(dir: String, res: Boolean): Double = {
+      val got = Pq.pqIvfTopKFromIndex(
+          spark, dir, emb, queries, k = 5, nprobe = 3, refine = 50, residual = res)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.size === 15)
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val dirAbs = java.nio.file.Files.createTempDirectory("graft-pqivf-abs").toString
+    val dirRes = java.nio.file.Files.createTempDirectory("graft-pqivf-res").toString
+    Pq.writePqIvfIndex(emb, dirAbs, nlist = 8, iters = 3, m = 8, ksub = 16)
+    Pq.writePqIvfIndex(emb, dirRes, nlist = 8, iters = 3, m = 8, ksub = 16,
+      residual = true)
+    val (rAbs, rRes) = (recallOf(dirAbs, res = false), recallOf(dirRes, res = true))
+    // residual codes quantize smaller-norm vectors with the same ksub
+    // codewords — fidelity must not DROP vs absolute encoding at the
+    // same probe/refine budget (typically it rises)
+    assert(rRes >= rAbs - 1e-9, s"residual recall $rRes < absolute $rAbs")
+    assert(rRes >= 0.4, s"residual recall too low: $rRes")
+  }
+
   test("ADC + refine recall@5 vs exact L2 brute force") {
     val truth = emb.select(col("vec_id"), col("embedding"))
       .join(broadcast(queries.select(col("vec_id").as("q_id"),
