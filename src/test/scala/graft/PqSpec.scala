@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Pq
+import graft.operators.{Pq, Similarity}
 import graft.functions.VectorFunctions._
 
 class PqSpec extends SparkSpec {
@@ -125,6 +125,29 @@ class PqSpec extends SparkSpec {
     // same probe/refine budget (typically it rises)
     assert(rRes >= rAbs - 1e-9, s"residual recall $rRes < absolute $rAbs")
     assert(rRes >= 0.4, s"residual recall too low: $rRes")
+  }
+
+  test("degenerate corpora: identical and all-zero vectors still train, encode, search") {
+    import spark.implicits._
+    // identical embeddings: every seed ties, codewords collapse, encode
+    // must still emit a valid code and search must still answer k rows
+    val same = (1L to 40L).map(i => (i, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val sameBooks = Pq.pqCodebooks(same, m = 8, ksub = 4, iters = 2)
+    val sameCodes = Pq.pqEncode(same, sameBooks).collect()
+    assert(sameCodes.length === 40)
+    assert(sameCodes.map(_.getLong(1)).distinct.length === 1, "identical vectors, one code")
+    val sameTop = Pq.pqAdcTopK(same, same.filter(col("vec_id") === 1L),
+      k = 3, sameBooks, refine = 10)
+    assert(sameTop.collect().map(_.getLong(1)).toSeq === Seq(2L, 3L, 4L),
+      "ADC ties must break by vec_id")
+    // all-zero vectors: cosine is NaN for the kmeans path — assignment
+    // must still produce a non-negative cid for every row, never -1/null
+    val zeros = (1L to 20L).map(i => (i, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val zTop = Similarity.ivfTopK(zeros, zeros.filter(col("vec_id") === 1L),
+      k = 2, nlist = 4, nprobe = 2, iters = 1)
+    assert(zTop.count() === 2, "zero vectors must still be indexed and found")
+    val zBooks = Pq.pqCodebooks(zeros, m = 8, ksub = 4, iters = 1)
+    assert(Pq.pqEncode(zeros, zBooks).filter(col("code") < 0).count() === 0)
   }
 
   test("ADC + refine recall@5 vs exact L2 brute force") {
