@@ -507,14 +507,17 @@ object Similarity {
       corpus: DataFrame, nlist: Int = 8, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
       trainCap: Long = 65536L, corpusRows: Option[Long] = None): DataFrame = {
-    val spark = corpus.sparkSession
     val centroids =
       kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
-    val cdf = spark.createDataFrame(centroids).toDF("cid", "centroid")
+    // centroid attached via element_at over the literal (nlist × dim)
+    // matrix — like the assignment itself, a pure expression: the whole
+    // export plans as one map-only scan (no broadcast join, no exchange)
+    val matrix = array(centroids.sortBy(_._1).map { case (_, ctr) =>
+      array(ctr.map(lit): _*)
+    }: _*)
     assignToCentroids(corpus, centroids, idCol, embCol)
-      .select(col("cid"), col(idCol))
-      .join(broadcast(cdf), Seq("cid"))
-      .select(col("cid"), col("centroid"), col(idCol))
+      .select(col("cid"),
+        element_at(matrix, col("cid") + 1).as("centroid"), col(idCol))
   }
 
   /** Embedding-cosine near-dup dedup survivorship (greedy keep-min-id, the

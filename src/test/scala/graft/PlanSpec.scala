@@ -114,10 +114,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort"), s"no sort in a map-only export:\n${p.take(800)}")
   }
 
-  test("q79: IVF assignment is a map-only expression — no shuffle exchange") {
+  test("q79: IVF index export is one map-only scan — no exchange of any kind") {
     val p = plan("q79_ivf_index_table")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"centroid assignment must not shuffle the corpus:\n${p.take(1200)}")
+    assert(!p.contains("Exchange"),
+      s"assignment and centroid attach must both be pure expressions:\n${p.take(1200)}")
+    assert(!p.contains("Join"), s"no join in the export plan:\n${p.take(1200)}")
   }
 
   test("PQ encode is map-only — the codebook rides as literals, no join") {
