@@ -199,7 +199,10 @@ object Pq {
       d += diff * diff
       i += 1
     }
-    BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // non-finite guard matches Catalyst Round (Scala BigDecimal throws on
+    // NaN/Infinity) — a NaN query element degrades ranking, not the job
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   /** One ADC lookup table (m×ksub doubles): entry (s*ksub + c) =

@@ -171,8 +171,13 @@ object NativeExprKernels {
           d += diff * diff
           i += 1
         }
-        val snapped = java.math.BigDecimal.valueOf(d)
-          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        // non-finite guard matches Catalyst Round (BigDecimal.valueOf
+        // throws on NaN/Infinity; Catalyst passes them through) — a NaN
+        // distance then never wins the strict < and the code stays valid
+        val snapped =
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
         if (snapped < bestD) { bestD = snapped; best = c }
         c += 1
       }

@@ -148,6 +148,19 @@ class PqSpec extends SparkSpec {
     assert(zTop.count() === 2, "zero vectors must still be indexed and found")
     val zBooks = Pq.pqCodebooks(zeros, m = 8, ksub = 4, iters = 1)
     assert(Pq.pqEncode(zeros, zBooks).filter(col("code") < 0).count() === 0)
+    // NaN elements: encode must not throw (BigDecimal.valueOf rejects
+    // non-finite — the kernel guards like Catalyst Round) and must stay
+    // bit-identical to the composed form
+    val nans = Seq((1L, Seq.fill(64)(Float.NaN)), (2L, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val nanRows = nans.select(
+        Pq.encodeExpr(col("embedding"), sameBooks, dsub = 8).as("native"),
+        Pq.encodeExprViaColumns(col("embedding"), sameBooks, dsub = 8).as("composed"))
+      .collect()
+    nanRows.foreach { r =>
+      assert(!r.isNullAt(0) && r.getLong(0) >= 0L, s"native NaN encode invalid: $r")
+      assert(r.getLong(0) === r.getLong(1), s"NaN parity broke: $r")
+    }
   }
 
   test("ADC + refine recall@5 vs exact L2 brute force") {
