@@ -53,7 +53,10 @@ object Pq {
     require(m <= 8, s"m=$m code bytes exceed one BIGINT")
     val dsub = dim / m
     val spark = corpus.sparkSession
+    // null embeddings carry no geometry — excluded from training (same
+    // rule as kmeansCentroids); encode still emits them with a null code
     val slim = corpus.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
     val training = Similarity.boundedTrainingSample(
       slim, idCol, trainCap, 4L * ksub, corpusRows)
     // one explode → (id, sub, subvec); reused by every Lloyd pass
@@ -266,7 +269,11 @@ object Pq {
     val cdists = array(centroids.sortBy(_._1).map { case (_, ctr) =>
       round(l2Sq(col(embCol), array(ctr.map(lit): _*)), 9)
     }: _*)
-    (array_position(cdists, array_min(cdists)) - 1).cast("int")
+    // null embeddings land on list 0 (same convention as the IVF path's
+    // assignToCentroids) rather than the invisible default partition;
+    // their code is null and a null ADC distance sorts last, so they are
+    // carried but never surface as candidates
+    coalesce((array_position(cdists, array_min(cdists)) - 1).cast("int"), lit(0))
   }
 
   /** Residual of a vector against its assigned centroid, as a pure

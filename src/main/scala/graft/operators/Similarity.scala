@@ -159,7 +159,11 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding",
       trainCap: Long = 65536L, corpusRows: Option[Long] = None): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
+    // null embeddings carry no geometry: they must not seed or pull a
+    // centroid (a null seed NPEs the Lloyd broadcast); assignment still
+    // gives such rows list 0 downstream (assignToCentroids' coalesce)
     val slim = corpus.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
     val training =
       boundedTrainingSample(slim, idCol, trainCap, 4L * k, corpusRows)
     var centroids: Seq[(Int, Seq[Double])] =

@@ -161,6 +161,17 @@ class PqSpec extends SparkSpec {
       assert(!r.isNullAt(0) && r.getLong(0) >= 0L, s"native NaN encode invalid: $r")
       assert(r.getLong(0) === r.getLong(1), s"NaN parity broke: $r")
     }
+    // a null embedding must land on list 0 of the written index (not the
+    // invisible default partition) with a null code that never surfaces
+    val withNull = Seq((1L, Option(Seq.fill(64)(0.5f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val nd = java.nio.file.Files.createTempDirectory("graft-pq-null").toString
+    Pq.writePqIvfIndex(withNull, nd, nlist = 2, iters = 1, m = 8, ksub = 2)
+    val listed = spark.read.parquet(s"$nd/lists")
+      .select(col("vec_id"), col("cid"), col("code")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.isNullAt(2))).toMap
+    assert(listed.keySet === Set(1L, 2L), "every row, null embedding included, is listed")
+    assert(listed(2L) === ((0, true)), "null embedding: list 0, null code")
   }
 
   test("ADC + refine recall@5 vs exact L2 brute force") {
