@@ -178,10 +178,13 @@ object Pq {
 
   /** The (id, embedding) query rows, collected ONCE per search — the
     * query set is model-sized by contract (same as the LSH/IVF index
-    * probes), so driver-side LUT/probe math on it is free. */
+    * probes), so driver-side LUT/probe math on it is free. Null-embedding
+    * queries are dropped (nothing to search with — they return no rows
+    * rather than NPE-ing the LUT build for the whole batch). */
   private def collectQueries(
       queries: DataFrame, idCol: String, embCol: String): Seq[(Long, Seq[Double])] =
     queries.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .filter(col(embCol).isNotNull)
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
 
   /** 9dp-snapped L2² between a[aOff, aOff+n) and b[0, n) — the ONE
@@ -208,17 +211,19 @@ object Pq {
     else BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
-  /** One ADC lookup table (m×ksub doubles): entry (s*ksub + c) =
-    * snappedL2 between `vec`'s subvector s and codeword (s, c). */
-  private def lutOf(
-      vec: Seq[Double], books: Seq[(Int, Int, Seq[Double])],
-      dim: Int): Seq[Double] = {
-    val m = books.map(_._1).max + 1
-    val ksub = books.map(_._2).max + 1
-    val dsub = dim / m
-    val byKey = books.map { case (s, c, cw) => ((s, c), cw) }.toMap
-    for (s <- 0 until m; c <- 0 until ksub)
-      yield snappedL2(vec, byKey((s, c)), s * dsub, dsub)
+  /** ADC lookup-table factory: resolves the codebook geometry ONCE per
+    * search, then builds each table (entry (s*ksub + c) = snappedL2
+    * between the vector's subvector s and codeword (s, c)) without
+    * re-deriving m/ksub or rebuilding the codeword map per call — the
+    * residual path calls this once per (query, probed list). */
+  private final class LutBuilder(books: Seq[(Int, Int, Seq[Double])], dim: Int) {
+    val m: Int = books.map(_._1).max + 1
+    val ksub: Int = books.map(_._2).max + 1
+    private val dsub = dim / m
+    private val byKey = books.map { case (s, c, cw) => ((s, c), cw) }.toMap
+    def apply(vec: Seq[Double]): Seq[Double] =
+      for (s <- 0 until m; c <- 0 until ksub)
+        yield snappedL2(vec, byKey((s, c)), s * dsub, dsub)
   }
 
   /** Per-query ADC lookup tables, model-sized. */
@@ -226,7 +231,8 @@ object Pq {
       spark: SparkSession, qRows: Seq[(Long, Seq[Double])],
       books: Seq[(Int, Int, Seq[Double])], dim: Int): DataFrame = {
     import spark.implicits._
-    qRows.map { case (qid, emb) => (qid, emb, lutOf(emb, books, dim)) }
+    val lut = new LutBuilder(books, dim)
+    qRows.map { case (qid, emb) => (qid, emb, lut(emb)) }
       .toDF("q_id", "q_emb", "lut")
   }
 
@@ -239,26 +245,33 @@ object Pq {
       paired: DataFrame, corpus: DataFrame, k: Int,
       refine: Int, m: Int, ksub: Int, idCol: String, embCol: String): DataFrame = {
     // adc = Σ_s lut[s*ksub + byte_s(code)] — m element_at lookups, summed
-    // in subspace order (the oracle re-sums the same 9dp-snapped entries)
+    // in subspace order (the oracle re-sums the same 9dp-snapped entries).
+    // Null codes (null-embedding rows carried on list 0) are dropped
+    // HERE, explicitly — Spark's ascending sort is NULLS FIRST, so a null
+    // __adc left in the window would surface at rank 1, not last
     val adc = (0 until m).map { s =>
       val byte = shiftright(col("code"), 8 * s).bitwiseAND(lit(255)).cast("int")
       element_at(col("lut"), lit(s * ksub) + byte + lit(1))
     }.reduce(_ + _)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col(idCol))
     val cands = paired
+      .filter(col("code").isNotNull)
       .withColumn("__adc", round(adc, 9))
       .withColumn("__rn", row_number().over(wAdc))
       .filter(col("__rn") <= refine)
       .select(col("q_id"), col(idCol), col("q_emb"))
-    // exact re-rank touches only |queries| × refine real vectors
-    val wK = Window.partitionBy(col("q_id")).orderBy(col("l2_dist"), col(idCol))
+    // exact re-rank touches only |queries| × refine real vectors;
+    // nulls-last defensively (a corpus frame that disagrees with the
+    // index could hand a candidate a null vector → null l2_dist)
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2_dist").asc_nulls_last, col(idCol))
     cands.join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
       .select(col("q_id"), col(idCol),
         round(l2Dist(col(embCol), col("q_emb")), 4).as("l2_dist"))
       .withColumn("__rn", row_number().over(wK))
       .filter(col("__rn") <= k)
       .drop("__rn")
-      .orderBy(col("q_id"), col("l2_dist"), col(idCol))
+      .orderBy(col("q_id"), col("l2_dist").asc_nulls_last, col(idCol))
   }
 
   /** Zero-shuffle list-assignment expression: first-min over 9dp-snapped
@@ -277,15 +290,12 @@ object Pq {
   }
 
   /** Residual of a vector against its assigned centroid, as a pure
-    * column over the literal (nlist × dim) centroid matrix. */
+    * column over the shared literal centroid matrix. */
   private def residualExpr(
-      embCol: String, cidCol: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    val matrix = array(centroids.sortBy(_._1).map { case (_, ctr) =>
-      array(ctr.map(lit): _*)
-    }: _*)
+      embCol: String, cidCol: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     zip_with(col(embCol).cast("array<double>"),
-      element_at(matrix, cidCol + 1), (x, c) => x - c)
-  }
+      element_at(Similarity.centroidMatrix(centroids), cidCol + 1),
+      (x, c) => x - c)
 
   /** Persist the IVF×PQ index — the 100 TB ANN layout in full: PQ codes
     * written PARTITIONED BY the coarse inverted list (`cid`), plus the
@@ -302,9 +312,10 @@ object Pq {
     * trained on, and the codes encode, r = v − centroid(v) instead of v
     * itself. Residuals are smaller in norm than raw vectors, so the same
     * ksub codewords quantize them with less error — better ADC fidelity
-    * at the identical 8-byte code size. The search side must be called
-    * with the same flag (its LUTs are then built per (query, probed
-    * list) against the query's OWN residual to that centroid). */
+    * at the identical 8-byte code size. The flag is PERSISTED in the
+    * index's meta table, so the search side reads what the codes mean
+    * instead of trusting the caller to repeat it (a silent mismatch
+    * would produce meaningless ADC distances, not an error). */
   def writePqIvfIndex(
       corpus: DataFrame, path: String, nlist: Int = 8, iters: Int = 3,
       m: Int = 8, ksub: Int = 16,
@@ -332,6 +343,10 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     spark.createDataFrame(books).toDF("sub", "code", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    // self-describing index: what the codes MEAN rides with them
+    spark.createDataFrame(Seq((residual, m, ksub, nlist, dim)))
+      .toDF("residual", "m", "ksub", "nlist", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** ANN over the persisted IVF×PQ index: the nprobe nearest lists per
@@ -348,13 +363,16 @@ object Pq {
       spark: SparkSession, path: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 3, refine: Int = 50,
       idCol: String = "vec_id", embCol: String = "embedding",
-      dim: Int = 64, residual: Boolean = false): DataFrame = {
+      dim: Int = 64): DataFrame = {
     val books = spark.read.parquet(s"$path/books")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
     val m = books.map(_._1).max + 1
     val ksub = books.map(_._2).max + 1
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    // the index says what its codes mean — residual vs absolute is not a
+    // caller-repeated flag (a silent mismatch would score garbage)
+    val residual = spark.read.parquet(s"$path/meta").head().getBoolean(0)
     val qRows = collectQueries(queries, idCol, embCol)
     // driver-side probe selection (queries × nlist distances — model-sized)
     val probes: Seq[(Long, Seq[Double], Seq[(Int, Seq[Double])])] =
@@ -369,16 +387,17 @@ object Pq {
     // OWN lut, built against the query's residual to THAT list's centroid
     // (the codes encode corpus residuals, so ADC must compare residual to
     // residual); in absolute mode every pair of a query shares one lut
+    val lut = new LutBuilder(books, dim)
     lazy val sharedLut: Map[Long, Seq[Double]] =
-      qRows.map { case (qid, emb) => qid -> lutOf(emb, books, dim) }.toMap
+      qRows.map { case (qid, emb) => qid -> lut(emb) }.toMap
     val pairRows: Seq[(Long, Int, Seq[Double], Seq[Double])] = for {
       (qid, emb, picked) <- probes
       (cid, ctr) <- picked
     } yield {
-      val lut =
-        if (residual) lutOf(emb.indices.map(i => emb(i) - ctr(i)), books, dim)
+      val pairLut =
+        if (residual) lut(emb.indices.map(i => emb(i) - ctr(i)))
         else sharedLut(qid)
-      (qid, cid, emb, lut)
+      (qid, cid, emb, pairLut)
     }
     val probeDf = pairRows.toDF("q_id", "cid", "q_emb", "lut")
     val codes = spark.read.parquet(s"$path/lists")

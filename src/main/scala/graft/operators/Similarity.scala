@@ -249,6 +249,14 @@ object Similarity {
       .orderBy(xxhash64(col(idCol)), col(idCol), xxhash64(col("e")))
       .limit(k)
 
+  /** The (nlist × dim) centroid set as one literal nested-array column,
+    * indexed by cid+1 — shared by the IVF index export's centroid attach
+    * and the PQ residual expression, so the two can't desynchronize. */
+  private[operators] def centroidMatrix(centroids: Seq[(Int, Seq[Double])]): Column =
+    array(centroids.sortBy(_._1).map { case (_, ctr) =>
+      array(ctr.map(lit): _*)
+    }: _*)
+
   /** Nearest-centroid assignment as a PURE EXPRESSION over the (driver-
     * resident, model-sized) centroid seq: cid = first index of the max
     * cosine (ties → smallest cid, the same rule as the window form this
@@ -516,12 +524,10 @@ object Similarity {
     // centroid attached via element_at over the literal (nlist × dim)
     // matrix — like the assignment itself, a pure expression: the whole
     // export plans as one map-only scan (no broadcast join, no exchange)
-    val matrix = array(centroids.sortBy(_._1).map { case (_, ctr) =>
-      array(ctr.map(lit): _*)
-    }: _*)
     assignToCentroids(corpus, centroids, idCol, embCol)
       .select(col("cid"),
-        element_at(matrix, col("cid") + 1).as("centroid"), col(idCol))
+        element_at(centroidMatrix(centroids), col("cid") + 1).as("centroid"),
+        col(idCol))
   }
 
   /** Embedding-cosine near-dup dedup survivorship (greedy keep-min-id, the

@@ -107,9 +107,11 @@ class PqSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     val truth = truthTopK
-    def recallOf(dir: String, res: Boolean): Double = {
+    // the index is self-describing: the search reads residual-vs-absolute
+    // from the meta table, no caller flag to mismatch
+    def recallOf(dir: String): Double = {
       val got = Pq.pqIvfTopKFromIndex(
-          spark, dir, emb, queries, k = 5, nprobe = 3, refine = 50, residual = res)
+          spark, dir, emb, queries, k = 5, nprobe = 3, refine = 50)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got.size === 15)
       (got intersect truth).size.toDouble / truth.size
@@ -119,7 +121,7 @@ class PqSpec extends SparkSpec {
     Pq.writePqIvfIndex(emb, dirAbs, nlist = 8, iters = 3, m = 8, ksub = 16)
     Pq.writePqIvfIndex(emb, dirRes, nlist = 8, iters = 3, m = 8, ksub = 16,
       residual = true)
-    val (rAbs, rRes) = (recallOf(dirAbs, res = false), recallOf(dirRes, res = true))
+    val (rAbs, rRes) = (recallOf(dirAbs), recallOf(dirRes))
     // residual codes quantize smaller-norm vectors with the same ksub
     // codewords — fidelity must not DROP vs absolute encoding at the
     // same probe/refine budget (typically it rises)
