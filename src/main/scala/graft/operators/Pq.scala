@@ -254,11 +254,18 @@ object Pq {
       element_at(col("lut"), lit(s * ksub) + byte + lit(1))
     }.reduce(_ + _)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col(idCol))
+    // the refine window sees ONLY (q_id, id, __adc) — q_emb (64 doubles)
+    // and lut (m×ksub doubles) must not ride through the group-limit
+    // sort/shuffle when just the refine survivors need them; they rejoin
+    // from the (model-sized, broadcast) distinct query frame afterwards
+    val qEmb = paired.select(col("q_id"), col("q_emb")).distinct()
     val cands = paired
       .filter(col("code").isNotNull)
       .withColumn("__adc", round(adc, 9))
+      .select(col("q_id"), col(idCol), col("__adc"))
       .withColumn("__rn", row_number().over(wAdc))
       .filter(col("__rn") <= refine)
+      .join(broadcast(qEmb), Seq("q_id"))
       .select(col("q_id"), col(idCol), col("q_emb"))
     // exact re-rank touches only |queries| × refine real vectors;
     // nulls-last defensively (a corpus frame that disagrees with the
