@@ -167,13 +167,16 @@ object Pq {
       books: Seq[(Int, Int, Seq[Double])], refine: Int = 50,
       idCol: String = "vec_id", embCol: String = "embedding",
       dim: Int = 64): DataFrame = {
-    val m = books.map(_._1).max + 1
-    val ksub = books.map(_._2).max + 1
-    val qDf = queryLutDf(corpus.sparkSession,
-      collectQueries(queries, idCol, embCol), books, dim)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lut = new LutBuilder(books, dim)
+    val qRows = collectQueries(queries, idCol, embCol)
+    val qLuts = qRows.map { case (qid, emb) => (qid, lut(emb)) }
+      .toDF("q_id", "lut")
     val paired = pqEncode(corpus, books, idCol, embCol, dim)
-      .join(broadcast(qDf), col(idCol) =!= col("q_id"))
-    adcRefineTopK(paired, corpus, k, refine, m, ksub, idCol, embCol)
+      .join(broadcast(qLuts), col(idCol) =!= col("q_id"))
+    adcRefineTopK(paired, qRows.toDF("q_id", "q_emb"), corpus,
+      k, refine, lut.m, lut.ksub, idCol, embCol)
   }
 
   /** The (id, embedding) query rows, collected ONCE per search — the
@@ -226,23 +229,17 @@ object Pq {
         yield snappedL2(vec, byKey((s, c)), s * dsub, dsub)
   }
 
-  /** Per-query ADC lookup tables, model-sized. */
-  private def queryLutDf(
-      spark: SparkSession, qRows: Seq[(Long, Seq[Double])],
-      books: Seq[(Int, Int, Seq[Double])], dim: Int): DataFrame = {
-    import spark.implicits._
-    val lut = new LutBuilder(books, dim)
-    qRows.map { case (qid, emb) => (qid, emb, lut(emb)) }
-      .toDF("q_id", "q_emb", "lut")
-  }
-
-  /** ADC scoring + refine cut + exact re-rank over an already-paired
-    * (q_id, id, code, q_emb, lut) frame — shared by the flat search
-    * (every query × every code) and the persisted IVF×PQ index (each
-    * query × ONLY its probed lists; the pairing is where per-query
-    * nprobe semantics live, so it stays with the caller). */
+  /** ADC scoring + refine cut + exact re-rank. `paired` is the
+    * already-paired (q_id, id, code, lut) frame — the pairing is where
+    * per-query nprobe semantics live, so it stays with the caller (flat
+    * search: every query × every code; persisted index: each query ×
+    * ONLY its probed lists). `qEmb` is the DRIVER-BUILT model-sized
+    * (q_id, q_emb) frame — the refine survivors fetch their query vector
+    * from it by broadcast, so neither the wide embedding nor the m×ksub
+    * lut ever rides the group-limit sort/shuffle, and no second
+    * data-sized pass is planned to recover them. */
   private def adcRefineTopK(
-      paired: DataFrame, corpus: DataFrame, k: Int,
+      paired: DataFrame, qEmb: DataFrame, corpus: DataFrame, k: Int,
       refine: Int, m: Int, ksub: Int, idCol: String, embCol: String): DataFrame = {
     // adc = Σ_s lut[s*ksub + byte_s(code)] — m element_at lookups, summed
     // in subspace order (the oracle re-sums the same 9dp-snapped entries).
@@ -254,11 +251,6 @@ object Pq {
       element_at(col("lut"), lit(s * ksub) + byte + lit(1))
     }.reduce(_ + _)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("__adc"), col(idCol))
-    // the refine window sees ONLY (q_id, id, __adc) — q_emb (64 doubles)
-    // and lut (m×ksub doubles) must not ride through the group-limit
-    // sort/shuffle when just the refine survivors need them; they rejoin
-    // from the (model-sized, broadcast) distinct query frame afterwards
-    val qEmb = paired.select(col("q_id"), col("q_emb")).distinct()
     val cands = paired
       .filter(col("code").isNotNull)
       .withColumn("__adc", round(adc, 9))
@@ -369,17 +361,24 @@ object Pq {
   def pqIvfTopKFromIndex(
       spark: SparkSession, path: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 3, refine: Int = 50,
-      idCol: String = "vec_id", embCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val books = spark.read.parquet(s"$path/books")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
-    val m = books.map(_._1).max + 1
-    val ksub = books.map(_._2).max + 1
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-    // the index says what its codes mean — residual vs absolute is not a
-    // caller-repeated flag (a silent mismatch would score garbage)
-    val residual = spark.read.parquet(s"$path/meta").head().getBoolean(0)
+    // the index says what its codes mean — encoding mode AND geometry are
+    // read from the meta table, by name (ordinal reads would silently
+    // follow a future column reorder), never repeated by the caller
+    val meta =
+      try spark.read.parquet(s"$path/meta").select("residual", "dim").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"$path has no readable meta table — not a writePqIvfIndex " +
+              "layout (or written by a pre-meta version; rewrite the index)", e)
+      }
+    val residual = meta.getBoolean(0)
+    val dim = meta.getInt(1)
     val qRows = collectQueries(queries, idCol, embCol)
     // driver-side probe selection (queries × nlist distances — model-sized)
     val probes: Seq[(Long, Seq[Double], Seq[(Int, Seq[Double])])] =
@@ -397,23 +396,24 @@ object Pq {
     val lut = new LutBuilder(books, dim)
     lazy val sharedLut: Map[Long, Seq[Double]] =
       qRows.map { case (qid, emb) => qid -> lut(emb) }.toMap
-    val pairRows: Seq[(Long, Int, Seq[Double], Seq[Double])] = for {
+    val pairRows: Seq[(Long, Int, Seq[Double])] = for {
       (qid, emb, picked) <- probes
       (cid, ctr) <- picked
     } yield {
       val pairLut =
         if (residual) lut(emb.indices.map(i => emb(i) - ctr(i)))
         else sharedLut(qid)
-      (qid, cid, emb, pairLut)
+      (qid, cid, pairLut)
     }
-    val probeDf = pairRows.toDF("q_id", "cid", "q_emb", "lut")
+    val probeDf = pairRows.toDF("q_id", "cid", "lut")
     val codes = spark.read.parquet(s"$path/lists")
       .filter(col("cid").isin(pairRows.map(_._2).distinct: _*))
       .select(col("cid"), col(idCol), col("code"))
     val paired = codes
       .join(broadcast(probeDf), Seq("cid"))
       .filter(col(idCol) =!= col("q_id"))
-      .select(col("q_id"), col(idCol), col("code"), col("q_emb"), col("lut"))
-    adcRefineTopK(paired, corpus, k, refine, m, ksub, idCol, embCol)
+      .select(col("q_id"), col(idCol), col("code"), col("lut"))
+    adcRefineTopK(paired, qRows.toDF("q_id", "q_emb"), corpus,
+      k, refine, lut.m, lut.ksub, idCol, embCol)
   }
 }
