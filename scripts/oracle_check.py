@@ -44,6 +44,16 @@ def main():
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
         got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
         if name not in oracle:
+            # the driver's rows-only path STILL sorts the frame in pandas;
+            # array-typed cells (unhashable ndarray) crash it and ship as a
+            # RED row (CORRECTNESS_r06 q77/q79/q80) — mimic the sort here
+            # so that failure mode is caught locally
+            try:
+                if len(got) > 0:
+                    got.sort_values(by=list(got.columns), kind="mergesort")
+            except Exception as e:
+                print(f"FAIL {name}: rows-only frame not driver-sortable: {e}")
+                n_fail += 1; continue
             status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY"
             print(f"{status} {name}: {len(got)} rows"); n_rowsonly += 1
             continue

@@ -57,7 +57,22 @@ object Bench {
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(r => best(r._2)).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_raw":$raw}""")
+    // The driver's artifact stores only the LAST 2000 chars of stdout —
+    // BENCH_r06 lost the q01-q42 minimums because one long line put the
+    // signal first and the raw rep spread last. Two lines, important one
+    // LAST: line 1 is full fidelity (full names, every rep), line 2 is the
+    // canonical compact record sized to survive tail capture whole — query
+    // keys shortened to their unique qNN prefix, minimums at 3dp (1 ms
+    // resolution; the full-precision value is on line 1).
+    val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    val qsShort =
+      if (shortKeys.distinct.size == shortKeys.size)
+        results.map { case (k, ts) =>
+          "\"" + k.takeWhile(_ != '_') + "\":" + f"${best(ts)}%.3f"
+        }.mkString("{", ",", "}")
+      else qs // prefix collision: fall back to full names over truncation
+    println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"queries_full":$qs,"reps_raw":$raw}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qsShort}""")
     spark.stop()
   }
 }

@@ -315,6 +315,33 @@ object Pq {
     * index's meta table, so the search side reads what the codes mean
     * instead of trusting the caller to repeat it (a silent mismatch
     * would produce meaningless ADC distances, not an error). */
+  /** The deterministic IVF×PQ model plus the encoded corpus frame —
+    * (centroids, codebooks, (cid, id, code) codes) — shared by the
+    * persisted-index writer (writePqIvfIndex), the q83 model export
+    * (ivfPqResidualModelTable), and the inline q84 search
+    * (pqIvfResidualTopK), so the three can never desynchronize. The PQ
+    * training/encode vector is the raw embedding, or in residual mode its
+    * residual to the assigned centroid (training then samples the RESIDUAL
+    * frame, so the codebooks model exactly what the codes will encode). */
+  private[graft] def ivfPqModel(
+      corpus: DataFrame, nlist: Int, iters: Int, m: Int, ksub: Int,
+      idCol: String, embCol: String, dim: Int,
+      trainCap: Long, corpusRows: Option[Long], residual: Boolean)
+    : (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])], DataFrame) = {
+    val centroids = Similarity.kmeansCentroids(
+      corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
+    val withCid = corpus.select(col(idCol), col(embCol))
+      .withColumn("cid", assignCidExpr(embCol, centroids))
+    val pqv =
+      if (residual) residualExpr(embCol, col("cid"), centroids) else col(embCol)
+    val frame = withCid.withColumn("__pqv", pqv)
+    val books =
+      pqCodebooks(frame, m, ksub, iters, idCol, "__pqv", dim, trainCap, corpusRows)
+    val codes = frame.select(col("cid"), col(idCol),
+      encodeExpr(col("__pqv"), books, dim / m).as("code"))
+    (centroids, books, codes)
+  }
+
   def writePqIvfIndex(
       corpus: DataFrame, path: String, nlist: Int = 8, iters: Int = 3,
       m: Int = 8, ksub: Int = 16,
@@ -322,22 +349,10 @@ object Pq {
       trainCap: Long = 65536L, corpusRows: Option[Long] = None,
       residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val centroids = Similarity.kmeansCentroids(
-      corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
-    val withCid = corpus.select(col(idCol), col(embCol))
-      .withColumn("cid", assignCidExpr(embCol, centroids))
-    // the PQ training/encode vector: the raw embedding, or its residual
-    // to the assigned centroid (note: training then samples the RESIDUAL
-    // frame, so the codebooks model exactly what the codes will encode)
-    val pqv =
-      if (residual) residualExpr(embCol, col("cid"), centroids) else col(embCol)
-    val frame = withCid.withColumn("__pqv", pqv)
-    val books =
-      pqCodebooks(frame, m, ksub, iters, idCol, "__pqv", dim, trainCap, corpusRows)
-    frame
-      .select(col("cid"), col(idCol),
-        encodeExpr(col("__pqv"), books, dim / m).as("code"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    val (centroids, books, codes) = ivfPqModel(
+      corpus, nlist, iters, m, ksub, idCol, embCol, dim,
+      trainCap, corpusRows, residual)
+    codes.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
     spark.createDataFrame(centroids).toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     spark.createDataFrame(books).toDF("sub", "code", "codeword")

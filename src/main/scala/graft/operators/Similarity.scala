@@ -40,8 +40,19 @@ object Similarity {
     * training rather than sharing driver state, so the snap makes
     * "same corpus → bit-identical centroids" hold across runs instead of
     * merely "almost always"; 9dp is ~1e6× coarser than the ulp noise and
-    * ~1e5× finer than any assignment-relevant distinction. */
-  private[operators] def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    * ~1e5× finer than any assignment-relevant distinction.
+    *
+    * Decimal HALF_UP (BigDecimal), NOT math.rint: the Spark `round`
+    * expression and DuckDB's round() are both decimal half-up, so every
+    * snapped model value stays in the same parity class as any engine-side
+    * round an oracle might apply — the values are safe to re-derive with
+    * SQL round(), not only to consume as exported fixtures. Model-sized
+    * call volume (centroids/codewords on the driver), so BigDecimal cost
+    * is irrelevant. Non-finite passes through (BigDecimal throws on
+    * NaN/Infinity — same guard as Pq.snappedL2). */
+  private[operators] def round9(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** nbits-bit signature column for an embedding — native one-loop
     * expression; the composed form below is its parity oracle. */
@@ -528,6 +539,38 @@ object Similarity {
       .select(col("cid"),
         element_at(centroidMatrix(centroids), col("cid") + 1).as("centroid"),
         col(idCol))
+  }
+
+  /** ivfIndexTable's driver-sortable twin: the same deterministic model
+    * and assignment, exported as LONG-FORMAT SCALAR rows — kind 'c' rows
+    * carry one centroid element each (cid, pos, value), kind 'v' rows one
+    * list membership each (cid, vec_id). The registered q79 export uses
+    * this shape because the driver's rows-only checker sorts frames in
+    * pandas, which cannot sort array cells (the CORRECTNESS_r06 q79 RED
+    * row); the q49 oracle re-assembles centroids with
+    * list(value ORDER BY pos). Centroid rows come from the driver-resident
+    * model (LocalTableScan), membership stays the same map-only assignment
+    * scan — the union still plans with no exchange and no join
+    * (PlanSpec pins it). */
+  def ivfIndexScalarTable(
+      corpus: DataFrame, nlist: Int = 8, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids =
+      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
+    val cents = spark.createDataFrame(
+        centroids.flatMap { case (cid, ctr) =>
+          ctr.zipWithIndex.map { case (v, pos) => (cid, pos, v) }
+        })
+      .toDF("cid", "pos", "value")
+      .select(lit("c").as("kind"), col("cid"), col("pos"), col("value"),
+        lit(null).cast("long").as("vec_id"))
+    val members = assignToCentroids(corpus, centroids, idCol, embCol)
+      .select(lit("v").as("kind"), col("cid"),
+        lit(null).cast("int").as("pos"), lit(null).cast("double").as("value"),
+        col(idCol).cast("long").as("vec_id"))
+    cents.unionByName(members)
   }
 
   /** Embedding-cosine near-dup dedup survivorship (greedy keep-min-id, the

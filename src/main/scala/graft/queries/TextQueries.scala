@@ -157,7 +157,15 @@ object TextQueries extends QueryPack {
     * the cross-engine fixture the q38/q39 oracles read: both engines take
     * the signatures as given and independently re-derive the banding /
     * Hamming / verify / survivor algebra — the join and grouping logic,
-    * which is what can actually break. */
+    * which is what can actually break.
+    *
+    * Registered-query contract: the export is LONG-FORMAT SCALAR rows
+    * (doc_id, kind, idx, value) — one row per word hash (kind 'wh'), per
+    * band hash (kind 'band'), and one 'sim' row per doc — because the
+    * driver's rows-only checker sorts the frame in pandas, which cannot
+    * sort array cells (the CORRECTNESS_r06 q77 RED row). The oracles
+    * re-assemble arrays with list(value ORDER BY idx) where they need
+    * them. One explode over the map-only scan; still no shuffle. */
   private val q77 = Q(
     "q77_signature_table",
     (s, dir) => Tables(s, dir).documents
@@ -166,7 +174,15 @@ object TextQueries extends QueryPack {
         simhash64(col("text")).as("simsig"))
       .withColumn("mh_bands",
         lshBandHashes(minhashFromHashes(col("wh"), 64), bands = 4, rows = 16))
-      .select(col("doc_id"), col("wh"), col("mh_bands"), col("simsig")),
+      .select(col("doc_id"), explode(concat(
+        transform(col("wh"), (v, i) =>
+          struct(lit("wh").as("kind"), i.cast("long").as("idx"), v.as("value"))),
+        transform(col("mh_bands"), (v, i) =>
+          struct(lit("band").as("kind"), i.cast("long").as("idx"), v.as("value"))),
+        array(struct(lit("sim").as("kind"), lit(0L).as("idx"),
+          col("simsig").as("value"))))).as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"),
+        col("e.idx").as("idx"), col("e.value").as("value")),
     None)
 
   /** MinHash+LSH near-dup dedup (banded bucket join + exact-jaccard verify
@@ -184,10 +200,12 @@ object TextQueries extends QueryPack {
     (s, dir) => Dedup.minhashDedupSurvivors(
       Tables(s, dir).documents, col("text"), col("doc_id"),
       numHashes = 64, bands = 4, threshold = 0.95),
-    Some("""WITH s AS (SELECT doc_id, wh, mh_bands
+    Some("""WITH raw AS (SELECT doc_id, kind, idx, value
         FROM read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet')),
-      b AS (SELECT doc_id, unnest(mh_bands) AS bh,
-          generate_subscripts(mh_bands, 1) AS band FROM s),
+      s AS (SELECT doc_id, list(value ORDER BY idx) AS wh
+        FROM raw WHERE kind = 'wh' GROUP BY doc_id),
+      b AS (SELECT doc_id, value AS bh, idx AS band
+        FROM raw WHERE kind = 'band'),
       cand AS (SELECT DISTINCT a1.doc_id AS id_a, a2.doc_id AS id_b
         FROM b a1 JOIN b a2
           ON a1.band = a2.band AND a1.bh = a2.bh AND a1.doc_id < a2.doc_id),
@@ -211,8 +229,9 @@ object TextQueries extends QueryPack {
     "q39_simhash_dedup",
     (s, dir) => Dedup.simhashDedupSurvivors(
       Tables(s, dir).documents, col("text"), col("doc_id"), maxHamming = 6),
-    Some("""WITH s AS (SELECT doc_id, simsig
-        FROM read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet')),
+    Some("""WITH s AS (SELECT doc_id, value AS simsig
+        FROM read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet')
+        WHERE kind = 'sim'),
       b AS (SELECT doc_id, simsig, band, (simsig >> (band * 16)) & 65535 AS bh
         FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
       dropped AS (SELECT DISTINCT a2.doc_id AS id_b

@@ -88,14 +88,19 @@ object VectorQueries extends QueryPack {
       Tables(s, dir).embeddings, nbits = 8, tables = 4),
     None)
 
-  /** The IVF index as one denormalized (cid, centroid, vec_id) table —
-    * writeIvfIndex's lists+centroids rejoined; deterministic via seeded
-    * sampling + 9dp-snapped Lloyd updates, so q49's internal re-training
-    * reproduces it bit-for-bit. Also the fixture for q49's oracle
-    * (kmeans state is not SQL-restatable). Rows-only for itself. */
+  /** The IVF index exported as LONG-FORMAT SCALAR rows — kind 'c' rows
+    * carry one centroid element (cid, pos, value), kind 'v' rows one list
+    * membership (cid, vec_id); deterministic via seeded sampling +
+    * 9dp-snapped Lloyd updates, so q49's internal re-training reproduces
+    * it bit-for-bit. Also the fixture for q49's oracle (kmeans state is
+    * not SQL-restatable; the SQL re-assembles centroids with
+    * list(value ORDER BY pos)). Rows-only for itself — scalar columns
+    * only, because the driver's checker sorts frames in pandas, which
+    * cannot sort the array cells the previous (cid, centroid, vec_id)
+    * shape exported (the CORRECTNESS_r06 q79 RED row). */
   private val q79 = Q(
     "q79_ivf_index_table",
-    (s, dir) => Similarity.ivfIndexTable(
+    (s, dir) => Similarity.ivfIndexScalarTable(
       Tables(s, dir).embeddings, nlist = 8, iters = 3),
     None)
 
@@ -161,9 +166,11 @@ object VectorQueries extends QueryPack {
         t.embeddings, t.embeddings.filter(col("vec_id").isin(0L, 100L, 250L)),
         k = 5, nlist = 8, nprobe = 3)
     },
-    Some("""WITH ix AS (SELECT cid, centroid, vec_id
+    Some("""WITH raw AS (SELECT kind, cid, pos, value, vec_id
         FROM read_parquet('__VERIFY_OUT__/q79_ivf_index_table/*.parquet')),
-      c AS (SELECT DISTINCT cid, centroid FROM ix),
+      c AS (SELECT cid, list(value ORDER BY pos) AS centroid
+        FROM raw WHERE kind = 'c' GROUP BY cid),
+      ix AS (SELECT cid, vec_id FROM raw WHERE kind = 'v'),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
         WHERE vec_id IN (0, 100, 250)),
       qc AS (SELECT q.q_id, c.cid,
@@ -222,11 +229,18 @@ object VectorQueries extends QueryPack {
   /** PQ codebooks (m=8 subspaces × ksub=16 codewords over 64 dims) as a
     * table — the model a 100 TB deployment trains once; the fixture for
     * the q81/q82 oracles (kmeans training is not SQL-restatable; encode
-    * and ADC search are, once codewords are given). Rows-only itself. */
+    * and ADC search are, once codewords are given). Rows-only itself.
+    * Exported one codeword ELEMENT per row (sub, code, pos, value) — the
+    * driver's checker sorts frames in pandas, which cannot sort the array
+    * cells the previous codeword-array shape exported (the
+    * CORRECTNESS_r06 q80 RED row); the oracles re-assemble with
+    * list(value ORDER BY pos) GROUP BY sub, code. */
   private val q80 = Q(
     "q80_pq_codebooks",
     (s, dir) => Pq.pqCodebookTable(
-      Tables(s, dir).embeddings, m = 8, ksub = 16, iters = 3),
+        Tables(s, dir).embeddings, m = 8, ksub = 16, iters = 3)
+      .select(col("sub"), col("code"),
+        posexplode(col("codeword")).as(Seq("pos", "value"))),
     None)
 
   /** PQ encode: every embedding compressed to ONE BIGINT (8 subspace
@@ -243,19 +257,25 @@ object VectorQueries extends QueryPack {
       Pq.pqEncode(emb, Pq.pqCodebooks(emb, m = 8, ksub = 16, iters = 3))
         .orderBy(col("vec_id"))
     },
-    Some("""WITH cb AS (SELECT sub, code, codeword
-        FROM read_parquet('__VERIFY_OUT__/q80_pq_codebooks/*.parquet')),
+    Some("""WITH cb AS (SELECT sub, code, list(value ORDER BY pos) AS codeword
+        FROM read_parquet('__VERIFY_OUT__/q80_pq_codebooks/*.parquet')
+        GROUP BY sub, code),
       sv AS (SELECT e.vec_id, cb.sub, cb.code,
           round(list_sum(list_transform(
             list_zip(e.embedding[cb.sub*8+1 : cb.sub*8+8], cb.codeword),
             p -> (CAST(p[1] AS DOUBLE) - p[2])
                * (CAST(p[1] AS DOUBLE) - p[2]))), 9) AS d
-        FROM embeddings e CROSS JOIN cb),
+        FROM embeddings e CROSS JOIN cb
+        WHERE e.embedding IS NOT NULL),
       pick AS (SELECT vec_id, sub, code,
           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
         FROM sv)
       SELECT vec_id, CAST(sum(code * (1::BIGINT << (8*sub))) AS BIGINT) AS code
-      FROM pick WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""))
+      FROM pick WHERE rn = 1 GROUP BY vec_id
+      UNION ALL
+      SELECT vec_id, CAST(NULL AS BIGINT) AS code FROM embeddings
+      WHERE embedding IS NULL
+      ORDER BY vec_id"""))
 
   /** PQ ANN via ADC + exact refine. FULL ORACLE via the q80+q81 fixtures:
     * DuckDB rebuilds each query's lookup table from the codewords
@@ -272,8 +292,9 @@ object VectorQueries extends QueryPack {
         emb, emb.filter(col("vec_id").isin(0L, 100L, 250L)), k = 5,
         books = Pq.pqCodebooks(emb, m = 8, ksub = 16, iters = 3), refine = 50)
     },
-    Some("""WITH cb AS (SELECT sub, code, codeword
-        FROM read_parquet('__VERIFY_OUT__/q80_pq_codebooks/*.parquet')),
+    Some("""WITH cb AS (SELECT sub, code, list(value ORDER BY pos) AS codeword
+        FROM read_parquet('__VERIFY_OUT__/q80_pq_codebooks/*.parquet')
+        GROUP BY sub, code),
       codes AS (SELECT vec_id, code
         FROM read_parquet('__VERIFY_OUT__/q81_pq_codes/*.parquet')),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
