@@ -394,8 +394,30 @@ object Pq {
       }
     val residual = meta.getBoolean(0)
     val dim = meta.getInt(1)
+    ivfPqSearch(spark.read.parquet(s"$path/lists"), corpus, queries,
+      centroids, books, residual, dim, k, nprobe, refine, idCol, embCol)
+  }
+
+  /** The IVF×PQ search core over an already-encoded (cid, id, code) frame
+    * — shared by the persisted-index path (where the cid isin filter
+    * becomes static partition pruning on the parquet layout) and the
+    * inline q84 residual search (where it just drops unprobed lists).
+    * Probe selection is driver-side (queries × nlist snappedL2 distances —
+    * model-sized), and each query is paired with ONLY its own probed lists
+    * (an equi-join on the (q_id, cid) probe pairs — a query's candidates,
+    * and thus its result, never depend on what else is in the batch). In
+    * residual mode each pair carries its OWN lut, built against the
+    * query's residual to THAT list's centroid (the codes encode corpus
+    * residuals, so ADC must compare residual to residual); in absolute
+    * mode every pair of a query shares one lut. */
+  private def ivfPqSearch(
+      codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], books: Seq[(Int, Int, Seq[Double])],
+      residual: Boolean, dim: Int, k: Int, nprobe: Int, refine: Int,
+      idCol: String, embCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val qRows = collectQueries(queries, idCol, embCol)
-    // driver-side probe selection (queries × nlist distances — model-sized)
     val probes: Seq[(Long, Seq[Double], Seq[(Int, Seq[Double])])] =
       qRows.map { case (qid, emb) =>
         val picked = centroids
@@ -403,11 +425,6 @@ object Pq {
           .sortBy(t => (t._1, t._2)).take(nprobe)
         (qid, emb, picked.map(t => (t._2, t._3)))
       }
-    import spark.implicits._
-    // per-(query, list) pairing; in residual mode each pair carries its
-    // OWN lut, built against the query's residual to THAT list's centroid
-    // (the codes encode corpus residuals, so ADC must compare residual to
-    // residual); in absolute mode every pair of a query shares one lut
     val lut = new LutBuilder(books, dim)
     lazy val sharedLut: Map[Long, Seq[Double]] =
       qRows.map { case (qid, emb) => qid -> lut(emb) }.toMap
@@ -421,14 +438,59 @@ object Pq {
       (qid, cid, pairLut)
     }
     val probeDf = pairRows.toDF("q_id", "cid", "lut")
-    val codes = spark.read.parquet(s"$path/lists")
+    val pruned = codes
       .filter(col("cid").isin(pairRows.map(_._2).distinct: _*))
       .select(col("cid"), col(idCol), col("code"))
-    val paired = codes
+    val paired = pruned
       .join(broadcast(probeDf), Seq("cid"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol), col("code"), col("lut"))
     adcRefineTopK(paired, qRows.toDF("q_id", "q_emb"), corpus,
       k, refine, lut.m, lut.ksub, idCol, embCol)
+  }
+
+  /** Residual IVF×PQ search WITHOUT a persisted index: trains the full
+    * model inline (deterministic — seeded sampling, 9dp-snapped Lloyd —
+    * so a re-run, and q83's export, reproduce it bit-for-bit), encodes
+    * residuals, and searches with per-(query, list) residual LUTs. The
+    * q84 operator; the persisted twin is writePqIvfIndex(residual=true) +
+    * pqIvfTopKFromIndex, which PqSpec pins against this output. */
+  def pqIvfResidualTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 3, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, refine: Int = 50,
+      idCol: String = "vec_id", embCol: String = "embedding", dim: Int = 64,
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): DataFrame = {
+    val (centroids, books, codes) = ivfPqModel(
+      corpus, nlist, iters, m, ksub, idCol, embCol, dim,
+      trainCap, corpusRows, residual = true)
+    ivfPqSearch(codes, corpus, queries, centroids, books,
+      residual = true, dim, k, nprobe, refine, idCol, embCol)
+  }
+
+  /** The residual IVF×PQ model as one driver-sortable scalar table: kind
+    * 'c' rows are centroid elements (i=cid, j=0, pos, value), kind 'b'
+    * rows codeword elements (i=sub, j=code, pos, value). Entirely
+    * driver-resident model state (LocalTableScan — the training passes
+    * are the only cluster work). The q83 export, and the fixture the q84
+    * oracle reads: kmeans training is not SQL-restatable, so DuckDB takes
+    * the model as given and re-derives assignment, residuals, encode,
+    * per-(query, list) LUTs, ADC, and the refine/re-rank algebra. */
+  def ivfPqResidualModelTable(
+      corpus: DataFrame, nlist: Int = 8, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding", dim: Int = 64,
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): DataFrame = {
+    val (centroids, books, _) = ivfPqModel(
+      corpus, nlist, iters, m, ksub, idCol, embCol, dim,
+      trainCap, corpusRows, residual = true)
+    val cents = centroids.flatMap { case (cid, ctr) =>
+      ctr.zipWithIndex.map { case (v, pos) => ("c", cid, 0, pos, v) }
+    }
+    val cws = books.flatMap { case (sub, code, cw) =>
+      cw.zipWithIndex.map { case (v, pos) => ("b", sub, code, pos, v) }
+    }
+    corpus.sparkSession.createDataFrame(cents ++ cws)
+      .toDF("kind", "i", "j", "pos", "value")
   }
 }

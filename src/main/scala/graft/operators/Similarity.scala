@@ -348,6 +348,13 @@ object Similarity {
     assignToCentroids(corpus, centroids, idCol, embCol)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
     cdf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // self-describing index (same pattern as writePqIvfIndex's meta): the
+    // geometry rides with the lists so the search side can cross-check
+    // the centroid table instead of trusting the layout blindly
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    spark.createDataFrame(Seq((nlist, dim)))
+      .toDF("nlist", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** ANN over a persisted IVF index: the nprobe nearest centroids per
@@ -359,7 +366,26 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // the index says what it is: meta is required (a path without one is
+    // not a writeIvfIndex layout) and must AGREE with the centroid table —
+    // a mixed or partially-overwritten index throws instead of silently
+    // probing against the wrong quantizer
+    val meta =
+      try spark.read.parquet(s"$path/meta").select("nlist", "dim").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"$path has no readable meta table — not a writeIvfIndex " +
+              "layout (or written by a pre-meta version; rewrite the index)", e)
+      }
     val cdf = spark.read.parquet(s"$path/centroids")
+    val ctrs = cdf.collect()
+    require(ctrs.length == meta.getInt(0),
+      s"index meta says nlist=${meta.getInt(0)} but centroid table has " +
+        s"${ctrs.length} rows — mixed or corrupted index at $path")
+    require(ctrs.forall(_.getSeq[Double](1).length == meta.getInt(1)),
+      s"index meta says dim=${meta.getInt(1)} but a centroid disagrees " +
+        s"— mixed or corrupted index at $path")
     val wq = Window.partitionBy(col("q_id")).orderBy(col("__sim").desc, col("cid"))
     val probes = queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
@@ -422,10 +448,20 @@ object Similarity {
   }
 
   /** Write the LSH-bucketed corpus as a parquet index PARTITIONED BY
-    * (tbl, sig) — the persisted form of lshTopK's bucketing. At 100 TB the
-    * corpus is bucketed once and queried many times; a query's probe set
-    * touches tables x (nbits+1) of the tables x 2^nbits partitions, and
-    * the scan below prunes to exactly those directories. */
+    * (tbl, sig) under `$path/buckets` — the persisted form of lshTopK's
+    * bucketing. At 100 TB the corpus is bucketed once and queried many
+    * times; a query's probe set touches tables x (nbits+1) of the
+    * tables x 2^nbits partitions, and the scan below prunes to exactly
+    * those directories.
+    *
+    * Self-describing (same pattern as writePqIvfIndex's meta): the
+    * (nbits, tables, dim) geometry that derived the signatures rides in
+    * `$path/meta`, and the search side reads it from there instead of
+    * trusting the caller to repeat it — a repeated-wrong nbits/tables
+    * would silently probe the wrong buckets (empty or wrong candidates),
+    * not error. The buckets moved into a subdirectory because a meta
+    * sibling inside a partitioned dataset root would break partition
+    * discovery. */
   def writeLshIndex(
       corpus: DataFrame, path: String, nbits: Int = 8, tables: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding",
@@ -436,7 +472,10 @@ object Similarity {
     }
     corpus.select(col(idCol), col(embCol), explode(array(entries: _*)).as("ts"))
       .select(col("ts.tbl").as("tbl"), col("ts.sig").as("sig"), col(idCol), col(embCol))
-      .write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
+      .write.mode("overwrite").partitionBy("tbl", "sig").parquet(s"$path/buckets")
+    corpus.sparkSession.createDataFrame(Seq((nbits, tables, dim)))
+      .toDF("nbits", "tables", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Driver-side signature of one embedding (same math as the native
@@ -453,13 +492,26 @@ object Similarity {
     * flips) are computed driver-side from the query vectors, the parquet
     * scan prunes to exactly the probe partitions (PartitionFilters on
     * tbl/sig — check with .explain), and candidates re-rank by exact
-    * cosine. Same output contract as lshTopK. */
+    * cosine. Same output contract as lshTopK.
+    *
+    * The (nbits, tables, dim) geometry is read from the index's meta
+    * table, by name — never repeated by the caller (a silent mismatch
+    * would probe the wrong buckets, not error); a path without meta
+    * throws instead of searching garbage. */
   def lshTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
-      k: Int, nbits: Int = 8, tables: Int = 4,
-      idCol: String = "vec_id", embCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import spark.implicits._
+    val meta =
+      try spark.read.parquet(s"$path/meta").select("nbits", "tables", "dim").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"$path has no readable meta table — not a writeLshIndex " +
+              "layout (or written by a pre-meta version; rewrite the index)", e)
+      }
+    val (nbits, tables, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val planeSets = tablePlaneSets(nbits, tables, dim)
     val qRows = queries
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>")).collect()
@@ -479,7 +531,7 @@ object Similarity {
         col("tbl") === t && col("sig").isin(sigs.map(_._2).distinct: _*)
       }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val index = spark.read.parquet(path)
+    val index = spark.read.parquet(s"$path/buckets")
     val scored = index.filter(probeFilter)
       .join(broadcast(probeDf), Seq("tbl", "sig"))
       .filter(col(idCol) =!= col("q_id"))

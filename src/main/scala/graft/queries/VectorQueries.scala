@@ -329,6 +329,109 @@ object VectorQueries extends QueryPack {
         FROM d2)
       SELECT q_id, vec_id, l2_dist FROM s WHERE rn <= 5 ORDER BY q_id, rn"""))
 
+  /** The residual IVF×PQ model (coarse centroids + residual codebooks) as
+    * one scalar table — the FAISS-style index's trained state, exported
+    * once; the fixture for the q84 oracle. Rows-only itself (kmeans
+    * training is not SQL-restatable); deterministic training means q84's
+    * internal re-train reproduces it bit-for-bit. */
+  private val q83 = Q(
+    "q83_pq_residual_model",
+    (s, dir) => Pq.ivfPqResidualModelTable(
+      Tables(s, dir).embeddings, nlist = 8, m = 8, ksub = 16, iters = 3),
+    None)
+
+  /** Residual IVF×PQ ANN — the strongest ANN composition (FAISS-style:
+    * codes encode v − centroid(v), so the same 8-byte budget quantizes
+    * with less error). FULL ORACLE via the q83 model fixture: DuckDB takes
+    * centroids/codebooks as given and re-derives EVERYTHING else — corpus
+    * assignment (9dp-snapped L2², ties → cid), residuals, per-subspace
+    * encode (ties → code), the nprobe probe choice per query, the
+    * per-(query, list) residual LUTs, ADC scoring (ties → vec_id), the
+    * refine=50 cut, and the exact L2 re-rank at 4dp — cross-checking the
+    * entire assignment/encode/probe/ADC/refine algebra end to end. */
+  private val q84 = Q(
+    "q84_knn_pq_residual",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Pq.pqIvfResidualTopK(
+        emb, emb.filter(col("vec_id").isin(0L, 100L, 250L)), k = 5,
+        nlist = 8, nprobe = 3, m = 8, ksub = 16, iters = 3, refine = 50)
+    },
+    Some("""WITH raw AS (SELECT kind, i, j, pos, value
+        FROM read_parquet('__VERIFY_OUT__/q83_pq_residual_model/*.parquet')),
+      c AS (SELECT i AS cid, list(value ORDER BY pos) AS centroid
+        FROM raw WHERE kind = 'c' GROUP BY i),
+      cb AS (SELECT i AS sub, j AS code, list(value ORDER BY pos) AS codeword
+        FROM raw WHERE kind = 'b' GROUP BY i, j),
+      ad AS (SELECT e.vec_id, c.cid, c.centroid,
+          round(list_sum(list_transform(list_zip(e.embedding, c.centroid),
+            p -> (CAST(p[1] AS DOUBLE) - p[2])
+               * (CAST(p[1] AS DOUBLE) - p[2]))), 9) AS d
+        FROM embeddings e CROSS JOIN c
+        WHERE e.embedding IS NOT NULL),
+      asg AS (SELECT vec_id, cid, centroid FROM (
+          SELECT vec_id, cid, centroid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM ad) WHERE rn = 1),
+      res AS (SELECT a.vec_id, a.cid,
+          list_transform(list_zip(e.embedding, a.centroid),
+            p -> CAST(p[1] AS DOUBLE) - p[2]) AS r
+        FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+      sv AS (SELECT r.vec_id, r.cid, cb.sub, cb.code,
+          round(list_sum(list_transform(
+            list_zip(r.r[cb.sub*8+1 : cb.sub*8+8], cb.codeword),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS d
+        FROM res r CROSS JOIN cb),
+      codes AS (SELECT vec_id, cid,
+          CAST(sum(code * (1::BIGINT << (8*sub))) AS BIGINT) AS code
+        FROM (SELECT vec_id, cid, sub, code,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+          FROM sv) WHERE rn = 1 GROUP BY vec_id, cid),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id IN (0, 100, 250)),
+      qd AS (SELECT q.q_id, c.cid, c.centroid,
+          round(list_sum(list_transform(list_zip(q.q_emb, c.centroid),
+            p -> (CAST(p[1] AS DOUBLE) - p[2])
+               * (CAST(p[1] AS DOUBLE) - p[2]))), 9) AS d
+        FROM q CROSS JOIN c),
+      probes AS (SELECT q_id, cid, centroid FROM (
+          SELECT q_id, cid, centroid,
+            row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+          FROM qd) WHERE rn <= 3),
+      qres AS (SELECT p.q_id, p.cid,
+          list_transform(list_zip(q.q_emb, p.centroid),
+            x -> CAST(x[1] AS DOUBLE) - x[2]) AS qr
+        FROM probes p JOIN q ON q.q_id = p.q_id),
+      lut AS (SELECT qr.q_id, qr.cid, cb.sub, cb.code,
+          round(list_sum(list_transform(
+            list_zip(qr.qr[cb.sub*8+1 : cb.sub*8+8], cb.codeword),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS d
+        FROM qres qr CROSS JOIN cb),
+      cx AS (SELECT co.vec_id, co.cid, f.sub,
+          CAST((co.code >> (8*f.sub)) & 255 AS INTEGER) AS bcode
+        FROM codes co CROSS JOIN (SELECT unnest(range(8)) AS sub) f),
+      adc AS (SELECT l.q_id, c2.vec_id, round(sum(l.d), 9) AS adist
+        FROM cx c2 JOIN lut l
+          ON l.cid = c2.cid AND l.sub = c2.sub AND l.code = c2.bcode
+        WHERE c2.vec_id <> l.q_id
+        GROUP BY l.q_id, c2.vec_id),
+      cand AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+            ORDER BY adist, vec_id) AS rn FROM adc) WHERE rn <= 50),
+      ex AS (SELECT cand.q_id, cand.vec_id,
+          unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+        FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+          JOIN q ON q.q_id = cand.q_id),
+      d2 AS (SELECT q_id, vec_id,
+          sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+            * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))) AS ss
+        FROM ex GROUP BY q_id, vec_id),
+      s AS (SELECT q_id, vec_id, round(sqrt(ss), 4) AS l2_dist,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY round(sqrt(ss), 4), vec_id) AS rn
+        FROM d2)
+      SELECT q_id, vec_id, l2_dist FROM s WHERE rn <= 5 ORDER BY q_id, rn"""))
+
   override val all: Seq[Q] =
-    Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82)
+    Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84)
 }

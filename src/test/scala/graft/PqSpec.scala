@@ -127,6 +127,43 @@ class PqSpec extends SparkSpec {
     // same probe/refine budget (typically it rises)
     assert(rRes >= rAbs - 1e-9, s"residual recall $rRes < absolute $rAbs")
     assert(rRes >= 0.4, s"residual recall too low: $rRes")
+    // the INLINE residual search (q84's operator — trains in-query) must
+    // reproduce the persisted residual index's answer exactly: same
+    // deterministic model, same probe/ADC/refine algebra, different layout
+    val inline = Pq.pqIvfResidualTopK(
+        emb, queries, k = 5, nlist = 8, nprobe = 3, m = 8, ksub = 16,
+        iters = 3, refine = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val persisted = Pq.pqIvfTopKFromIndex(
+        spark, dirRes, emb, queries, k = 5, nprobe = 3, refine = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inline === persisted,
+      s"inline residual search diverged from the persisted index: " +
+        s"${(inline diff persisted) ++ (persisted diff inline)}")
+  }
+
+  test("q83 model export matches the persisted residual index bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqivf-exp").toString
+    Pq.writePqIvfIndex(emb, dir, nlist = 8, iters = 3, m = 8, ksub = 16,
+      residual = true)
+    val table = Pq.ivfPqResidualModelTable(
+        emb, nlist = 8, m = 8, ksub = 16, iters = 3)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    val fromCentroids = spark.read.parquet(s"$dir/centroids")
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zipWithIndex.map { case (v, pos) =>
+          ("c", r.getInt(0), 0, pos, v)
+        }
+      }
+    val fromBooks = spark.read.parquet(s"$dir/books")
+      .collect().flatMap { r =>
+        r.getSeq[Double](2).zipWithIndex.map { case (v, pos) =>
+          ("b", r.getInt(0), r.getInt(1), pos, v)
+        }
+      }
+    assert(table.sorted === (fromCentroids ++ fromBooks).sorted,
+      "scalar model export must carry exactly the persisted model state")
   }
 
   test("degenerate corpora: identical and all-zero vectors still train, encode, search") {

@@ -55,8 +55,9 @@ class SimilaritySpec extends SparkSpec {
   test("persisted LSH index: pruned-scan ANN matches in-memory lshTopK") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
     Similarity.writeLshIndex(emb, dir, nbits = 8, tables = 4)
-    val fromIndex = Similarity.lshTopKFromIndex(
-      spark, dir, queries, k = 5, nbits = 8, tables = 4)
+    // geometry comes from the index's meta table, not caller params — a
+    // repeated-wrong nbits/tables can no longer silently mis-probe
+    val fromIndex = Similarity.lshTopKFromIndex(spark, dir, queries, k = 5)
     val direct = Similarity.lshTopK(emb, queries, k = 5, nbits = 8, tables = 4)
     val a = fromIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val b = direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -66,12 +67,17 @@ class SimilaritySpec extends SparkSpec {
     assert(planStr.contains("PartitionFilters: ["), planStr.take(2000))
     assert(planStr.contains("tbl"), "partition filter should constrain tbl/sig")
     // probe partitions are a small fraction of tables * 2^nbits
-    val totalParts = new java.io.File(dir).listFiles().filter(_.isDirectory)
-      .flatMap(_.listFiles()).count(_.isDirectory)
+    val totalParts = new java.io.File(s"$dir/buckets").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).count(_.isDirectory)
     assert(totalParts > 100, s"expected many sig partitions, got $totalParts")
     // empty query set returns empty, not an empty-reduce crash
     assert(Similarity.lshTopKFromIndex(
-      spark, dir, queries.limit(0), k = 5, nbits = 8, tables = 4).count() === 0L)
+      spark, dir, queries.limit(0), k = 5).count() === 0L)
+    // a pre-meta / non-index path throws instead of probing garbage
+    val bare = java.nio.file.Files.createTempDirectory("graft-lsh-bare").toString
+    intercept[IllegalStateException] {
+      Similarity.lshTopKFromIndex(spark, bare, queries, k = 5)
+    }
   }
 
   test("persisted IVF index: pruned-scan ANN matches in-memory ivfTopK") {
@@ -84,6 +90,11 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b, s"index-vs-direct mismatch: ${(a diff b) ++ (b diff a)}")
     val planStr = fromIndex.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters: ["), planStr.take(1500))
+    // a pre-meta / non-index path throws instead of searching blind
+    val bare = java.nio.file.Files.createTempDirectory("graft-ivf-bare").toString
+    intercept[IllegalStateException] {
+      Similarity.ivfTopKFromIndex(spark, bare, queries, k = 5, nprobe = 3)
+    }
   }
 
   test("embedding dedup survivors drop exactly the dominated ids") {
