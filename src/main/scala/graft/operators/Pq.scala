@@ -410,7 +410,7 @@ object Pq {
     * query's residual to THAT list's centroid (the codes encode corpus
     * residuals, so ADC must compare residual to residual); in absolute
     * mode every pair of a query shares one lut. */
-  private def ivfPqSearch(
+  private[graft] def ivfPqSearch(
       codes: DataFrame, corpus: DataFrame, queries: DataFrame,
       centroids: Seq[(Int, Seq[Double])], books: Seq[(Int, Int, Seq[Double])],
       residual: Boolean, dim: Int, k: Int, nprobe: Int, refine: Int,
@@ -484,13 +484,22 @@ object Pq {
     val (centroids, books, _) = ivfPqModel(
       corpus, nlist, iters, m, ksub, idCol, embCol, dim,
       trainCap, corpusRows, residual = true)
+    modelTable(corpus.sparkSession, centroids, books)
+  }
+
+  /** The scalar (kind, i, j, pos, value) rendering of an IVF×PQ model —
+    * shared by ivfPqResidualModelTable and the q83 registered query's
+    * memoized path, so the export shape has one definition. */
+  private[graft] def modelTable(
+      spark: SparkSession, centroids: Seq[(Int, Seq[Double])],
+      books: Seq[(Int, Int, Seq[Double])]): DataFrame = {
     val cents = centroids.flatMap { case (cid, ctr) =>
       ctr.zipWithIndex.map { case (v, pos) => ("c", cid, 0, pos, v) }
     }
     val cws = books.flatMap { case (sub, code, cw) =>
       cw.zipWithIndex.map { case (v, pos) => ("b", sub, code, pos, v) }
     }
-    corpus.sparkSession.createDataFrame(cents ++ cws)
+    spark.createDataFrame(cents ++ cws)
       .toDF("kind", "i", "j", "pos", "value")
   }
 }
