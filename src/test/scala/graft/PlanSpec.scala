@@ -138,6 +138,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q83: residual model export is pure driver state — a LocalTableScan") {
+    val p = plan("q83_pq_residual_model")
+    assert(p.contains("LocalTableScan"), p.take(800))
+    assert(!p.contains("Exchange"),
+      s"model export must not touch the cluster:\n${p.take(800)}")
+    assert(!p.contains("parquet"),
+      s"the export plan itself must not re-scan the corpus:\n${p.take(800)}")
+  }
+
+  test("q84: residual ADC refine is a group-limit window; no cartesian") {
+    val p = plan("q84_knn_pq_residual")
+    assert(p.contains("WindowGroupLimit"),
+      s"refine cut must push a per-partition group limit:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"),
+      s"probe pairs must broadcast, the corpus must stream:\n${p.take(1200)}")
+  }
+
   test("q46: ANN corpus never self-shuffles; queries are broadcast") {
     val p = plan("q46_knn_bruteforce")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
