@@ -107,6 +107,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q77: signature table export stays map-only after the scalar explode") {
+    val p = plan("q77_signature_table")
+    assert(!p.contains("Exchange"),
+      s"signature export must be a straight scan→write at 100 TB:\n${p.take(800)}")
+    assert(!p.contains("Sort"), s"no sort in a map-only export:\n${p.take(800)}")
+  }
+
   test("q78: LSH bucket table export is map-only — no exchange, no sort") {
     val p = plan("q78_lsh_bucket_table")
     assert(!p.contains("Exchange"),

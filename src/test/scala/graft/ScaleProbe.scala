@@ -55,6 +55,19 @@ object ScaleProbe {
     time("pq_adc_topk (books given)") {
       Pq.pqAdcTopK(big, queries, k = 5, books, refine = 50).count()
     }
+    // the residual IVF×PQ composition: model trained once (the deployment
+    // shape), search scans only nprobe of nlist lists — should sit well
+    // under the flat ADC number above on the same corpus
+    val (centroids, rBooks, codes) = Pq.ivfPqModel(
+      big, nlist = 8, iters = 3, m = 8, ksub = 16,
+      idCol = "vec_id", embCol = "embedding", dim = 64,
+      trainCap = 65536L, corpusRows = Some(n), residual = true)
+    val codesCp = codes.localCheckpoint(true)
+    time("pqivf_residual (model given)") {
+      Pq.ivfPqSearch(codesCp, big, queries, centroids, rBooks,
+        residual = true, dim = 64, k = 5, nprobe = 3, refine = 50,
+        idCol = "vec_id", embCol = "embedding").count()
+    }
     spark.stop()
   }
 }
