@@ -44,6 +44,9 @@ object GraftFunctions {
     ("shingle_stats",
       new ExpressionInfo(classOf[ShingleStatsExpr].getName, "shingle_stats"),
       (es: Seq[Expression]) => ShingleStatsExpr(es(0), intArg(es(1), "n"))),
+    ("repetition_stats",
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "repetition_stats"),
+      (es: Seq[Expression]) => RepetitionStatsExpr(es(0), intArg(es(1), "n"))),
     ("winnow_fingerprints",
       new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName, "winnow_fingerprints"),
       (es: Seq[Expression]) =>

@@ -60,6 +60,61 @@ object NativeExprKernels {
     InternalRow(total.toLong, seen.size.toLong)
   }
 
+  /** Gopher/FineWeb-style repetition profile in one pass: lines split on
+    * '\n' (split limit -1 keeps trailing empties — DuckDB string_split
+    * parity), duplicate-line counts and the characters those duplicate
+    * COPIES occupy (copies beyond the first occurrence; lengths in Unicode
+    * code points — DuckDB length() parity), plus the dominance of the most
+    * frequent word n-gram. Returned as raw counts; the query layer forms
+    * the fractions so rounding stays in the engine's round(). */
+  def repetitionStats(input: UTF8String, n: Int): InternalRow = {
+    val s = input.toString
+    val lines = s.split("\n", -1)
+    val lineCount = new java.util.HashMap[String, Integer](math.max(16, lines.length * 2))
+    var lineChars = 0L
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      val prev = lineCount.get(l)
+      lineCount.put(l, if (prev == null) 1 else prev + 1)
+      lineChars += l.codePointCount(0, l.length)
+      i += 1
+    }
+    var nDup = 0L
+    var dupChars = 0L
+    val it = lineCount.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val extra = e.getValue - 1
+      if (extra > 0) {
+        nDup += extra
+        dupChars += extra.toLong * e.getKey.codePointCount(0, e.getKey.length)
+      }
+    }
+    val tokens = ws.split(s.trim).filter(_.nonEmpty)
+    val total = math.max(tokens.length - n + 1, 0)
+    val gramCount = new java.util.HashMap[String, Integer](math.max(16, total * 2))
+    var top = 0
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j)); j += 1
+      }
+      val key = sb.toString
+      val prev = gramCount.get(key)
+      val c = if (prev == null) 1 else prev + 1
+      gramCount.put(key, c)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(lines.length.toLong, nDup, dupChars, lineChars,
+      top.toLong, total.toLong)
+  }
+
   private def elemAt(arr: ArrayData, code: Int, i: Int): Double = code match {
     case ElemDouble => arr.getDouble(i)
     case ElemFloat  => arr.getFloat(i).toDouble

@@ -66,6 +66,31 @@ case class ShingleStatsExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Repetition profile for quality filtering (Gopher/FineWeb-style rules):
+  * duplicate-line counts + the chars their copies occupy, and the top word
+  * n-gram's dominance — raw counts in one pass, one HashMap each. */
+case class RepetitionStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_dup_lines", LongType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("line_chars", LongType, nullable = false),
+    StructField("top_ngram_count", LongType, nullable = false),
+    StructField("n_ngrams", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprKernels.repetitionStats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${Kernel.fq}.repetitionStats($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+}
+
 /** Cosine similarity of two numeric arrays: elements widened to double,
   * sequential accumulation — the same IEEE op order as the composed
   * cast-then-zip_with-then-aggregate reference, so results are bitwise
@@ -218,6 +243,9 @@ object NativeExprs {
     toColumn(MinHashSigExpr(toExpression(hashes), numHashes))
   def shingleStats(text: Column, n: Int): Column =
     toColumn(ShingleStatsExpr(toExpression(text), n))
+
+  def repetitionStats(text: Column, n: Int): Column =
+    toColumn(RepetitionStatsExpr(toExpression(text), n))
   def cosineSim(a: Column, b: Column): Column =
     toColumn(CosineSimExpr(toExpression(a), toExpression(b)))
   def jaccardSorted(a: Column, b: Column): Column =

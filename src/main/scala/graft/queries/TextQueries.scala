@@ -241,6 +241,115 @@ object TextQueries extends QueryPack {
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT id_b FROM dropped) ORDER BY doc_id"""))
 
+  /** Shared q85/q86 projection: the repetition profile fractions at 4dp
+    * from the one-pass native kernel (raw counts → fractions here, so all
+    * rounding is the engine's own round()). n_lines >= 1 always (split
+    * yields at least one line); the char/gram denominators are guarded. */
+  private def repetitionFractions(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        graft.plans.NativeExprs.repetitionStats(col("text"), 2).as("rs"))
+      .select(col("doc_id"),
+        col("rs.n_lines").as("n_lines"),
+        round(col("rs.n_dup_lines").cast("double") / col("rs.n_lines"), 4)
+          .as("dup_line_frac"),
+        when(col("rs.line_chars") > 0,
+          round(col("rs.dup_line_chars").cast("double") / col("rs.line_chars"), 4))
+          .otherwise(0.0).as("dup_line_char_frac"),
+        when(col("rs.n_ngrams") > 0,
+          round(col("rs.top_ngram_count").cast("double") / col("rs.n_ngrams"), 4))
+          .otherwise(0.0).as("top_2gram_frac"))
+
+  /** The SQL restatement of the repetition profile, shared by the q85/q86
+    * oracles: lines via string_split on chr(10) (the kernel splits with
+    * limit -1 for exactly this parity), duplicate chars as Σ (cnt−1)·len
+    * over distinct lines, 2-gram dominance via the positional self-join
+    * device (see q36). */
+  private val repetitionSql = """WITH l AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+      lx AS (SELECT doc_id, unnest(lines) AS line FROM l),
+      lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS ln
+        FROM lx GROUP BY doc_id, line),
+      ls AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+          CAST(sum(cnt - 1) AS BIGINT) AS n_dup_lines,
+          CAST(sum((cnt - 1) * ln) AS BIGINT) AS dup_chars,
+          CAST(sum(cnt * ln) AS BIGINT) AS line_chars
+        FROM lc GROUP BY doc_id),
+      w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+          generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+        FROM documents),
+      g AS (SELECT a.doc_id, a.word || ' ' || b.word AS gram
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      gc AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams FROM (
+          SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+        GROUP BY doc_id),
+      f AS (SELECT d.doc_id, ls.n_lines,
+          round(CAST(ls.n_dup_lines AS DOUBLE) / ls.n_lines, 4) AS dup_line_frac,
+          CASE WHEN ls.line_chars > 0
+            THEN round(CAST(ls.dup_chars AS DOUBLE) / ls.line_chars, 4)
+            ELSE 0.0 END AS dup_line_char_frac,
+          CASE WHEN COALESCE(gc.n_grams, 0) > 0
+            THEN round(CAST(gc.top_cnt AS DOUBLE) / gc.n_grams, 4)
+            ELSE 0.0 END AS top_2gram_frac
+        FROM documents d JOIN ls ON ls.doc_id = d.doc_id
+        LEFT JOIN gc ON gc.doc_id = d.doc_id)"""
+
+  /** Repetition profile (Gopher/FineWeb-style quality signals): duplicate-
+    * line fraction, the char mass of duplicate copies, and top word-2-gram
+    * dominance — per doc, map-only (one native kernel pass per row, no
+    * shuffle; at 100 TB a straight scan). */
+  private val q85 = Q(
+    "q85_repetition_stats",
+    (s, dir) => repetitionFractions(s, dir).orderBy(col("doc_id")),
+    Some(repetitionSql +
+      " SELECT * FROM f ORDER BY doc_id"))
+
+  /** Repetition-based quality gate (the filter the profile exists for):
+    * keep docs under Gopher-ish thresholds. Same map-only scan. */
+  private val q86 = Q(
+    "q86_repetition_filter",
+    (s, dir) => repetitionFractions(s, dir)
+      .filter(col("dup_line_frac") <= 0.3 &&
+        col("dup_line_char_frac") <= 0.2 && col("top_2gram_frac") <= 0.2)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id")),
+    Some(repetitionSql +
+      """ SELECT doc_id FROM f
+      WHERE dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+        AND top_2gram_frac <= 0.2 ORDER BY doc_id"""))
+
+  /** Per-source quota cap (the FineWeb-style per-domain cap): keep the 50
+    * best docs per source by quality score, ties → doc_id. Plans as a
+    * WindowGroupLimit over one exchange on `source` — the per-group
+    * top-k never global-sorts, and at 100 TB the cap bounds every
+    * source's contribution to the training mix regardless of its crawl
+    * volume. */
+  private val q87 = Q(
+    "q87_source_quota",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("quality"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH q AS (SELECT doc_id, source, round(
+        least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 200.0) * 0.5
+      + least(1.0, (CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE)
+          / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0)) * 4.0) * 0.3
+      + (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+          / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0)) * 10.0)) * 0.2
+      , 4) AS quality FROM documents),
+      r AS (SELECT doc_id, source, quality, row_number() OVER (
+          PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM q)
+      SELECT doc_id, source, quality FROM r WHERE rn <= 50
+      ORDER BY source, doc_id"""))
+
   /** HLL approximate distinct (approx_count_distinct) next to exact — the
     * sketch surface; rows-only (HLL implementations differ by design). */
   private val q40 = Q(
@@ -675,5 +784,5 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77)
+      q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87)
 }

@@ -163,6 +163,13 @@ class PlanSpec extends SparkSpec {
       s"probe pairs must broadcast, the corpus must stream:\n${p.take(1200)}")
   }
 
+  test("q87: per-source quota is a group-limit window, never a global sort of the corpus") {
+    val p = plan("q87_source_quota")
+    assert(p.contains("WindowGroupLimit"),
+      s"quota cap must push a per-partition group limit:\n${p.take(1200)}")
+    assert(!p.contains("Join"), s"quota cap joins nothing:\n${p.take(800)}")
+  }
+
   test("q46: ANN corpus never self-shuffles; queries are broadcast") {
     val p = plan("q46_knn_bruteforce")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))

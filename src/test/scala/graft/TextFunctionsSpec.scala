@@ -9,6 +9,30 @@ class TextFunctionsSpec extends SparkSpec {
     spark.range(1).select(c).head()
   }
 
+  test("repetitionStats: hand-computed duplicate lines and 2-gram dominance") {
+    import graft.plans.NativeExprs.repetitionStats
+    // 4 lines: "ab cd" ×2 (dup), "x", "ab cd x" — duplicate copies beyond
+    // first: one "ab cd" (5 chars). line chars total 5+5+1+7 = 18.
+    // tokens: ab cd ab cd x ab cd x → 2-grams: "ab cd"×3, "cd ab", "cd x"×2,
+    // "x ab" → top=3 of 7 total
+    val r = one(repetitionStats(lit("ab cd\nab cd\nx\nab cd x"), 2)).getStruct(0)
+    assert(r.getLong(0) === 4L, "n_lines")
+    assert(r.getLong(1) === 1L, "n_dup_lines")
+    assert(r.getLong(2) === 5L, "dup_line_chars")
+    assert(r.getLong(3) === 18L, "line_chars")
+    assert(r.getLong(4) === 3L, "top_ngram_count")
+    assert(r.getLong(5) === 7L, "n_ngrams")
+    // trailing newline keeps its empty line (split limit -1 — the DuckDB
+    // string_split parity the oracle depends on); two empties are a dup
+    val t = one(repetitionStats(lit("a\n\n"), 2)).getStruct(0)
+    assert(t.getLong(0) === 3L, "a + two empties")
+    assert(t.getLong(1) === 1L, "second empty line is a duplicate copy")
+    // empty text: one empty line, no tokens, all denominators guarded
+    val e = one(repetitionStats(lit(""), 2)).getStruct(0)
+    assert(e.getLong(0) === 1L)
+    assert((1 to 5).map(e.getLong) === Seq(0L, 0L, 0L, 0L, 0L))
+  }
+
   test("fingerprint is whitespace/case invariant") {
     val a = one(fingerprint(lit("Hello   World\n"))).getString(0)
     val b = one(fingerprint(lit("hello world"))).getString(0)
