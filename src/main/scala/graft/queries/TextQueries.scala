@@ -350,6 +350,56 @@ object TextQueries extends QueryPack {
       SELECT doc_id, source, quality FROM r WHERE rn <= 50
       ORDER BY source, doc_id"""))
 
+  /** Per-doc top-3 TF-IDF keywords — the corpus-wide two-pass analytic
+    * (term document-frequencies need the whole corpus; everything else is
+    * per-doc): one shuffle to (doc_id, term) counts, one term-keyed
+    * aggregate for df, a shuffle join back on term (AQE handles stopword
+    * skew; the df side is pre-aggregated to one row per term), the corpus
+    * size as a 1-row broadcast, and a per-doc group-limit window. idf is
+    * the RATIONAL (N+1)/(df+1) variant, not ln — monotone in 1/df like
+    * log-idf but pure arithmetic, so the oracle restates the float tree
+    * exactly in the engine's round() parity class (the same discipline as
+    * q33's quality score; ln would bet on libm agreement). */
+  private val q88 = Q(
+    "q88_tfidf_keywords",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val tc = docs
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf_raw"))
+      val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf_raw")).as("n_tokens"))
+      val dfT = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tc.join(dl, "doc_id").join(dfT, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round((col("tf_raw").cast("double") / col("n_tokens")) *
+            ((col("n_docs") + 1.0) / (col("df") + 1.0)), 4).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS tf_raw
+        FROM toks GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, sum(tf_raw) AS n_tokens FROM tc GROUP BY doc_id),
+      df AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      sc AS (SELECT tc.doc_id, tc.term,
+          round((CAST(tc.tf_raw AS DOUBLE) / dl.n_tokens)
+            * ((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS score
+        FROM tc JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n),
+      r AS (SELECT doc_id, term, score, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+      SELECT doc_id, term, score FROM r WHERE rn <= 3
+      ORDER BY doc_id, score DESC, term"""))
+
   /** HLL approximate distinct (approx_count_distinct) next to exact — the
     * sketch surface; rows-only (HLL implementations differ by design). */
   private val q40 = Q(
@@ -784,5 +834,6 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87)
+      q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
+      q88)
 }

@@ -170,6 +170,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"quota cap joins nothing:\n${p.take(800)}")
   }
 
+  test("q88: TF-IDF top-k is a group-limit window; corpus size is a 1-row broadcast") {
+    val p = plan("q88_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-doc keyword cut must push a group limit:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      s"the only cross join is the broadcast 1-row corpus count:\n${p.take(1200)}")
+  }
+
   test("q46: ANN corpus never self-shuffles; queries are broadcast") {
     val p = plan("q46_knn_bruteforce")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
