@@ -256,6 +256,61 @@ object VectorQueries extends QueryPack {
       WHERE vec_id NOT IN (SELECT id_b FROM dropped)
       ORDER BY vec_id"""))
 
+  /** Int8 scalar quantization (FAISS SQ8-style) round-trip error: per-dim
+    * corpus [min, max] ranges → 255-step uniform grid → per-vector
+    * reconstruction MSE. The OTHER standard embedding compression next to
+    * PQ (4× smaller than float32 at much higher fidelity than PQ's 32×).
+    * min/max are fold-order-INSENSITIVE aggregates, so the corpus-wide
+    * ranges are deterministic and cross-engine exact with no snapping
+    * device needed; they ride as 64-element literals (model-sized driver
+    * state, same pattern as centroids), making the error computation
+    * map-only — no join in the plan (PlanSpec pins it). Degenerate dims
+    * (max == min) quantize to the constant exactly → error 0, guarded on
+    * both sides. The per-vector sum folds in dim order in BOTH engines
+    * (Spark aggregate() left fold; DuckDB list_sum over list(... ORDER BY
+    * pos)) — fold-order parity by construction, not by luck. */
+  private val q89 = Q(
+    "q89_sq8_error",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val st = emb
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(min(col("v")).as("minv"), max(col("v")).as("maxv"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val minLit = array(st.map(t => lit(t._2)): _*)
+      val scaleLit = array(st.map(t => lit((t._3 - t._2) / 255.0)): _*)
+      val errs = zip_with(
+        col("embedding").cast("array<double>"),
+        zip_with(minLit, scaleLit, (mn, sc) => struct(mn.as("mn"), sc.as("sc"))),
+        (v, ms) => {
+          val mn = ms.getField("mn")
+          val sc = ms.getField("sc")
+          val dq = mn + round((v - mn) / sc) * sc
+          when(sc > 0.0, (v - dq) * (v - dq)).otherwise(0.0)
+        })
+      emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          round(aggregate(errs, lit(0.0), _ + _) / 64.0, 9).as("sq8_mse"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+          generate_subscripts(embedding, 1) AS pos FROM embeddings),
+      st AS (SELECT pos, min(v) AS minv, max(v) AS maxv FROM x GROUP BY pos),
+      e AS (SELECT x.vec_id, x.pos, x.v, st.minv,
+          (st.maxv - st.minv) / 255.0 AS scale
+        FROM x JOIN st USING (pos)),
+      er AS (SELECT vec_id, pos,
+          CASE WHEN scale > 0
+            THEN (v - (minv + round((v - minv) / scale, 0) * scale))
+               * (v - (minv + round((v - minv) / scale, 0) * scale))
+            ELSE 0.0 END AS err
+        FROM e)
+      SELECT vec_id,
+        round(list_sum(list(err ORDER BY pos)) / 64.0, 9) AS sq8_mse
+      FROM er GROUP BY vec_id ORDER BY vec_id"""))
+
   /** PQ codebooks (m=8 subspaces × ksub=16 codewords over 64 dims) as a
     * table — the model a 100 TB deployment trains once; the fixture for
     * the q81/q82 oracles (kmeans training is not SQL-restatable; encode
@@ -469,5 +524,5 @@ object VectorQueries extends QueryPack {
       SELECT q_id, vec_id, l2_dist FROM s WHERE rn <= 5 ORDER BY q_id, rn"""))
 
   override val all: Seq[Q] =
-    Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84)
+    Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89)
 }

@@ -178,6 +178,12 @@ class PlanSpec extends SparkSpec {
       s"the only cross join is the broadcast 1-row corpus count:\n${p.take(1200)}")
   }
 
+  test("q89: SQ8 error scan is map-only — ranges ride as literals, no join") {
+    val p = plan("q89_sq8_error")
+    assert(!p.contains("Join"),
+      s"per-dim ranges must be driver-resident literals:\n${p.take(800)}")
+  }
+
   test("q46: ANN corpus never self-shuffles; queries are broadcast") {
     val p = plan("q46_knn_bruteforce")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
