@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Results are materialized through the `noop` sink —
+  * prints two JSON lines — full-fidelity detail first, then the canonical
+  * compact record LAST (the driver's artifact keeps only the final 2000
+  * chars of stdout, so the last line is sized to survive tail capture
+  * whole). Results are materialized through the `noop` sink —
   * `count()` would let Catalyst prune away projections and most of the
   * query's real work. A small untimed warmup absorbs JVM/codegen startup so
   * per-query numbers are comparable; queries run in sorted-name order.

@@ -36,4 +36,15 @@ class RegisteredQuerySpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
+
+  test("every __VERIFY_OUT__ fixture an oracle reads is a registered query") {
+    // a typo'd fixture path would make DuckDB read an empty glob and fail
+    // the dependent oracle with a confusing error — catch it at the source
+    val ref = "__VERIFY_OUT__/([A-Za-z0-9_]+)/".r
+    val bad = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      ref.findAllMatchIn(sql).map(_.group(1)).filterNot(SparkEntry.queries.contains)
+        .map(f => s"$name reads unknown fixture $f")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
