@@ -432,4 +432,94 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("grams_a"), col("grams_b")), 4).as("jaccard"))
   }
+
+  /** Exact duplicate-SPAN detection — substring-level dedup in the style
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed relationally: a token position is
+    * "duplicated" when some word n-gram covering it occurs ≥ minCount
+    * times in the whole corpus (another document OR another offset of the
+    * same document — self-repetition counts, as in the paper's suffix
+    * array). Runs of covered positions merge into maximal spans; two
+    * covered intervals merge when they overlap or touch (next gram start
+    * ≤ previous covered end + 1: contiguous duplicated text is one span).
+    *
+    * Output: (doc_id, span_id, span_start, span_end, span_tokens,
+    * n_grams), token coordinates 0-based inclusive. Docs with no
+    * duplicated gram emit nothing.
+    *
+    * Scale shape (100 TB): gram df is ONE map-side-combining hash
+    * aggregate on the gram key; covered positions are a gram-keyed
+    * left-semi join (never a self-join); the interval merge is a window
+    * partitioned BY DOCUMENT — state bounded by a single document's
+    * token count, never corpus-sized. The explode is lazily
+    * local-checkpointed once and feeds both the df aggregate and the
+    * semi-join probe (the q76 contamination pattern). `hashGrams` swaps
+    * 8-byte xxhash64 keys for the gram strings in the shuffle — the knob
+    * to flip at corpus scale (collision odds ~n²/2⁶⁵; the registered
+    * query keeps strings so the DuckDB oracle is exact by construction,
+    * and DedupSpec pins hashed===string parity on the fixture). */
+  def duplicateSpans(
+      docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 8, minCount: Long = 2L, hashGrams: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = docs.select(idCol.cast("long").as("doc_id"),
+      posexplode(shingles(textCol, n)).as(Seq("pos", "gram")))
+    val grams = (if (hashGrams)
+        raw.select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gram"))
+      else raw).localCheckpoint(eager = false)
+    val dup = grams.groupBy("gram").count()
+      .filter(col("count") >= minCount).select("gram")
+    val hits = grams.join(dup, Seq("gram"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(n - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("pos") + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+  }
+
+  /** The aggressive scrub composed from [[duplicateSpans]]: every token
+    * covered by a duplicated span is removed from every document (the
+    * paper's "remove all but one" needs a global occurrence order; the
+    * remove-all variant is the common conservative pipeline choice —
+    * boilerplate carries no training signal wherever it appears).
+    * Emits one row per input document: (doc_id, clean_text, kept_tokens)
+    * — untouched docs keep their token stream verbatim, fully-covered
+    * docs come back empty, never dropped.
+    *
+    * The reassembly groupBy is per-document (sorted-struct collect, the
+    * N1 nesting device) — state bounded by one document, and the covered
+    * positions ride a (doc_id, pos) anti-join, so nothing here is ever
+    * corpus-cardinality wide. */
+  def scrubDuplicateSpans(
+      docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 8, minCount: Long = 2L): DataFrame = {
+    val covered = duplicateSpans(docs, textCol, idCol, n, minCount)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = docs.select(idCol.cast("long").as("doc_id"),
+      posexplode(tokens(coalesce(textCol, lit("")))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val kept = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("clean_text"),
+        count(lit(1)).as("kept_tokens"))
+    docs.select(idCol.cast("long").as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
 }

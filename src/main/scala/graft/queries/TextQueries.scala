@@ -832,8 +832,88 @@ object TextQueries extends QueryPack {
       FROM tr JOIN te ON tr.gram = te.gram
       GROUP BY tr.doc_id ORDER BY train_id"""))
 
+  /** Exact duplicate-span detection (operators.Dedup.duplicateSpans —
+    * Lee et al. substring dedup): maximal runs of token positions covered
+    * by a word 8-gram occurring ≥2 times corpus-wide. Full oracle: DuckDB
+    * rebuilds the grams with the q76 window device (0-based positions),
+    * re-derives the ≥2 occurrence filter, and replays the identical
+    * interval-merge (running max of covered end, break when the next gram
+    * starts past prev_end+1) — parity by construction, including the
+    * self-repetition case (df counts occurrences, not documents). */
+  private val q90 = Q(
+    "q90_duplicate_spans",
+    (s, dir) => Dedup.duplicateSpans(
+        Tables(s, dir).documents, col("text"), col("doc_id"), n = 8)
+      .orderBy(col("doc_id"), col("span_id")),
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+        generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos FROM documents),
+      g0 AS (SELECT doc_id, pos,
+          string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wc FROM w),
+      g AS (SELECT doc_id, pos, gram FROM g0 WHERE wc = 8),
+      d AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        WHERE df >= 2),
+      h AS (SELECT doc_id, pos FROM g SEMI JOIN d USING (gram)),
+      i AS (SELECT doc_id, pos,
+          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM h),
+      j AS (SELECT doc_id, pos,
+          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM i)
+      SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        CAST(min(pos) AS BIGINT) AS span_start,
+        CAST(max(pos + 7) AS BIGINT) AS span_end,
+        CAST(max(pos + 7) - min(pos) + 1 AS BIGINT) AS span_tokens,
+        CAST(count(*) AS BIGINT) AS n_grams
+      FROM j GROUP BY doc_id, span_id ORDER BY doc_id, span_id"""))
+
+  /** The scrub composed (operators.Dedup.scrubDuplicateSpans): every
+    * token covered by a q90 span removed, documents reassembled in token
+    * order — one output row per input document (untouched docs verbatim,
+    * fully-covered docs empty, none dropped). The oracle re-derives the
+    * spans exactly as q90 does, expands them to covered positions, and
+    * string_aggs the surviving tokens; the final LEFT JOIN + coalesce
+    * restates the operator's docs-total contract. */
+  private val q91 = Q(
+    "q91_span_scrub",
+    (s, dir) => Dedup.scrubDuplicateSpans(
+        Tables(s, dir).documents, col("text"), col("doc_id"), n = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+        generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos FROM documents),
+      g0 AS (SELECT doc_id, pos,
+          string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wc FROM w),
+      g AS (SELECT doc_id, pos, gram FROM g0 WHERE wc = 8),
+      d AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        WHERE df >= 2),
+      h AS (SELECT doc_id, pos FROM g SEMI JOIN d USING (gram)),
+      i AS (SELECT doc_id, pos,
+          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM h),
+      j AS (SELECT doc_id, pos,
+          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM i),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos + 7) AS e
+        FROM j GROUP BY doc_id, span_id),
+      cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS pos FROM spans),
+      kept AS (SELECT w.doc_id,
+          string_agg(w.word, ' ' ORDER BY w.pos) AS clean_text,
+          CAST(count(*) AS BIGINT) AS kept_tokens
+        FROM w ANTI JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+        GROUP BY w.doc_id)
+      SELECT documents.doc_id,
+        coalesce(kept.clean_text, '') AS clean_text,
+        coalesce(kept.kept_tokens, 0) AS kept_tokens
+      FROM documents LEFT JOIN kept ON documents.doc_id = kept.doc_id
+      ORDER BY documents.doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
-      q88)
+      q88, q90, q91)
 }

@@ -251,4 +251,46 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9,
       s"containment recall on shared-prefix pairs $recall (${prefixPairs.size} truth)")
   }
+
+  test("duplicate spans: planted cross-doc, self-repetition merge, and gaps") {
+    import spark.implicits._
+    val dup8 = "a b c d e f g h"          // planted in docs 1, 2, 4
+    val rep8 = "m n o p q r s t"          // twice in doc 3, once in doc 4
+    val planted = Seq(
+      (1L, s"$dup8 x y z"),               // span [0,7]
+      (2L, s"p q $dup8 r"),               // span [2,9]
+      (3L, s"$rep8 $rep8"),               // self-dup: touch-merge -> [0,15]
+      (4L, s"$dup8 u1 u2 $rep8"),         // two spans: [0,7], [10,17]
+      (5L, "totally unique words that collide with nothing at all here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(planted, col("text"), col("doc_id"), n = 8)
+      .orderBy("doc_id", "span_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(spans.toSeq === Seq(
+      (1L, 0L, 7L, 1L),
+      (2L, 2L, 9L, 1L),
+      (3L, 0L, 15L, 2L),   // positions 0 and 8 touch (8 = 7+1): one span
+      (4L, 0L, 7L, 1L), (4L, 10L, 17L, 1L)))
+
+    val scrubbed = Dedup.scrubDuplicateSpans(planted, col("text"), col("doc_id"), n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(scrubbed(0) === ((1L, "x y z", 3L)))
+    assert(scrubbed(1) === ((2L, "p q r", 3L)))
+    assert(scrubbed(2) === ((3L, "", 0L)))            // fully covered, kept
+    assert(scrubbed(3) === ((4L, "u1 u2", 2L)))
+    assert(scrubbed(4)._2 === planted.filter(col("doc_id") === 5).head().getString(1))
+  }
+
+  test("duplicate spans: hashGrams shuffle key is output-identical to strings") {
+    val byString = Dedup.duplicateSpans(docs, col("text"), col("doc_id"), n = 8)
+    val byHash = Dedup.duplicateSpans(docs, col("text"), col("doc_id"), n = 8,
+      hashGrams = true)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(byString.collect().map(key).sortBy(identity).toSeq ===
+      byHash.collect().map(key).sortBy(identity).toSeq)
+    assert(byString.count() > 0, "fixture should contain duplicated 8-grams")
+  }
 }
