@@ -185,4 +185,63 @@ object TextFunctions {
       round(regexp_count(c, lit("\\s")).cast("double") / len, 4).as("space_ratio"),
       round(regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") / len, 4).as("other_ratio"))
   }
+
+  /** Gopher's required "stop words" (Rae et al. 2021 §A1.1 — distinct
+    * from the lang-ID stopword sets above, which exist to discriminate
+    * languages, not to gate quality). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher document-level quality rule set (Rae et al. 2021
+    * §A1.1) as one map-only struct — signals plus the composed gate:
+    *   - n_words in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' or '...'/'…') ≤ 0.1
+    *   - ≤ 90% of lines bullet-started, ≤ 30% ellipsis-ended
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - ≥ 2 distinct [[GopherStopwords]] present
+    * Complements the repetition rules (§A1.2), which live in the native
+    * `repetitionStats` kernel (q85/q86).
+    *
+    * Gate comparisons run on the UNROUNDED ratios — each is an exact IEEE
+    * division of two integer-valued doubles, so any SQL restatement lands
+    * on the identical double and the identical verdict; the emitted
+    * fractions are 4dp for display stability. Empty/whitespace docs fail
+    * the word-count rule with all ratios 0. One whole-stage-codegen scan,
+    * no explode, no shuffle. */
+  def gopherQuality(c: Column): Column = {
+    val nWords = tokenCount(c)
+    val wordChars = length(regexp_replace(c, "\\s+", ""))
+    val meanLen = wordChars.cast("double") / nWords.cast("double")
+    val nSymbols = regexp_count(c, lit("#")) + regexp_count(c, lit("\\.\\.\\.|…"))
+    val symbolRatio = nSymbols.cast("double") / nWords.cast("double")
+    val lines = split(c, "\n", -1)
+    val nLines = size(lines).cast("double")
+    val bulletFrac =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines
+    val ellipsisFrac =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLines
+    val alphaFrac = regexp_count(c, lit("[^\\s]*[A-Za-z][^\\s]*")).cast("double") /
+      nWords.cast("double")
+    val toks = tokens(c)
+    val stopDistinct = GopherStopwords
+      .map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val passes = nWords >= 50L && nWords <= 100000L &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 &&
+      stopDistinct >= 2L
+    val guarded = (r: Column) => when(nWords > 0, round(r, 4)).otherwise(0.0)
+    struct(
+      nWords.as("n_words"),
+      guarded(meanLen).as("mean_word_len"),
+      guarded(symbolRatio).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_line_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_line_frac"),
+      guarded(alphaFrac).as("alpha_word_frac"),
+      stopDistinct.as("stopword_distinct"),
+      when(passes, 1L).otherwise(0L).as("passes"))
+  }
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Corpus bigram language model + per-document cross-entropy scoring —
+  * the CCNet-style perplexity quality filter (Wenzek et al. 2020) that
+  * LLM training pipelines run between heuristic gates and dedup,
+  * re-expressed relationally. The reference's pipeline has no LM stage
+  * (its quality gates are field-validity checks, Validators.php:24-61);
+  * this is a north-star extension over the `documents` table.
+  *
+  * Determinism contract (the fixture-oracle device, see q93/q94):
+  * `log2` is computed ONLY in Spark, once, inside [[bigramLm]], and its
+  * output is exported as a parquet fixture. Scoring — both the engine's
+  * [[crossEntropy]] and the DuckDB oracle — consumes the SAME logp
+  * doubles and folds them in the SAME (token-position) order with plain
+  * IEEE adds, so the compare is exact by construction and no cross-engine
+  * libm parity is ever assumed. Probabilities are Laplace-smoothed
+  * rationals ((cnt+1)/(c1+V)) — exact in both engines by IEEE division.
+  */
+object LangModel {
+
+  /** (doc_id, pos, w1, w2) bigram stream: zip the token array against its
+    * own 1-shift — map-only (posexplode of a zip_with over slices), no
+    * self-join, no shuffle. Docs with <2 tokens emit nothing. Empty
+    * tokens cannot occur ('\S+' tokenization); the filter guards the ""
+    * unseen-sentinel invariant anyway. */
+  def bigramRows(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val w = tokens(textCol)
+    val n1 = greatest(size(w) - 1, lit(0))
+    docs.select(idCol.cast("long").as("doc_id"),
+        posexplode(zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+  }
+
+  /** Laplace-smoothed corpus bigram LM: p(w2|w1) = (c(w1,w2)+1)/(c1(w1)+V)
+    * where c1 is w1's count as a bigram prefix and V the corpus unigram
+    * vocabulary. Output rows (w1, w2, cnt, logp), logp = round(log2 p, 9):
+    *   - observed bigrams:        (w1,  w2, cnt, logp)
+    *   - per-prefix unseen mass:  (w1,  "",   0, log2(1/(c1+V)))   [one per w1]
+    *   - global OOV fallback:     ("",  "",   0, log2(1/V))        [one row]
+    * so a scorer coalesces observed → prefix-unseen → global and never
+    * misses. All columns scalar (driver-sortable).
+    *
+    * Scale shape: ONE map-side-combining aggregate on (w1,w2) — the only
+    * corpus-sized shuffle; c1 re-aggregates the (vocab²-bounded) result;
+    * V is a single scalar aggregate. The c1 join is vocab-sized →
+    * broadcast at any corpus scale. */
+  def bigramLm(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val vocabV: Long = docs
+      .select(explode(tokens(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(countDistinct(col("word"))).head().getLong(0)
+    val c2 = bigramRows(docs, textCol, idCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
+    val obs = c2.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(log2((col("cnt") + lit(1L)).cast("double") /
+          (col("c1") + lit(vocabV)).cast("double")), 9).as("logp"))
+    val unseen = c1.select(col("w1"), lit("").as("w2"), lit(0L).as("cnt"),
+      round(log2(lit(1.0) / (col("c1") + lit(vocabV)).cast("double")), 9)
+        .as("logp"))
+    val oov = docs.sparkSession.range(1)
+      .select(lit("").as("w1"), lit("").as("w2"), lit(0L).as("cnt"),
+        round(log2(lit(1.0) / lit(vocabV).cast("double")), 9).as("logp"))
+    obs.unionByName(unseen).unionByName(oov)
+  }
+
+  /** Per-document cross-entropy under a [[bigramLm]] model: one row per
+    * input document — (doc_id, n_bigrams, total_bits, bits_per_token),
+    * bits_per_token = −(Σ logp)/n at 6dp (NULL when the doc has no
+    * bigram; total_bits 0 there — docs are never dropped). The Σ is the
+    * q89 ordered-fold device: collect (pos, logp), array_sort, left-fold
+    * with IEEE adds — bit-reproducible and exactly restatable as DuckDB
+    * `list_sum(list(lp ORDER BY pos))` over the same fixture doubles.
+    *
+    * Scale shape: the lm joins are model-sized (vocab² bounded) →
+    * broadcast; the fold's state is one document's bigrams, never
+    * corpus-wide. `+ 0.0` normalizes a possible IEEE −0.0 total (a
+    * degenerate all-certain corpus) to +0.0 on both engines. */
+  def crossEntropy(docs: DataFrame, lm: DataFrame, textCol: Column,
+      idCol: Column): DataFrame = {
+    val obs = lm.filter(col("w1") =!= "" && col("w2") =!= "")
+      .select(col("w1"), col("w2"), col("logp"))
+    val uns = lm.filter(col("w1") =!= "" && col("w2") === "")
+      .select(col("w1"), col("logp").as("lp_unseen"))
+    val oov = lm.filter(col("w1") === "" && col("w2") === "")
+      .select(col("logp").as("lp_oov"))
+    val lp = bigramRows(docs, textCol, idCol)
+      .join(obs, Seq("w1", "w2"), "left")
+      .join(uns, Seq("w1"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("logp"), col("lp_unseen"), col("lp_oov")).as("lp"))
+    val perDoc = lp.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+          s => s.getField("lp")),
+        lit(0.0), _ + _).as("sum_lp"))
+    docs.select(idCol.cast("long").as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (round(coalesce(col("sum_lp") * lit(-1.0), lit(0.0)), 6) + lit(0.0))
+          .as("total_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          round(col("sum_lp") * lit(-1.0) / col("n_bigrams"), 6) + lit(0.0))
+          .as("bits_per_token"))
+  }
+
+  /** CCNet's head/middle/tail banding: rank scored docs by
+    * bits_per_token (ascending — head = most LM-predictable) and cut
+    * into `bands` equal tiles, ties → doc_id. Docs without a defined
+    * score (no bigram) are excluded — they have no perplexity.
+    *
+    * EXACT tiles need a total order: this plans as a single-partition
+    * window, correct but driver-bound — the oracle-matched form. At
+    * corpus scale use [[ceBandsApprox]] (approxQuantile cut points +
+    * map-only banding); with relativeError 0 the two agree exactly
+    * except WITHIN runs of tied scores straddling a cut. */
+  def ceBands(scored: DataFrame, bands: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bits_per_token"), col("doc_id"))
+    scored.filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("bits_per_token"))
+      .withColumn("band", ntile(bands).over(w))
+  }
+
+  /** The 100 TB banding: cut points from approxQuantile (one pass,
+    * Greenwald-Khanna, no global sort) then a map-only when-chain. */
+  def ceBandsApprox(scored: DataFrame, bands: Int = 3,
+      relativeError: Double = 1e-4): DataFrame = {
+    val defined = scored.filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("bits_per_token"))
+    val probs = (1 until bands).map(_.toDouble / bands).toArray
+    val cuts = defined.stat.approxQuantile("bits_per_token", probs, relativeError)
+    val band = cuts.zipWithIndex.foldRight(lit(bands): Column) {
+      case ((cut, i), rest) => when(col("bits_per_token") <= cut, i + 1).otherwise(rest)
+    }
+    defined.withColumn("band", band)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, LangModel, Sampling}
 
 /** Text-analysis + dedup surface over the `documents` table — the
   * LLM-training-data operators (BASELINE.json north star) layered on the
@@ -912,8 +912,142 @@ object TextQueries extends QueryPack {
       FROM documents LEFT JOIN kept ON documents.doc_id = kept.doc_id
       ORDER BY documents.doc_id"""))
 
+  /** The full Gopher document-level quality rule set
+    * (TextFunctions.gopherQuality — Rae et al. 2021 §A1.1): word-count /
+    * mean-word-length bounds, symbol and bullet/ellipsis line ratios,
+    * alphabetic-word fraction, required-stopword presence, plus the
+    * composed gate. One map-only codegen scan. Gate comparisons happen on
+    * UNROUNDED exact-IEEE ratios in both engines (see the function's
+    * scaladoc); emitted fractions are 4dp. */
+  private val q92 = Q(
+    "q92_gopher_quality",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"), gopherQuality(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words").as("n_words"),
+        col("g.mean_word_len").as("mean_word_len"),
+        col("g.symbol_ratio").as("symbol_ratio"),
+        col("g.bullet_line_frac").as("bullet_line_frac"),
+        col("g.ellipsis_line_frac").as("ellipsis_line_frac"),
+        col("g.alpha_word_frac").as("alpha_word_frac"),
+        col("g.stopword_distinct").as("stopword_distinct"),
+        col("g.passes").as("passes"))
+      .orderBy(col("doc_id")),
+    Some("""WITH s AS (SELECT doc_id,
+          len(regexp_extract_all(text, '\S+')) AS n_words,
+          length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+          len(regexp_extract_all(text, '#'))
+            + len(regexp_extract_all(text, '\.\.\.|…')) AS n_symbols,
+          string_split(text, chr(10)) AS lines,
+          len(regexp_extract_all(text, '[^\s]*[A-Za-z][^\s]*')) AS alpha_words,
+          regexp_extract_all(text, '\S+') AS toks
+        FROM documents),
+      t AS (SELECT doc_id, n_words,
+          CAST(word_chars AS DOUBLE) / n_words AS mean_len,
+          CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+            AS DOUBLE) / len(lines) AS bullet_frac,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+            AS DOUBLE) / len(lines) AS ellipsis_frac,
+          CAST(alpha_words AS DOUBLE) / n_words AS alpha_frac,
+          (list_contains(toks, 'the')::BIGINT + list_contains(toks, 'be')::BIGINT
+           + list_contains(toks, 'to')::BIGINT + list_contains(toks, 'of')::BIGINT
+           + list_contains(toks, 'and')::BIGINT + list_contains(toks, 'that')::BIGINT
+           + list_contains(toks, 'have')::BIGINT
+           + list_contains(toks, 'with')::BIGINT) AS stop_distinct
+        FROM s)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        CASE WHEN n_words > 0 THEN round(mean_len, 4) ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_words > 0 THEN round(symbol_ratio, 4) ELSE 0.0 END AS symbol_ratio,
+        round(bullet_frac, 4) AS bullet_line_frac,
+        round(ellipsis_frac, 4) AS ellipsis_line_frac,
+        CASE WHEN n_words > 0 THEN round(alpha_frac, 4) ELSE 0.0 END AS alpha_word_frac,
+        CAST(stop_distinct AS BIGINT) AS stopword_distinct,
+        CASE WHEN n_words BETWEEN 50 AND 100000
+          AND mean_len >= 3.0 AND mean_len <= 10.0
+          AND symbol_ratio <= 0.1
+          AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+          AND alpha_frac >= 0.8 AND stop_distinct >= 2
+          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS passes
+      FROM t ORDER BY doc_id"""))
+
+  /** Laplace-smoothed corpus bigram LM (operators.LangModel.bigramLm):
+    * observed (w1,w2,cnt,logp) rows + per-prefix unseen rows (w2 = '') +
+    * one global OOV row (w1 = w2 = ''). Rows-only BY DESIGN: logp is the
+    * engine's log2, which has no cross-libm-exact SQL restatement — the
+    * fixture-oracle device instead makes q94 consume THESE doubles, so
+    * the LM is transitively hash-verified there; counts/probabilities and
+    * hand-computed logp are pinned in LangModelSpec. All columns scalar
+    * (driver-sortable). */
+  private val q93 = Q(
+    "q93_bigram_lm",
+    (s, dir) => LangModel.bigramLm(
+        Tables(s, dir).documents, col("text"), col("doc_id"))
+      .orderBy(col("w1"), col("w2")),
+    None)
+
+  /** Per-document cross-entropy under the q93 LM
+    * (operators.LangModel.crossEntropy) — the CCNet perplexity filter's
+    * scoring pass. FULL oracle via the fixture device: DuckDB reads q93's
+    * exported logp doubles, replays the identical coalesce chain
+    * (observed → prefix-unseen → OOV) and the identical position-ordered
+    * IEEE fold (`list_sum(list(lp ORDER BY pos))` — the q89 device), so
+    * the compare is exact with no libm call on the oracle side. */
+  private val q94 = Q(
+    "q94_doc_ce",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      LangModel.crossEntropy(docs,
+          LangModel.bigramLm(docs, col("text"), col("doc_id")),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+          generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos
+        FROM documents),
+      b AS (SELECT a.doc_id, a.pos, a.word AS w1, b.word AS w2
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      lm AS (SELECT * FROM read_parquet('__VERIFY_OUT__/q93_bigram_lm/*.parquet')),
+      obs AS (SELECT w1, w2, logp FROM lm WHERE w1 <> '' AND w2 <> ''),
+      uns AS (SELECT w1, logp AS lp_unseen FROM lm WHERE w1 <> '' AND w2 = ''),
+      oov AS (SELECT logp AS lp_oov FROM lm WHERE w1 = '' AND w2 = ''),
+      lp AS (SELECT b.doc_id, b.pos,
+          coalesce(obs.logp, uns.lp_unseen, (SELECT lp_oov FROM oov)) AS lp
+        FROM b LEFT JOIN obs ON b.w1 = obs.w1 AND b.w2 = obs.w2
+          LEFT JOIN uns ON b.w1 = uns.w1),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          list_sum(list(lp ORDER BY pos)) AS s FROM lp GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(agg.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        round(coalesce(-1.0 * agg.s, 0.0), 6) + 0.0 AS total_bits,
+        CASE WHEN agg.n_bigrams > 0
+          THEN round(-1.0 * agg.s / agg.n_bigrams, 6) + 0.0 END AS bits_per_token
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** CCNet head/middle/tail banding (operators.LangModel.ceBands): exact
+    * terciles of q94's bits_per_token (ties → doc_id). Oracle reads q94's
+    * own (fully hash-verified) export and re-ranks with the same ntile —
+    * transitively exact. The registered form is the oracle-matched exact
+    * ntile; the 100 TB path is ceBandsApprox (approxQuantile cut points,
+    * no global sort), pinned equal on distinct scores in LangModelSpec. */
+  private val q95 = Q(
+    "q95_ce_bands",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      LangModel.ceBands(
+          LangModel.crossEntropy(docs,
+            LangModel.bigramLm(docs, col("text"), col("doc_id")),
+            col("text"), col("doc_id")), 3)
+        .select(col("doc_id"), col("bits_per_token"),
+          col("band").cast("long").as("band"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, bits_per_token,
+        CAST(ntile(3) OVER (ORDER BY bits_per_token, doc_id) AS BIGINT) AS band
+      FROM read_parquet('__VERIFY_OUT__/q94_doc_ce/*.parquet')
+      WHERE n_bigrams > 0 ORDER BY doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
-      q88, q90, q91)
+      q88, q90, q91, q92, q93, q94, q95)
 }

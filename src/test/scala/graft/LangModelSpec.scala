@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LangModel
+
+/** Hand-computed pins for the bigram-LM / cross-entropy family (q93/q94/
+  * q95). Train corpus: d1 = "a b a c", d2 = "b a b" →
+  * c2: (a,b)=2, (b,a)=2, (a,c)=1; prefix counts c1: a=3, b=2; V=3.
+  * Laplace: p(b|a)=3/6, p(c|a)=2/6, p(a|b)=3/5; unseen a=1/6, b=1/5;
+  * OOV=1/3. */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val train =
+    Seq((1L, "a b a c"), (2L, "b a b")).toDF("doc_id", "text")
+  private lazy val lm = LangModel.bigramLm(train, col("text"), col("doc_id"))
+
+  test("bigramLm: hand-computed Laplace rows, unseen and OOV sentinels") {
+    val rows = lm.collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows.size === 6, "3 observed + 2 unseen + 1 OOV")
+    assert(rows(("a", "b"))._1 === 2L)
+    assert(rows(("a", "b"))._2 === -1.0, "p(b|a)=3/6 → exactly -1 bit")
+    assert(rows(("a", "c"))._1 === 1L)
+    assert(math.abs(rows(("a", "c"))._2 - -1.584962501) < 2e-9, "log2(2/6)")
+    assert(math.abs(rows(("b", "a"))._2 - -0.736965594) < 2e-9, "log2(3/5)")
+    assert(math.abs(rows(("a", ""))._2 - -2.584962501) < 2e-9, "log2(1/6)")
+    assert(math.abs(rows(("b", ""))._2 - -2.321928095) < 2e-9, "log2(1/5)")
+    assert(math.abs(rows(("", ""))._2 - -1.584962501) < 2e-9, "OOV log2(1/3)")
+  }
+
+  test("bigramLm: probability mass per prefix sums to 1 (obs + unseen·rest)") {
+    val rows = lm.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val vocab = 3
+    for (w1 <- Seq("a", "b")) {
+      val obs = rows.filter(r => r._1 == w1 && r._2.nonEmpty)
+      val unseen = rows.find(r => r._1 == w1 && r._2.isEmpty).get._3
+      val mass = obs.map(r => math.pow(2, r._3)).sum +
+        (vocab - obs.size) * math.pow(2, unseen)
+      assert(math.abs(mass - 1.0) < 1e-6, s"mass($w1) = $mass")
+    }
+  }
+
+  test("crossEntropy: hand-computed totals, kept no-bigram doc, OOV path") {
+    // d3 scores an unseen bigram (c,c) — prefix c absent → OOV fallback;
+    // d4 has no bigram at all → n=0, total 0, NULL bits_per_token.
+    val score = Seq((1L, "a b a c"), (2L, "b a b"), (3L, "c c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = LangModel.crossEntropy(score, lm, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(got.length === 4, "every input doc emits exactly one row")
+    val d1 = got(0); val d2 = got(1); val d3 = got(2); val d4 = got(3)
+    assert(d1.getLong(1) === 3L)
+    // −(lp(a,b)+lp(b,a)+lp(a,c)) = 1 + 0.736965594 + 1.584962501
+    assert(math.abs(d1.getDouble(2) - 3.321928) < 2e-6)
+    assert(math.abs(d1.getDouble(3) - 1.107309) < 2e-6)
+    assert(d2.getLong(1) === 2L)
+    assert(math.abs(d2.getDouble(2) - 1.736966) < 2e-6)
+    assert(math.abs(d2.getDouble(3) - 0.868483) < 2e-6)
+    assert(d3.getLong(1) === 1L)
+    assert(math.abs(d3.getDouble(3) - 1.584963) < 2e-6, "OOV bits")
+    assert(d4.getLong(1) === 0L)
+    assert(d4.getDouble(2) === 0.0)
+    assert(d4.isNullAt(3), "no bigram → undefined bits_per_token")
+  }
+
+  test("crossEntropy is deterministic across runs (ordered IEEE fold)") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val m = LangModel.bigramLm(docs, col("text"), col("doc_id"))
+    def run() = LangModel.crossEntropy(docs, m, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run() === run())
+  }
+
+  test("ceBands: exact terciles on hand scores; approx variant agrees") {
+    val score = Seq((1L, "a b a c"), (2L, "b a b"), (3L, "c c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val scored = LangModel.crossEntropy(score, lm, col("text"), col("doc_id"))
+    val exact = LangModel.ceBands(scored, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    // ascending bits: d2 (0.868) < d1 (1.107) < d3 (1.585); d4 excluded
+    assert(exact.toSeq === Seq((1L, 2), (2L, 1), (3L, 3)))
+    val approx = LangModel.ceBandsApprox(scored, 3, relativeError = 1e-6)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(approx.toSeq === exact.toSeq,
+      "approxQuantile banding matches exact ntile on distinct scores")
+  }
+
+  test("bigramLm on fixture: scalar columns only, sentinel invariants") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val m = LangModel.bigramLm(docs, col("text"), col("doc_id"))
+    assert(m.schema.fields.forall(f =>
+      !f.dataType.typeName.matches("array|map|struct")), "driver-sortable")
+    val counts = m.groupBy(col("w1") === "", col("w2") === "").count().collect()
+      .map(r => ((r.getBoolean(0), r.getBoolean(1)), r.getLong(2))).toMap
+    assert(counts((true, true)) === 1L, "exactly one OOV row")
+    assert(!counts.contains((true, false)), "'' never a real prefix")
+    val nPrefixes = m.filter(col("w1") =!= "" && col("w2") === "").count()
+    val nDistinctW1 = m.filter(col("w1") =!= "").select("w1").distinct().count()
+    assert(nPrefixes === nDistinctW1, "one unseen row per prefix")
+  }
+}

@@ -190,4 +190,45 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(prof.forall(s => math.abs(s - 1.0) < 0.001))
   }
+
+  test("gopherQuality: each rule isolated on planted docs") {
+    import spark.implicits._
+    // base: 10 lines × "the of abcde fghij klmno pqrst" = 60 words, mean
+    // 25/6 ≈ 4.17, 2 stopwords, all-alpha → passes every rule
+    val line = "the of abcde fghij klmno pqrst"
+    val good = Array.fill(10)(line).mkString("\n")
+    val bullets = Array.fill(10)("• " + line).mkString("\n")  // only bullet rule
+    val ellipsis = (Array.fill(4)(line + " ...") ++ Array.fill(6)(line))
+      .mkString("\n")                                          // only ellipsis rule
+    val symbols = good + " # # # # # # #"                      // only symbol rule
+    val numeric = ("the of " + Array.fill(28)("abcde").mkString(" ") + " " +
+      Array.fill(30)("12345").mkString(" "))                   // only alpha rule
+    val noStops = Array.fill(60)("abcde").mkString(" ")        // only stopword rule
+    val docs = Seq(
+      (1L, good), (2L, bullets), (3L, ellipsis), (4L, symbols),
+      (5L, numeric), (6L, noStops), (7L, "the of abcde"), (8L, ""))
+      .toDF("doc_id", "text")
+    val g = docs.select(col("doc_id"), gopherQuality(col("text")).as("g"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(g(1L).getAs[Long]("passes") === 1L)
+    assert(g(1L).getAs[Long]("n_words") === 60L)
+    assert(g(1L).getAs[Double]("mean_word_len") === 4.1667)
+    assert(g(1L).getAs[Long]("stopword_distinct") === 2L)
+    assert(g(2L).getAs[Double]("bullet_line_frac") === 1.0)
+    assert(g(2L).getAs[Long]("passes") === 0L)
+    assert(g(3L).getAs[Double]("ellipsis_line_frac") === 0.4)
+    assert(g(3L).getAs[Double]("symbol_ratio") <= 0.1, "rule isolation")
+    assert(g(3L).getAs[Long]("passes") === 0L)
+    assert(g(4L).getAs[Double]("symbol_ratio") === 0.1045, "7/67")
+    assert(g(4L).getAs[Long]("passes") === 0L)
+    assert(g(5L).getAs[Double]("alpha_word_frac") === 0.5)
+    assert(g(5L).getAs[Long]("passes") === 0L)
+    assert(g(6L).getAs[Long]("stopword_distinct") === 0L)
+    assert(g(6L).getAs[Long]("passes") === 0L)
+    assert(g(7L).getAs[Long]("passes") === 0L, "word-count rule")
+    assert(g(8L).getAs[Long]("n_words") === 0L)
+    assert(g(8L).getAs[Double]("mean_word_len") === 0.0)
+    assert(g(8L).getAs[Long]("passes") === 0L)
+  }
 }
