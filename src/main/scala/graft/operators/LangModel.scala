@@ -56,8 +56,13 @@ object LangModel {
       .select(explode(tokens(textCol)).as("word"))
       .filter(length(col("word")) > 0)
       .agg(countDistinct(col("word"))).head().getLong(0)
+    // c2 is the ONLY corpus-sized aggregation; everything downstream (c1,
+    // obs, unseen) re-derives from its vocab²-bounded result. Without the
+    // lazy localCheckpoint each union branch would recompute the corpus
+    // explode+shuffle (the q76 device).
     val c2 = bigramRows(docs, textCol, idCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
     val obs = c2.join(c1, Seq("w1"))
       .select(col("w1"), col("w2"), col("cnt"),
