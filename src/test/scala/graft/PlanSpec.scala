@@ -260,4 +260,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("rangepartitioning"),
       s"survivors must not range-shuffle for a total order:\n${p.take(1500)}")
   }
+
+  test("q92: Gopher gate is one map-only scan — no join, no aggregate") {
+    val p = plan("q92_gopher_quality")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"),
+      s"Gopher signals must stay a per-row projection:\n${p.take(1500)}")
+  }
+
+  test("q94: LM lookups broadcast; only the keep-all doc join sort-merges") {
+    val p = plan("q94_doc_ce")
+    // the lm sides are vocab²-bounded and must broadcast (obs + unseen);
+    // the OOV row is the 1-row cross-broadcast device (q88). The ONLY
+    // sort-merge allowed is docs ⟕ per-doc scores — two corpus-sized
+    // sides keyed on doc_id, where SMJ is the right shape at 100 TB.
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"both LM lookup joins must broadcast:\n${p.take(1500)}")
+    val smj = p.split("SortMergeJoin").length - 1
+    assert(smj <= 1 && (smj == 0 || p.contains("SortMergeJoin [doc_id")),
+      s"only the doc_id keep-all join may sort-merge:\n${p.take(1500)}")
+  }
+
+  test("q90: duplicate-span df is a hash aggregate + semi join, merge is per-doc") {
+    val p = plan("q90_duplicate_spans")
+    assert(p.contains("LeftSemi"), "covered positions ride a semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the interval merge window partitions by doc_id — a global (empty
+    // partitionBy) window would serialize the corpus through one task
+    assert(!p.contains("windowspecdefinition(pos"),
+      "span merge must partition by doc_id, not run globally")
+  }
 }
