@@ -639,4 +639,50 @@ object Similarity {
     corpus.select(col(idCol).cast("long").as("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-dup pairs found INSIDE
+    * k-means clusters — the paper's device for making corpus-wide
+    * embedding dedup tractable: train k centroids, assign every vector
+    * (the zero-shuffle expression above), then compare pairs only within
+    * a cluster. Same deterministic trainer and assignment as the IVF
+    * family — with matching (nlist, iters) the clustering is
+    * bit-identical to q79's exported index, which is what lets a SQL
+    * oracle re-derive these pairs from that fixture.
+    *
+    * Known and intended blindness (the paper's too): a near-dup pair
+    * split across two clusters is not compared. Recall at a given k is a
+    * property of the clustering, not of this operator; the planted spec
+    * pins both directions.
+    *
+    * Scale shape: assignment is map-only; the pair join shuffles on cid
+    * exactly once; maxBlock caps a degenerate cluster the same way
+    * blockedCosinePairs guards a hot block (at 100 TB pick nlist ≈
+    * corpus/targetClusterRows so clusters stay comparison-sized). */
+  def semanticDedupPairs(
+      corpus: DataFrame, minCos: Double, nlist: Int = 8, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None,
+      maxBlock: Long = 10000L): DataFrame = {
+    val centroids =
+      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
+    blockedCosinePairs(assignToCentroids(corpus, centroids, idCol, embCol),
+      col("cid"), minCos, idCol, embCol, maxBlock)
+  }
+
+  /** SemDeDup survivorship: greedy keep-min-id over the within-cluster
+    * pairs (the same rule as every other dedup family here — the paper
+    * keeps one arbitrary member per duplicate group; min-id makes that
+    * choice deterministic). Rows with null embeddings survive: they
+    * have no defined similarity to anything. */
+  def semanticDedupSurvivors(
+      corpus: DataFrame, minCos: Double, nlist: Int = 8, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None,
+      maxBlock: Long = 10000L): DataFrame = {
+    val dropped = semanticDedupPairs(corpus, minCos, nlist, iters, idCol,
+        embCol, trainCap, corpusRows, maxBlock)
+      .select(col("id_b").as("vec_id")).distinct()
+    corpus.select(col(idCol).cast("long").as("vec_id"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
 }

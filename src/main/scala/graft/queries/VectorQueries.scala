@@ -523,6 +523,65 @@ object VectorQueries extends QueryPack {
         FROM d2)
       SELECT q_id, vec_id, l2_dist FROM s WHERE rn <= 5 ORDER BY q_id, rn"""))
 
+  /** SemDeDup within-cluster near-dup pairs
+    * (operators.Similarity.semanticDedupPairs — Abbas et al. 2023): the
+    * same deterministic (nlist=8, iters=3) model as q79, so the oracle
+    * re-derives the pairs ENTIRELY from that fixture's membership rows —
+    * assignment taken as given, pairwise cosine and the threshold cut
+    * re-computed in SQL (the q47 algebra restricted to cid blocks).
+    * Null embeddings never pair (cosine undefined) — filtered
+    * symmetrically on both sides. */
+  private val q96 = Q(
+    "q96_semantic_dup_pairs",
+    (s, dir) => Similarity.semanticDedupPairs(
+        Tables(s, dir).embeddings, minCos = 0.35, nlist = 8, iters = 3)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH asg AS (SELECT cid, vec_id FROM
+        read_parquet('__VERIFY_OUT__/q79_ivf_index_table/*.parquet')
+        WHERE kind = 'v'),
+      e AS (SELECT asg.cid, emb.vec_id, emb.embedding
+        FROM asg JOIN embeddings emb USING (vec_id)
+        WHERE emb.embedding IS NOT NULL),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      d AS (SELECT id_a, id_b,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+          sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        FROM p GROUP BY id_a, id_b)
+      SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cos_sim
+      FROM d WHERE round(dot / (sqrt(nx) * sqrt(ny)), 4) >= 0.35
+      ORDER BY id_a, id_b"""))
+
+  /** SemDeDup survivorship (keep-min-id over q96's pairs; null-embedding
+    * rows always survive). Same fixture-derived oracle. */
+  private val q97 = Q(
+    "q97_semantic_dedup",
+    (s, dir) => Similarity.semanticDedupSurvivors(
+        Tables(s, dir).embeddings, minCos = 0.35, nlist = 8, iters = 3)
+      .orderBy(col("vec_id")),
+    Some("""WITH asg AS (SELECT cid, vec_id FROM
+        read_parquet('__VERIFY_OUT__/q79_ivf_index_table/*.parquet')
+        WHERE kind = 'v'),
+      e AS (SELECT asg.cid, emb.vec_id, emb.embedding
+        FROM asg JOIN embeddings emb USING (vec_id)
+        WHERE emb.embedding IS NOT NULL),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      d AS (SELECT id_a, id_b,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+          sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        FROM p GROUP BY id_a, id_b),
+      dropped AS (SELECT DISTINCT id_b FROM d
+        WHERE round(dot / (sqrt(nx) * sqrt(ny)), 4) >= 0.35)
+      SELECT vec_id FROM embeddings
+      WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+      ORDER BY vec_id"""))
+
   override val all: Seq[Q] =
-    Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89)
+    Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
+      q96, q97)
 }

@@ -214,4 +214,45 @@ class SimilaritySpec extends SparkSpec {
       k = 2, nlist = 4, nprobe = 2, iters = 2)
     assert(got.count() === 2)
   }
+
+  test("semanticDedupPairs == in-cluster brute-force pairs (blocking parity)") {
+    // structural exactness: with the SAME deterministic model, SemDeDup
+    // must return EXACTLY the above-threshold pairs whose two sides share
+    // a cluster — no more (cross-cluster pairs are invisible BY DESIGN),
+    // no fewer (within a cluster the comparison is exact, not approximate)
+    val tau = 0.3
+    val got = Similarity.semanticDedupPairs(emb, minCos = tau, nlist = 8, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val asg = Similarity.ivfIndexTable(emb, nlist = 8, iters = 3)
+      .select(col("vec_id"), col("cid"))
+    val a = asg.select(col("vec_id").as("id_a"), col("cid"))
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+    val b = asg.select(col("vec_id").as("id_b"), col("cid"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+    val want = a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("emb_a"), col("emb_b")), 4) >= tau)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should contain in-cluster near-dups at tau=0.3")
+  }
+
+  test("semanticDedupSurvivors: keep-min-id; null embeddings always survive") {
+    import spark.implicits._
+    // two tight duplicate groups on orthogonal axes + one null row
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.999f, 0.001f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)), (4L, Seq(0.001f, 0.999f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+      .unionByName(Seq(6L).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+    val pairs = Similarity.semanticDedupPairs(df, minCos = 0.99, nlist = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each duplicate pair sits well inside one hemisphere; whatever the
+    // 2-means boundary does with vec 5, the dup pairs must be found and
+    // nothing else reaches cos >= 0.99
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+    val kept = Similarity.semanticDedupSurvivors(df, minCos = 0.99, nlist = 2, iters = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L, 6L), "min ids + the unpaired + the null row")
+  }
 }
