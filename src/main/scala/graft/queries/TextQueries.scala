@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, LangModel, Sampling}
+import graft.operators.{Bpe, Dedup, LangModel, Sampling}
 
 /** Text-analysis + dedup surface over the `documents` table — the
   * LLM-training-data operators (BASELINE.json north star) layered on the
@@ -1046,8 +1046,87 @@ object TextQueries extends QueryPack {
       FROM read_parquet('__VERIFY_OUT__/q94_doc_ce/*.parquet')
       WHERE n_bigrams > 0 ORDER BY doc_id"""))
 
+  /** The BPE training loop, replayed in SQL: the oracle is GENERATED —
+    * one CTE block per merge round (pair count → argmax with the same
+    * (cnt DESC, l, r) tie order → greedy island-parity apply), every
+    * intermediate state MATERIALIZED so DuckDB never inlines the chain
+    * exponentially. Everything is integer/string arithmetic, so the
+    * replay is exact with no snapping device. Exhaustion is parity-safe
+    * too: an empty argmax leaves the state fixed and emits no row on
+    * either side. */
+  private def bpeChainSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        FROM documents),
+      wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM tok GROUP BY word),
+      s0 AS MATERIALIZED (SELECT word, freq,
+        generate_subscripts(regexp_extract_all(word, '.'), 1) - 1 AS pos,
+        unnest(regexp_extract_all(word, '.')) AS sym FROM wf)"""
+    for (i <- 1 to n) {
+      val p = i - 1
+      sb ++= s""",
+      p$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r FROM s$p)
+        WHERE r IS NOT NULL GROUP BY l, r),
+      b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+      e$i AS (SELECT word, freq, pos, sym, site,
+          site AND ((pos - max(rs_pos) OVER (PARTITION BY word ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) % 2 = 0) AS applied
+        FROM (SELECT *, CASE WHEN site AND NOT coalesce(lag(site) OVER (PARTITION BY word ORDER BY pos), FALSE) THEN pos END AS rs_pos
+          FROM (SELECT word, freq, pos, sym,
+              coalesce(sym = (SELECT l FROM b$i) AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM b$i), FALSE) AS site
+            FROM s$p))),
+      s$i AS MATERIALIZED (SELECT word, freq,
+          row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+          CASE WHEN applied THEN (SELECT l FROM b$i) || (SELECT r FROM b$i) ELSE sym END AS sym
+        FROM (SELECT *, coalesce(lag(applied) OVER (PARTITION BY word ORDER BY pos), FALSE) AS dropped FROM e$i)
+        WHERE NOT dropped)"""
+    }
+    sb.toString
+  }
+
+  private val BpeRounds = 6
+
+  /** BPE merge learning (operators.Bpe — Sennrich et al. 2016): the
+    * learned merge table after 6 greedy rounds over the corpus. FULL
+    * generated-SQL oracle — see [[bpeChainSql]]. */
+  private val q98 = Q(
+    "q98_bpe_merges",
+    (s, dir) => Bpe.mergeTable(
+        Tables(s, dir).documents, col("text"), BpeRounds)
+      .orderBy(col("step")),
+    Some(bpeChainSql(BpeRounds) + " " +
+      (1 to BpeRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY step")))
+
+  /** Per-document segmentation stats under the learned merges (the
+    * tokenizer applied back to its training corpus): token count and
+    * distinct-symbol count per doc, docs never dropped. Same generated
+    * chain, aggregated at the final state. */
+  private val q99 = Q(
+    "q99_bpe_segment",
+    (s, dir) => Bpe.segmentStats(
+        Tables(s, dir).documents, col("text"), col("doc_id"), BpeRounds)
+      .orderBy(col("doc_id")),
+    Some(bpeChainSql(BpeRounds) + s""",
+      pw AS (SELECT word, CAST(count(*) AS BIGINT) AS w_tokens
+        FROM s$BpeRounds GROUP BY word),
+      nt AS (SELECT doc_id, CAST(sum(w_tokens) AS BIGINT) AS n_tokens
+        FROM tok JOIN pw USING (word) GROUP BY doc_id),
+      dt AS (SELECT doc_id, CAST(count(DISTINCT sym) AS BIGINT) AS distinct_tokens
+        FROM (SELECT DISTINCT doc_id, word FROM tok) o
+        JOIN (SELECT DISTINCT word, sym FROM s$BpeRounds) y USING (word)
+        GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(nt.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        coalesce(dt.distinct_tokens, CAST(0 AS BIGINT)) AS distinct_tokens
+      FROM documents d LEFT JOIN nt ON d.doc_id = nt.doc_id
+        LEFT JOIN dt ON d.doc_id = dt.doc_id
+      ORDER BY d.doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
-      q88, q90, q91, q92, q93, q94, q95)
+      q88, q90, q91, q92, q93, q94, q95, q98, q99)
 }
