@@ -433,6 +433,74 @@ object Dedup {
         round(jaccard(col("grams_a"), col("grams_b")), 4).as("jaccard"))
   }
 
+  /** The reusable near-dup signature index in LONG-FORMAT SCALAR rows
+    * (doc_id, kind, idx, value): one 'wh' row per distinct sorted word
+    * hash, one 'band' row per minhash LSH band, one 'sim' row carrying
+    * the 64-bit simhash — the artifact a 100 TB dedup pipeline
+    * materializes ONCE and every later batch probes (q77's export;
+    * the q38/q39 oracles and [[dedupAgainstSignatureIndex]] read it).
+    * Map-only: a straight scan→write at any scale. */
+  def signatureTable(docs: DataFrame, textCol: Column, idCol: Column,
+      numHashes: Int = 64, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    docs
+      .select(idCol.cast("long").as("doc_id"),
+        array_sort(array_distinct(elementHashes(tokens(textCol)))).as("wh"),
+        simhash64(textCol).as("simsig"))
+      .withColumn("mh_bands",
+        lshBandHashes(minhashFromHashes(col("wh"), numHashes), bands, rows))
+      .select(col("doc_id"), explode(concat(
+        transform(col("wh"), (v, i) =>
+          struct(lit("wh").as("kind"), i.cast("long").as("idx"), v.as("value"))),
+        transform(col("mh_bands"), (v, i) =>
+          struct(lit("band").as("kind"), i.cast("long").as("idx"), v.as("value"))),
+        array(struct(lit("sim").as("kind"), lit(0L).as("idx"),
+          col("simsig").as("value"))))).as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"),
+        col("e.idx").as("idx"), col("e.value").as("value"))
+  }
+
+  /** Incremental near-dup dedup: survivors of an INCOMING batch deduped
+    * against an EXISTING corpus's [[signatureTable]] index — the shape a
+    * continuously-crawling 100 TB pipeline actually runs: the existing
+    * corpus is NEVER re-read or re-hashed; the new batch signs itself
+    * map-only (with the SAME (numHashes, bands) the index was built
+    * with — parameter drift would silently probe wrong bands, so pass
+    * what you persisted), probes the stored band rows for candidates,
+    * and exact-jaccard-verifies against the stored word-hash rows.
+    * Within-batch duplicates are [[minhashDedupSurvivors]]' job — this
+    * operator answers only "is it already in the corpus". */
+  def dedupAgainstSignatureIndex(
+      incoming: DataFrame, index: DataFrame, textCol: Column, idCol: Column,
+      numHashes: Int = 64, bands: Int = 4, threshold: Double = 0.95): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val newSigs = incoming.select(idCol.cast("long").as("new_id"),
+      array_sort(array_distinct(elementHashes(tokens(textCol)))).as("wh_new"))
+    val newBands = newSigs
+      .withColumn("sig", minhashFromHashes(col("wh_new"), numHashes))
+      .select(col("new_id"),
+        posexplode(lshBandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+    val exBands = index.filter(col("kind") === "band")
+      .select(col("doc_id").as("old_id"),
+        col("idx").cast("int").as("band"), col("value").as("bh"))
+    val exWh = index.filter(col("kind") === "wh")
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("value")))),
+        s => s.getField("value")).as("wh_old"))
+      .select(col("doc_id").as("old_id"), col("wh_old"))
+    val dropped = newBands.join(exBands, Seq("band", "bh"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .join(newSigs, Seq("new_id"))
+      .join(exWh, Seq("old_id"))
+      .filter(round(graft.plans.NativeExprs.jaccardSorted(
+        col("wh_new"), col("wh_old")), 4) >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    incoming.select(idCol.cast("long").as("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact duplicate-SPAN detection — substring-level dedup in the style
     * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     * Models Better"), re-expressed relationally: a token position is

@@ -168,21 +168,9 @@ object TextQueries extends QueryPack {
     * them. One explode over the map-only scan; still no shuffle. */
   private val q77 = Q(
     "q77_signature_table",
-    (s, dir) => Tables(s, dir).documents
-      .select(col("doc_id"),
-        array_sort(array_distinct(elementHashes(tokens(col("text"))))).as("wh"),
-        simhash64(col("text")).as("simsig"))
-      .withColumn("mh_bands",
-        lshBandHashes(minhashFromHashes(col("wh"), 64), bands = 4, rows = 16))
-      .select(col("doc_id"), explode(concat(
-        transform(col("wh"), (v, i) =>
-          struct(lit("wh").as("kind"), i.cast("long").as("idx"), v.as("value"))),
-        transform(col("mh_bands"), (v, i) =>
-          struct(lit("band").as("kind"), i.cast("long").as("idx"), v.as("value"))),
-        array(struct(lit("sim").as("kind"), lit(0L).as("idx"),
-          col("simsig").as("value"))))).as("e"))
-      .select(col("doc_id"), col("e.kind").as("kind"),
-        col("e.idx").as("idx"), col("e.value").as("value")),
+    (s, dir) => Dedup.signatureTable(
+      Tables(s, dir).documents, col("text"), col("doc_id"),
+      numHashes = 64, bands = 4),
     None)
 
   /** MinHash+LSH near-dup dedup (banded bucket join + exact-jaccard verify
@@ -1125,8 +1113,48 @@ object TextQueries extends QueryPack {
         LEFT JOIN dt ON d.doc_id = dt.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Incremental dedup against the persisted signature index
+    * (operators.Dedup.dedupAgainstSignatureIndex): odd doc_ids play the
+    * incoming crawl batch, even doc_ids the already-indexed corpus.
+    * FULL ORACLE via the q77 fixture: because the operator's map-only
+    * signing of the incoming side is the SAME expression q77 ran over
+    * every doc, DuckDB reads both sides' signatures from the one fixture
+    * and re-derives the cross-corpus band join + jaccard verify +
+    * survivorship (the q38 algebra with a parity split). */
+  private val q100 = Q(
+    "q100_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.dedupAgainstSignatureIndex(
+          docs.filter(col("doc_id") % 2 === 1),
+          Dedup.signatureTable(
+            docs.filter(col("doc_id") % 2 === 0), col("text"), col("doc_id"),
+            numHashes = 64, bands = 4),
+          col("text"), col("doc_id"),
+          numHashes = 64, bands = 4, threshold = 0.95)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH raw AS (SELECT doc_id, kind, idx, value
+        FROM read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet')),
+      s AS (SELECT doc_id, list(value ORDER BY idx) AS wh
+        FROM raw WHERE kind = 'wh' GROUP BY doc_id),
+      b AS (SELECT doc_id, value AS bh, idx AS band
+        FROM raw WHERE kind = 'band'),
+      cand AS (SELECT DISTINCT a1.doc_id AS id_new, a2.doc_id AS id_old
+        FROM b a1 JOIN b a2 ON a1.band = a2.band AND a1.bh = a2.bh
+        WHERE a1.doc_id % 2 = 1 AND a2.doc_id % 2 = 0),
+      dropped AS (SELECT DISTINCT id_new FROM cand
+        JOIN s sa ON sa.doc_id = cand.id_new
+        JOIN s sb ON sb.doc_id = cand.id_old
+        WHERE round(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+          / (len(sa.wh) + len(sb.wh) - len(list_intersect(sa.wh, sb.wh))),
+          4) >= 0.95)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id_new FROM dropped)
+      ORDER BY doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
-      q88, q90, q91, q92, q93, q94, q95, q98, q99)
+      q88, q90, q91, q92, q93, q94, q95, q98, q99, q100)
 }

@@ -283,6 +283,49 @@ class DedupSpec extends SparkSpec {
     assert(scrubbed(4)._2 === planted.filter(col("doc_id") === 5).head().getString(1))
   }
 
+  test("incremental dedup: batch vs signature index, within-batch dups kept") {
+    import spark.implicits._
+    val existing = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "completely different corpus content about spark execution engines"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "novel unseen text that matches nothing in the existing index at all"),
+      (5L, "novel unseen text that matches nothing in the existing index at all"))
+      .toDF("doc_id", "text")
+    val index = Dedup.signatureTable(existing, col("text"), col("doc_id"))
+    val kept = Dedup.dedupAgainstSignatureIndex(
+        incoming, index, col("text"), col("doc_id"), threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // 1 duplicates indexed doc 2 → dropped; 3 and 5 duplicate EACH OTHER
+    // but nothing in the index → both kept (within-batch dedup is a
+    // separate pass by contract)
+    assert(kept === Set(3L, 5L))
+  }
+
+  test("incremental dedup agrees with the symmetric pair dedup across the split") {
+    // the fixture parity split: every odd doc dropped by the incremental
+    // pass must ALSO appear as a dropped id in some odd-even near-dup
+    // pair of the full symmetric operator at the same threshold
+    val oddIn = docs.filter(col("doc_id") % 2 === 1)
+    val evenIx = Dedup.signatureTable(
+      docs.filter(col("doc_id") % 2 === 0), col("text"), col("doc_id"))
+    val keptIncremental = Dedup.dedupAgainstSignatureIndex(
+        oddIn, evenIx, col("text"), col("doc_id"), threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    val crossPairs = Dedup.minhashNearDupPairs(
+        docs, col("text"), col("doc_id"), numHashes = 64, bands = 4,
+        threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 2) != (b % 2) }
+    val droppedViaPairs = crossPairs
+      .map { case (a, b) => if (a % 2 == 1) a else b }.toSet
+    val oddIds = oddIn.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(oddIds -- keptIncremental === droppedViaPairs,
+      "incremental drops exactly the odd side of cross-parity near-dup pairs")
+  }
+
   test("duplicate spans: hashGrams shuffle key is output-identical to strings") {
     val byString = Dedup.duplicateSpans(docs, col("text"), col("doc_id"), n = 8)
     val byHash = Dedup.duplicateSpans(docs, col("text"), col("doc_id"), n = 8,
