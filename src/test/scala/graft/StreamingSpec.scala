@@ -130,6 +130,36 @@ class StreamingSpec extends SparkSpec {
       s"resume must process new data exactly once, got ${got.toSeq}")
   }
 
+  test("streaming ingestion gate: quality filter + exact dedup on a stream") {
+    // the map-only text operators compose unchanged under Structured
+    // Streaming: gopherQuality is a per-row projection and the
+    // fingerprint dedup rides dropDuplicates — a crawl-ingestion gate
+    // (filter bad docs, drop exact replays) with NO batch-only construct
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextFunctions.{fingerprint, gopherQuality}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val line = "the of abcde fghij klmno pqrst"
+    val good = Array.fill(10)(line).mkString(" ")       // passes every rule
+    val short = "the of too short"                      // fails word count
+    val input = MemoryStream[(Long, String)]
+    val gated = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        gopherQuality(col("text")).getField("passes").as("passes"),
+        fingerprint(col("text")).as("fp"))
+      .filter(col("passes") === 1L)
+      .dropDuplicates("fp")
+    val q = gated.writeStream.format("memory").queryName("gate")
+      .outputMode("append").start()
+    input.addData((1L, good), (2L, short), (3L, good), (4L, good + " extra"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("gate").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // 2 fails the gate; 3 is an exact replay of 1; 4 is a distinct pass
+    assert(kept === Set(1L, 4L))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val got = EventStreams.purchasesAfterSignupToTable(
         spark, sfDir, "spec_ssjoin", maxDelayMinutes = 60)
