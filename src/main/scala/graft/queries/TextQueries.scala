@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Dedup, LangModel, Sampling}
+import graft.operators.{Bpe, Dedup, Dsir, LangModel, Sampling}
 
 /** Text-analysis + dedup surface over the `documents` table — the
   * LLM-training-data operators (BASELINE.json north star) layered on the
@@ -1153,8 +1153,167 @@ object TextQueries extends QueryPack {
       WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id_new FROM dropped)
       ORDER BY doc_id"""))
 
+  /** C4-style line/page cleaning (operators.Cleaning, Raffel et al. 2020
+    * §2.2) under the driver's gate. The fixture corpus has no newlines or
+    * punctuation, so the query first SYNTHESIZES multi-line pages
+    * deterministically from the corpus (8 docs per page; each doc
+    * contributes one line whose length, terminal punctuation, and
+    * rule-poison suffixes all derive from doc_id), then cleans them.
+    * Every C4 rule fires somewhere in the fixture: short lines (%5),
+    * no-terminal-punct lines (%4==2), "javascript" lines (%7),
+    * page-level "lorem ipsum" (%47) and '{' (%53) poisons, and the
+    * minLines page gate. FULL ORACLE: DuckDB restates the synthesis
+    * (string_agg ORDER BY doc_id) and every rule. */
+  private val q101 = Q(
+    "q101_c4_clean",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val lineLen = when(col("doc_id") % 5 === 0, lit(8))
+        .otherwise((lit(40) + col("doc_id") % 40).cast("int"))
+      val line = concat(
+        col("text").substr(lit(1), lineLen),
+        when(col("doc_id") % 53 === 0, lit(" {")).otherwise(lit("")),
+        when(col("doc_id") % 47 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" javascript")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("."))
+          .when(col("doc_id") % 4 === 1, lit("!"))
+          .when(col("doc_id") % 4 === 2, lit(""))
+          .otherwise(lit("?")))
+      val pages = d
+        .select(floor(col("doc_id") / 8).cast("long").as("page_id"),
+          col("doc_id"), line.as("line"))
+        .groupBy(col("page_id"))
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("line")))),
+            x => x.getField("line"))).as("text"))
+      graft.operators.Cleaning
+        .c4Clean(pages, col("text"), col("page_id"), minLines = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ln AS (SELECT CAST(doc_id // 8 AS BIGINT) AS page_id, doc_id,
+          substr(text, 1,
+            CASE WHEN doc_id % 5 = 0 THEN 8
+                 ELSE CAST(40 + doc_id % 40 AS INT) END)
+          || CASE WHEN doc_id % 53 = 0 THEN ' {' ELSE '' END
+          || CASE WHEN doc_id % 47 = 0 THEN ' lorem ipsum' ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN ' javascript' ELSE '' END
+          || CASE WHEN doc_id % 4 = 0 THEN '.'
+                  WHEN doc_id % 4 = 1 THEN '!'
+                  WHEN doc_id % 4 = 2 THEN ''
+                  ELSE '?' END AS line
+        FROM documents),
+      pg AS (SELECT page_id, string_agg(line, chr(10) ORDER BY doc_id) AS text
+        FROM ln GROUP BY page_id),
+      kl AS (SELECT page_id, text,
+          list_filter(string_split(text, chr(10)),
+            l -> regexp_matches(l, '[.!?]["'']?\s*$')
+              AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+              AND NOT contains(lower(l), 'javascript')) AS kept,
+          len(string_split(text, chr(10))) AS n_lines
+        FROM pg),
+      pk AS (SELECT *,
+          (len(kept) >= 4 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS ok
+        FROM kl)
+      SELECT page_id AS doc_id,
+        CASE WHEN ok THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text,
+        CAST(len(kept) AS BIGINT) AS kept_lines,
+        CAST(n_lines - len(kept) AS BIGINT) AS dropped_lines,
+        CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS page_kept
+      FROM pk ORDER BY doc_id"""))
+
+  /** DSIR target-domain LM (operators.Dsir): the bigram LM of the
+    * English-language slice — the "target distribution" a DSIR selection
+    * steers the raw multilingual corpus toward (the paper's canonical
+    * use). Rows-only BY DESIGN, same as q93: log2 is engine-only; the
+    * export is the fixture q103/q104's oracles consume, and every logp
+    * double in it is transitively hash-verified through q103. */
+  private val q102 = Q(
+    "q102_dsir_target_lm",
+    (s, dir) => LangModel.bigramLm(
+        Tables(s, dir).documents.filter(col("lang") === "en"),
+        col("text"), col("doc_id"))
+      .orderBy(col("w1"), col("w2")),
+    None)
+
+  /** DSIR importance weights (operators.Dsir.importanceWeights): per-doc
+    * log-likelihood ratio under the q102 target LM vs the q93 source LM.
+    * FULL ORACLE via BOTH fixtures: DuckDB re-derives the bigram stream,
+    * replays each LM's coalesce chain (observed → prefix-unseen → OOV)
+    * positionwise, subtracts, and folds in position order (the q89
+    * device) — no libm on the oracle side; in-query re-training must
+    * reproduce both exports bit-for-bit (the q81-style cross-check). */
+  private val q103 = Q(
+    "q103_dsir_weights",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dsir.importanceWeights(docs,
+          LangModel.bigramLm(docs.filter(col("lang") === "en"),
+            col("text"), col("doc_id")),
+          LangModel.bigramLm(docs, col("text"), col("doc_id")),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(dsirWeightsSql + """
+      SELECT d.doc_id, coalesce(agg.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        round(coalesce(agg.s, 0.0), 6) + 0.0 AS logw
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** DSIR top-k selection (operators.Dsir.selectTopK): the resampling
+    * step — keep the 100 documents with the strongest target pull
+    * (logw DESC, ties → doc_id). Engine plans TakeOrderedAndProject (no
+    * global sort shuffle); oracle re-ranks the same weights. */
+  private val q104 = Q(
+    "q104_dsir_select",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dsir.selectTopK(
+        Dsir.importanceWeights(docs,
+          LangModel.bigramLm(docs.filter(col("lang") === "en"),
+            col("text"), col("doc_id")),
+          LangModel.bigramLm(docs, col("text"), col("doc_id")),
+          col("text"), col("doc_id")), 100)
+    },
+    Some(dsirWeightsSql + """,
+      wts AS (SELECT d.doc_id,
+          coalesce(agg.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+          round(coalesce(agg.s, 0.0), 6) + 0.0 AS logw
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id)
+      SELECT CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS INT) AS rank,
+        doc_id, logw
+      FROM wts WHERE n_bigrams > 0
+      ORDER BY logw DESC, doc_id LIMIT 100"""))
+
+  /** Shared oracle core for q103/q104: the positionwise Δlogp stream and
+    * its per-doc ordered fold, reading both LM fixtures. */
+  private def dsirWeightsSql: String =
+    """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+          generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos
+        FROM documents),
+      b AS (SELECT a.doc_id, a.pos, a.word AS w1, b.word AS w2
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      lmt AS (SELECT * FROM read_parquet('__VERIFY_OUT__/q102_dsir_target_lm/*.parquet')),
+      lms AS (SELECT * FROM read_parquet('__VERIFY_OUT__/q93_bigram_lm/*.parquet')),
+      obst AS (SELECT w1, w2, logp FROM lmt WHERE w1 <> '' AND w2 <> ''),
+      unst AS (SELECT w1, logp AS lp_unseen FROM lmt WHERE w1 <> '' AND w2 = ''),
+      oovt AS (SELECT logp AS lp_oov FROM lmt WHERE w1 = '' AND w2 = ''),
+      obss AS (SELECT w1, w2, logp FROM lms WHERE w1 <> '' AND w2 <> ''),
+      unss AS (SELECT w1, logp AS lp_unseen FROM lms WHERE w1 <> '' AND w2 = ''),
+      oovs AS (SELECT logp AS lp_oov FROM lms WHERE w1 = '' AND w2 = ''),
+      dlp AS (SELECT b.doc_id, b.pos,
+          coalesce(obst.logp, unst.lp_unseen, (SELECT lp_oov FROM oovt))
+          - coalesce(obss.logp, unss.lp_unseen, (SELECT lp_oov FROM oovs)) AS dlp
+        FROM b LEFT JOIN obst ON b.w1 = obst.w1 AND b.w2 = obst.w2
+          LEFT JOIN unst ON b.w1 = unst.w1
+          LEFT JOIN obss ON b.w1 = obss.w1 AND b.w2 = obss.w2
+          LEFT JOIN unss ON b.w1 = unss.w1),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          list_sum(list(dlp ORDER BY pos)) AS s FROM dlp GROUP BY doc_id)"""
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
-      q88, q90, q91, q92, q93, q94, q95, q98, q99, q100)
+      q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
+      q104)
 }
