@@ -685,4 +685,55 @@ object Similarity {
     corpus.select(col(idCol).cast("long").as("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")
   }
+
+  /** Embedding-level train/eval decontamination — the semantic sibling of
+    * Dedup.contamination's n-gram guard: flag every training vector whose
+    * cosine to ANY eval-benchmark vector reaches `minCos` (eval items
+    * paraphrased into the training set evade the n-gram check; this one
+    * catches them). Output one row per corpus row: (vec_id, near_eval_id,
+    * max_cos 4dp, contaminated 0/1); ties on the ROUNDED cosine keep the
+    * smallest eval id; null-embedding corpus rows keep NULL score and
+    * flag 0 — never dropped.
+    *
+    * Scale shape: the eval set is benchmark-sized (thousands), the corpus
+    * 100 TB — so the eval side (with precomputed norms, sorted by id) is
+    * ONE broadcast 1-row array and the scan is pure map-only per-row
+    * fold: no shuffle, no pair blow-up, no blocking structure to
+    * maintain. The per-row cost is |eval|·d multiplies — the same
+    * arithmetic any classifier-scoring pass would spend. */
+  def embeddingDecontamination(
+      corpus: DataFrame, evalSet: DataFrame, minCos: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val ev = evalSet.filter(col(embCol).isNotNull)
+      .select(struct(
+        col(idCol).cast("long").as("eid"),
+        col(embCol).cast("array<double>").as("evec"),
+        sqrt(aggregate(transform(col(embCol).cast("array<double>"), x => x * x),
+          lit(0.0), _ + _)).as("ne")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("evals"))
+    val v = col(embCol).cast("array<double>")
+    val nv = sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
+    val best = aggregate(col("evals"),
+      struct(lit(-2.0).as("bc"), lit(null).cast("long").as("bid")),
+      (acc, e) => {
+        val c = round(
+          aggregate(zip_with(v, e.getField("evec"), (a, b) => a * b),
+            lit(0.0), _ + _) / (nv * e.getField("ne")), 4)
+        when(c > acc.getField("bc"),
+          struct(c.as("bc"), e.getField("eid").as("bid"))).otherwise(acc)
+      })
+    val scored = corpus.filter(col(embCol).isNotNull)
+      .crossJoin(broadcast(ev))
+      .select(col(idCol).cast("long").as("vec_id"), best.as("b"))
+      .select(col("vec_id"),
+        when(col("b.bc") > -2.0, col("b.bid")).as("near_eval_id"),
+        when(col("b.bc") > -2.0, col("b.bc")).as("max_cos"),
+        when(col("b.bc") >= minCos, 1L).otherwise(0L).as("contaminated"))
+    val nulls = corpus.filter(col(embCol).isNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        lit(null).cast("long").as("near_eval_id"),
+        lit(null).cast("double").as("max_cos"),
+        lit(0L).as("contaminated"))
+    scored.unionByName(nulls)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.{Pq, Similarity}
+import graft.operators.{Pq, Projection, Similarity}
 
 /** Similarity-search surface over the `embeddings` table (64-dim float
   * vectors): vector math via higher-order functions, brute-force cosine
@@ -581,7 +581,87 @@ object VectorQueries extends QueryPack {
       WHERE vec_id NOT IN (SELECT id_b FROM dropped)
       ORDER BY vec_id"""))
 
+  /** Johnson–Lindenstrauss ±1 random projection
+    * (operators.Projection.jlProject): 64→16 dims, long-format scalar
+    * rows. Map-only — one scan, one posexplode, no shuffle (the 100 TB
+    * pre-step that cuts every ANN distance computation 4×). FULL ORACLE:
+    * the oracle SQL is GENERATED from the same SplitMix64 sign matrix
+    * (compact '+'/'-' strings — the q98 generated-oracle device) and
+    * re-derives every value with the position-ordered IEEE fold, so the
+    * compare is bit-exact with no RNG on either side. */
+  private val q105 = Q(
+    "q105_jl_project",
+    (s, dir) => Projection.jlProject(
+        Tables(s, dir).embeddings, col("embedding"), col("vec_id"),
+        inDim = 64, outDim = 16, seed = 7L)
+      .orderBy(col("vec_id"), col("odim")),
+    Some {
+      val values = Projection.signStrings(64, 16, 7L).zipWithIndex
+        .map { case (str, j) => s"($j, '$str')" }.mkString(", ")
+      s"""WITH sm AS (SELECT * FROM (VALUES $values) t(j, s)),
+      x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+          generate_subscripts(embedding, 1) AS pos
+        FROM embeddings WHERE embedding IS NOT NULL),
+      trm AS (SELECT x.vec_id, sm.j, x.pos,
+          x.v * (CASE WHEN substr(sm.s, x.pos, 1) = '+'
+                 THEN 1.0 ELSE -1.0 END) AS term
+        FROM x CROSS JOIN sm),
+      p AS (SELECT vec_id, j,
+          list_sum(list(term ORDER BY pos)) / sqrt(16.0) AS value
+        FROM trm GROUP BY vec_id, j)
+      SELECT vec_id, CAST(j AS INT) AS odim, round(value, 9) + 0.0 AS value
+      FROM p
+      UNION ALL
+      SELECT e.vec_id, CAST(r.range AS INT) AS odim,
+        CAST(NULL AS DOUBLE) AS value
+      FROM embeddings e CROSS JOIN range(16) r WHERE e.embedding IS NULL
+      ORDER BY vec_id, odim"""
+    })
+
+  /** Embedding-level train/eval decontamination
+    * (operators.Similarity.embeddingDecontamination): every-10th vector
+    * plays the eval benchmark, the rest the training corpus; a training
+    * vector is flagged when its best eval cosine reaches 0.35. Engine
+    * side is ONE broadcast eval array + a map-only per-row fold (no
+    * shuffle); oracle re-derives the full cross product with the q47
+    * cosine algebra and picks per-corpus-row argmax on the rounded
+    * cosine (ties → smallest eval id). */
+  private val q106 = Q(
+    "q106_embed_decontaminate",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.embeddingDecontamination(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0), minCos = 0.35)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 10 <> 0),
+      e AS (SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
+      p AS (SELECT c.vec_id AS cid, e.vec_id AS eid,
+          unnest(c.embedding) AS x, unnest(e.embedding) AS y
+        FROM c JOIN e ON true),
+      d AS (SELECT cid, eid,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+          sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        FROM p GROUP BY cid, eid),
+      sc AS (SELECT cid, eid,
+          round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cos FROM d),
+      pick AS (SELECT cid, eid, cos,
+          row_number() OVER (PARTITION BY cid ORDER BY cos DESC, eid) AS rn
+        FROM sc)
+      SELECT cid AS vec_id, eid AS near_eval_id, cos AS max_cos,
+        CAST(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      FROM pick WHERE rn = 1
+      UNION ALL
+      SELECT vec_id, CAST(NULL AS BIGINT) AS near_eval_id,
+        CAST(NULL AS DOUBLE) AS max_cos, CAST(0 AS BIGINT) AS contaminated
+      FROM embeddings WHERE embedding IS NULL AND vec_id % 10 <> 0
+      ORDER BY vec_id"""))
+
   override val all: Seq[Q] =
     Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
-      q96, q97)
+      q96, q97, q105, q106)
 }
