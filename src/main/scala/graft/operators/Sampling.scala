@@ -103,4 +103,65 @@ object Sampling {
       .otherwise(splits.last._1)
     df.withColumn(labelCol, labeled)
   }
+
+  /** Token-budget mixture allocation — the data-constrained-scaling
+    * planning step (Muennighoff et al. 2023): given a total training
+    * token budget and a repeat cap, decide how many tokens to draw from
+    * each source. Uniform target share (budget/S per source), capped at
+    * availability × maxRepeat; the gap between budget and Σ alloc is
+    * reported per-row (`leftover_tokens`, same value every row) rather
+    * than silently redistributed — redistribution policy is a caller
+    * decision (re-run on the uncapped sources with the leftover).
+    * Output per source: avail_tokens, alloc_tokens (2dp), epochs (4dp),
+    * capped flag, leftover_tokens (2dp).
+    *
+    * Scale shape: one map-side-combining aggregate over the corpus; the
+    * allocation itself is S-sized arithmetic in a window over the tiny
+    * aggregate result. */
+  def tokenBudgetMix(docs: DataFrame, textCol: Column, srcCol: Column,
+      budget: Long, maxRepeat: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    docs
+      .groupBy(srcCol.cast("string").as("source"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(textCol))
+        .as("avail_tokens"))
+      .withColumn("__target",
+        lit(budget.toDouble) / count(lit(1)).over(w))
+      .withColumn("__alloc",
+        least(col("avail_tokens").cast("double") * lit(maxRepeat),
+          col("__target")))
+      .withColumn("alloc_tokens", round(col("__alloc"), 2))
+      .withColumn("epochs",
+        round(col("__alloc") / col("avail_tokens").cast("double"), 4))
+      .withColumn("capped",
+        when(col("avail_tokens").cast("double") * lit(maxRepeat)
+          < col("__target"), 1L).otherwise(0L))
+      .withColumn("leftover_tokens",
+        round(lit(budget.toDouble) - sum(col("__alloc")).over(w), 2))
+      .drop("__target", "__alloc")
+  }
+
+  /** Deterministic epoch shuffle into training shards: every row gets a
+    * (shard, pos) address from its unit hash — the global pseudo-random
+    * order a training run reads, reproducible across runs and cluster
+    * layouts (same contract as [[assignSplits]]; vary `seed` per epoch
+    * for a fresh order). Output (doc_id, shard, pos), pos 1-based within
+    * shard by (u, doc_id).
+    *
+    * Scale shape: shard assignment is map-only; the position window
+    * shuffles once on shard and sorts within — exactly the
+    * repartition+sortWithinPartitions a shard writer runs anyway. No
+    * global sort: order is only ever defined WITHIN a shard. */
+  def shardAssignment(docs: DataFrame, idCol: Column, nShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val u = unitHash(idCol, seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("u"), col("doc_id"))
+    docs.select(idCol.cast("long").as("doc_id"), u.as("u"),
+        floor(u * lit(nShards)).cast("long").as("shard"))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
 }

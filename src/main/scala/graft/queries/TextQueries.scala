@@ -1311,9 +1311,52 @@ object TextQueries extends QueryPack {
       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           list_sum(list(dlp ORDER BY pos)) AS s FROM dlp GROUP BY doc_id)"""
 
+  /** Token-budget mixture allocation
+    * (operators.Sampling.tokenBudgetMix): the data-constrained-scaling
+    * planning step — uniform per-source token target, capped at
+    * availability × maxRepeat, leftover reported not hidden. One corpus
+    * aggregate; the allocation arithmetic is S-sized. Oracle restates
+    * the identical IEEE steps over the same aggregate. */
+  private val q107 = Q(
+    "q107_token_budget_mix",
+    (s, dir) => Sampling.tokenBudgetMix(
+        Tables(s, dir).documents, col("text"), col("source"),
+        budget = 100000L, maxRepeat = 4.0)
+      .orderBy(col("source")),
+    Some("""WITH avail AS (SELECT source,
+          CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY source),
+      t AS (SELECT *, 100000.0 / count(*) OVER () AS target FROM avail),
+      a AS (SELECT *,
+          least(CAST(avail_tokens AS DOUBLE) * 4.0, target) AS alloc FROM t)
+      SELECT source, avail_tokens,
+        round(alloc, 2) AS alloc_tokens,
+        round(alloc / CAST(avail_tokens AS DOUBLE), 4) AS epochs,
+        CAST(CASE WHEN CAST(avail_tokens AS DOUBLE) * 4.0 < target
+          THEN 1 ELSE 0 END AS BIGINT) AS capped,
+        round(100000.0 - sum(alloc) OVER (), 2) AS leftover_tokens
+      FROM a ORDER BY source"""))
+
+  /** Deterministic epoch-shard shuffle
+    * (operators.Sampling.shardAssignment): every doc gets a (shard, pos)
+    * address from its xxhash64 unit — the reproducible global read order
+    * of a training run, with order only ever defined WITHIN a shard (no
+    * global sort). FULL ORACLE: [[xxhashUnitOracleCore]] reproduces the
+    * unit hash; shard and in-shard rank are pure SQL over it. */
+  private val q108 = Q(
+    "q108_epoch_shards",
+    (s, dir) => Sampling.shardAssignment(
+        Tables(s, dir).documents, col("doc_id"), nShards = 8)
+      .orderBy(col("doc_id")),
+    Some(xxhashUnitOracleCore + """
+      SELECT doc_id, CAST(floor(u * 8) AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY CAST(floor(u * 8) AS BIGINT)
+          ORDER BY u, doc_id) AS BIGINT) AS pos
+      FROM unit ORDER BY doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
-      q104)
+      q104, q107, q108)
 }

@@ -182,4 +182,54 @@ class PropertySpec extends SparkSpec {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.2))
     }
   }
+
+  test("shard assignment: exhaustive, contiguous in-shard positions, " +
+      "deterministic, seed-sensitive") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val out = graft.operators.Sampling.shardAssignment(df, col("id"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 2000 && out.map(_._1).distinct.length === 2000,
+      "every row exactly once")
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions are a contiguous 1..n ranking inside each shard
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // hash spreads rows across shards roughly evenly (±40% of uniform)
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.min > 2000 / 8 * 0.6 && sizes.max < 2000 / 8 * 1.4)
+    val again = graft.operators.Sampling.shardAssignment(df, col("id"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    val reseeded = graft.operators.Sampling
+      .shardAssignment(df, col("id"), 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(reseeded.sortBy(_._1).toSeq !== out.sortBy(_._1).toSeq)
+  }
+
+  test("token budget mix: hand-computed allocation, caps and leftover") {
+    import spark.implicits._
+    // two sources: A has 10 tokens, B has 100; budget 120, repeat cap 2x
+    // target = 60 each; A caps at 20 (epochs 2), B takes 60 (epochs 0.6);
+    // leftover = 120 - 80 = 40
+    val docs = Seq(
+      ("a1", "t1 t2 t3 t4 t5", "A"), ("a2", "t1 t2 t3 t4 t5", "A"),
+      ("b1", ("x " * 100).trim, "B"))
+      .toDF("id", "text", "source")
+    val out = graft.operators.Sampling
+      .tokenBudgetMix(docs, col("text"), col("source"),
+        budget = 120L, maxRepeat = 2.0)
+      .orderBy("source").collect()
+    assert(out.length === 2)
+    val a = out(0); val b = out(1)
+    assert(a.getString(0) === "A" && a.getLong(1) === 10L)
+    assert(a.getDouble(2) === 20.0 && a.getDouble(3) === 2.0 &&
+      a.getLong(4) === 1L)
+    assert(b.getString(0) === "B" && b.getLong(1) === 100L)
+    assert(b.getDouble(2) === 60.0 && b.getDouble(3) === 0.6 &&
+      b.getLong(4) === 0L)
+    assert(a.getDouble(5) === 40.0 && b.getDouble(5) === 40.0)
+  }
 }
