@@ -696,12 +696,57 @@ object Similarity {
     * flag 0 — never dropped.
     *
     * Scale shape: the eval set is benchmark-sized (thousands), the corpus
-    * 100 TB — so the eval side (with precomputed norms, sorted by id) is
-    * ONE broadcast 1-row array and the scan is pure map-only per-row
-    * fold: no shuffle, no pair blow-up, no blocking structure to
-    * maintain. The per-row cost is |eval|·d multiplies — the same
-    * arithmetic any classifier-scoring pass would spend. */
+    * 100 TB — so the eval side is driver-collected bounded state (the
+    * same model-sized-collect contract as kmeans/PQ) baked into ONE
+    * native codegen'd expression (plans.BestCosineExpr): the scan is pure
+    * map-only, no shuffle, no pair blow-up, no blocking structure to
+    * maintain. Per-row cost is |eval|·d multiplies in a tight JVM loop —
+    * the interpreted higher-order-function form of the same scan (kept
+    * below as the parity reference) measured 12× slower at sf0.1. */
   def embeddingDecontamination(
+      corpus: DataFrame, evalSet: DataFrame, minCos: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val evRows = evalSet.filter(col(embCol).isNotNull)
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val nulls = corpus.filter(col(embCol).isNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        lit(null).cast("long").as("near_eval_id"),
+        lit(null).cast("double").as("max_cos"),
+        lit(0L).as("contaminated"))
+    if (evRows.isEmpty)
+      return corpus.filter(col(embCol).isNotNull)
+        .select(col(idCol).cast("long").as("vec_id"),
+          lit(null).cast("long").as("near_eval_id"),
+          lit(null).cast("double").as("max_cos"),
+          lit(0L).as("contaminated"))
+        .unionByName(nulls)
+    val dim = evRows.head._2.length
+    require(evRows.forall(_._2.length == dim),
+      "eval embeddings must share one dimensionality")
+    val norms = evRows.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val best = graft.plans.NativeExprs.bestCosine(
+      col(embCol), evRows.flatMap(_._2).toSeq, evRows.map(_._1).toSeq,
+      norms.toSeq, dim)
+    val scored = corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"), best.as("b"))
+      .select(col("vec_id"),
+        when(col("b.bc") > -2.0, col("b.bid")).as("near_eval_id"),
+        when(col("b.bc") > -2.0, col("b.bc")).as("max_cos"),
+        when(col("b.bc") >= minCos, 1L).otherwise(0L).as("contaminated"))
+    scored.unionByName(nulls)
+  }
+
+  /** Composed-Column form of the decontamination scan (broadcast 1-row
+    * eval array + interpreted higher-order fold) — kept ONLY as the
+    * bit-for-bit parity reference for the native expression above. */
+  def embeddingDecontaminationViaColumns(
       corpus: DataFrame, evalSet: DataFrame, minCos: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val ev = evalSet.filter(col(embCol).isNotNull)
@@ -716,10 +761,17 @@ object Similarity {
     val best = aggregate(col("evals"),
       struct(lit(-2.0).as("bc"), lit(null).cast("long").as("bid")),
       (acc, e) => {
-        val c = round(
+        // try_divide: ANSI throws on a 0.0 divisor (zero-norm vector)
+        // where the kernel's Java division yields NaN/Inf — null here and
+        // the guard below skip the candidate either way
+        val c = round(try_divide(
           aggregate(zip_with(v, e.getField("evec"), (a, b) => a * b),
-            lit(0.0), _ + _) / (nv * e.getField("ne")), 4)
-        when(c > acc.getField("bc"),
+            lit(0.0), _ + _), nv * e.getField("ne")), 4)
+        // Spark SQL orders NaN ABOVE every value (a bare c > bc would let
+        // a zero-norm vector's NaN cosine win); the native kernel uses
+        // Java semantics where NaN/Inf never wins — guard to match
+        when(!isnan(c) && c =!= lit(Double.PositiveInfinity) &&
+            c > acc.getField("bc"),
           struct(c.as("bc"), e.getField("eid").as("bid"))).otherwise(acc)
       })
     val scored = corpus.filter(col(embCol).isNotNull)

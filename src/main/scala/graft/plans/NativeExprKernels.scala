@@ -263,4 +263,43 @@ object NativeExprKernels {
     while (b < 64) { if (counts(b) * 2 > n) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /** Best cosine of one corpus vector against a flattened eval matrix
+    * (`evals` row-major, `norms(e)` the eval row's L2 norm summed in
+    * array order): the decontamination scan's inner loop. Cosines are
+    * 4dp HALF_UP (BigDecimal — Catalyst Round parity, same as pqEncode's
+    * snap); the strict `>` over evals in ascending-id order keeps the
+    * SMALLEST eval id on rounded ties; NaN/Inf cosines (zero-norm
+    * vectors) never win. Returns (best_cos, best_id); best_cos −2.0
+    * means "no finite cosine" and the caller nulls the pair out. */
+  def bestCosine(arr: ArrayData, evals: Array[Double], ids: Array[Long],
+      norms: Array[Double], dim: Int, elemCode: Int): InternalRow = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var nv2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elemAt(arr, elemCode, i)
+      v(i) = x; nv2 += x * x; i += 1
+    }
+    val nv = math.sqrt(nv2)
+    val m = math.min(n, dim)
+    var bestC = -2.0
+    var bestId = 0L
+    var e = 0
+    while (e < ids.length) {
+      val base = e * dim
+      var dot = 0.0
+      var j = 0
+      while (j < m) { dot += v(j) * evals(base + j); j += 1 }
+      val raw = dot / (nv * norms(e))
+      val c =
+        if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (c > bestC) { bestC = c; bestId = ids(e) }
+      e += 1
+    }
+    InternalRow(bestC, bestId)
+  }
 }

@@ -207,6 +207,49 @@ case class LshSignatureExpr(child: Expression, planes: Seq[Double], nbits: Int)
   * flattened double[] reference object — the composed form ran m×ksub
   * interpreted aggregate() lambdas per row and its codegen alone dwarfed
   * the fixture-scale compute. */
+/** Max-cosine scan against a driver-collected eval matrix (flattened
+  * row-major, ids ascending): one tight loop per corpus row — the
+  * decontamination hot path. (best_cos, best_id) as a struct; cosines
+  * 4dp HALF_UP inside the loop so argmax ties resolve on the ROUNDED
+  * value (smallest id wins), matching the SQL-restatable semantics. */
+case class BestCosineExpr(
+    child: Expression, evals: Seq[Double], ids: Seq[Long],
+    norms: Seq[Double], dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("bc", DoubleType, nullable = false),
+    StructField("bid", LongType, nullable = false)))
+  override def prettyName: String = "best_cosine"
+
+  @transient private lazy val evalsArr: Array[Double] = evals.toArray
+  @transient private lazy val idsArr: Array[Long] = ids.toArray
+  @transient private lazy val normsArr: Array[Double] = norms.toArray
+  @transient private lazy val elemCode: Int =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType  => NativeExprKernels.ElemDouble
+      case FloatType   => NativeExprKernels.ElemFloat
+      case LongType    => NativeExprKernels.ElemLong
+      case IntegerType => NativeExprKernels.ElemInt
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprKernels.bestCosine(
+      input.asInstanceOf[ArrayData], evalsArr, idsArr, normsArr, dim, elemCode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evRef = ctx.addReferenceObj("bcEvals", evalsArr, "double[]")
+    val idRef = ctx.addReferenceObj("bcIds", idsArr, "long[]")
+    val nmRef = ctx.addReferenceObj("bcNorms", normsArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Kernel.fq}.bestCosine($c, $evRef, $idRef, $nmRef, $dim, $elemCode);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BestCosineExpr =
+    copy(child = c)
+}
+
 case class PqEncodeExpr(
     child: Expression, books: Seq[Double], m: Int, ksub: Int, dsub: Int)
     extends UnaryExpression {
@@ -256,4 +299,11 @@ object NativeExprs {
     toColumn(LshSignatureExpr(toExpression(emb), planes.flatten, planes.size))
   def pqEncode(emb: Column, books: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
     toColumn(PqEncodeExpr(toExpression(emb), books, m, ksub, dsub))
+  def bestCosine(emb: Column, evals: Seq[Double], ids: Seq[Long],
+      norms: Seq[Double], dim: Int): Column = {
+    require(ids.nonEmpty, "bestCosine needs a non-empty eval set")
+    require(evals.size == ids.size * dim && norms.size == ids.size,
+      "eval matrix shape mismatch")
+    toColumn(BestCosineExpr(toExpression(emb), evals, ids, norms, dim))
+  }
 }

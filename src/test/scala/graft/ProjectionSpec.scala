@@ -97,16 +97,39 @@ class ProjectionSpec extends SparkSpec {
       out(2).isNullAt(2) && out(2).getLong(3) == 0L)
   }
 
-  test("decontamination scan is map-only after the eval broadcast") {
+  test("decontamination scan is pure map-only: no join, no shuffle") {
     val e = emb
     val plan = graft.operators.Similarity.embeddingDecontamination(
         e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0),
         minCos = 0.35)
       .queryExecution.executedPlan.toString
-    // the only allowed exchange feeds the 1-row eval collect_list; the
-    // corpus side must join it via BroadcastNestedLoopJoin, not shuffle
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      plan)
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+    assert(plan.contains("best_cosine"), plan)
+  }
+
+  test("native decontamination matches the composed-Column reference " +
+      "bit-for-bit, including zero-norm vectors") {
+    val corpus0 = emb.filter(col("vec_id") % 10 =!= 0)
+    val eval0 = emb.filter(col("vec_id") % 10 === 0)
+    val a = graft.operators.Similarity
+      .embeddingDecontamination(corpus0, eval0, minCos = 0.35)
+    val b = graft.operators.Similarity
+      .embeddingDecontaminationViaColumns(corpus0, eval0, minCos = 0.35)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // planted zero-norm corpus vector: its cosines are NaN everywhere —
+    // both forms must agree it stays unflagged with a null score
+    val corpusZ = Seq((1L, Some(Seq(0.0, 0.0))), (2L, Some(Seq(1.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val evalZ = Seq((10L, Some(Seq(3.0, 4.0)))).toDF("vec_id", "embedding")
+    val az = graft.operators.Similarity
+      .embeddingDecontamination(corpusZ, evalZ, minCos = 0.5)
+      .orderBy("vec_id").collect()
+    val bz = graft.operators.Similarity
+      .embeddingDecontaminationViaColumns(corpusZ, evalZ, minCos = 0.5)
+      .orderBy("vec_id").collect()
+    assert(az.toSeq == bz.toSeq)
+    assert(az(0).isNullAt(1) && az(0).isNullAt(2) && az(0).getLong(3) == 0L)
+    assert(az(1).getLong(1) == 10L && az(1).getDouble(2) == 0.6 &&
+      az(1).getLong(3) == 1L)
   }
 }
