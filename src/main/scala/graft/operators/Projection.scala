@@ -86,4 +86,48 @@ object Projection {
     signMatrix(inDim, outDim, seed)
       .map(row => row.map(s => if (s > 0) '+' else '-').mkString)
       .toSeq
+
+  /** JL-accelerated ANN: candidate top-`overfetch` by PROJECTED cosine
+    * (outDim dims — 4× fewer multiplies at 64→16), exact re-rank of the
+    * candidates in full dimension, cut to `k`. Both ranks are
+    * deterministic on (rounded cos desc, vec_id) — the bruteForceTopK
+    * contract. Null embeddings are excluded from both sides (no defined
+    * similarity).
+    *
+    * Scale shape: this is the drop-in recall/cost dial in front of ANY
+    * candidate generator — here the generator is the broadcast
+    * brute-force scan (queries are model-sized), with the dominant
+    * per-pair term cut outDim/inDim; feeding `jlProjectVec` output to
+    * the LSH/IVF families instead composes for sublinear candidate
+    * generation. The refine join touches |queries|·overfetch rows, never
+    * corpus-sized. */
+  def jlRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      overfetch: Int, inDim: Int, outDim: Int, seed: Long,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val pc = jlProjectVec(corpus.filter(col(embCol).isNotNull),
+      col(embCol), col(idCol), inDim, outDim, seed)
+    val pq = jlProjectVec(queries.filter(col(embCol).isNotNull),
+        col(embCol), col(idCol), inDim, outDim, seed)
+      .select(col("vec_id").as("q_id"), col("proj").as("q_proj"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("pcos").desc, col("vec_id"))
+    val cands = pc.join(broadcast(pq), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("proj"), col("q_proj")), 4).as("pcos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= overfetch)
+      .select(col("q_id"), col("vec_id"))
+    val cv = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"))
+    val qv = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    cands.join(cv, Seq("vec_id")).join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("c_emb"), col("q_emb")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+  }
 }

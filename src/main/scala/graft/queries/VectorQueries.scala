@@ -661,7 +661,62 @@ object VectorQueries extends QueryPack {
       FROM embeddings WHERE embedding IS NULL AND vec_id % 10 <> 0
       ORDER BY vec_id"""))
 
+  /** JL-accelerated ANN (operators.Projection.jlRefineTopK): candidates
+    * by 16-dim PROJECTED cosine (top-50 overfetch), exact 64-dim re-rank
+    * to top-5 — same query set as q46 so the two results are directly
+    * comparable. FULL ORACLE, fully re-derived: the generated sign CTE
+    * reproduces the projection (ordered fold — bit-identical projected
+    * values), then candidate and refine ranks restate the q46 cosine
+    * algebra at 4dp. */
+  private val q109 = Q(
+    "q109_knn_jl_refine",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Projection.jlRefineTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id").isin(0L, 100L, 250L)),
+        k = 5, overfetch = 50, inDim = 64, outDim = 16, seed = 7L)
+    },
+    Some {
+      val values = Projection.signStrings(64, 16, 7L).zipWithIndex
+        .map { case (str, j) => s"($j, '$str')" }.mkString(", ")
+      s"""WITH sm AS (SELECT * FROM (VALUES $values) t(j, s)),
+      cx AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+          generate_subscripts(embedding, 1) AS pos
+        FROM embeddings WHERE embedding IS NOT NULL),
+      pc AS (SELECT vec_id, j,
+          list_sum(list(v * (CASE WHEN substr(s, pos, 1) = '+'
+            THEN 1.0 ELSE -1.0 END) ORDER BY pos)) / sqrt(16.0) AS pv
+        FROM cx CROSS JOIN sm GROUP BY vec_id, j),
+      qp AS (SELECT vec_id AS q_id, j, pv FROM pc
+        WHERE vec_id IN (0, 100, 250)),
+      pd AS (SELECT qp.q_id, pc.vec_id,
+          sum(pc.pv * qp.pv) AS dot, sum(pc.pv * pc.pv) AS nx,
+          sum(qp.pv * qp.pv) AS ny
+        FROM pc JOIN qp ON pc.j = qp.j AND pc.vec_id <> qp.q_id
+        GROUP BY qp.q_id, pc.vec_id),
+      ps AS (SELECT q_id, vec_id,
+          round(dot / (sqrt(nx) * sqrt(ny)), 4) AS pcos FROM pd),
+      cand AS (SELECT q_id, vec_id FROM (SELECT *,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY pcos DESC, vec_id) AS rn FROM ps) WHERE rn <= 50),
+      fx AS (SELECT cand.q_id, cand.vec_id,
+          unnest(e.embedding) AS x, unnest(q.embedding) AS y
+        FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+          JOIN embeddings q ON q.vec_id = cand.q_id),
+      fd AS (SELECT q_id, vec_id,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+          sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        FROM fx GROUP BY q_id, vec_id),
+      fs AS (SELECT q_id, vec_id,
+          round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cos_sim,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id) AS rn
+        FROM fd)
+      SELECT q_id, vec_id, cos_sim FROM fs WHERE rn <= 5 ORDER BY q_id, rn"""
+    })
+
   override val all: Seq[Q] =
     Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
-      q96, q97, q105, q106)
+      q96, q97, q105, q106, q109)
 }

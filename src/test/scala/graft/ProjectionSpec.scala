@@ -132,4 +132,31 @@ class ProjectionSpec extends SparkSpec {
     assert(az(1).getLong(1) == 10L && az(1).getDouble(2) == 0.6 &&
       az(1).getLong(3) == 1L)
   }
+
+  test("JL-refine ANN: recall floor at the registered operating point, " +
+      "monotone in overfetch") {
+    // the fixture's embeddings are near-random — cosines cluster in a
+    // narrow band with no planted structure, which is JL's WORST case
+    // (the true top-5 barely separates from ranks 6..100). The floors
+    // below pin that worst case; clustered real embeddings do better.
+    val queries = emb.filter(col("vec_id").isin(0L, 100L, 250L))
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+    val exact = sets(graft.operators.Similarity
+      .bruteForceTopK(emb, queries, 5))
+    def recallAt(of: Int): Double = {
+      val jl = sets(graft.operators.Projection
+        .jlRefineTopK(emb, queries, k = 5, overfetch = of,
+          inDim = 64, outDim = 16, seed = 7L))
+      assert(jl.values.forall(_.size == 5))
+      exact.map { case (q, ex) =>
+        (ex intersect jl.getOrElse(q, Set.empty)).size.toDouble / ex.size
+      }.sum / exact.size
+    }
+    val r50 = recallAt(50)
+    assert(r50 >= 0.6, s"JL recall@5 at overfetch=50 was $r50")
+    assert(recallAt(100) >= r50, "recall must not degrade with overfetch")
+  }
 }
