@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * One map-only codegen scan — array lambdas over the line split, no
   * explode, no shuffle: at 100 TB this is a straight scan.
   *
-  * No registered query: the synthetic fixture corpus has no newlines and
-  * no punctuation, so every line fails the terminal-punctuation rule and
-  * the output is constant — planted multi-line docs in CleaningSpec pin
-  * each rule instead. */
+  * Registered as q101 with a FULL oracle: the fixture corpus has no
+  * newlines or punctuation, so the query synthesizes multi-line pages
+  * deterministically from it (every rule fires somewhere) and DuckDB
+  * restates both the synthesis and the rules; planted multi-line docs in
+  * CleaningSpec additionally pin each rule in isolation. */
 object Cleaning {
 
   private val TerminalPunct = """[.!?]["']?\s*$"""

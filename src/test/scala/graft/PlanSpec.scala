@@ -290,4 +290,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(pos"),
       "span merge must partition by doc_id, not run globally")
   }
+
+  test("q101: C4 clean is one page aggregate, no join, no window") {
+    val p = plan("q101_c4_clean")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"line rules must ride the page aggregate:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+  }
+
+  test("q103: all six DSIR LM lookups broadcast; one doc_id keep-all SMJ") {
+    val p = plan("q103_dsir_weights")
+    // 4 equi lookups (obs/unseen × target/source) + vocab-build joins
+    // broadcast; the two OOV rows are 1-row cross-broadcasts; the only
+    // corpus×corpus join is docs ⟕ per-doc weights on doc_id
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
+      s"LM lookup joins must broadcast:\n${p.take(1500)}")
+    val smj = p.split("SortMergeJoin").length - 1
+    assert(smj <= 1 && (smj == 0 || p.contains("SortMergeJoin [doc_id")),
+      s"only the doc_id keep-all join may sort-merge:\n${p.take(1500)}")
+  }
+
+  test("q104: DSIR selection is TakeOrdered, never a global sort") {
+    val p = plan("q104_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection must plan as TakeOrderedAndProject:\n${p.take(1500)}")
+  }
+
+  test("q108: shard shuffle is one hash exchange + in-shard sort") {
+    val p = plan("q108_epoch_shards")
+    // the position window partitions by shard (hashpartitioning); the
+    // only range exchange allowed is the presentation orderBy at the end
+    assert(p.contains("hashpartitioning(shard"),
+      s"position window must partition by shard:\n${p.take(1500)}")
+    assert(p.split("rangepartitioning").length - 1 <= 1,
+      s"no global sort beyond the presentation orderBy:\n${p.take(1500)}")
+  }
 }
