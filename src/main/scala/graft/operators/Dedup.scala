@@ -418,6 +418,66 @@ object Dedup {
     train.join(hits, idCol.cast("long") === col("train_id"), "left_anti")
   }
 
+  /** Scan-first decontamination — the 100 TB shape of [[contamination]].
+    *
+    * [[contamination]] explodes BOTH corpora into gram postings and
+    * shuffles them; at corpus scale the train-side explode is ~n× the
+    * corpus in shuffle bytes. Here the train corpus never explodes: the
+    * eval side (small by definition — held-out benchmark suites) is
+    * exploded once, df-capped exactly, and its distinct gram hashes are
+    * collected to the driver (bounded by maxEvalGrams, default 5M ≈
+    * 40 MB of longs in the task binary); the corpus then meets ONE
+    * map-only codegen'd filter (`ContainsEvalGramExpr`: binary search
+    * per gram, no explode, no shuffle) and only surviving candidate
+    * docs explode into the exact confirm join against the broadcast
+    * eval postings. The only shuffle over corpus-derived data is the
+    * final groupBy over candidate postings — candidate-sized, not
+    * corpus-sized.
+    *
+    * Semantics vs [[contamination]]: the df cap applies to the EVAL
+    * side only. The train-side cap there is a shuffle-skew guard, which
+    * this shape replaces structurally — a capped eval gram carries
+    * ≤ maxDf eval postings, so per-gram fan-out in the confirm join is
+    * bounded without dropping any train gram. Output schema is
+    * identical: (train_id, n_shared_grams, n_eval_docs).
+    *
+    * Prefilter exactness: hash collisions (2⁻⁶⁴ per gram pair) only ADD
+    * candidates; the confirm joins on gram STRINGS, so a collision-only
+    * candidate aggregates zero shared grams and drops out. Equal strings
+    * always hash equal, so no true hit is ever filtered — the
+    * composition is output-identical to running the confirm unfiltered
+    * (DedupSpec pins parity and the kernel-vs-column verdict).
+    *
+    * EAGER: collecting the eval hash set runs Spark jobs at call time.
+    */
+  def contaminationScanFirst(
+      train: DataFrame, eval: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 13, minShared: Long = 1L, maxDf: Long = 1000L,
+      maxEvalGrams: Int = 5000000): DataFrame = {
+    val post = eval.select(idCol.cast("long").as("eval_id"),
+        explode(array_distinct(shingles(textCol, n))).as("gram"))
+      .localCheckpoint(eager = false)
+    val overCap = post.groupBy("gram").count()
+      .filter(col("count") > maxDf)
+      .select("gram")
+    val evalPost = post.join(overCap, Seq("gram"), "left_anti")
+    val hashes = evalPost.select(xxhash64(col("gram")).as("h"))
+      .distinct().limit(maxEvalGrams + 1)
+      .collect().map(_.getLong(0)).toSeq
+    require(hashes.size <= maxEvalGrams,
+      s"eval gram set exceeds maxEvalGrams=$maxEvalGrams — " +
+        "shrink the eval corpus or raise the cap")
+    train
+      .filter(graft.plans.NativeExprs.containsEvalGram(textCol, hashes, n))
+      .select(idCol.cast("long").as("train_id"),
+        explode(array_distinct(shingles(textCol, n))).as("gram"))
+      .join(broadcast(evalPost), Seq("gram"))
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
   /** Exact n-gram Jaccard between explicit row pairs (the verify primitive;
     * also a standalone operator for blocked candidate sets). `pairs` must
     * have id_a/id_b; df provides (id, text). */

@@ -281,6 +281,36 @@ case class PqEncodeExpr(
     copy(child = c)
 }
 
+/** Decontamination scan prefilter (see NativeExprKernels.containsEvalGram):
+  * one codegen'd pass per document against a driver-collected, sorted
+  * eval-gram hash set — no corpus-side explode, no shuffle. The 100 TB
+  * shape: the full corpus meets only this map-only filter; only the
+  * (tiny) candidate set ever shuffles into the exact confirm join. */
+case class ContainsEvalGramExpr(child: Expression, hashes: Seq[Long], n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "contains_eval_gram"
+
+  @transient private lazy val sortedArr: Array[Long] = {
+    val a = hashes.toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprKernels.containsEvalGram(input.asInstanceOf[UTF8String], n, sortedArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("evalGramHashes", sortedArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Kernel.fq}.containsEvalGram($c, $n, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ContainsEvalGramExpr =
+    copy(child = c)
+}
+
 object NativeExprs {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     toColumn(MinHashSigExpr(toExpression(hashes), numHashes))
@@ -299,6 +329,10 @@ object NativeExprs {
     toColumn(LshSignatureExpr(toExpression(emb), planes.flatten, planes.size))
   def pqEncode(emb: Column, books: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
     toColumn(PqEncodeExpr(toExpression(emb), books, m, ksub, dsub))
+  def containsEvalGram(text: Column, hashes: Seq[Long], n: Int): Column = {
+    require(hashes.nonEmpty, "containsEvalGram needs a non-empty eval-gram set")
+    toColumn(ContainsEvalGramExpr(toExpression(text), hashes, n))
+  }
   def bestCosine(emb: Column, evals: Seq[Double], ids: Seq[Long],
       norms: Seq[Double], dim: Int): Column = {
     require(ids.nonEmpty, "bestCosine needs a non-empty eval set")

@@ -820,6 +820,46 @@ object TextQueries extends QueryPack {
       FROM tr JOIN te ON tr.gram = te.gram
       GROUP BY tr.doc_id ORDER BY train_id"""))
 
+  /** Scan-first decontamination (operators.Dedup.contaminationScanFirst):
+    * same corpus split and 8-grams as q76, but the train corpus never
+    * explodes — a driver-collected eval-gram hash set drives one
+    * map-only codegen'd prefilter (ContainsEvalGramExpr) and only
+    * candidate docs meet the exact confirm join. Semantics differ from
+    * q76 in ONE documented way: the df cap applies to the eval side
+    * only (the train-side cap was a shuffle-skew guard this shape
+    * replaces structurally), so the oracle is q76's SQL with the train
+    * df filter removed. The prefilter is invisible to the oracle:
+    * hash collisions only add candidates, and a collision-only
+    * candidate aggregates zero string-equal shared grams. */
+  private val q110 = Q(
+    "q110_decon_scan",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.operators.Dedup.contaminationScanFirst(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), n = 8)
+        .orderBy(col("train_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+        generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos FROM documents),
+      g0 AS (SELECT doc_id,
+          string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wc
+        FROM w),
+      g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE wc = 8),
+      tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+      te AS (SELECT doc_id, gram FROM (
+          SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+          FROM g WHERE doc_id % 10 = 0) WHERE df <= 1000)
+      SELECT tr.doc_id AS train_id,
+        CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+        CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_eval_docs
+      FROM tr JOIN te ON tr.gram = te.gram
+      GROUP BY tr.doc_id ORDER BY train_id"""))
+
   /** Exact duplicate-span detection (operators.Dedup.duplicateSpans —
     * Lee et al. substring dedup): maximal runs of token positions covered
     * by a word 8-gram occurring ≥2 times corpus-wide. Full oracle: DuckDB
@@ -1358,5 +1398,5 @@ object TextQueries extends QueryPack {
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
-      q104, q107, q108)
+      q104, q107, q108, q110)
 }

@@ -226,6 +226,95 @@ class DedupSpec extends SparkSpec {
     assert(hashed.toSeq === capped.toSeq)
   }
 
+  test("scan-first decontamination: eval-only cap semantics on planted docs") {
+    import spark.implicits._
+    val quote = (0 until 10).map(i => s"q$i").mkString(" ")
+    val boiler = (0 until 8).map(i => s"b$i").mkString(" ")
+    val header = (0 until 8).map(i => s"h$i").mkString(" ")
+    val evalDocs = Seq(
+      (1000L, s"e0 e1 e2 $quote e3 e4"),
+      (1001L, s"$boiler z0 z1")) ++
+      (2000L until 2007L).map(i => (i, s"m$i $header"))
+    val trainDocs =
+      Seq((1L, s"t0 t1 $quote t2 t3"),
+        (2L, s"u0 u1 u2 u3 u4 u5 u6 u7 u8"),
+        (3L, s"n0 n1 $header")) ++
+        (10L until 30L).map(i => (i, s"v$i w$i x$i $boiler"))
+    val train = trainDocs.toDF("doc_id", "text")
+    val eval = evalDocs.toDF("doc_id", "text")
+
+    val scan = Dedup.contaminationScanFirst(
+        train, eval, col("text"), col("doc_id"), n = 8, maxDf = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: genuine quote overlap. doc 3: its only shared gram (header)
+    // has EVAL df 7 > 5 -> capped -> absent, same as contamination. docs
+    // 10-29: the boilerplate gram has eval df 1 but TRAIN df 20 — here
+    // they ARE flagged: the df cap applies to the eval side only (the
+    // train-side cap in `contamination` was a shuffle-skew guard this
+    // shape replaces structurally — the documented semantic divergence).
+    assert(scan === (Set((1L, 3L, 1L)) ++
+      (10L until 30L).map(i => (i, 1L, 1L))))
+  }
+
+  test("containsEvalGram kernel verdict == composed shingles verdict on whitespace edges") {
+    import spark.implicits._
+    val eval = Seq((1000L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")).toDF("doc_id", "text")
+    val gramRows = eval
+      .select(explode(array_distinct(shingles(col("text"), 8))).as("g"))
+      .distinct()
+    val gramStrings = gramRows.collect().map(_.getString(0)).toSeq
+    val hashes = gramRows.select(xxhash64(col("g")))
+      .collect().map(_.getLong(0)).toSeq
+    val weird = Seq(
+      (100L, "\te0 e1 e2 q0 q1 q2 q3 q4 q5 q6 q7"), // leading tab -> empty head token
+      (101L, "  q0 q1  q2   q3 q4 q5 q6 q7  "),     // space padding + internal runs
+      (102L, "q0\nq1 q2 q3 q4\tq5 q6 q7"),          // newline/tab separators
+      (103L, "totally unrelated words only here"),
+      (104L, ""),
+      (105L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = weird.select(col("doc_id"),
+        graft.plans.NativeExprs.containsEvalGram(col("text"), hashes, 8).as("v"),
+        arrays_overlap(array_distinct(shingles(col("text"), 8)),
+          typedlit(gramStrings)).as("ref"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSeq
+    // the kernel must agree with the composed column form row-for-row —
+    // this is the tokenization-parity contract (trim spaces only, \s+
+    // split keeping empty edge tokens, ' '-joined grams, xxhash64/42).
+    // Sole null-text divergence: shingles(null) is [] (so the composed
+    // verdict is false) while the null-safe kernel yields null — both
+    // filter-falsy, so the operator outcome is identical.
+    for ((id, v, ref) <- got if v.isDefined)
+      assert(v === ref, s"kernel/composed verdict mismatch on doc $id")
+    val byId = got.map(g => g._1 -> g._2).toMap
+    assert(byId(100L) === Some(true) && byId(101L) === Some(true) &&
+      byId(102L) === Some(true) && byId(103L) === Some(false) &&
+      byId(104L) === Some(false) && byId(105L) === None)
+    assert(got.find(_._1 == 105L).get._3 === Some(false))
+  }
+
+  test("scan-first decontamination matches the composed confirm on the fixture") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val scan = Dedup.contaminationScanFirst(
+        train, eval, col("text"), col("doc_id"), n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def post(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.select(col("doc_id").cast("long").as(as),
+        explode(array_distinct(shingles(col("text"), 8))).as("gram"))
+    val overCap = post(eval, "eval_id").groupBy("gram").count()
+      .filter(col("count") > 1000).select("gram")
+    val evalPost = post(eval, "eval_id").join(overCap, Seq("gram"), "left_anti")
+    val ref = post(train, "train_id").join(evalPost, Seq("gram"))
+      .groupBy("train_id")
+      .agg(countDistinct(col("gram")).as("sg"), countDistinct(col("eval_id")).as("ed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(scan === ref)
+    assert(scan.nonEmpty, "fixture should contain at least one contaminated train doc")
+  }
+
   test("winnow containment pairs on fixture are symmetric-safe and bounded") {
     val pairs = Dedup.winnowContainmentPairs(
       docs, col("text"), col("doc_id"), k = 8, window = 4, threshold = 0.5)

@@ -316,6 +316,17 @@ class PlanSpec extends SparkSpec {
       s"top-k selection must plan as TakeOrderedAndProject:\n${p.take(1500)}")
   }
 
+  test("q110: corpus meets only the codegen'd gram-set filter; confirm join broadcasts") {
+    val p = plan("q110_decon_scan")
+    assert(p.contains("contains_eval_gram"),
+      s"the prefilter must be the native scan expression:\n${p.take(1500)}")
+    // the corpus side must never sort-merge or window: the only joins are
+    // the (tiny) eval df-cap anti-join and the broadcast confirm join
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"corpus-side shuffle crept into the scan-first shape:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q108: shard shuffle is one hash exchange + in-shard sort") {
     val p = plan("q108_epoch_shards")
     // the position window partitions by shard (hashpartitioning); the
