@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Multinomial Naive-Bayes text classifier — train + score, fully
+  * relational. The model-based counterpart of the heuristic language-ID
+  * and quality gates: LLM pipelines run exactly this shape (fastText-
+  * style linear classifiers in CCNet / quality selection à la GPT-3's
+  * reference-corpus filter) between rule gates and dedup. The reference
+  * has no model stage (its gates are field-validity checks,
+  * Validators.php:24-61); north-star extension over `documents`.
+  *
+  * Determinism contract (the q93/q94 fixture-oracle device): `log2` runs
+  * ONLY in Spark, once, at train time, 9dp-snapped; scoring — engine and
+  * DuckDB oracle alike — consumes the same logp doubles and folds them
+  * in token-position order with plain IEEE adds. No cross-engine libm
+  * parity is ever assumed.
+  *
+  * Model rows are scalar (driver-sortable), one table for the whole
+  * model, self-describing by `kind`:
+  *  - ("prior", "", c, n_docs_c, log2(n_docs_c / N))
+  *  - ("obs",    w, c, cnt,      log2((cnt+1)/(tot_c+V)))   [Laplace]
+  *  - ("oov",   "", c, 0,        log2(1/(tot_c+V)))         [one per c]
+  */
+object Classifier {
+
+  /** (doc_id, pos, word) occurrence stream — map-only posexplode. */
+  def wordRows(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.select(idCol.cast("long").as("doc_id"),
+        posexplode(tokens(textCol)).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+
+  /** Train on `classCol` labels. Scale shape: ONE map-side-combining
+    * corpus aggregate on (cls, word) — the only corpus-sized shuffle;
+    * V, totals, and priors all re-derive from its (vocab × classes)-
+    * bounded result (localCheckpoint so the corpus explode runs once —
+    * the q76 device); the doc-count aggregate groups on the tiny class
+    * key. */
+  def naiveBayes(docs: DataFrame, textCol: Column, idCol: Column,
+      classCol: Column): DataFrame = {
+    val wc = docs
+      .select(classCol.cast("string").as("cls"), explode(tokens(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("cls"), col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val v: Long = wc.agg(countDistinct(col("word"))).head().getLong(0)
+    val tot = wc.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+    val obs = wc.join(tot, Seq("cls"))
+      .select(lit("obs").as("kind"), col("word"), col("cls"), col("cnt"),
+        round(log2((col("cnt") + lit(1L)).cast("double") /
+          (col("tot") + lit(v)).cast("double")), 9).as("logp"))
+    val oov = tot.select(lit("oov").as("kind"), lit("").as("word"), col("cls"),
+      lit(0L).as("cnt"),
+      round(log2(lit(1.0) / (col("tot") + lit(v)).cast("double")), 9).as("logp"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val prior = docs.groupBy(classCol.cast("string").as("cls"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("prior").as("kind"), lit("").as("word"), col("cls"), col("cnt"),
+        round(log2(col("cnt").cast("double") /
+          sum(col("cnt")).over(wAll).cast("double")), 9).as("logp"))
+    obs.unionByName(oov).unionByName(prior)
+  }
+
+  /** Per-(doc, class) log-posterior: score = round(prior + Σ logp, 6),
+    * the Σ folded in token-position order (q89 device — restatable as
+    * DuckDB list_sum(list(lp ORDER BY pos))). Every doc scores against
+    * EVERY class (the class table is model-sized → broadcast); unseen
+    * words take the class's OOV mass; token-less docs keep their prior
+    * row (docs are never dropped). Output (doc_id, cls, n_tokens,
+    * score); `+ 0.0` normalizes IEEE −0.0. */
+  def nbScores(docs: DataFrame, model: DataFrame, textCol: Column,
+      idCol: Column): DataFrame = {
+    val obs = model.filter(col("kind") === "obs")
+      .select(col("word"), col("cls"), col("logp"))
+    val oov = model.filter(col("kind") === "oov")
+      .select(col("cls"), col("logp").as("lp_oov"))
+    val prior = model.filter(col("kind") === "prior")
+      .select(col("cls"), col("logp").as("lp_prior"))
+    val perDocCls = wordRows(docs, textCol, idCol)
+      .crossJoin(broadcast(prior.select(col("cls"))))
+      .join(broadcast(obs), Seq("word", "cls"), "left")
+      .join(broadcast(oov), Seq("cls"), "left")
+      .select(col("doc_id"), col("cls"), col("pos"),
+        coalesce(col("logp"), col("lp_oov")).as("lp"))
+      .groupBy(col("doc_id"), col("cls")).agg(
+        count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            s => s.getField("lp")),
+          lit(0.0), _ + _).as("sum_lp"))
+    docs.select(idCol.cast("long").as("doc_id"))
+      .crossJoin(broadcast(prior))
+      .join(perDocCls, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("cls"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (round(col("lp_prior") + coalesce(col("sum_lp"), lit(0.0)), 6) + lit(0.0))
+          .as("score"))
+  }
+
+  /** Argmax label per document over [[nbScores]] rows: highest score,
+    * ties → smallest class string (min over the (−score, cls) struct —
+    * one aggregate, no window). */
+  def nbLabel(scores: DataFrame): DataFrame =
+    scores
+      .groupBy(col("doc_id"))
+      .agg(min(struct((col("score") * lit(-1.0)).as("negs"), col("cls").as("cls")))
+        .as("m"))
+      .select(col("doc_id"), col("m.cls").as("label"))
+}

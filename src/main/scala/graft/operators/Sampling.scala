@@ -142,6 +142,30 @@ object Sampling {
       .drop("__target", "__alloc")
   }
 
+  /** Deterministic per-stratum bottom-k sample (the "bottom-k sketch"
+    * device): keep the k rows with the SMALLEST unit hash in each
+    * stratum — an exact uniform simple random sample without
+    * replacement of size min(k, |stratum|), as a pure function of
+    * (id, seed). Replay-stable like [[assignSplits]], and COORDINATED:
+    * two corpus snapshots sample consistently (a doc is displaced only
+    * by a doc with a smaller hash, never by re-rolls), which is what
+    * makes per-snapshot eval panels comparable. Ties in the 1e-9-grid
+    * unit hash break by id, so the sample is total-order deterministic.
+    *
+    * Scale shape: one hash shuffle on the stratum key; the rank filter
+    * plans as WindowGroupLimit (per-group top-k pushdown — partial
+    * limits run map-side before the exchange; no stratum is ever fully
+    * sorted in one task's memory beyond its top k).
+    */
+  def bottomKSample(docs: DataFrame, strataCol: Column, idCol: Column,
+      k: Int, seed: Long = 42L, rankCol: String = "sample_rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(unitHash(idCol, seed).asc, idCol.asc)
+    docs.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Deterministic epoch shuffle into training shards: every row gets a
     * (shard, pos) address from its unit hash — the global pseudo-random
     * order a training run reads, reproducible across runs and cluster

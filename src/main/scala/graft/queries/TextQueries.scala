@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Dedup, Dsir, LangModel, Sampling}
+import graft.operators.{Bpe, Classifier, Dedup, Dsir, LangModel, Sampling}
 
 /** Text-analysis + dedup surface over the `documents` table — the
   * LLM-training-data operators (BASELINE.json north star) layered on the
@@ -777,6 +777,94 @@ object TextQueries extends QueryPack {
       FROM unit"""
     })
 
+  /** Deterministic per-language bottom-k sample (operators.Sampling
+    * .bottomKSample): the k = 7 smallest unit hashes per lang, ties by
+    * doc_id. Full oracle: [[xxhashUnitOracleCore]] reproduces the hash
+    * and row_number() restates the rank — both engines derive the
+    * identical sample from pure arithmetic. */
+  private val q112 = Q(
+    "q112_bottomk_sample",
+    (s, dir) => Sampling.bottomKSample(
+        Tables(s, dir).documents, col("lang"), col("doc_id"), k = 7)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank")),
+    Some(xxhashUnitOracleCore + """,
+      ranked AS (SELECT doc_id, lang,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT)
+            AS sample_rank
+        FROM unit)
+      SELECT doc_id, lang, sample_rank FROM ranked
+      WHERE sample_rank <= 7 ORDER BY lang, sample_rank"""))
+
+  /** Naive-Bayes classifier model (operators.Classifier.naiveBayes):
+    * multinomial NB trained with `lang` as the class — a trainable
+    * language-ID model. Rows-only BY DESIGN (the q93 device): log2 runs
+    * engine-side and the snapped logp doubles are exported as the
+    * fixture q114/q115 score from; the model itself is transitively
+    * hash-verified through q114's full oracle, and its arithmetic is
+    * hand-pinned in ClassifierSpec. */
+  private val q113 = Q(
+    "q113_nb_model",
+    (s, dir) => Classifier.naiveBayes(
+        Tables(s, dir).documents, col("text"), col("doc_id"), col("lang"))
+      .orderBy(col("kind"), col("cls"), col("word")),
+    None)
+
+  /** Per-(doc, class) NB log-posteriors. FULL oracle via the q113
+    * fixture: DuckDB rebuilds the token stream, coalesces obs → class
+    * OOV, folds the same snapped doubles in position order
+    * (list_sum(list(lp ORDER BY pos)) — the q94 parity device), and adds
+    * the prior inside the identical round(·, 6). The in-query re-train
+    * must reproduce q113's export bit-for-bit (the q81-style determinism
+    * cross-check). */
+  private val q114 = Q(
+    "q114_nb_scores",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Classifier.nbScores(docs,
+          Classifier.naiveBayes(docs, col("text"), col("doc_id"), col("lang")),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"), col("cls"))
+    },
+    Some("""WITH m AS (SELECT * FROM read_parquet('__VERIFY_OUT__/q113_nb_model/*.parquet')),
+      w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+          generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+        FROM documents),
+      cls AS (SELECT cls, logp AS lp_prior FROM m WHERE kind = 'prior'),
+      obs AS (SELECT word, cls, logp FROM m WHERE kind = 'obs'),
+      oov AS (SELECT cls, logp AS lp_oov FROM m WHERE kind = 'oov'),
+      lp AS (SELECT w.doc_id, w.pos, c.cls, coalesce(o.logp, v.lp_oov) AS lp
+        FROM w CROSS JOIN cls c
+        LEFT JOIN obs o ON o.word = w.word AND o.cls = c.cls
+        LEFT JOIN oov v ON v.cls = c.cls),
+      agg AS (SELECT doc_id, cls, count(*) AS n_tokens,
+          list_sum(list(lp ORDER BY pos)) AS s
+        FROM lp GROUP BY doc_id, cls)
+      SELECT d.doc_id, c.cls,
+        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        round(c.lp_prior + coalesce(a.s, 0.0), 6) + 0.0 AS score
+      FROM documents d CROSS JOIN cls c
+      LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.cls = c.cls
+      ORDER BY d.doc_id, c.cls"""))
+
+  /** Argmax NB label per document (ties → smallest class). FULL oracle
+    * via the q114 fixture: row_number over (score DESC, cls) restates
+    * the min-struct argmax exactly. */
+  private val q115 = Q(
+    "q115_nb_label",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Classifier.nbLabel(Classifier.nbScores(docs,
+          Classifier.naiveBayes(docs, col("text"), col("doc_id"), col("lang")),
+          col("text"), col("doc_id")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (SELECT * FROM read_parquet('__VERIFY_OUT__/q114_nb_scores/*.parquet')),
+      r AS (SELECT doc_id, cls,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        FROM s)
+      SELECT doc_id, cls AS label FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
   /** Train/eval decontamination (operators.Dedup.contamination): the
     * held-out slice is doc_id % 10 == 0; word 8-grams; full oracle via
     * DuckDB window string_agg n-gram construction (the q36 pattern
@@ -859,6 +947,36 @@ object TextQueries extends QueryPack {
         CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_eval_docs
       FROM tr JOIN te ON tr.gram = te.gram
       GROUP BY tr.doc_id ORDER BY train_id"""))
+
+  /** Heavy-hitter word 2-grams via the native Misra-Gries typed
+    * imperative aggregate (plans.MisraGriesAgg): each map task ships one
+    * ≤ capacity-entry summary (ObjectHashAggregate partial — map-side
+    * combine; a per-item shuffle never happens). Registered in the EXACT
+    * regime — capacity 2048 ≥ the fixture's distinct 2-grams at every
+    * driver SF, so no decrement can fire and every count is exact and
+    * merge-order-independent, which is what makes the plain-count DuckDB
+    * oracle valid. The lossy N/(k+1) bound and merge math are pinned in
+    * HeavyHittersSpec. */
+  private val q111 = Q(
+    "q111_heavy_hitters",
+    (s, dir) => Tables(s, dir).documents
+      .select(explode(shingles(col("text"), 2)).as("item"))
+      .agg(graft.plans.HeavyHitters.misraGries(col("item"), 2048).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est_count"))
+      .orderBy(col("est_count").desc, col("item"))
+      .limit(50),
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+        generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos FROM documents),
+      g0 AS (SELECT doc_id,
+          string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS item,
+          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS wc FROM w),
+      c AS (SELECT item, CAST(count(*) AS BIGINT) AS est_count
+        FROM g0 WHERE wc = 2 GROUP BY item)
+      SELECT item, est_count FROM c
+      ORDER BY est_count DESC, item LIMIT 50"""))
 
   /** Exact duplicate-span detection (operators.Dedup.duplicateSpans —
     * Lee et al. substring dedup): maximal runs of token positions covered
@@ -1398,5 +1516,5 @@ object TextQueries extends QueryPack {
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
-      q104, q107, q108, q110)
+      q104, q107, q108, q110, q111, q112, q113, q114, q115)
 }

@@ -327,6 +327,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q111: heavy hitters is a partial ObjectHashAggregate + TakeOrdered") {
+    val p = plan("q111_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate") && p.contains("misra_gries"),
+      s"the sketch must plan as a typed imperative aggregate:\n${p.take(1500)}")
+    assert(p.contains("partial_misra_gries") || p.contains("partial misra_gries") ||
+      p.split("misra_gries").length - 1 >= 2,
+      s"map-side combine (partial aggregate) missing:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must plan as TakeOrdered, not a global sort:\n${p.take(1500)}")
+  }
+
+  test("q112: bottom-k sample plans as WindowGroupLimit, no global sort of the corpus") {
+    val p = plan("q112_bottomk_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must push down as a group limit:\n${p.take(1500)}")
+    assert(p.split("rangepartitioning").length - 1 <= 1,
+      s"only the presentation orderBy may range-partition:\n${p.take(1500)}")
+  }
+
+  test("q114: NB model joins broadcast; only the doc_id keep-all join may sort-merge") {
+    val p = plan("q114_nb_scores")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
+      s"obs/oov/prior lookups must broadcast (model-sized):\n${p.take(1500)}")
+    val smj = p.split("SortMergeJoin").length - 1
+    assert(smj <= 1, s"corpus-side sort-merge crept in:\n${p.take(1500)}")
+  }
+
   test("q108: shard shuffle is one hash exchange + in-shard sort") {
     val p = plan("q108_epoch_shards")
     // the position window partitions by shard (hashpartitioning); the

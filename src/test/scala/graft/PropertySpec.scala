@@ -209,6 +209,43 @@ class PropertySpec extends SparkSpec {
     assert(reseeded.sortBy(_._1).toSeq !== out.sortBy(_._1).toSeq)
   }
 
+  test("bottom-k sample: exact ground truth, stratum sizes, coordination") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val k = 7
+    val got = graft.operators.Sampling
+      .bottomKSample(df, col("stratum"), col("id"), k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // ground truth: the same unit hash computed as a column, sorted in
+    // Scala — the sample IS the k smallest (u, id) per stratum
+    val hashes = df.select(col("id"), col("stratum"),
+        (pmod(xxhash64(col("id"), lit(42L)), lit(1000000000L))
+          .cast("double") / 1e9).as("u"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val truth = hashes.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(t => (t._3, t._1)).take(k).zipWithIndex
+        .map { case ((id, str, _), i) => (id, str, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet === truth)
+    assert(got.groupBy(_._2).values.forall(_.length == k))
+    // coordination: dropping non-sampled docs leaves the sample intact
+    // (a doc is displaced only by a smaller hash, never by a re-roll)
+    val sampledIds = got.map(_._1).toSet
+    val shrunk = df.filter(col("id").isin(
+      (sampledIds ++ (0L until 50L)).toSeq.map(Long.box): _*))
+    val again = graft.operators.Sampling
+      .bottomKSample(shrunk, col("stratum"), col("id"), k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet === got.toSet,
+      "sample must be stable when only non-sampled docs are removed")
+    // small stratum: returns the whole stratum, ranked
+    val tiny = Seq((1L, "t"), (2L, "t")).toDF("id", "stratum")
+    val tinyGot = graft.operators.Sampling
+      .bottomKSample(tiny, col("stratum"), col("id"), k)
+      .collect()
+    assert(tinyGot.length === 2)
+  }
+
   test("token budget mix: hand-computed allocation, caps and leftover") {
     import spark.implicits._
     // two sources: A has 10 tokens, B has 100; budget 120, repeat cap 2x
