@@ -264,6 +264,129 @@ object Multimodal {
     extractFeatures(media).toDF("media_id", "feature")
       .join(media.drop("payload"), Seq("media_id"))
 
+  /** 64-bit difference hash (dHash) — the perceptual fingerprint image-
+    * dedup pipelines run at ingest (LAION-style near-dup removal): an
+    * 8-row × 9-col luma grid, bit (y,x) = grid(y,x+1) > grid(y,x),
+    * packed at index y*8+x. REAL for JDK-decodable images, via
+    * deterministic integer area-averaging of luma blocks — never a
+    * Graphics2D resample, whose interpolation is implementation-defined;
+    * STUB for any other payload (bytes laid row-major onto the grid,
+    * wrapped modulo length) — deterministic AND restatable in plain SQL,
+    * which is what gives q116 a full oracle on the text-byte fixture.
+    * Null/empty payloads and undecodable image-magic payloads hash
+    * through the stub (empty → 0L): ingest-side dedup must hash every
+    * blob, not throw on the corrupt ones. */
+  def dhash64(payload: Array[Byte]): Long = {
+    if (payload == null || payload.length == 0) return 0L
+    val grid =
+      if (looksDecodableImage(payload)) imageGrid(payload).getOrElse(stubGrid(payload))
+      else stubGrid(payload)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid(y * 9 + x + 1) > grid(y * 9 + x)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  private def stubGrid(p: Array[Byte]): Array[Int] = {
+    val g = new Array[Int](72)
+    var i = 0
+    while (i < 72) { g(i) = p(i % p.length) & 0xFF; i += 1 }
+    g
+  }
+
+  /** Integer block-average luma grid: cell (y,x) averages the pixel
+    * block [x·W/9,(x+1)·W/9) × [y·H/8,(y+1)·H/8) (floor bounds, ≥1 px),
+    * luma = (299R+587G+114B)/1000 per pixel, block mean by integer
+    * division — every step exact, so a hand-computed spec can pin it. */
+  private def imageGrid(payload: Array[Byte]): Option[Array[Int]] = try {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val img = try javax.imageio.ImageIO.read(iis)
+      finally scala.util.Try(iis.close())
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val (wd, ht) = (img.getWidth, img.getHeight)
+      val g = new Array[Int](72)
+      var y = 0
+      while (y < 8) {
+        val y0 = y * ht / 8
+        val y1 = math.min(ht, math.max((y + 1) * ht / 8, y0 + 1))
+        var x = 0
+        while (x < 9) {
+          val x0 = x * wd / 9
+          val x1 = math.min(wd, math.max((x + 1) * wd / 9, x0 + 1))
+          var sum = 0L
+          var n = 0L
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) {
+              val rgb = img.getRGB(xx, yy)
+              sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                114 * (rgb & 0xFF)) / 1000
+              n += 1
+              xx += 1
+            }
+            yy += 1
+          }
+          g(y * 9 + x) = (sum / n).toInt
+          x += 1
+        }
+        y += 1
+      }
+      Some(g)
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-media dHash table — map-only, batched like [[extractFeatures]]. */
+  def dhashTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) => (id, dhash64(payload)) }
+        }
+      }
+      .toDF("media_id", "dhash")
+      .join(media.drop("payload"), Seq("media_id"))
+  }
+
+  /** Perceptual near-dup pairs over [[dhashTable]] rows: 16-bit banding
+    * (4 bands) buckets candidates per kind, exact Hamming verifies.
+    * With maxHamming < 4 the banding is EXHAUSTIVE by pigeonhole — ≤ 3
+    * differing bits cannot touch all 4 bands, so some band matches
+    * exactly and recall is 1.0 (what lets q117's oracle ignore the
+    * banding and re-derive pairs from hashes alone). The self-join keys
+    * on (kind, band, 16-bit bucket) — only colliding blobs ever meet. */
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "banding recall is only exhaustive for maxHamming < bands (4)")
+    val banded = hashes.select(col("media_id"), col("kind"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bh")))
+    val a = banded.select(col("kind"), col("band"), col("bh"),
+      col("media_id").as("id_a"), col("dhash").as("dh_a"))
+    val b = banded.select(col("kind"), col("band"), col("bh"),
+      col("media_id").as("id_b"), col("dhash").as("dh_b"))
+    a.join(b, Seq("kind", "band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("kind"), col("id_a"), col("id_b"), col("dh_a"), col("dh_b"))
+      .distinct() // dedup multi-band collisions BEFORE computing hamming
+      .select(col("kind"), col("id_a"), col("id_b"),
+        graft.functions.TextFunctions.hamming64(col("dh_a"), col("dh_b"))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** STUB frame-sampler for video-ish payloads: returns (offset, length)
     * windows — deterministic byte windows standing in for frames. */
   def frameSample(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame =

@@ -96,5 +96,61 @@ object MultimodalQueries extends QueryPack {
       CAST(least(strlen(text), 400) AS BIGINT) AS covered_bytes
       FROM documents ORDER BY media_id"""))
 
-  override val all: Seq[Q] = Seq(q70, q71, q72)
+  /** Perceptual dHash per media blob (Multimodal.dhash64). The fixture
+    * payloads are text bytes → every row takes the STUB grid (bytes laid
+    * row-major on the 8×9 grid, wrapped modulo length), which is
+    * DESIGNED restatable: the oracle rebuilds each of the 64 compare
+    * bits from 1-based character positions (ASCII ⇒ byte == unicode —
+    * the q71 FixtureSpec tripwire covers this assumption) and packs the
+    * HUGEINT sum back to the signed BIGINT Spark emits. Real-image
+    * hashing (integer block-average luma) is hand-pinned on planted
+    * PNGs in MultimodalSpec. */
+  private val q116 = Q(
+    "q116_media_dhash",
+    (s, dir) => Multimodal.dhashTable(
+        Multimodal.ingestFromDocuments(Tables(s, dir).documents))
+      .select(col("media_id"), col("kind"), col("dhash"))
+      .orderBy(col("media_id")),
+    Some("""WITH d AS (SELECT doc_id, 'media/' || lang AS kind, text,
+          length(text) AS len FROM documents),
+      bb AS (SELECT unnest(range(0, 64)) AS b),
+      bits AS (SELECT d.doc_id, d.kind, bb.b,
+          CASE WHEN d.len = 0 THEN 0
+            WHEN unicode(substr(d.text,
+                CAST(((bb.b // 8) * 9 + (bb.b % 8) + 1) % greatest(d.len, 1) AS INTEGER) + 1, 1))
+              > unicode(substr(d.text,
+                CAST(((bb.b // 8) * 9 + (bb.b % 8)) % greatest(d.len, 1) AS INTEGER) + 1, 1))
+            THEN 1 ELSE 0 END AS bit
+        FROM d CROSS JOIN bb),
+      s AS (SELECT doc_id, kind,
+          sum(CAST(bit AS HUGEINT) * CAST(1::UBIGINT << b AS HUGEINT)) AS h
+        FROM bits GROUP BY doc_id, kind)
+      SELECT doc_id AS media_id, kind,
+        CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+          THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS dhash
+      FROM s ORDER BY media_id"""))
+
+  /** Banded Hamming near-dup pairs over q116's hashes. maxHamming 3 <
+    * 4 bands ⇒ banding is exhaustive by pigeonhole, so the oracle can
+    * ignore it entirely: every same-kind pair within Hamming 3 of the
+    * q116 fixture, re-derived with UBIGINT xor + bit_count. */
+  private val q117 = Q(
+    "q117_media_neardup",
+    (s, dir) => Multimodal.dhashNearDupPairs(
+        Multimodal.dhashTable(
+          Multimodal.ingestFromDocuments(Tables(s, dir).documents)))
+      .orderBy(col("kind"), col("id_a"), col("id_b")),
+    Some("""WITH h AS (SELECT media_id, kind, dhash
+        FROM read_parquet('__VERIFY_OUT__/q116_media_dhash/*.parquet')),
+      u AS (SELECT media_id, kind,
+          CAST(CASE WHEN dhash < 0 THEN dhash + 18446744073709551616::HUGEINT
+            ELSE CAST(dhash AS HUGEINT) END AS UBIGINT) AS uh
+        FROM h)
+      SELECT a.kind, a.media_id AS id_a, b.media_id AS id_b,
+        CAST(bit_count(xor(a.uh, b.uh)) AS INTEGER) AS hamming
+      FROM u a JOIN u b ON a.kind = b.kind AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.uh, b.uh)) <= 3
+      ORDER BY a.kind, id_a, id_b"""))
+
+  override val all: Seq[Q] = Seq(q70, q71, q72, q116, q117)
 }

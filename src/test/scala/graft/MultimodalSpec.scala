@@ -178,4 +178,67 @@ class MultimodalSpec extends SparkSpec {
         s"$name metrics rode a different pass: $metrics")
     }
   }
+
+  private def grayPng(f: (Int, Int) => Int, w: Int = 9, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dhash64: hand-computed on 9x8 gradients, real decode, stub parity") {
+    // 9x8 image = one pixel per grid cell; gray (v,v,v) has luma exactly v
+    // ((299+587+114)v/1000). Ascending row gradient -> every right>left
+    // bit set -> all-ones hash; descending -> no bit set.
+    assert(Multimodal.dhash64(grayPng((x, _) => x * 10)) === -1L)
+    assert(Multimodal.dhash64(grayPng((x, _) => 80 - x * 10)) === 0L)
+    // single flipped comparison: make column 4->5 descend in row 0 only
+    val oneOff = Multimodal.dhash64(grayPng((x, y) =>
+      if (y == 0 && x == 5) 30 else x * 10))
+    // exactly bit (0,4) flips vs all-ones (40 -> 30 descends; 30 -> 60
+    // still ascends): hamming 1 from -1L
+    assert(java.lang.Long.bitCount(oneOff ^ -1L) === 1)
+    // stub path: byte grid wraps modulo length — reimplemented here
+    val textBytes = "wrap me around the grid".getBytes("UTF-8")
+    def stubRef(p: Array[Byte]): Long = {
+      var hh = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val l = p((y * 9 + x) % p.length) & 0xFF
+        val r = p((y * 9 + x + 1) % p.length) & 0xFF
+        if (r > l) hh |= 1L << (y * 8 + x)
+      }
+      hh
+    }
+    assert(Multimodal.dhash64(textBytes) === stubRef(textBytes))
+    assert(Multimodal.dhash64(Array.emptyByteArray) === 0L)
+    assert(Multimodal.dhash64(null) === 0L)
+  }
+
+  test("dhash near-dup pairs: identical images collide, banding recall is exhaustive under 4 bits") {
+    import spark.implicits._
+    val a = grayPng((x, _) => x * 10)
+    val b = grayPng((x, _) => x * 10) // identical content -> same hash
+    val c = grayPng((x, _) => 80 - x * 10) // hamming 64 from a
+    val media = Seq((1L, "img", a), (2L, "img", b), (3L, "img", c))
+      .toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.dhashNearDupPairs(Multimodal.dhashTable(media))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+    // pigeonhole recall: <4 flipped bits always share a clean 16-bit band
+    val base = 0x123456789ABCDEFL
+    val flips = Seq(base, base ^ 1L, base ^ (1L << 17) ^ (1L << 18),
+      base ^ (1L << 1) ^ (1L << 30) ^ (1L << 63))
+    val hashes = flips.zipWithIndex
+      .map { case (hh, i) => (i.toLong, "k", hh) }
+      .toDF("media_id", "kind", "dhash")
+    val found = Multimodal.dhashNearDupPairs(hashes)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // every variant is within hamming 3 of base (id 0)
+    assert(Seq((0L, 1L), (0L, 2L), (0L, 3L)).forall(found.contains))
+  }
 }
