@@ -152,5 +152,33 @@ object MultimodalQueries extends QueryPack {
       WHERE bit_count(xor(a.uh, b.uh)) <= 3
       ORDER BY a.kind, id_a, id_b"""))
 
-  override val all: Seq[Q] = Seq(q70, q71, q72, q116, q117)
+  /** The image-dedup lifecycle composed end-to-end: dHash → banded
+    * Hamming pairs → transitive clustering (hash-min CC) → keep each
+    * cluster's minimum id. One output row per surviving blob. FULL
+    * oracle via the q117 fixture: a recursive-CTE closure (the q56
+    * device) re-derives the clusters and drops non-minima. */
+  private val q118 = Q(
+    "q118_media_dedup",
+    (s, dir) => {
+      val media = Multimodal.ingestFromDocuments(Tables(s, dir).documents)
+      val pairs = Multimodal.dhashNearDupPairs(Multimodal.dhashTable(media))
+      val dropped = graft.operators.Dedup
+        .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .filter(col("cluster_id") < col("doc_id"))
+        .select(col("doc_id").as("media_id"))
+      media.select(col("media_id"))
+        .join(dropped, Seq("media_id"), "left_anti")
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH RECURSIVE
+      p AS (SELECT id_a, id_b FROM read_parquet('__VERIFY_OUT__/q117_media_neardup/*.parquet')),
+      ee AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+      cc AS (SELECT src AS id, src AS label FROM ee
+        UNION SELECT ee.dst AS id, cc.label FROM cc JOIN ee ON cc.id = ee.src),
+      dropped AS (SELECT id FROM cc GROUP BY id HAVING min(label) < id)
+      SELECT doc_id AS media_id FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM dropped)
+      ORDER BY media_id"""))
+
+  override val all: Seq[Q] = Seq(q70, q71, q72, q116, q117, q118)
 }

@@ -865,6 +865,30 @@ object TextQueries extends QueryPack {
         FROM s)
       SELECT doc_id, cls AS label FROM r WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Classifier/metadata language-mismatch filter — the CCNet-style
+    * "drop docs whose classifier label disagrees with the declared
+    * language" gate, composed from q115's labels. FULL oracle via the
+    * q115 fixture. */
+  private val q119 = Q(
+    "q119_lang_mismatch",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      docs.select(col("doc_id"), col("lang"))
+        .join(Classifier.nbLabel(Classifier.nbScores(docs,
+            Classifier.naiveBayes(docs, col("text"), col("doc_id"), col("lang")),
+            col("text"), col("doc_id"))),
+          Seq("doc_id"))
+        .filter(col("label") =!= col("lang"))
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          col("label").as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT d.doc_id, d.lang AS declared_lang, l.label AS predicted_lang
+      FROM documents d
+      JOIN read_parquet('__VERIFY_OUT__/q115_nb_label/*.parquet') l
+        ON l.doc_id = d.doc_id
+      WHERE l.label <> d.lang ORDER BY d.doc_id"""))
+
   /** Train/eval decontamination (operators.Dedup.contamination): the
     * held-out slice is doc_id % 10 == 0; word 8-grams; full oracle via
     * DuckDB window string_agg n-gram construction (the q36 pattern
@@ -1516,5 +1540,5 @@ object TextQueries extends QueryPack {
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
-      q104, q107, q108, q110, q111, q112, q113, q114, q115)
+      q104, q107, q108, q110, q111, q112, q113, q114, q115, q119)
 }

@@ -160,6 +160,40 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("streaming heavy hitters: MisraGriesAgg matches batch in the exact regime") {
+    // the typed imperative aggregate composes under Structured Streaming
+    // (complete-mode global aggregation) — frequent-items over a live
+    // ingest stream with no batch-only construct; in the exact regime
+    // (capacity >= distinct items) the final summary must equal the
+    // batch aggregate over the same rows
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("item")
+      .agg(graft.plans.HeavyHitters.misraGries(col("item"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+    val q = agg.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    val batch1 = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val batch2 = Seq.fill(2)("a") ++ Seq.fill(4)("d")
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hh_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = (batch1 ++ batch2).toDF("item")
+      .agg(graft.plans.HeavyHitters.misraGries(col("item"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed === Map("a" -> 7L, "b" -> 3L, "c" -> 1L, "d" -> 4L))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val got = EventStreams.purchasesAfterSignupToTable(
         spark, sfDir, "spec_ssjoin", maxDelayMinutes = 60)
