@@ -56,6 +56,39 @@ object TextScaleProbe {
     time("bpe_merges (6 rounds)") {
       Bpe.mergeTable(big, col("text"), 6)
     }
+    time("decon (explode both)") {
+      Dedup.contamination(
+        big.filter(col("doc_id") % 10 =!= 0),
+        big.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), n = 8)
+    }
+    time("decon (scan-first)") {
+      Dedup.contaminationScanFirst(
+        big.filter(col("doc_id") % 10 =!= 0),
+        big.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), n = 8)
+    }
+    time("nb_train") {
+      graft.operators.Classifier.naiveBayes(
+        big, col("text"), col("doc_id"), col("lang"))
+    }
+    time("nb_score (train incl.)") {
+      graft.operators.Classifier.nbScores(big,
+        graft.operators.Classifier.naiveBayes(
+          big, col("text"), col("doc_id"), col("lang")),
+        col("text"), col("doc_id"))
+    }
+    time("heavy_hitters_2gram") {
+      big.select(explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("item"))
+        .agg(graft.plans.HeavyHitters.misraGries(col("item"), 2048).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est"))
+    }
+    time("dhash_pairs") {
+      graft.operators.Multimodal.dhashNearDupPairs(
+        graft.operators.Multimodal.dhashTable(
+          graft.operators.Multimodal.ingestFromDocuments(big)))
+    }
     time("incremental_dedup") {
       Dedup.dedupAgainstSignatureIndex(
         big.filter(col("doc_id") % 2 === 1),
