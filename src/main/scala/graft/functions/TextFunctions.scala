@@ -71,9 +71,18 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles ("a b c" strings). Empty array when the document
-    * has fewer than n tokens (guard needed: sequence(0, negative) reverses).
-    */
-  def shingles(c: Column, n: Int): Column = {
+    * has fewer than n tokens OR the text is null (the coalesce preserves
+    * the composed form's []-for-null contract over the null-propagating
+    * native expression). Delegates to ShinglesExpr — one loop per row;
+    * [[shinglesViaColumns]] below is the bit-parity oracle. */
+  def shingles(c: Column, n: Int): Column =
+    coalesce(graft.plans.NativeExprs.shingles(c, n),
+      array().cast("array<string>"))
+
+  /** The composed-Column form of [[shingles]] (interpreted `transform`
+    * lambda per gram — kept as the parity reference; guard needed:
+    * sequence(0, negative) reverses). */
+  def shinglesViaColumns(c: Column, n: Int): Column = {
     val words = tokens(c)
     when(size(words) >= n,
       transform(sequence(lit(0), size(words) - lit(n)),

@@ -303,24 +303,54 @@ object NativeExprKernels {
     InternalRow(bestC, bestId)
   }
 
-  /** True iff any word n-gram of the text hashes into the sorted
-    * eval-gram hash set (binary search per gram) — the decontamination
-    * scan prefilter. Tokenization is bit-parity with the `shingles()`
-    * column: trim ASCII spaces only (Spark `trim`), then Java-regex
-    * `\s+` split with limit -1 (empty edge tokens from non-space
-    * whitespace KEPT — Spark `split` parity), grams joined with ' '.
-    * Hash is xxhash64 seed 42 over the gram's UTF-8 bytes — identical
-    * to the `xxhash64(gram)` column the eval set is collected with, so
-    * equal strings always hash equal: the filter can false-positive
-    * (2⁻⁶⁴ collisions, removed by the exact confirm join downstream)
-    * but never false-negative. */
-  def containsEvalGram(input: UTF8String, n: Int, sorted: Array[Long]): Boolean = {
-    val s = input.toString
+  /** Word tokens with Spark `split(trim(c), "\s+")` BIT-PARITY: trim
+    * ASCII spaces only (Spark `trim`), then Java-regex `\s+` split with
+    * limit -1 — empty edge tokens from non-space whitespace KEPT, like
+    * Spark `split`. Shared by every gram kernel so their tokenization
+    * can never drift from the composed-column forms. */
+  private def sparkTokens(s: String): Array[String] = {
     var b = 0
     var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    val toks = ws.split(s.substring(b, e), -1)
+    ws.split(s.substring(b, e), -1)
+  }
+
+  /** Word n-gram shingles in one loop per row (the composed form runs a
+    * `transform` lambda interpreted per gram with a slice+concat_ws
+    * allocation each — this is the hot tokenization path of the whole
+    * gram family). Order and content bit-parity with
+    * TextFunctions.shinglesViaColumns; < n tokens → empty array. */
+  def shingles(input: UTF8String, n: Int): ArrayData = {
+    val toks = sparkTokens(input.toString)
+    val total = toks.length - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** True iff any word n-gram of the text hashes into the sorted
+    * eval-gram hash set (binary search per gram) — the decontamination
+    * scan prefilter. Tokenization via [[sparkTokens]] (shingles()
+    * parity); hash is xxhash64 seed 42 over the gram's UTF-8 bytes —
+    * identical to the `xxhash64(gram)` column the eval set is collected
+    * with, so equal strings always hash equal: the filter can
+    * false-positive (2⁻⁶⁴ collisions, removed by the exact confirm join
+    * downstream) but never false-negative. */
+  def containsEvalGram(input: UTF8String, n: Int, sorted: Array[Long]): Boolean = {
+    val toks = sparkTokens(input.toString)
     val total = toks.length - n + 1
     if (total <= 0) return false
     val sb = new java.lang.StringBuilder(64)

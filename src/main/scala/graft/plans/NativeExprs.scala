@@ -281,6 +281,27 @@ case class PqEncodeExpr(
     copy(child = c)
 }
 
+/** Word n-gram shingles as one tight loop per row (see
+  * NativeExprKernels.shingles) — the tokenization hot path of the whole
+  * gram family (MinHash, winnowing, spans, decontamination, Jaccard,
+  * heavy hitters). Null propagates; the Column wrapper coalesces to []
+  * to preserve the composed form's null contract. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprKernels.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Kernel.fq}.shingles($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr =
+    copy(child = c)
+}
+
 /** Decontamination scan prefilter (see NativeExprKernels.containsEvalGram):
   * one codegen'd pass per document against a driver-collected, sorted
   * eval-gram hash set — no corpus-side explode, no shuffle. The 100 TB
@@ -329,6 +350,10 @@ object NativeExprs {
     toColumn(LshSignatureExpr(toExpression(emb), planes.flatten, planes.size))
   def pqEncode(emb: Column, books: Seq[Double], m: Int, ksub: Int, dsub: Int): Column =
     toColumn(PqEncodeExpr(toExpression(emb), books, m, ksub, dsub))
+  def shingles(text: Column, n: Int): Column = {
+    require(n > 0, "shingle width must be positive")
+    toColumn(ShinglesExpr(toExpression(text), n))
+  }
   def containsEvalGram(text: Column, hashes: Seq[Long], n: Int): Column = {
     require(hashes.nonEmpty, "containsEvalGram needs a non-empty eval-gram set")
     toColumn(ContainsEvalGramExpr(toExpression(text), hashes, n))

@@ -30,6 +30,20 @@ class NativeExprsSpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("native shingles are bit-identical to the composed form, incl. whitespace edges and null") {
+    import spark.implicits._
+    val fixture = Tables(spark, sfDir).documents.limit(200).select(col("text"))
+    val weird = Seq("\ta b c d", "  a b  c   d  ", "a\nb c\td", "ab", "",
+      null.asInstanceOf[String]).toDF("text")
+    for (df <- Seq(fixture, weird); n <- Seq(2, 8)) {
+      val mism = df.select(
+        shingles(col("text"), n).as("native"),
+        shinglesViaColumns(col("text"), n).as("composed"))
+        .filter(not(col("native") <=> col("composed"))).count()
+      assert(mism === 0L, s"shingle parity broke at n=$n")
+    }
+  }
+
   test("native cosine is bitwise-identical to composed cosine") {
     val e = Tables(spark, sfDir).embeddings.limit(30)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
