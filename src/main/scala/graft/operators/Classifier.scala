@@ -65,8 +65,9 @@ object Classifier {
   }
 
   /** Per-(doc, class) log-posterior: score = round(prior + Σ logp, 6),
-    * the Σ folded in token-position order (q89 device — restatable as
-    * DuckDB list_sum(list(lp ORDER BY pos))). Every doc scores against
+    * the Σ folded in token-position order (q89 device, via the native
+    * [[graft.plans.OrderedSumAgg]] — restatable as DuckDB
+    * list_sum(list(lp ORDER BY pos))). Every doc scores against
     * EVERY class (the class table is model-sized → broadcast); unseen
     * words take the class's OOV mass; token-less docs keep their prior
     * row (docs are never dropped). Output (doc_id, cls, n_tokens,
@@ -87,10 +88,7 @@ object Classifier {
         coalesce(col("logp"), col("lp_oov")).as("lp"))
       .groupBy(col("doc_id"), col("cls")).agg(
         count(lit(1)).as("n_tokens"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
-            s => s.getField("lp")),
-          lit(0.0), _ + _).as("sum_lp"))
+        graft.plans.OrderedFold.orderedSum(col("pos"), col("lp")).as("sum_lp"))
     docs.select(idCol.cast("long").as("doc_id"))
       .crossJoin(broadcast(prior))
       .join(perDocCls, Seq("doc_id", "cls"), "left")

@@ -28,7 +28,8 @@ object Dsir {
   /** Per-document log importance weight
     * logw = Σ_pos (logp_target − logp_source), the log-likelihood ratio
     * of the document under the two LMs, folded in token-position order
-    * (the q89 device) and rounded to 6dp (+0.0 normalizes −0.0).
+    * (the q89 device, via the native [[graft.plans.OrderedSumAgg]]) and
+    * rounded to 6dp (+0.0 normalizes −0.0).
     * Docs with no bigram get logw = 0 and n_bigrams = 0 — never dropped.
     *
     * Scale shape: ONE corpus-sized bigramRows scan; all six LM joins are
@@ -60,10 +61,7 @@ object Dsir {
           .as("dlp"))
     val perDoc = dlp.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_bigrams"),
-      aggregate(
-        transform(array_sort(collect_list(struct(col("pos"), col("dlp")))),
-          s => s.getField("dlp")),
-        lit(0.0), _ + _).as("logw_raw"))
+      graft.plans.OrderedFold.orderedSum(col("pos"), col("dlp")).as("logw_raw"))
     docs.select(idCol.cast("long").as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -81,8 +81,9 @@ object LangModel {
     * input document — (doc_id, n_bigrams, total_bits, bits_per_token),
     * bits_per_token = −(Σ logp)/n at 6dp (NULL when the doc has no
     * bigram; total_bits 0 there — docs are never dropped). The Σ is the
-    * q89 ordered-fold device: collect (pos, logp), array_sort, left-fold
-    * with IEEE adds — bit-reproducible and exactly restatable as DuckDB
+    * q89 ordered-fold device, computed by the native
+    * [[graft.plans.OrderedSumAgg]] (position-sorted left-fold of IEEE
+    * adds) — bit-reproducible and exactly restatable as DuckDB
     * `list_sum(list(lp ORDER BY pos))` over the same fixture doubles.
     *
     * Scale shape: the lm joins are model-sized (vocab² bounded) →
@@ -105,10 +106,7 @@ object LangModel {
         coalesce(col("logp"), col("lp_unseen"), col("lp_oov")).as("lp"))
     val perDoc = lp.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_bigrams"),
-      aggregate(
-        transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
-          s => s.getField("lp")),
-        lit(0.0), _ + _).as("sum_lp"))
+      graft.plans.OrderedFold.orderedSum(col("pos"), col("lp")).as("sum_lp"))
     docs.select(idCol.cast("long").as("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

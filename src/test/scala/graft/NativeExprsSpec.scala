@@ -44,6 +44,36 @@ class NativeExprsSpec extends SparkSpec {
     }
   }
 
+  test("ordered_sum is bit-identical to the composed array_sort fold, incl. edges") {
+    import spark.implicits._
+    // fixture-shaped: per-doc folds over real token positions
+    val lp = graft.operators.LangModel.bigramRows(
+        Tables(spark, sfDir).documents.limit(200), col("text"), col("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        (col("pos").cast("double") * 0.1 - hash(col("w1"), col("w2")).cast("double") / 1e12).as("v"))
+    // edges: null value poisons the group; scrambled pos; single row
+    val edges = Seq(
+      (1L, 2, Some(0.5)), (1L, 0, Some(-0.25)), (1L, 1, Some(1e-17)),
+      (2L, 0, Some(0.1)), (2L, 1, None),
+      (3L, 7, Some(0.3))).toDF("doc_id", "pos", "v")
+    for (df <- Seq(lp, edges)) {
+      val mism = df.groupBy(col("doc_id")).agg(
+        graft.plans.OrderedFold.orderedSum(col("pos"), col("v")).as("native"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+            s => s.getField("v")),
+          lit(0.0), _ + _).as("composed"))
+        .filter(not(col("native") <=> col("composed"))).count()
+      assert(mism === 0L)
+    }
+    // merge-order independence: 1 vs 32 shuffle partitions, same doubles
+    val a = lp.coalesce(1).groupBy(col("doc_id"))
+      .agg(graft.plans.OrderedFold.orderedSum(col("pos"), col("v")).as("s"))
+    val b = lp.repartition(32, col("pos")).groupBy(col("doc_id"))
+      .agg(graft.plans.OrderedFold.orderedSum(col("pos"), col("v")).as("s"))
+    assert(a.join(b, Seq("doc_id")).filter(not(a("s") <=> b("s"))).count() === 0L)
+  }
+
   test("native cosine is bitwise-identical to composed cosine") {
     val e = Tables(spark, sfDir).embeddings.limit(30)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
