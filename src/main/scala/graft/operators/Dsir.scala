@@ -32,11 +32,14 @@ object Dsir {
     * rounded to 6dp (+0.0 normalizes −0.0).
     * Docs with no bigram get logw = 0 and n_bigrams = 0 — never dropped.
     *
-    * Scale shape: ONE corpus-sized bigramRows scan; all six LM joins are
-    * vocab²-bounded model tables (broadcast-eligible); the fold state is
-    * one document's bigrams. The Δlogp is computed POSITIONWISE before
-    * the fold (not two separate CE folds subtracted) so the oracle can
-    * replay the identical IEEE sequence. */
+    * Scale shape: ONE corpus-sized bigramRows scan, and the two LMs'
+    * lookup tables are pre-combined with model-sized full-outer joins so
+    * the corpus stream passes through only TWO lookup joins + one 1-row
+    * crossJoin (not one set per LM) — presence of each side's logp is
+    * preserved exactly, so the coalesce chains are unchanged. The fold
+    * state is one document's bigrams. The Δlogp is computed POSITIONWISE
+    * before the fold (not two separate CE folds subtracted) so the
+    * oracle can replay the identical IEEE sequence. */
   def importanceWeights(docs: DataFrame, lmTarget: DataFrame,
       lmSource: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     def parts(lm: DataFrame, tag: String) = (
@@ -48,13 +51,29 @@ object Dsir {
         .select(col("logp").as(s"lp_oov_$tag")))
     val (obsT, unsT, oovT) = parts(lmTarget, "t")
     val (obsS, unsS, oovS) = parts(lmSource, "s")
+    // union+aggregate, not full_outer join: same presence semantics
+    // (group exists iff the key is in either table; each side's logp is
+    // null iff absent there — max() of one non-null double is bitwise
+    // itself), but plans as one model-sized HashAggregate instead of a
+    // SortMergeJoin, keeping the plan SMJ-free outside the doc_id join
+    val nd = lit(null).cast("double")
+    val obsJ = broadcast(
+      obsT.withColumn("lp_obs_s", nd)
+        .unionByName(obsS.withColumn("lp_obs_t", nd))
+        .groupBy(col("w1"), col("w2"))
+        .agg(max(col("lp_obs_t")).as("lp_obs_t"),
+          max(col("lp_obs_s")).as("lp_obs_s")))
+    val unsJ = broadcast(
+      unsT.withColumn("lp_uns_s", nd)
+        .unionByName(unsS.withColumn("lp_uns_t", nd))
+        .groupBy(col("w1"))
+        .agg(max(col("lp_uns_t")).as("lp_uns_t"),
+          max(col("lp_uns_s")).as("lp_uns_s")))
+    val oovJ = oovT.crossJoin(oovS)
     val dlp = LangModel.bigramRows(docs, textCol, idCol)
-      .join(obsT, Seq("w1", "w2"), "left")
-      .join(unsT, Seq("w1"), "left")
-      .crossJoin(broadcast(oovT))
-      .join(obsS, Seq("w1", "w2"), "left")
-      .join(unsS, Seq("w1"), "left")
-      .crossJoin(broadcast(oovS))
+      .join(obsJ, Seq("w1", "w2"), "left")
+      .join(unsJ, Seq("w1"), "left")
+      .crossJoin(broadcast(oovJ))
       .select(col("doc_id"), col("pos"),
         (coalesce(col("lp_obs_t"), col("lp_uns_t"), col("lp_oov_t")) -
           coalesce(col("lp_obs_s"), col("lp_uns_s"), col("lp_oov_s")))

@@ -63,6 +63,15 @@ object LangModel {
     val c2 = bigramRows(docs, textCol, idCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = false)
+    lmFromCounts(docs, c2, vocabV)
+  }
+
+  /** The counts→LM derivation shared by [[bigramLm]] and
+    * [[bigramLmPair]]: `c2` must be the (w1, w2, cnt) bigram counts of
+    * the corpus the LM describes (vocab²-bounded, already checkpointed
+    * by the caller), `vocabV` its unigram vocabulary size. */
+  private def lmFromCounts(docs: DataFrame, c2: DataFrame,
+      vocabV: Long): DataFrame = {
     val c1 = c2.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
     val obs = c2.join(c1, Seq("w1"))
       .select(col("w1"), col("w2"), col("cnt"),
@@ -75,6 +84,47 @@ object LangModel {
       .select(lit("").as("w1"), lit("").as("w2"), lit(0L).as("cnt"),
         round(log2(lit(1.0) / lit(vocabV).cast("double")), 9).as("logp"))
     obs.unionByName(unseen).unionByName(oov)
+  }
+
+  /** Train the (target-slice, full-corpus) LM PAIR a DSIR selection
+    * needs in HALF the corpus passes of two [[bigramLm]] calls: one
+    * flagged token scan yields both vocabularies (two countDistincts in
+    * one aggregate), one flagged bigram aggregate yields both count
+    * tables (`cnt_t` counts only rows where `targetCond` held; the
+    * target LM's counts are the cnt_t > 0 slice). Bit-identical to
+    * `(bigramLm(docs.filter(targetCond)), bigramLm(docs))` — the counts
+    * and vocab sizes are the same integers, so every logp double is the
+    * same IEEE division + log2 + round — pinned in LangModelSpec.
+    *
+    * Scale shape: same as [[bigramLm]] — the flagged aggregate is the
+    * only corpus-sized shuffle (map-side combining; one column wider),
+    * checkpointed once and sliced twice. */
+  def bigramLmPair(docs: DataFrame, textCol: Column, idCol: Column,
+      targetCond: Column): (DataFrame, DataFrame) = {
+    val vr = docs
+      .select(explode(tokens(textCol)).as("word"), targetCond.as("t"))
+      .filter(length(col("word")) > 0)
+      .agg(countDistinct(col("word")),
+        countDistinct(when(col("t"), col("word")))).head()
+    val (vS, vT) = (vr.getLong(0), vr.getLong(1))
+    val w = tokens(textCol)
+    val n1 = greatest(size(w) - 1, lit(0))
+    val c2both = docs
+      .select(targetCond.as("t"),
+        posexplode(zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "bg")))
+      .select(col("t"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy(col("w1"), col("w2")).agg(
+        count(lit(1)).as("cnt_s"),
+        count(when(col("t"), lit(1))).as("cnt_t"))
+      .localCheckpoint(eager = false)
+    val lmS = lmFromCounts(docs,
+      c2both.select(col("w1"), col("w2"), col("cnt_s").as("cnt")), vS)
+    val lmT = lmFromCounts(docs,
+      c2both.filter(col("cnt_t") > 0)
+        .select(col("w1"), col("w2"), col("cnt_t").as("cnt")), vT)
+    (lmT, lmS)
   }
 
   /** Per-document cross-entropy under a [[bigramLm]] model: one row per

@@ -1429,11 +1429,9 @@ object TextQueries extends QueryPack {
     "q103_dsir_weights",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      Dsir.importanceWeights(docs,
-          LangModel.bigramLm(docs.filter(col("lang") === "en"),
-            col("text"), col("doc_id")),
-          LangModel.bigramLm(docs, col("text"), col("doc_id")),
-          col("text"), col("doc_id"))
+      val (lmT, lmS) = LangModel.bigramLmPair(docs, col("text"),
+        col("doc_id"), col("lang") === "en")
+      Dsir.importanceWeights(docs, lmT, lmS, col("text"), col("doc_id"))
         .orderBy(col("doc_id"))
     },
     Some(dsirWeightsSql + """
@@ -1450,12 +1448,11 @@ object TextQueries extends QueryPack {
     "q104_dsir_select",
     (s, dir) => {
       val docs = Tables(s, dir).documents
+      val (lmT, lmS) = LangModel.bigramLmPair(docs, col("text"),
+        col("doc_id"), col("lang") === "en")
       Dsir.selectTopK(
-        Dsir.importanceWeights(docs,
-          LangModel.bigramLm(docs.filter(col("lang") === "en"),
-            col("text"), col("doc_id")),
-          LangModel.bigramLm(docs, col("text"), col("doc_id")),
-          col("text"), col("doc_id")), 100)
+        Dsir.importanceWeights(docs, lmT, lmS, col("text"), col("doc_id")),
+        100)
     },
     Some(dsirWeightsSql + """,
       wts AS (SELECT d.doc_id,

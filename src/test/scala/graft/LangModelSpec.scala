@@ -104,4 +104,25 @@ class LangModelSpec extends SparkSpec {
     val nDistinctW1 = m.filter(col("w1") =!= "").select("w1").distinct().count()
     assert(nPrefixes === nDistinctW1, "one unseen row per prefix")
   }
+
+  test("bigramLmPair is bit-identical to two separate bigramLm trainings") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val cond = col("lang") === "en"
+    val (pairT, pairS) = LangModel.bigramLmPair(
+      docs, col("text"), col("doc_id"), cond)
+    val sepT = LangModel.bigramLm(docs.filter(cond), col("text"), col("doc_id"))
+    val sepS = LangModel.bigramLm(docs, col("text"), col("doc_id"))
+    for ((pair, sep, tag) <- Seq((pairT, sepT, "target"), (pairS, sepS, "source"))) {
+      // full-outer join on the (w1, w2) key: any row in one but not the
+      // other, or any cnt/logp bit difference, is a mismatch
+      val a = pair.select(col("w1"), col("w2"),
+        col("cnt").as("cnt_a"), col("logp").as("lp_a"))
+      val b = sep.select(col("w1"), col("w2"),
+        col("cnt").as("cnt_b"), col("logp").as("lp_b"))
+      val mism = a.join(b, Seq("w1", "w2"), "full_outer")
+        .filter(not(col("cnt_a") <=> col("cnt_b")) ||
+          not(col("lp_a") <=> col("lp_b"))).count()
+      assert(mism === 0L, s"$tag LM diverged from separate training")
+    }
+  }
 }
