@@ -78,6 +78,12 @@ object TextScaleProbe {
           big, col("text"), col("doc_id"), col("lang")),
         col("text"), col("doc_id"))
     }
+    time("dsir_weights (pair-trained)") {
+      val (lmT, lmS) = LangModel.bigramLmPair(
+        big, col("text"), col("doc_id"), col("lang") === "en")
+      graft.operators.Dsir.importanceWeights(
+        big, lmT, lmS, col("text"), col("doc_id"))
+    }
     time("heavy_hitters_2gram") {
       big.select(explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("item"))
         .agg(graft.plans.HeavyHitters.misraGries(col("item"), 2048).as("hh"))
