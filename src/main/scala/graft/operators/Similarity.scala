@@ -332,6 +332,61 @@ object Similarity {
       .orderBy(col("q_id"), col("cos_sim").desc, col(idCol))
   }
 
+  /** All-corpus kNN GRAPH over the IVF blocking — every vector gets its
+    * top-k approximate neighbors, the primitive SemDeDup-style semantic
+    * dedup, duplicate-graph clustering, and curation pipelines consume.
+    * ivfTopK cannot serve this: it broadcasts the probe set, which is
+    * model-sized for a query batch but corpus-sized when every row is a
+    * query. Here both sides stay distributed:
+    *   - coarse quantizer: the same deterministic [[kmeansCentroids]]
+    *     (sample-bounded training, 9dp-snapped Lloyd) — an in-graph run
+    *     reproduces the q79 index fixture bit-for-bit;
+    *   - list side: [[assignToCentroids]]' raw-argmax rule (map-only,
+    *     matches the persisted index);
+    *   - probe side: each vector's nprobe nearest centroids via ONE
+    *     map-only expression — sort the (−round(cos, 9), cid) struct
+    *     array and slice, the exact probe rule ivfTopK's window applies
+    *     (9dp snap, ties → cid) with NO corpus-wide window;
+    *   - candidates: ONE shuffle join on cid (nlist-way blocked; size
+    *     nlist ~ √N at scale so a list, and hence a block, stays
+    *     bounded), then per-source top-k as a group-limit window
+    *     (partial top-k runs map-side before the exchange).
+    * Rows with null embeddings have no geometry: they emit and receive
+    * no edges (the oracle agrees for free — unnesting a NULL list
+    * yields no rows). Edge pairs are unique by construction (each dst
+    * lives in exactly one list; (src, cid) probes are distinct).
+    * Output (src_id, dst_id, cos_sim at 4dp, rank), ties → dst_id. */
+  def knnGraph(
+      corpus: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None): DataFrame = {
+    val centroids =
+      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
+    val slim = corpus.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
+    val lists = assignToCentroids(slim, centroids, idCol, embCol)
+    val probeEntries = array(centroids.sortBy(_._1).map { case (cid, ctr) =>
+      struct(
+        (-round(cosine(col(embCol), array(ctr.map(lit): _*)), 9)).as("ns"),
+        lit(cid).as("cid"))
+    }: _*)
+    val srcProbes = slim
+      .select(col(idCol).as("src_id"), col(embCol).as("src_emb"),
+        explode(transform(slice(array_sort(probeEntries), 1, nprobe),
+          p => p.getField("cid"))).as("cid"))
+    val scored = lists
+      .join(srcProbes, Seq("cid"))
+      .filter(col(idCol) =!= col("src_id"))
+      .select(col("src_id"), col(idCol).as("dst_id"),
+        round(cosine(col(embCol), col("src_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_sim").desc, col("dst_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("src_id"), col("rank"))
+  }
+
   /** Persist the IVF inverted lists as parquet PARTITIONED BY cid, plus
     * the centroid matrix as a small side table — the "at 100 TB the
     * assigned corpus is written partitioned by cid" path of ivfTopK made

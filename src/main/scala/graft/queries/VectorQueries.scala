@@ -716,7 +716,59 @@ object VectorQueries extends QueryPack {
       SELECT q_id, vec_id, cos_sim FROM fs WHERE rn <= 5 ORDER BY q_id, rn"""
     })
 
+  /** All-corpus kNN graph (every vector → its top-3 approximate
+    * neighbors over the IVF blocking) — the SemDeDup/duplicate-graph
+    * primitive. FULL ORACLE via the q79 index fixture, the q49 device
+    * widened to every source: DuckDB takes centroids + list assignments
+    * as given, re-derives each vector's nprobe probe lists (9dp snap,
+    * ties → cid), joins lists for candidates, and re-ranks exactly at
+    * 4dp with the same (sim desc, dst_id) tie order. The in-graph
+    * re-training reproduces the fixture bit-for-bit (same deterministic
+    * kmeans, same params as q79). */
+  private val q120 = Q(
+    "q120_knn_graph",
+    (s, dir) => Similarity.knnGraph(
+      Tables(s, dir).embeddings, k = 3, nlist = 8, nprobe = 2),
+    Some("""WITH raw AS (SELECT kind, cid, pos, value, vec_id
+        FROM read_parquet('__VERIFY_OUT__/q79_ivf_index_table/*.parquet')),
+      c AS (SELECT cid, list(value ORDER BY pos) AS centroid
+        FROM raw WHERE kind = 'c' GROUP BY cid),
+      ix AS (SELECT cid, vec_id FROM raw WHERE kind = 'v'),
+      q AS (SELECT vec_id AS src_id, embedding AS src_emb FROM embeddings
+        WHERE embedding IS NOT NULL),
+      qc AS (SELECT q.src_id, c.cid,
+          unnest(c.centroid) AS cx, unnest(q.src_emb) AS qy
+        FROM q CROSS JOIN c),
+      qd AS (SELECT src_id, cid,
+          sum(CAST(cx AS DOUBLE) * CAST(qy AS DOUBLE)) AS dot,
+          sum(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) AS nc,
+          sum(CAST(qy AS DOUBLE) * CAST(qy AS DOUBLE)) AS nq
+        FROM qc GROUP BY src_id, cid),
+      probes AS (SELECT src_id, cid FROM (
+          SELECT src_id, cid, row_number() OVER (PARTITION BY src_id
+            ORDER BY round(dot / (sqrt(nc) * sqrt(nq)), 9) DESC, cid) AS rn
+          FROM qd) WHERE rn <= 2),
+      cand AS (SELECT DISTINCT p.src_id, ix.vec_id AS dst_id
+        FROM probes p JOIN ix ON ix.cid = p.cid
+        WHERE ix.vec_id <> p.src_id),
+      pr AS (SELECT c2.src_id, c2.dst_id,
+          unnest(e.embedding) AS x, unnest(q.src_emb) AS y
+        FROM cand c2 JOIN embeddings e ON e.vec_id = c2.dst_id
+          JOIN q ON q.src_id = c2.src_id),
+      d AS (SELECT src_id, dst_id,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+          sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        FROM pr GROUP BY src_id, dst_id),
+      s AS (SELECT src_id, dst_id,
+          round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cos_sim,
+          row_number() OVER (PARTITION BY src_id
+            ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, dst_id) AS rn
+        FROM d)
+      SELECT src_id, dst_id, cos_sim, CAST(rn AS INT) AS rank
+      FROM s WHERE rn <= 3 ORDER BY src_id, rank"""))
+
   override val all: Seq[Q] =
     Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
-      q96, q97, q105, q106, q109)
+      q96, q97, q105, q106, q109, q120)
 }

@@ -52,6 +52,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("knnGraph: per-source recall vs brute force; structural invariants") {
+    val g = Similarity.knnGraph(emb, k = 3, nlist = 8, nprobe = 2).collect()
+    val bySrc = g.groupBy(_.getLong(0))
+    // every non-null-embedding vector is a source with 1..k edges
+    val nSrc = emb.filter(col("embedding").isNotNull).count()
+    assert(bySrc.size === nSrc, "every vector with geometry gets edges")
+    assert(g.forall(r => r.getLong(0) != r.getLong(1)), "no self edges")
+    assert(bySrc.values.forall(es => es.length <= 3 &&
+      es.map(_.getInt(3)).sorted.toSeq == (1 to es.length)), "dense ranks ≤ k")
+    // recall vs brute force over ALL sources (the graph IS the query set)
+    val truth = Similarity.bruteForceTopK(emb, emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = g.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.4, s"knnGraph recall too low: $recall")
+    // blocked-join parity: edges only between a source's probed lists
+    // and the dst's assigned list is implied by construction; spot-check
+    // the graph agrees with ivfTopK on a few sources (same probe rule)
+    val ids = Seq(0L, 100L, 250L)
+    val viaQuery = Similarity.ivfTopK(emb,
+        emb.filter(col("vec_id").isin(ids: _*)), k = 3, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaGraph = g.filter(r => ids.contains(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaGraph === viaQuery, "graph edges == per-query IVF ANN")
+  }
+
   test("persisted LSH index: pruned-scan ANN matches in-memory lshTopK") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
     Similarity.writeLshIndex(emb, dir, nbits = 8, tables = 4)
