@@ -453,7 +453,47 @@ object Dedup {
   def contaminationScanFirst(
       train: DataFrame, eval: DataFrame, textCol: Column, idCol: Column,
       n: Int = 13, minShared: Long = 1L, maxDf: Long = 1000L,
-      maxEvalGrams: Int = 5000000): DataFrame = {
+      maxEvalGrams: Int = 5000000): DataFrame =
+    contaminationPrefiltered(train, eval, textCol, idCol, n, minShared,
+      maxDf, maxEvalGrams,
+      hashes => graft.plans.NativeExprs.containsEvalGram(textCol, hashes, n))
+
+  /** [[contaminationScanFirst]] with the exact eval-gram hash set replaced
+    * by a BLOOM FILTER in the prefilter (native codegen'd scan, see
+    * plans.ContainsEvalGramBloomExpr). OUTPUT-IDENTICAL — a Bloom is
+    * one-sided: equal strings always hash equal so no true hit is ever
+    * filtered, and extra false positives (≈0.3% of clean docs' grams at
+    * the default 12 bits/gram) only admit candidates whose string-equal
+    * confirm join then aggregates zero shared grams. What changes is the
+    * broadcast: `bitsPerGram` bits per eval gram instead of 64 (plus set
+    * overhead) — a 1B-gram eval suite rides in ~1.5 GB instead of ~8 GB+,
+    * and the prefilter state is sized ONCE by the eval corpus no matter
+    * how large the scanned train corpus grows. k is the standard optimum
+    * ln2·(m/n), Kirsch–Mitzenmacher double hashing. */
+  def contaminationBloom(
+      train: DataFrame, eval: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 13, minShared: Long = 1L, maxDf: Long = 1000L,
+      maxEvalGrams: Int = 5000000, bitsPerGram: Int = 12): DataFrame = {
+    require(bitsPerGram >= 1, "bitsPerGram must be >= 1")
+    contaminationPrefiltered(train, eval, textCol, idCol, n, minShared,
+      maxDf, maxEvalGrams,
+      hashes => {
+        val k = math.max(1, math.round(math.log(2.0) * bitsPerGram).toInt)
+        val words = (((hashes.size.toLong max 1L) * bitsPerGram + 63L) / 64L).toInt
+        val bits = new Array[Long](words)
+        hashes.foreach(h => graft.plans.NativeExprKernels.bloomSet(bits, h, k))
+        graft.plans.NativeExprs.containsEvalGramBloom(
+          textCol, bits.toSeq, k, n)
+      })
+  }
+
+  /** Shared scan-first core: eval postings (df-capped) → collected gram
+    * hashes → caller-built map-only prefilter over the train corpus →
+    * exact string-equal confirm join on the admitted candidates only. */
+  private def contaminationPrefiltered(
+      train: DataFrame, eval: DataFrame, textCol: Column, idCol: Column,
+      n: Int, minShared: Long, maxDf: Long, maxEvalGrams: Int,
+      mkPrefilter: Seq[Long] => Column): DataFrame = {
     val post = eval.select(idCol.cast("long").as("eval_id"),
         explode(array_distinct(shingles(textCol, n))).as("gram"))
       .localCheckpoint(eager = false)
@@ -468,7 +508,7 @@ object Dedup {
       s"eval gram set exceeds maxEvalGrams=$maxEvalGrams — " +
         "shrink the eval corpus or raise the cap")
     train
-      .filter(graft.plans.NativeExprs.containsEvalGram(textCol, hashes, n))
+      .filter(mkPrefilter(hashes))
       .select(idCol.cast("long").as("train_id"),
         explode(array_distinct(shingles(textCol, n))).as("gram"))
       .join(broadcast(evalPost), Seq("gram"))

@@ -349,6 +349,75 @@ object NativeExprKernels {
     * with, so equal strings always hash equal: the filter can
     * false-positive (2⁻⁶⁴ collisions, removed by the exact confirm join
     * downstream) but never false-negative. */
+  /** SplitMix64 finalizer — the second hash for Kirsch–Mitzenmacher
+    * double hashing. Forced odd so the k strides h1 + i·h2 walk distinct
+    * residues even when mBits is a power of two. */
+  private def bloomStride(h: Long): Long = {
+    var z = h + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) | 1L
+  }
+
+  /** Set the k Bloom bits for one 64-bit key (driver-side build path).
+    * Shares the position derivation with [[bloomMightContain]] so insert
+    * and probe can never drift. */
+  def bloomSet(bits: Array[Long], h: Long, k: Int): Unit = {
+    val mBits = bits.length.toLong * 64L
+    val h2 = bloomStride(h)
+    var i = 0
+    while (i < k) {
+      val pos = ((h + i.toLong * h2) & Long.MaxValue) % mBits
+      bits((pos >>> 6).toInt) |= 1L << (pos & 63L)
+      i += 1
+    }
+  }
+
+  /** Bloom membership for one 64-bit key. Never false-negative for an
+    * inserted key (identical derivation as [[bloomSet]]); false-positive
+    * rate ≈ (1 − e^(−kn/m))^k, ~0.3% at 12 bits/key. */
+  def bloomMightContain(bits: Array[Long], h: Long, k: Int): Boolean = {
+    val mBits = bits.length.toLong * 64L
+    val h2 = bloomStride(h)
+    var i = 0
+    while (i < k) {
+      val pos = ((h + i.toLong * h2) & Long.MaxValue) % mBits
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** [[containsEvalGram]] with the sorted-array membership test replaced
+    * by a Bloom filter — the decontamination prefilter when the eval gram
+    * set is too large to broadcast exactly (12 bits/gram vs 64, and the
+    * filter size is FIXED at build time regardless of how the probe-side
+    * corpus grows). Same tokenization ([[sparkTokens]]), same xxhash64
+    * seed-42 gram hash, so a true eval gram can never be missed; extra
+    * false positives only admit candidates the downstream string-equal
+    * confirm join discards. */
+  def containsEvalGramBloom(input: UTF8String, n: Int, bits: Array[Long], k: Int): Boolean = {
+    val toks = sparkTokens(input.toString)
+    val total = toks.length - n + 1
+    if (total <= 0) return false
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.fromString(sb.toString),
+        org.apache.spark.sql.types.StringType, 42L)
+      if (bloomMightContain(bits, h, k)) return true
+      i += 1
+    }
+    false
+  }
+
   def containsEvalGram(input: UTF8String, n: Int, sorted: Array[Long]): Boolean = {
     val toks = sparkTokens(input.toString)
     val total = toks.length - n + 1

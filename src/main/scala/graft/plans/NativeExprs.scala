@@ -332,6 +332,35 @@ case class ContainsEvalGramExpr(child: Expression, hashes: Seq[Long], n: Int)
     copy(child = c)
 }
 
+/** [[ContainsEvalGramExpr]] with a Bloom filter in place of the exact
+  * sorted hash set (see NativeExprKernels.containsEvalGramBloom): the
+  * broadcast state shrinks from 64 bits/gram to `bitsPerGram` (~12), which
+  * is what keeps a billion-gram eval suite's prefilter executor-resident
+  * at 100 TB. One-sided by construction — a Bloom can only ADD candidates,
+  * and the downstream confirm join is string-equal. */
+case class ContainsEvalGramBloomExpr(
+    child: Expression, bits: Seq[Long], k: Int, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "contains_eval_gram_bloom"
+
+  @transient private lazy val bitsArr: Array[Long] = bits.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExprKernels.containsEvalGramBloom(
+      input.asInstanceOf[UTF8String], n, bitsArr, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("evalGramBloomBits", bitsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${Kernel.fq}.containsEvalGramBloom($c, $n, $ref, $k);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ContainsEvalGramBloomExpr =
+    copy(child = c)
+}
+
 object NativeExprs {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     toColumn(MinHashSigExpr(toExpression(hashes), numHashes))
@@ -357,6 +386,10 @@ object NativeExprs {
   def containsEvalGram(text: Column, hashes: Seq[Long], n: Int): Column = {
     require(hashes.nonEmpty, "containsEvalGram needs a non-empty eval-gram set")
     toColumn(ContainsEvalGramExpr(toExpression(text), hashes, n))
+  }
+  def containsEvalGramBloom(text: Column, bits: Seq[Long], k: Int, n: Int): Column = {
+    require(bits.nonEmpty && k > 0, "bloom prefilter needs bits and k > 0")
+    toColumn(ContainsEvalGramBloomExpr(toExpression(text), bits, k, n))
   }
   def bestCosine(emb: Column, evals: Seq[Double], ids: Seq[Long],
       norms: Seq[Double], dim: Int): Column = {

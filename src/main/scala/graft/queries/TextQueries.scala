@@ -972,6 +972,44 @@ object TextQueries extends QueryPack {
       FROM tr JOIN te ON tr.gram = te.gram
       GROUP BY tr.doc_id ORDER BY train_id"""))
 
+  /** Bloom-prefiltered decontamination
+    * (operators.Dedup.contaminationBloom): q110's scan-first shape with
+    * the exact eval-gram hash set replaced by a 12-bits/gram Bloom
+    * filter in the map-only prefilter — the configuration that keeps a
+    * billion-gram eval suite executor-resident at 100 TB. The Bloom is
+    * one-sided (no false negatives; false positives only admit
+    * candidates the string-equal confirm join discards), so the output
+    * is identical to q110's and the oracle IS q110's SQL. The
+    * no-false-negative and FPR properties are pinned in DedupSpec. */
+  private val q122 = Q(
+    "q122_decon_bloom",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.operators.Dedup.contaminationBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), n = 8)
+        .orderBy(col("train_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+        generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos FROM documents),
+      g0 AS (SELECT doc_id,
+          string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wc
+        FROM w),
+      g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE wc = 8),
+      tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+      te AS (SELECT doc_id, gram FROM (
+          SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+          FROM g WHERE doc_id % 10 = 0) WHERE df <= 1000)
+      SELECT tr.doc_id AS train_id,
+        CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+        CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_eval_docs
+      FROM tr JOIN te ON tr.gram = te.gram
+      GROUP BY tr.doc_id ORDER BY train_id"""))
+
   /** Heavy-hitter word 2-grams via the native Misra-Gries typed
     * imperative aggregate (plans.MisraGriesAgg): each map task ships one
     * ≤ capacity-entry summary (ObjectHashAggregate partial — map-side
@@ -1537,5 +1575,5 @@ object TextQueries extends QueryPack {
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
-      q104, q107, q108, q110, q111, q112, q113, q114, q115, q119)
+      q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122)
 }

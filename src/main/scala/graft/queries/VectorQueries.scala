@@ -768,7 +768,48 @@ object VectorQueries extends QueryPack {
       SELECT src_id, dst_id, cos_sim, CAST(rn AS INT) AS rank
       FROM s WHERE rn <= 3 ORDER BY src_id, rank"""))
 
+  /** The graph-dedup lifecycle composed end-to-end: kNN graph → edges at
+    * cos ≥ 0.35 (q96's threshold) as undirected pairs → transitive
+    * clustering (hash-min CC) → keep each cluster's minimum id. The
+    * SemDeDup-graph variant: where q97 drops against EVERY within-cluster
+    * duplicate, this only links a vector to its top-k nearest — the
+    * bounded-degree duplicate graph a 100 TB curation run actually
+    * materializes (edge volume ≤ k·N regardless of cluster skew).
+    * Null-embedding rows have no graph presence and always survive.
+    * FULL oracle via the q120 fixture: a recursive-CTE closure (the
+    * q118 device) re-derives the clusters and drops non-minima. */
+  private val q121 = Q(
+    "q121_knn_graph_dedup",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val pairs = Similarity.knnGraph(emb, k = 3, nlist = 8, nprobe = 2)
+        .filter(col("cos_sim") >= 0.35)
+        .select(least(col("src_id"), col("dst_id")).as("id_a"),
+          greatest(col("src_id"), col("dst_id")).as("id_b"))
+        .distinct()
+      val dropped = graft.operators.Dedup.connectedComponents(pairs)
+        .filter(col("cluster_id") < col("doc_id"))
+        .select(col("doc_id").as("vec_id"))
+      emb.select(col("vec_id"))
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH RECURSIVE
+      g AS (SELECT src_id, dst_id
+        FROM read_parquet('__VERIFY_OUT__/q120_knn_graph/*.parquet')
+        WHERE cos_sim >= 0.35),
+      p AS (SELECT DISTINCT least(src_id, dst_id) AS id_a,
+          greatest(src_id, dst_id) AS id_b FROM g),
+      ee AS (SELECT id_a AS src, id_b AS dst FROM p
+        UNION SELECT id_b, id_a FROM p),
+      cc AS (SELECT src AS id, src AS label FROM ee
+        UNION SELECT ee.dst AS id, cc.label FROM cc JOIN ee ON cc.id = ee.src),
+      dropped AS (SELECT id FROM cc GROUP BY id HAVING min(label) < id)
+      SELECT vec_id FROM embeddings
+      WHERE vec_id NOT IN (SELECT id FROM dropped)
+      ORDER BY vec_id"""))
+
   override val all: Seq[Q] =
     Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
-      q96, q97, q105, q106, q109, q120)
+      q96, q97, q105, q106, q109, q120, q121)
 }

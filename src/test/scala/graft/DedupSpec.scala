@@ -315,6 +315,51 @@ class DedupSpec extends SparkSpec {
     assert(scan.nonEmpty, "fixture should contain at least one contaminated train doc")
   }
 
+  test("bloom decontamination is output-identical to scan-first, even degraded") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val ref = Dedup.contaminationScanFirst(
+        train, eval, col("text"), col("doc_id"), n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Dedup.contaminationBloom(
+        train, eval, col("text"), col("doc_id"), n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom === ref)
+    // 1 bit/gram saturates the filter with false positives — the
+    // one-sidedness contract says the confirm join still yields the
+    // exact output, just from a larger candidate set
+    val degraded = Dedup.contaminationBloom(
+        train, eval, col("text"), col("doc_id"), n = 8, bitsPerGram = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(degraded === ref)
+    assert(ref.nonEmpty, "fixture should contain at least one contaminated train doc")
+  }
+
+  test("bloom kernel: zero false negatives; FPR within theory at 12 bits/key") {
+    import graft.plans.NativeExprKernels
+    val n = 10000
+    val bitsPerKey = 12
+    val k = math.max(1, math.round(math.log(2.0) * bitsPerKey).toInt)
+    val bits = new Array[Long](((n.toLong * bitsPerKey + 63) / 64).toInt)
+    // deterministic key stream disjoint from the probe stream below
+    def key(i: Int): Long = i.toLong * 0x9E3779B97F4A7C15L + 1L
+    (0 until n).foreach(i => NativeExprKernels.bloomSet(bits, key(i), k))
+    assert((0 until n).forall(i => NativeExprKernels.bloomMightContain(bits, key(i), k)),
+      "a Bloom filter must never false-negative an inserted key")
+    val probes = 100000
+    val inserted = (0 until n).map(key).toSet
+    var fp = 0
+    var j = 0
+    while (j < probes) {
+      val p = j.toLong * 0xBF58476D1CE4E5B9L + 7L
+      if (!inserted.contains(p) && NativeExprKernels.bloomMightContain(bits, p, k)) fp += 1
+      j += 1
+    }
+    val rate = fp.toDouble / probes
+    // theory: (1 - e^(-k/12))^k ~= 0.3%; generous ceiling for hash luck
+    assert(rate < 0.02, s"bloom FPR $rate out of range at $bitsPerKey bits/key")
+  }
+
   test("winnow containment pairs on fixture are symmetric-safe and bounded") {
     val pairs = Dedup.winnowContainmentPairs(
       docs, col("text"), col("doc_id"), k = 8, window = 4, threshold = 0.5)
