@@ -670,20 +670,43 @@ object TextQueries extends QueryPack {
     * pmod(·, 1e9)/1e9 to the signed value. Emits CTEs ending in
     * `unit(doc_id, lang, u)`. */
   private def xxhashUnitOracleCore: String = {
-    val M = BigInt(2).pow(64)
+    import XxhashSqlGen._
+    val base = "base AS (SELECT doc_id, lang, CASE WHEN doc_id < 0" +
+      s" THEN doc_id + $big ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents)"
+    val (c1, last1) = stages("p", "v", "42::HUGEINT", "base")
+    val (c2, last2) = stages("q", "42::HUGEINT", "hp", last1)
+    (Seq(base) ++ c1 ++ c2).mkString("WITH ", ",\n", ",\n") +
+      s"""unit AS (
+        SELECT doc_id, lang,
+          (((CASE WHEN hq >= 9223372036854775808::HUGEINT
+              THEN hq - $big ELSE hq END
+             % 1000000000) + 1000000000) % 1000000000) / 1e9 AS u
+        FROM $last2)"""
+  }
+
+  /** XXH64-of-one-8-byte-lane as DuckDB SQL text — the closed-formula
+    * chain behind [[xxhashUnitOracleCore]], factored out so any oracle
+    * needing Spark's `xxhash64(longCol, ...)` (the CMS bucket rule, the
+    * sampling gates) generates the identical arithmetic. See the
+    * mulmod/limb-split notes on [[xxhashUnitOracleCore]]. */
+  private object XxhashSqlGen {
+    val M: BigInt = BigInt(2).pow(64)
     val (p1, p2, p3) = (BigInt("11400714785074694791"),
       BigInt("14029467366897019727"), BigInt("1609587929392839161"))
     val (p4, p5) = (BigInt("9650029242287828579"), BigInt("2870177450012600261"))
     val big = s"$M::HUGEINT"
-    def mulmod(a: String, b: BigInt) =
+    def mulmod(a: String, b: BigInt): String =
       s"((($a % 4294967296::HUGEINT) * $b::HUGEINT" +
         s" + ((($a // 4294967296::HUGEINT) * $b::HUGEINT) % 4294967296::HUGEINT)" +
         s" * 4294967296::HUGEINT) % $big)"
-    def rotl(x: String, r: Int) =
+    def rotl(x: String, r: Int): String =
       s"((($x * ${BigInt(2).pow(r)}::HUGEINT) % $big) + ($x // ${BigInt(2).pow(64 - r)}::HUGEINT))"
-    def xor(a: String, b: String) =
+    def xor(a: String, b: String): String =
       s"CAST(xor(CAST($a AS UBIGINT), CAST($b AS UBIGINT)) AS HUGEINT)"
-    def shr(x: String, s: Int) = s"($x // ${BigInt(2).pow(s)}::HUGEINT)"
+    def shr(x: String, s: Int): String = s"($x // ${BigInt(2).pow(s)}::HUGEINT)"
+    /** One XXH64(v, seed) chain as CTEs tagged `t`, result column `h$t`;
+      * returns (ctes, lastCteName). `v`/`seed` are HUGEINT expressions
+      * valid in `src`'s row scope. */
     def stages(t: String, v: String, seed: String, src: String): (Seq[String], String) = (Seq(
       s"x${t}a AS (SELECT *, ($seed + ${p5 + 8}::HUGEINT) % $big AS ${t}h0, ${mulmod(v, p2)} AS ${t}k1a FROM $src)",
       s"x${t}b AS (SELECT *, ${rotl(s"${t}k1a", 31)} AS ${t}k1b FROM x${t}a)",
@@ -697,17 +720,31 @@ object TextQueries extends QueryPack {
       s"x${t}j AS (SELECT *, ${mulmod(s"${t}f3", p3)} AS ${t}f4 FROM x${t}i)",
       s"x${t}k AS (SELECT *, ${xor(s"${t}f4", shr(s"${t}f4", 32))} AS h$t FROM x${t}j)"),
       s"x${t}k")
-    val base = "base AS (SELECT doc_id, lang, CASE WHEN doc_id < 0" +
-      s" THEN doc_id + $big ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents)"
-    val (c1, last1) = stages("p", "v", "42::HUGEINT", "base")
-    val (c2, last2) = stages("q", "42::HUGEINT", "hp", last1)
-    (Seq(base) ++ c1 ++ c2).mkString("WITH ", ",\n", ",\n") +
-      s"""unit AS (
-        SELECT doc_id, lang,
-          (((CASE WHEN hq >= 9223372036854775808::HUGEINT
-              THEN hq - $big ELSE hq END
-             % 1000000000) + 1000000000) % 1000000000) / 1e9 AS u
-        FROM $last2)"""
+  }
+
+  /** CTE chain computing the CMS bucket for every row of a `wh`-value
+    * stream read from the q77 fixture: `b$j` = Spark's
+    * `pmod(xxhash64(value, lit($j)), width)` for j < depth, re-derived
+    * with [[XxhashSqlGen]]. Ends with CTE `buckets(doc_id, value, b0..)`. */
+  private def cmsBucketsCore(depth: Int, width: Int): String = {
+    import XxhashSqlGen._
+    val base = "base AS (SELECT doc_id, value, CASE WHEN value < 0" +
+      s" THEN value + $big ELSE CAST(value AS HUGEINT) END AS v" +
+      " FROM read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet')" +
+      " WHERE kind = 'wh')"
+    val (c1, last1) = stages("s", "v", "42::HUGEINT", "base")
+    var ctes = Seq(base) ++ c1
+    var last = last1
+    val bucketCols = (0 until depth).map { j =>
+      val (cj, lastj) = stages(s"j$j", s"$j::HUGEINT", "hs", last)
+      ctes ++= cj
+      last = lastj
+      // signed(h) then Spark pmod semantics: ((h % w) + w) % w
+      s"""(((CASE WHEN hj$j >= 9223372036854775808::HUGEINT
+          THEN hj$j - $big ELSE hj$j END % $width) + $width) % $width) AS b$j"""
+    }
+    (ctes :+ (s"buckets AS (SELECT doc_id, value, ${bucketCols.mkString(", ")}" +
+      s" FROM $last)")).mkString("WITH ", ",\n", "")
   }
 
   /** Corpus mixture resampling (operators.Sampling): deterministic
@@ -1009,6 +1046,87 @@ object TextQueries extends QueryPack {
         CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_eval_docs
       FROM tr JOIN te ON tr.gram = te.gram
       GROUP BY tr.doc_id ORDER BY train_id"""))
+
+  /** Count-Min sketch of the per-doc word-hash stream (q77's 'wh' rows —
+    * so each counter accumulates document frequency), via the native
+    * mergeable typed imperative aggregate (plans.CountMinAgg, 4×512).
+    * Each map task ships ONE 16 KiB summary through the exchange at any
+    * corpus scale. FULL ORACLE: the bucket rule is Spark's own
+    * `pmod(xxhash64(value, j), width)` long chain, which the oracle
+    * re-derives from the q77 fixture with the closed-formula HUGEINT
+    * XXH64 CTEs ([[XxhashSqlGen]]) and re-counts per cell — every
+    * counter in the sketch is hash-checked, not just sampled. */
+  private val q123 = Q(
+    "q123_cms_sketch",
+    (s, dir) => {
+      val wh = graft.operators.Dedup.signatureTable(
+          Tables(s, dir).documents, col("text"), col("doc_id"),
+          numHashes = 64, bands = 4)
+        .filter(col("kind") === "wh")
+        .select(col("value"))
+      wh.agg(graft.plans.CountMin.sketch(col("value"), 4, 512).as("cells"))
+        .select(explode(col("cells")).as("e"))
+        .select(col("e.row").as("row"), col("e.col").as("col"),
+          col("e.cnt").as("cnt"))
+        .orderBy(col("row"), col("col"))
+    },
+    Some(cmsBucketsCore(4, 512) + """,
+      cells AS (SELECT j.row, j.col, count(*) AS cnt FROM (
+          SELECT 0 AS row, b0 AS col FROM buckets
+          UNION ALL SELECT 1, b1 FROM buckets
+          UNION ALL SELECT 2, b2 FROM buckets
+          UNION ALL SELECT 3, b3 FROM buckets) j
+        GROUP BY j.row, j.col)
+      SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
+        CAST(cnt AS BIGINT) AS cnt
+      FROM cells ORDER BY row, col"""))
+
+  /** CMS point estimates vs exact document frequency for the top-50
+    * words: the "how often did THIS key occur" answer a 4×512-long
+    * sketch gives after one pass. Estimation is PURE CODEGEN'D COLUMNS —
+    * the collected sketch re-enters as literal arrays and buckets come
+    * from the stock `pmod(xxhash64(value, j), width)` chain, bit-identical
+    * to the aggregate's update rule (plans.CountMin.estimate). FULL
+    * ORACLE via the q123 + q77 fixtures: DuckDB re-derives each top
+    * item's four buckets, reads the addressed counters, and takes the
+    * min; est ≥ df (overcount-only) is pinned in CountMinSpec. */
+  private val q124 = Q(
+    "q124_cms_estimate",
+    (s, dir) => {
+      val wh = graft.operators.Dedup.signatureTable(
+          Tables(s, dir).documents, col("text"), col("doc_id"),
+          numHashes = 64, bands = 4)
+        .filter(col("kind") === "wh")
+        .select(col("value"))
+      val cells = wh
+        .agg(graft.plans.CountMin.sketch(col("value"), 4, 512).as("cells"))
+        .select(explode(col("cells")).as("e"))
+        .select(col("e.row"), col("e.col"), col("e.cnt"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      wh.groupBy(col("value")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("value"))
+        .limit(50)
+        .withColumn("est",
+          graft.plans.CountMin.estimate(col("value"), cells, 4, 512))
+        .select(col("value"), col("df"), col("est"))
+    },
+    Some(cmsBucketsCore(4, 512) + """,
+      cells AS (SELECT row, col, cnt
+        FROM read_parquet('__VERIFY_OUT__/q123_cms_sketch/*.parquet')),
+      df AS (SELECT value, count(*) AS df FROM base GROUP BY value),
+      top AS (SELECT value, df FROM (
+          SELECT value, df, row_number() OVER (ORDER BY df DESC, value) AS rn
+          FROM df) WHERE rn <= 50),
+      tb AS (SELECT DISTINCT b.value, b.b0, b.b1, b.b2, b.b3
+        FROM buckets b JOIN top t ON b.value = t.value)
+      SELECT t.value, CAST(t.df AS BIGINT) AS df,
+        CAST(least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS BIGINT) AS est
+      FROM top t JOIN tb ON tb.value = t.value
+      JOIN cells c0 ON c0.row = 0 AND c0.col = tb.b0
+      JOIN cells c1 ON c1.row = 1 AND c1.col = tb.b1
+      JOIN cells c2 ON c2.row = 2 AND c2.col = tb.b2
+      JOIN cells c3 ON c3.row = 3 AND c3.col = tb.b3
+      ORDER BY t.df DESC, t.value"""))
 
   /** Heavy-hitter word 2-grams via the native Misra-Gries typed
     * imperative aggregate (plans.MisraGriesAgg): each map task ships one
@@ -1575,5 +1693,6 @@ object TextQueries extends QueryPack {
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
-      q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122)
+      q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
+      q123, q124)
 }

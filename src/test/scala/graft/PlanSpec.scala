@@ -338,6 +338,21 @@ class PlanSpec extends SparkSpec {
       s"top-50 must plan as TakeOrdered, not a global sort:\n${p.take(1500)}")
   }
 
+  test("q123: CMS sketch is a partial ObjectHashAggregate; q122 keeps the scan-first shape") {
+    val p = plan("q123_cms_sketch")
+    assert(p.contains("ObjectHashAggregate") && p.contains("count_min"),
+      s"the sketch must plan as a typed imperative aggregate:\n${p.take(1500)}")
+    assert(p.contains("partial_count_min") || p.contains("partial count_min") ||
+      p.split("count_min").length - 1 >= 2,
+      s"map-side combine (partial aggregate) missing:\n${p.take(1500)}")
+    val pb = plan("q122_decon_bloom")
+    assert(pb.contains("contains_eval_gram_bloom"),
+      s"the prefilter must be the native bloom scan expression:\n${pb.take(1500)}")
+    assert(!pb.contains("SortMergeJoin") && !pb.contains("Window"),
+      s"corpus-side shuffle crept into the bloom scan-first shape:\n${pb.take(1500)}")
+    assert(pb.contains("BroadcastHashJoin"))
+  }
+
   test("q112: bottom-k sample plans as WindowGroupLimit, no global sort of the corpus") {
     val p = plan("q112_bottomk_sample")
     assert(p.contains("WindowGroupLimit"),
