@@ -360,9 +360,10 @@ object Similarity {
       corpus: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
-      trainCap: Long = 65536L, corpusRows: Option[Long] = None): DataFrame = {
-    val centroids =
-      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None,
+      model: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val centroids = model.getOrElse(
+      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows))
     val slim = corpus.select(col(idCol), col(embCol))
       .filter(col(embCol).isNotNull)
     val lists = assignToCentroids(slim, centroids, idCol, embCol)
@@ -717,9 +718,10 @@ object Similarity {
       corpus: DataFrame, minCos: Double, nlist: Int = 8, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
       trainCap: Long = 65536L, corpusRows: Option[Long] = None,
-      maxBlock: Long = 10000L): DataFrame = {
-    val centroids =
-      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows)
+      maxBlock: Long = 10000L,
+      model: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val centroids = model.getOrElse(
+      kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows))
     blockedCosinePairs(assignToCentroids(corpus, centroids, idCol, embCol),
       col("cid"), minCos, idCol, embCol, maxBlock)
   }
@@ -733,9 +735,10 @@ object Similarity {
       corpus: DataFrame, minCos: Double, nlist: Int = 8, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
       trainCap: Long = 65536L, corpusRows: Option[Long] = None,
-      maxBlock: Long = 10000L): DataFrame = {
+      maxBlock: Long = 10000L,
+      model: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val dropped = semanticDedupPairs(corpus, minCos, nlist, iters, idCol,
-        embCol, trainCap, corpusRows, maxBlock)
+        embCol, trainCap, corpusRows, maxBlock, model)
       .select(col("id_b").as("vec_id")).distinct()
     corpus.select(col(idCol).cast("long").as("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")

@@ -1128,6 +1128,68 @@ object TextQueries extends QueryPack {
       JOIN cells c3 ON c3.row = 3 AND c3.col = tb.b3
       ORDER BY t.df DESC, t.value"""))
 
+  /** The curation pipeline composed END-TO-END in one registered query —
+    * what a user of the engine actually runs nightly at 100 TB: Gopher
+    * quality gate (map-only codegen scan) → keep-min exact dedup (one
+    * fingerprint aggregate + semi join) → eval-suite decontamination
+    * (scan-first: the corpus never explodes) → deterministic
+    * train/val/test split (map-only hash gate). Stage order is
+    * quality-first so every later shuffle sees only surviving rows.
+    * The quality cut uses the Gopher SIGNALS with thresholds tuned to
+    * this corpus (the practitioner step — the canonical §A1.1 cuts pass
+    * zero synthetic docs, which would make the whole gate an empty,
+    * evidence-free match): n_words ≥ 30, mean_word_len ≤ 10,
+    * symbol_ratio ≤ 0.1, alpha_word_frac ≥ 0.8.
+    * Decontamination is per-doc subset-independent (flags depend only on
+    * the doc's text and the eval postings), which is what lets the
+    * oracle re-derive stage 3 from the q110 fixture restricted to the
+    * survivor set; stages 1 and 4 come from the q92/q75 fixtures and
+    * stage 2 is re-fingerprinted in SQL (the q31 md5 restatement). */
+  private val q125 = Q(
+    "q125_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val quality = train
+        .withColumn("g", gopherQuality(col("text")))
+        .filter(col("g.n_words") >= 30 && col("g.mean_word_len") <= 10 &&
+          col("g.symbol_ratio") <= 0.1 && col("g.alpha_word_frac") >= 0.8)
+        .drop("g")
+      val keep = graft.operators.Dedup.exactDupGroups(
+          quality, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
+      val flagged = graft.operators.Dedup.contaminationScanFirst(
+          deduped, evalDocs, col("text"), col("doc_id"), n = 8)
+        .select(col("train_id").as("doc_id"))
+      val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+      graft.operators.Sampling.assignSplits(
+          clean, col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH q AS (SELECT doc_id FROM
+        read_parquet('__VERIFY_OUT__/q92_gopher_quality/*.parquet')
+        WHERE n_words >= 30 AND mean_word_len <= 10
+          AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8),
+      surv AS (SELECT d.doc_id, d.lang,
+          md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fp
+        FROM documents d JOIN q ON q.doc_id = d.doc_id
+        WHERE d.doc_id % 10 <> 0),
+      keep AS (SELECT fp, min(doc_id) AS keep_id FROM surv GROUP BY fp),
+      ded AS (SELECT s.doc_id, s.lang FROM surv s
+        JOIN keep k ON k.fp = s.fp AND k.keep_id = s.doc_id),
+      clean AS (SELECT ded.doc_id, ded.lang FROM ded
+        LEFT JOIN read_parquet('__VERIFY_OUT__/q110_decon_scan/*.parquet') c
+          ON c.train_id = ded.doc_id
+        WHERE c.train_id IS NULL)
+      SELECT c.doc_id, c.lang, sp.split
+      FROM clean c
+      JOIN read_parquet('__VERIFY_OUT__/q75_train_val_test_split/*.parquet') sp
+        ON sp.doc_id = c.doc_id
+      ORDER BY c.doc_id"""))
+
   /** Heavy-hitter word 2-grams via the native Misra-Gries typed
     * imperative aggregate (plans.MisraGriesAgg): each map task ships one
     * ≤ capacity-entry summary (ObjectHashAggregate partial — map-side
@@ -1694,5 +1756,5 @@ object TextQueries extends QueryPack {
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
-      q123, q124)
+      q123, q124, q125)
 }

@@ -33,6 +33,19 @@ object VectorQueries extends QueryPack {
       s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] =
     absBooks.getOrElseUpdate(dir,
       Pq.pqCodebooks(Tables(s, dir).embeddings, m = 8, ksub = 16, iters = 3))
+  /** Shared deterministic coarse-quantizer centroids (nlist=8, iters=3 —
+    * the q79 geometry) for the queries that CONSUME the clustering
+    * (q96/q97 SemDeDup, q120/q121 kNN graph): one training per dataset,
+    * the model-reuse semantics of sharedBooks. The determinism evidence
+    * is untouched — q79 (export) and q49 (search) still train
+    * independently and their oracles pin bit-for-bit agreement. */
+  private val coarseCentroids =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+  private def sharedCentroids(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    coarseCentroids.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(Tables(s, dir).embeddings, k = 8, iters = 3))
+
   private val resModel = scala.collection.concurrent.TrieMap.empty[
     String,
     (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])],
@@ -534,7 +547,8 @@ object VectorQueries extends QueryPack {
   private val q96 = Q(
     "q96_semantic_dup_pairs",
     (s, dir) => Similarity.semanticDedupPairs(
-        Tables(s, dir).embeddings, minCos = 0.35, nlist = 8, iters = 3)
+        Tables(s, dir).embeddings, minCos = 0.35, nlist = 8, iters = 3,
+        model = Some(sharedCentroids(s, dir)))
       .orderBy(col("id_a"), col("id_b")),
     Some("""WITH asg AS (SELECT cid, vec_id FROM
         read_parquet('__VERIFY_OUT__/q79_ivf_index_table/*.parquet')
@@ -559,7 +573,8 @@ object VectorQueries extends QueryPack {
   private val q97 = Q(
     "q97_semantic_dedup",
     (s, dir) => Similarity.semanticDedupSurvivors(
-        Tables(s, dir).embeddings, minCos = 0.35, nlist = 8, iters = 3)
+        Tables(s, dir).embeddings, minCos = 0.35, nlist = 8, iters = 3,
+        model = Some(sharedCentroids(s, dir)))
       .orderBy(col("vec_id")),
     Some("""WITH asg AS (SELECT cid, vec_id FROM
         read_parquet('__VERIFY_OUT__/q79_ivf_index_table/*.parquet')
@@ -728,7 +743,8 @@ object VectorQueries extends QueryPack {
   private val q120 = Q(
     "q120_knn_graph",
     (s, dir) => Similarity.knnGraph(
-      Tables(s, dir).embeddings, k = 3, nlist = 8, nprobe = 2),
+      Tables(s, dir).embeddings, k = 3, nlist = 8, nprobe = 2,
+      model = Some(sharedCentroids(s, dir))),
     Some("""WITH raw AS (SELECT kind, cid, pos, value, vec_id
         FROM read_parquet('__VERIFY_OUT__/q79_ivf_index_table/*.parquet')),
       c AS (SELECT cid, list(value ORDER BY pos) AS centroid
@@ -782,7 +798,8 @@ object VectorQueries extends QueryPack {
     "q121_knn_graph_dedup",
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
-      val pairs = Similarity.knnGraph(emb, k = 3, nlist = 8, nprobe = 2)
+      val pairs = Similarity.knnGraph(emb, k = 3, nlist = 8, nprobe = 2,
+          model = Some(sharedCentroids(s, dir)))
         .filter(col("cos_sim") >= 0.35)
         .select(least(col("src_id"), col("dst_id")).as("id_a"),
           greatest(col("src_id"), col("dst_id")).as("id_b"))

@@ -194,6 +194,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Map("a" -> 7L, "b" -> 3L, "c" -> 1L, "d" -> 4L))
   }
 
+  test("streaming CMS: CountMinAgg matches batch over the same rows") {
+    // CMS is merge-exact (elementwise sum), so unlike Misra-Gries there
+    // is no regime caveat: the streaming sketch must equal the batch
+    // sketch cell-for-cell however the rows arrive
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .agg(graft.plans.CountMin.sketch(col("value"), 4, 64).as("cells"))
+      .select(explode(col("cells")).as("e"))
+      .select(col("e.row"), col("e.col"), col("e.cnt"))
+    val q = sketch(input.toDF().toDF("value"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val batch1 = Seq(10L, 10L, 10L, 20L, 20L, 30L)
+    val batch2 = Seq(10L, 40L, 40L, 40L)
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val batch = sketch((batch1 ++ batch2).toDF("value"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(streamed === batch)
+    assert(streamed.collect { case ((r, _), c) if r == 0 => c }.sum === 10L)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val got = EventStreams.purchasesAfterSignupToTable(
         spark, sfDir, "spec_ssjoin", maxDelayMinutes = 60)
