@@ -17,13 +17,24 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long (legacy conf) and truncate to microseconds
-    * with integer `div` (double division would lose precision at 1e18 ns).
+  /** events.parquet's `ts` physical type has varied across fixture
+    * generations — TIMESTAMP(NANOS) (readable only as long via the legacy
+    * conf; truncated to micros with integer `div`, since double division
+    * loses precision at 1e18 ns), TIMESTAMP_NTZ (micros, no zone), or a
+    * plain zoned timestamp. Normalize all three to TimestampType micros;
+    * the session runs UTC, so the NTZ cast is value-preserving.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t("events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

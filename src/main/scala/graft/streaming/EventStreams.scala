@@ -25,21 +25,34 @@ case class OpenSession(startUs: Long, lastUs: Long, n: Long, total: Double)
   */
 object EventStreams {
 
-  /** events.parquet schema as stored (ts is TIMESTAMP(NANOS), which Spark
-    * only reads as long via the legacy conf; convert with integer div). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events.parquet schema as stored, with `ts` as a given type. The
+    * physical type has varied across fixture generations (TIMESTAMP(NANOS)
+    * → long under the legacy conf; TIMESTAMP_NTZ micros; zoned timestamp),
+    * and a file stream needs its schema up front — so [[readEventStream]]
+    * probes one batch-read footer and adapts. */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-streaming read of the events table (micro-batched by the source). */
+  /** File-streaming read of the events table (micro-batched by the source),
+    * normalized to TimestampType micros `ts` regardless of the fixture's
+    * physical timestamp layout (the session runs UTC, so the NTZ cast is
+    * value-preserving). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Stateful streaming queries materialize one state store PER SHUFFLE
