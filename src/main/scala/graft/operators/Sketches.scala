@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketch (Flajolet et al. 2007), relational-
+  * first: the register table IS the sketch, and both the register
+  * derivation and the raw estimator are built from functions DuckDB also
+  * has (`bin`, `length`, integer shifts), so — uniquely among the
+  * engine's sketches — the WHOLE pipeline from hash to estimate carries a
+  * full cross-engine oracle (q126/q127), not a rows-only row like Spark's
+  * own `approx_count_distinct` (q40, whose HLL++ internals differ across
+  * implementations by design).
+  *
+  * Reference scope: the reference counts records up front to plan its
+  * migration (count-first planning, GrooveImport.php progress totals);
+  * this is the sketch-scale version of that count for corpora where an
+  * exact `count(distinct)` is itself a major job.
+  */
+object Sketches {
+
+  /** Per-register HLL state over `xxhash64(value)`: one row `(j, rho)` for
+    * ALL `2^p` registers (untouched registers emit rho 0). `j` is the low
+    * p bits of the hash (unsigned); `rho` is the leading-zero count of the
+    * remaining 64-p bits plus one (all-zero remainder → 64-p+1).
+    *
+    * Scale posture: ONE map-side-combining max aggregate — each task ships
+    * at most 2^p rows regardless of input size, the same summary-sized-
+    * shuffle posture as the Misra-Gries/CMS aggregates. Mergeability is
+    * relational too: union register tables from disjoint corpus splits and
+    * re-max to combine sketches (pinned in SketchesSpec).
+    *
+    * The bit-length trick: rho = (64-p+1) - length(bin(w)) for w > 0 —
+    * `bin` prints a long's minimal binary digits in both engines, so the
+    * rho computation needs no libm log2 and no custom kernel, which is
+    * what keeps the register table re-derivable by the DuckDB oracle from
+    * the closed-formula XXH64 chain.
+    */
+  def hllRegisters(df: DataFrame, value: Column, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll precision out of range: $p")
+    val m = 1 << p
+    val maxRho = 64 - p + 1
+    val spark = df.sparkSession
+    val h = df.select(xxhash64(value).as("h"))
+    val w = shiftrightunsigned(col("h"), p)
+    val reg = h.select(
+      col("h").bitwiseAND(lit((m - 1).toLong)).cast("int").as("j"),
+      when(w === 0L, lit(maxRho))
+        .otherwise(lit(maxRho) - length(bin(w))).cast("int").as("rho"))
+    val mx = reg.groupBy(col("j")).agg(max(col("rho")).as("rho"))
+    spark.range(m).select(col("id").cast("int").as("j"))
+      .join(mx, Seq("j"), "left")
+      .select(col("j"), coalesce(col("rho"), lit(0)).as("rho"))
+  }
+
+  /** Raw HLL estimator αₘ·m²/Σ2^-rho off a register table; one row
+    * `(m, v_zeros, est_raw)`. The indicator sum is exact and order-pinned:
+    * each term 2^((64-p+1)-rho) is an integer power of two ≤ 2^(64-p+1)
+    * (exactly representable in double), folded in register order with the
+    * native ordered-sum device — so a DuckDB oracle reaches the identical
+    * IEEE double from the same registers
+    * (`list_sum(list(term ORDER BY j))`). The small-range linear-counting
+    * and 64-bit large-range corrections need `ln` — libm, whose cross-
+    * engine parity this codebase never assumes — so the REGISTERED surface
+    * is the raw estimator plus `v_zeros` (everything a consumer needs to
+    * apply corrections); [[hllEstimateCorrected]] applies the standard
+    * small-range correction engine-side and is accuracy-pinned in
+    * SketchesSpec.
+    */
+  def hllEstimateRaw(registers: DataFrame, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val maxRho = 64 - p + 1
+    registers
+      .select(col("j"), col("rho"),
+        expr(s"cast(shiftleft(cast(1 as bigint), $maxRho - rho) as double)")
+          .as("term"))
+      .agg(
+        graft.plans.OrderedFold.orderedSum(col("j"), col("term")).as("sd"),
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zeros"))
+      .select(lit(m).as("m"), col("v_zeros"),
+        round(
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)))
+            * lit(m.toDouble) * lit(m.toDouble)
+            * lit((BigInt(1) << maxRho).toDouble) / col("sd"), 4)
+          .as("est_raw"))
+  }
+
+  /** Standard small-range correction: linear counting m·ln(m/V) when the
+    * raw estimate is below 2.5m and empty registers remain; raw otherwise.
+    * Engine-side only (ln is libm) — see [[hllEstimateRaw]]. */
+  def hllEstimateCorrected(registers: DataFrame, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    hllEstimateRaw(registers, p)
+      .select(col("m"), col("v_zeros"), col("est_raw"),
+        when(col("est_raw") <= lit(2.5 * m) && col("v_zeros") > 0,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("v_zeros").cast("double")), 4))
+          .otherwise(col("est_raw")).as("est"))
+  }
+}
