@@ -19,10 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** HLL bias-correction constant αₘ. The closed form
+    * 0.7213/(1+1.079/m) is the LARGE-m approximation; Flajolet et al.
+    * give exact constants for the small register counts, and using the
+    * approximation at m=16/32/64 carries a few-percent systematic bias.
+    */
+  private[graft] def alphaM(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** αₘ as a shortest-round-trip decimal literal for embedding in an
+    * oracle SQL text: Scala's `Double.toString` round-trips, so DuckDB
+    * parses back the bit-identical double Spark folds into the plan. */
+  def alphaLiteral(p: Int): String = alphaM(1 << p).toString
+
   /** Per-register HLL state over `xxhash64(value)`: one row `(j, rho)` for
     * ALL `2^p` registers (untouched registers emit rho 0). `j` is the low
     * p bits of the hash (unsigned); `rho` is the leading-zero count of the
-    * remaining 64-p bits plus one (all-zero remainder → 64-p+1).
+    * remaining 64-p bits plus one (all-zero remainder → 64-p+1). NULL
+    * values are filtered before hashing — `approx_count_distinct` (q40)
+    * ignores NULLs, and the two distinct-count surfaces must agree on
+    * nullable columns (xxhash64(NULL) would otherwise hash the seed and
+    * register one phantom element).
     *
     * Scale posture: ONE map-side-combining max aggregate — each task ships
     * at most 2^p rows regardless of input size, the same summary-sized-
@@ -41,7 +62,7 @@ object Sketches {
     val m = 1 << p
     val maxRho = 64 - p + 1
     val spark = df.sparkSession
-    val h = df.select(xxhash64(value).as("h"))
+    val h = df.filter(value.isNotNull).select(xxhash64(value).as("h"))
     val w = shiftrightunsigned(col("h"), p)
     val reg = h.select(
       col("h").bitwiseAND(lit((m - 1).toLong)).cast("int").as("j"),
@@ -79,8 +100,7 @@ object Sketches {
         sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zeros"))
       .select(lit(m).as("m"), col("v_zeros"),
         round(
-          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)))
-            * lit(m.toDouble) * lit(m.toDouble)
+          lit(alphaM(m)) * lit(m.toDouble) * lit(m.toDouble)
             * lit((BigInt(1) << maxRho).toDouble) / col("sd"), 4)
           .as("est_raw"))
   }

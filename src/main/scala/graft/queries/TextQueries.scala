@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Classifier, Dedup, Dsir, LangModel, Sampling}
+import graft.operators.{Bpe, Classifier, Dedup, Dsir, LangModel, Sampling, Sketches}
 
 /** Text-analysis + dedup surface over the `documents` table — the
   * LLM-training-data operators (BASELINE.json north star) layered on the
@@ -389,18 +389,36 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id, score DESC, term"""))
 
   /** HLL approximate distinct (approx_count_distinct) next to exact — the
-    * sketch surface; rows-only (HLL implementations differ by design). */
+    * sketch surface. HLL++ internals differ across engines by design, so
+    * the float estimate itself is not oracle-comparable; instead the
+    * registered output is a TOLERANCE VERDICT — the exact counts (hash-
+    * compared against DuckDB's own `count(DISTINCT ...)`) plus a boolean
+    * per column asserting |approx−exact|/exact ≤ 3·rsd (rsd = 0.05, the
+    * approx_count_distinct default). The oracle claims TRUE; if Spark's
+    * sketch ever drifts out of tolerance the Spark side emits FALSE and
+    * the row hash-mismatches — a real pass/fail row, not rows-only. */
   private val q40 = Q(
     "q40_approx_distinct",
     (s, dir) => {
       val t = Tables(s, dir)
       t.lineitem.agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+          approx_count_distinct(col("l_orderkey")).as("a_o"),
+          approx_count_distinct(col("l_partkey")).as("a_p"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_orders"), col("exact_parts"),
+          lit(0.15).as("rel_tol"),
+          (abs(col("a_o") - col("exact_orders")).cast("double")
+            / col("exact_orders") <= lit(0.15)).as("orders_within_tol"),
+          (abs(col("a_p") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= lit(0.15)).as("parts_within_tol"))
     },
-    None)
+    Some("""SELECT
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        CAST(0.15 AS DOUBLE) AS rel_tol,
+        TRUE AS orders_within_tol, TRUE AS parts_within_tol
+      FROM lineitem"""))
 
   /** BPE-ish subword tokenization (letter runs / digit runs / single
     * punctuation) — the regex token counter for training-data budgeting. */
@@ -1751,10 +1769,67 @@ object TextQueries extends QueryPack {
           ORDER BY u, doc_id) AS BIGINT) AS pos
       FROM unit ORDER BY doc_id"""))
 
+  /** Relational HLL register table (operators.Sketches.hllRegisters):
+    * p = 9 → 512 registers over `xxhash64(pmod(doc_id, 997))` — a value
+    * stream with known true cardinality min(n, 997) so the q127 estimate
+    * is auditable. FULL ORACLE — unlike Spark's sealed HLL++ sketch
+    * (q40), the register table is re-derived by DuckDB end-to-end:
+    * [[XxhashSqlGen]] restates the hash, `%`/`//` restate the signed
+    * bit-ops (hp is the UNSIGNED image of Spark's signed hash, so low-p
+    * bits = `hp % 512` and shiftrightunsigned = `hp // 512`), and
+    * DuckDB's minimal-width `bin` restates the rho bit-length trick. */
+  private val q126 = Q(
+    "q126_hll_registers",
+    (s, dir) => Sketches.hllRegisters(
+        Tables(s, dir).documents, pmod(col("doc_id"), lit(997L)), p = 9)
+      .orderBy(col("j")),
+    Some {
+      import XxhashSqlGen._
+      val base = "base AS (SELECT CAST(((doc_id % 997) + 997) % 997" +
+        " AS HUGEINT) AS v FROM documents)"
+      val (c1, last1) = stages("p", "v", "42::HUGEINT", "base")
+      (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
+      reg AS (SELECT hp % 512 AS j,
+          CASE WHEN hp // 512 = 0 THEN 56
+               ELSE 56 - length(bin(hp // 512)) END AS rho
+        FROM $last1),
+      mx AS (SELECT j, max(rho) AS rho FROM reg GROUP BY j)
+      SELECT CAST(g.j AS INTEGER) AS j,
+        CAST(coalesce(mx.rho, 0) AS INTEGER) AS rho
+      FROM (SELECT unnest(range(0, 512)) AS j) g LEFT JOIN mx ON g.j = mx.j
+      ORDER BY j"""
+    })
+
+  /** Raw HLL estimate off the q126 register table
+    * (operators.Sketches.hllEstimateRaw): αₘ·m²/Σ2^−rho, computed as
+    * αₘ·m²·2^56/Σ2^(56−rho); every term 2^(56−rho) is an exact power-of-two
+    * double and the indicator sum folds in register order (native
+    * ordered-sum aggregate ↔ `list_sum(list(term ORDER BY j))`), so both
+    * engines reach the identical IEEE double. αₘ is embedded as a
+    * shortest-round-trip literal CAST from VARCHAR (a bare DuckDB decimal
+    * literal of that length would parse as DECIMAL and change the
+    * arithmetic type). FULL ORACLE via the q126 fixture. */
+  private val q127 = Q(
+    "q127_hll_estimate",
+    (s, dir) => Sketches.hllEstimateRaw(
+      Sketches.hllRegisters(
+        Tables(s, dir).documents, pmod(col("doc_id"), lit(997L)), p = 9),
+      p = 9),
+    Some(s"""WITH reg AS (SELECT j, rho
+        FROM read_parquet('__VERIFY_OUT__/q126_hll_registers/*.parquet')),
+      t AS (SELECT j, rho,
+        CAST((1::HUGEINT << (56 - rho)) AS DOUBLE) AS term FROM reg)
+      SELECT CAST(512 AS INTEGER) AS m,
+        CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zeros,
+        round(CAST('${Sketches.alphaLiteral(9)}' AS DOUBLE)
+          * 512.0 * 512.0 * 72057594037927936.0
+          / list_sum(list(term ORDER BY j)), 4) AS est_raw
+      FROM t"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
-      q123, q124, q125)
+      q123, q124, q125, q126, q127)
 }
