@@ -172,11 +172,10 @@ object LangModel {
     * into `bands` equal tiles, ties → doc_id. Docs without a defined
     * score (no bigram) are excluded — they have no perplexity.
     *
-    * EXACT tiles need a total order: this plans as a single-partition
-    * window, correct but driver-bound — the oracle-matched form. At
-    * corpus scale use [[ceBandsApprox]] (approxQuantile cut points +
-    * map-only banding); with relativeError 0 the two agree exactly
-    * except WITHIN runs of tied scores straddling a cut. */
+    * This plans as a single-partition window — the REFERENCE
+    * implementation, kept only as the equality pin for
+    * [[ceBandsScalable]] (the registered, distributed form that produces
+    * bit-identical bands with no global window). */
   def ceBands(scored: DataFrame, bands: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bits_per_token"), col("doc_id"))
@@ -185,8 +184,83 @@ object LangModel {
       .withColumn("band", ntile(bands).over(w))
   }
 
-  /** The 100 TB banding: cut points from approxQuantile (one pass,
-    * Greenwald-Khanna, no global sort) then a map-only when-chain. */
+  /** EXACT ntile banding with NO single-partition window — the 100 TB
+    * form of [[ceBands]], and the one q95 registers (same hash oracle:
+    * output is bit-identical to the exact ntile).
+    *
+    * Two-phase distributed rank (the Packing.scala prefix-offset device,
+    * applied to a sort instead of a cumsum):
+    *   1. one Greenwald-Khanna pass picks ~`parts` value cut points —
+    *      used ONLY to partition, so their approximation error moves rows
+    *      between partitions, never between bands;
+    *   2. rows map to a partition via a flat literal cut array (ties
+    *      share a partition: boundaries are values, so (value, doc_id)
+    *      order is globally consistent across partitions);
+    *   3. per-partition row counts (≤ `parts` rows) collect to the driver
+    *      and become literal prefix offsets — model-sized by construction;
+    *   4. global rank = offset + row_number over a window PARTITIONED by
+    *      the pid (parallel, each partition ~n/parts);
+    *   5. band = the exact ntile formula over (rank, n): first n%k tiles
+    *      hold ⌈n/k⌉ rows, the rest ⌊n/k⌋.
+    * The two driver actions (quantile pass, count collect) run once at
+    * plan build — partition assignment is a literal expression, so the
+    * counts job and the rank job cannot disagree (a raw
+    * repartitionByRange would re-sample boundaries per job).
+    * Skew caveat: a value tied across ≥ n/parts rows concentrates its run
+    * in one partition — at that point band identity of the run is mostly
+    * degenerate anyway; raise `parts` or pre-round the score. */
+  def ceBandsScalable(scored: DataFrame, bands: Int = 3, parts: Int = 32,
+      relativeError: Double = 1e-4): DataFrame = {
+    val defined = scored.filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("bits_per_token"))
+    val cuts =
+      if (parts <= 1) Seq.empty[Double]
+      else defined.stat.approxQuantile("bits_per_token",
+        (1 until parts).map(_.toDouble / parts).toArray, relativeError)
+        .toSeq.distinct.sorted
+    // pid = count of cuts strictly below the value — a FLAT literal-array
+    // expression, not a nested when-chain (a fold of when().otherwise()
+    // builds a Column tree `parts` deep and overflows the converter stack
+    // near ~1000 branches; one array literal + size(filter) stays O(1)
+    // deep at any parts)
+    val pidExpr =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.map(lit): _*),
+        c => c < col("bits_per_token")))
+    val withPid = defined.withColumn("pid", pidExpr)
+    val counts: Map[Int, Long] = withPid.groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = 0 to cuts.size
+    val offsets = pids.scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    // prefix-offset lookup by pid, same flat-literal device (1-based
+    // element_at over the offsets array)
+    val offExpr = element_at(
+      array(pids.map(p => lit(offsets(p))): _*), col("pid") + 1)
+    val n = counts.values.sum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("bits_per_token"), col("doc_id"))
+    val ranked = withPid
+      .withColumn("r", row_number().over(w).cast("long") + offExpr)
+    val base = n / bands
+    val rem = n % bands
+    val headRows = rem * (base + 1)
+    // exact-integer tile arithmetic via floor on doubles: exact to 2^53
+    // rows, and `/` on longs would return double anyway
+    val band = when(col("r") <= headRows,
+        floor((col("r") - 1) / (base + 1)) + 1)
+      .otherwise(lit(rem) +
+        floor((col("r") - headRows - 1) / math.max(base, 1L)) + 1)
+    ranked.select(col("doc_id"), col("bits_per_token"),
+      band.cast("int").as("band"))
+  }
+
+  /** Approximate banding: cut points from approxQuantile (one pass,
+    * Greenwald-Khanna, no global sort) then a map-only when-chain —
+    * bands are value-defined, so ties NEVER split across bands (unlike
+    * ntile) and band sizes deviate by up to ε·n plus tie-run length.
+    * [[ceBandsScalable]] supersedes this for exact-parity needs; kept as
+    * the cheapest (zero-window) variant, agreement-pinned in
+    * LangModelSpec. */
   def ceBandsApprox(scored: DataFrame, bands: Int = 3,
       relativeError: Double = 1e-4): DataFrame = {
     val defined = scored.filter(col("n_bigrams") > 0)

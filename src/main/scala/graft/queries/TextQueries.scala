@@ -1429,17 +1429,19 @@ object TextQueries extends QueryPack {
       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
       ORDER BY d.doc_id"""))
 
-  /** CCNet head/middle/tail banding (operators.LangModel.ceBands): exact
-    * terciles of q94's bits_per_token (ties → doc_id). Oracle reads q94's
-    * own (fully hash-verified) export and re-ranks with the same ntile —
-    * transitively exact. The registered form is the oracle-matched exact
-    * ntile; the 100 TB path is ceBandsApprox (approxQuantile cut points,
-    * no global sort), pinned equal on distinct scores in LangModelSpec. */
+  /** CCNet head/middle/tail banding (operators.LangModel.ceBandsScalable):
+    * exact terciles of q94's bits_per_token (ties → doc_id). Oracle reads
+    * q94's own (fully hash-verified) export and re-ranks with a plain
+    * ntile — transitively exact. The registered implementation is the
+    * DISTRIBUTED exact rank (GK-partitioned two-phase rank + literal
+    * prefix offsets): bit-identical output to the single-partition ntile
+    * (equality-pinned in LangModelSpec) with no global window in the plan
+    * (pinned in PlanSpec — no SinglePartition exchange). */
   private val q95 = Q(
     "q95_ce_bands",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      LangModel.ceBands(
+      LangModel.ceBandsScalable(
           LangModel.crossEntropy(docs,
             LangModel.bigramLm(docs, col("text"), col("doc_id")),
             col("text"), col("doc_id")), 3)

@@ -91,6 +91,32 @@ class LangModelSpec extends SparkSpec {
       "approxQuantile banding matches exact ntile on distinct scores")
   }
 
+  test("ceBandsScalable is bit-identical to the exact ntile (incl. ties)") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val scored = LangModel.crossEntropy(docs,
+      LangModel.bigramLm(docs, col("text"), col("doc_id")),
+      col("text"), col("doc_id"))
+    val exact = LangModel.ceBands(scored, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    // sweep partition counts around/above the row count so empty
+    // partitions, single-row partitions, and degenerate one-cut layouts
+    // all exercise the prefix-offset arithmetic
+    for (parts <- Seq(1, 2, 7, 32, 1000)) {
+      val got = LangModel.ceBandsScalable(scored, 3, parts = parts)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      assert(got === exact, s"parts=$parts")
+    }
+    // tie-heavy frame: every score equal → bands split purely by doc_id
+    val flat = spark.range(10).selectExpr("id AS doc_id", "5L AS n_bigrams",
+      "50.0 AS total_bits", "2.5 AS bits_per_token")
+    val e = LangModel.ceBands(flat, 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSeq
+    val g = LangModel.ceBandsScalable(flat, 4, parts = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(g === e, "all-tied scores band identically")
+  }
+
   test("bigramLm on fixture: scalar columns only, sentinel invariants") {
     val docs = graft.sources.Tables(spark, sfDir).documents
     val m = LangModel.bigramLm(docs, col("text"), col("doc_id"))

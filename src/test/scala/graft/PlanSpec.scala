@@ -291,6 +291,18 @@ class PlanSpec extends SparkSpec {
       "span merge must partition by doc_id, not run globally")
   }
 
+  test("q95: exact banding plans with NO single-partition exchange") {
+    val p = plan("q95_ce_bands")
+    // the r7 shape was ntile over Window.orderBy() with no partition —
+    // an Exchange SinglePartition that serializes the scored corpus
+    // through one task. The two-phase rank windows by the GK-derived
+    // pid, so every exchange stays hash/range partitioned.
+    assert(!p.contains("SinglePartition"),
+      s"banding must never serialize to one partition:\n${p.take(1500)}")
+    assert(p.contains("windowspecdefinition(pid"),
+      s"rank window must partition by pid:\n${p.take(1500)}")
+  }
+
   test("q101: C4 clean is one page aggregate, no join, no window") {
     val p = plan("q101_c4_clean")
     assert(!p.contains("Join") && !p.contains("Window"),
