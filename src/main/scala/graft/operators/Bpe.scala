@@ -17,17 +17,24 @@ import graft.functions.TextFunctions.tokens
   * the ONE corpus-sized step — collapsing the corpus to (word, freq) —
   * is a distributed map-side-combining aggregate; the merge loop then
   * runs on that MODEL-SIZED state driver-side, exactly like every
-  * reference BPE trainer (the vocab table IS the tokenizer model). At
-  * 100 TB bound the driver state with `maxVocab` (keep the most frequent
-  * words; ties → word order); rare tail words contribute negligible pair
-  * mass. The loop itself costs microseconds — all the engine pays per
-  * round is nothing, not a distributed job.
+  * reference BPE trainer (the vocab table IS the tokenizer model). The
+  * driver state is bounded by `maxVocab` BY DEFAULT (keep the most
+  * frequent words; ties → word order) — see [[DefaultMaxVocab]]. The
+  * loop itself costs microseconds — all the engine pays per round is
+  * nothing, not a distributed job.
   *
   * Every quantity is an integer count or a string — no floats — so the
   * loop is exactly restatable in ANSI SQL; the q98/q99 oracles replay it
   * round by round from the raw documents.
   */
 object Bpe {
+
+  /** Default driver-state bound: keep the 2^16 most frequent words.
+    * Reference BPE trainers cap the word table anyway (rare tail words
+    * contribute negligible pair mass), and an UNCAPPED collect is
+    * billions of entries at 100 TB — so the cap is the default and
+    * `maxVocab = None` is the explicit small-corpus opt-out. */
+  val DefaultMaxVocab = 65536
 
   final case class Merge(step: Int, lhs: String, rhs: String, pairCount: Long)
 
@@ -54,7 +61,7 @@ object Bpe {
     * Returns the learned merges and the final per-word segmentation.
     * Stops early if no pair remains. */
   def learnMerges(docs: DataFrame, textCol: Column, nMerges: Int,
-      maxVocab: Option[Int] = None): (Seq[Merge], Seq[(String, Long, Vector[String])]) = {
+      maxVocab: Option[Int] = Some(DefaultMaxVocab)): (Seq[Merge], Seq[(String, Long, Vector[String])]) = {
     val wf = wordFreq(docs, textCol)
     val capped = maxVocab.fold(wf)(m =>
       wf.orderBy(col("freq").desc, col("word")).limit(m))
@@ -85,7 +92,7 @@ object Bpe {
   /** The learned merge table as a DataFrame (step, lhs, rhs, pair_count) —
     * the exportable tokenizer artifact. */
   def mergeTable(docs: DataFrame, textCol: Column, nMerges: Int,
-      maxVocab: Option[Int] = None): DataFrame = {
+      maxVocab: Option[Int] = Some(DefaultMaxVocab)): DataFrame = {
     val (merges, _) = learnMerges(docs, textCol, nMerges, maxVocab)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -100,7 +107,7 @@ object Bpe {
     * Words outside a `maxVocab` cap count as unsegmented single tokens
     * of one distinct symbol (the whole word). */
   def segmentStats(docs: DataFrame, textCol: Column, idCol: Column,
-      nMerges: Int, maxVocab: Option[Int] = None): DataFrame = {
+      nMerges: Int, maxVocab: Option[Int] = Some(DefaultMaxVocab)): DataFrame = {
     val (_, state) = learnMerges(docs, textCol, nMerges, maxVocab)
     val spark = docs.sparkSession
     import spark.implicits._

@@ -1462,12 +1462,14 @@ object TextQueries extends QueryPack {
     * replay is exact with no snapping device. Exhaustion is parity-safe
     * too: an empty argmax leaves the state fixed and emits no row on
     * either side. */
-  private def bpeChainSql(n: Int): String = {
+  private def bpeChainSql(n: Int, maxVocab: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+    sb ++= s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
         FROM documents),
-      wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+      wfall AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
         FROM tok GROUP BY word),
+      wf AS MATERIALIZED (SELECT word, freq FROM wfall
+        ORDER BY freq DESC, word LIMIT $maxVocab),
       s0 AS MATERIALIZED (SELECT word, freq,
         generate_subscripts(regexp_extract_all(word, '.'), 1) - 1 AS pos,
         unnest(regexp_extract_all(word, '.')) AS sym FROM wf)"""
@@ -1496,15 +1498,26 @@ object TextQueries extends QueryPack {
 
   private val BpeRounds = 6
 
+  /** The registered-query vocab cap. DELIBERATELY BINDING at the test
+    * scale factors (the fixture vocabulary is 31 distinct words, so 20
+    * caps it) — the graded plan must exercise the same bounded-driver-
+    * state shape it would run at 100 TB (operator default 65536), and the
+    * oracle must prove the cap semantics (keep most-frequent, ties →
+    * word; out-of-vocab words segment as themselves), not just replay the
+    * uncapped loop. */
+  private val BpeVocabCap = 20
+
   /** BPE merge learning (operators.Bpe — Sennrich et al. 2016): the
-    * learned merge table after 6 greedy rounds over the corpus. FULL
-    * generated-SQL oracle — see [[bpeChainSql]]. */
+    * learned merge table after 6 greedy rounds over the `BpeVocabCap`
+    * most frequent words. FULL generated-SQL oracle — see
+    * [[bpeChainSql]]. */
   private val q98 = Q(
     "q98_bpe_merges",
     (s, dir) => Bpe.mergeTable(
-        Tables(s, dir).documents, col("text"), BpeRounds)
+        Tables(s, dir).documents, col("text"), BpeRounds,
+        maxVocab = Some(BpeVocabCap))
       .orderBy(col("step")),
-    Some(bpeChainSql(BpeRounds) + " " +
+    Some(bpeChainSql(BpeRounds, BpeVocabCap) + " " +
       (1 to BpeRounds).map(i =>
         s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY step")))
@@ -1512,20 +1525,25 @@ object TextQueries extends QueryPack {
   /** Per-document segmentation stats under the learned merges (the
     * tokenizer applied back to its training corpus): token count and
     * distinct-symbol count per doc, docs never dropped. Same generated
-    * chain, aggregated at the final state. */
+    * chain, aggregated at the final state; words outside the vocab cap
+    * count one token of one distinct symbol (the whole word) — the LEFT
+    * joins + coalesce restate segmentStats' OOV rule. */
   private val q99 = Q(
     "q99_bpe_segment",
     (s, dir) => Bpe.segmentStats(
-        Tables(s, dir).documents, col("text"), col("doc_id"), BpeRounds)
+        Tables(s, dir).documents, col("text"), col("doc_id"), BpeRounds,
+        maxVocab = Some(BpeVocabCap))
       .orderBy(col("doc_id")),
-    Some(bpeChainSql(BpeRounds) + s""",
+    Some(bpeChainSql(BpeRounds, BpeVocabCap) + s""",
       pw AS (SELECT word, CAST(count(*) AS BIGINT) AS w_tokens
         FROM s$BpeRounds GROUP BY word),
-      nt AS (SELECT doc_id, CAST(sum(w_tokens) AS BIGINT) AS n_tokens
-        FROM tok JOIN pw USING (word) GROUP BY doc_id),
+      nt AS (SELECT doc_id, CAST(sum(coalesce(w_tokens, 1)) AS BIGINT) AS n_tokens
+        FROM tok LEFT JOIN pw USING (word) GROUP BY doc_id),
       dt AS (SELECT doc_id, CAST(count(DISTINCT sym) AS BIGINT) AS distinct_tokens
-        FROM (SELECT DISTINCT doc_id, word FROM tok) o
-        JOIN (SELECT DISTINCT word, sym FROM s$BpeRounds) y USING (word)
+        FROM (SELECT o.doc_id, coalesce(y.sym, o.word) AS sym
+          FROM (SELECT DISTINCT doc_id, word FROM tok) o
+          LEFT JOIN (SELECT DISTINCT word, sym FROM s$BpeRounds) y
+            ON o.word = y.word)
         GROUP BY doc_id)
       SELECT d.doc_id, coalesce(nt.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
         coalesce(dt.distinct_tokens, CAST(0 AS BIGINT)) AS distinct_tokens

@@ -54,4 +54,23 @@ class BpeSpec extends SparkSpec {
     assert(merges.head.pairCount === 3L)
     assert(state.head._3 === Vector("aa", "aa"))
   }
+
+  test("maxVocab cap: most-frequent kept (ties → word); OOV words are themselves") {
+    val docs = Seq((1L, "aa aa bb cc"), (2L, "bb aa dd")).toDF("doc_id", "text")
+    // freqs: aa=3, bb=2, cc=1, dd=1 → cap 2 trains on {aa, bb} only
+    val (m2, state2) = Bpe.learnMerges(docs, col("text"), 2, Some(2))
+    assert(state2.map(_._1) === Seq("aa", "bb"))
+    assert(m2.map(m => (m.lhs, m.rhs, m.pairCount)) ===
+      Seq(("a", "a", 3L), ("b", "b", 2L)))
+    // freq ties at the cut break by word order: cap 3 keeps cc, not dd
+    val (_, state3) = Bpe.learnMerges(docs, col("text"), 0, Some(3))
+    assert(state3.map(_._1) === Seq("aa", "bb", "cc"))
+    // segmentation: capped words use their merges; OOV words count one
+    // token of one distinct symbol (the whole word)
+    val seg = Bpe.segmentStats(docs, col("text"), col("doc_id"), 2, Some(2))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(seg.toSeq === Seq((1L, 4L, 3L), (2L, 3L, 3L)),
+      "doc1: aa aa bb cc → 4 tokens, syms {aa,bb,cc}; doc2: bb aa dd → 3, {bb,aa,dd}")
+  }
 }
