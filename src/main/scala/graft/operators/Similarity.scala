@@ -355,7 +355,12 @@ object Similarity {
     * no edges (the oracle agrees for free — unnesting a NULL list
     * yields no rows). Edge pairs are unique by construction (each dst
     * lives in exactly one list; (src, cid) probes are distinct).
-    * Output (src_id, dst_id, cos_sim at 4dp, rank), ties → dst_id. */
+    * Output (src_id, dst_id, cos_sim at 4dp, rank), ties → dst_id.
+    *
+    * nlist ceiling: both centroid passes here are LITERAL expressions
+    * (nlist cosine subtrees per projection) — ideal while nlist is a few
+    * thousand at most; past that use [[knnGraphJoined]], the bit-
+    * identical broadcast-join form sized for nlist ~ √N at 100 TB. */
   def knnGraph(
       corpus: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2, iters: Int = 3,
@@ -376,6 +381,15 @@ object Similarity {
       .select(col(idCol).as("src_id"), col(embCol).as("src_emb"),
         explode(transform(slice(array_sort(probeEntries), 1, nprobe),
           p => p.getField("cid"))).as("cid"))
+    knnGraphTail(lists, srcProbes, k, idCol, embCol)
+  }
+
+  /** Candidate join + per-source top-k shared by [[knnGraph]] and
+    * [[knnGraphJoined]] — one shuffle join on cid (nlist-way blocked),
+    * then a group-limit window (partial top-k runs map-side before the
+    * exchange). */
+  private def knnGraphTail(lists: DataFrame, srcProbes: DataFrame, k: Int,
+      idCol: String, embCol: String): DataFrame = {
     val scored = lists
       .join(srcProbes, Seq("cid"))
       .filter(col(idCol) =!= col("src_id"))
@@ -386,6 +400,74 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("src_id"), col("rank"))
+  }
+
+  /** √N list-count heuristic (the standard IVF sizing: per-list size ≈
+    * list count ≈ √N balances probe cost against list-scan cost),
+    * clamped to [8, 2^17]. */
+  def defaultNlist(corpusRows: Long): Int = {
+    // clamp BEFORE narrowing: √Long.MaxValue is ~3e9, which .toInt
+    // would wrap negative
+    val root = math.round(math.sqrt(math.max(corpusRows, 0L).toDouble))
+    math.max(8L, math.min(1L << 17, root)).toInt
+  }
+
+  /** [[knnGraph]] with BOTH centroid passes as broadcast joins instead of
+    * literal-centroid expressions — the nlist-beyond-codegen path.
+    * The expression form embeds nlist cosine subtrees in one projection,
+    * which stops codegenning (and eventually overflows plan conversion)
+    * past a few thousand centroids; at the √N heuristic a 100 TB corpus
+    * wants nlist ~10⁵, so here the centroid matrix rides as a broadcast
+    * TABLE (model-sized: nlist × dim doubles) and each side meets it
+    * relationally:
+    *   - list side: corpus × centroids broadcast join scored by the same
+    *     cosine kernel, argmax-reduced by a map-side-combining
+    *     min(struct(−sim, cid)) aggregate — ONE corpus-sized shuffle of
+    *     pre-combined rows, no window;
+    *   - probe side: the same broadcast join ranked by the 9dp-snapped
+    *     (−cos, cid) rule through a group-limit window (partial top-nprobe
+    *     runs map-side, so the corpus×nlist blowup collapses before the
+    *     exchange).
+    * Output is BIT-IDENTICAL to [[knnGraph]] given the same model
+    * (argmax rule: equal sims → smallest cid, the expression form's
+    * array_position-of-max; probe rule: identical snap + tie order) —
+    * parity-pinned in SimilaritySpec. `nlist = None` derives the list
+    * count from `corpusRows` (or one column-pruned count) via
+    * [[defaultNlist]]. */
+  def knnGraphJoined(
+      corpus: DataFrame, k: Int,
+      nlist: Option[Int] = None, nprobe: Int = 2, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None,
+      model: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val slim = corpus.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
+    lazy val rowCount: Long = corpusRows.getOrElse(slim.count())
+    val nl = nlist.orElse(model.map(_.size)).getOrElse(defaultNlist(rowCount))
+    val knownRows =
+      if (nlist.isEmpty && model.isEmpty) Some(rowCount) else corpusRows
+    val centroids = model.getOrElse(
+      kmeansCentroids(corpus, nl, iters, idCol, embCol, trainCap, knownRows))
+    val cdf = broadcast(
+      spark.createDataFrame(centroids.sortBy(_._1)).toDF("cid", "ctr"))
+    val lists = slim.crossJoin(cdf)
+      .select(col(idCol), col(embCol), col("cid"),
+        cosine(col(embCol), col("ctr")).as("__sim"))
+      .groupBy(col(idCol))
+      .agg(first(col(embCol)).as("__emb"),
+        min(struct((-col("__sim")).as("ns"), col("cid").as("cid"))).as("__m"))
+      .select(col(idCol), col("__emb").as(embCol), col("__m.cid").as("cid"))
+    val pw = Window.partitionBy(col("src_id")).orderBy(col("ns"), col("cid"))
+    val srcProbes = slim
+      .select(col(idCol).as("src_id"), col(embCol).as("src_emb"))
+      .crossJoin(cdf)
+      .select(col("src_id"), col("src_emb"), col("cid"),
+        (-round(cosine(col("src_emb"), col("ctr")), 9)).as("ns"))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("src_id"), col("src_emb"), col("cid"))
+    knnGraphTail(lists, srcProbes, k, idCol, embCol)
   }
 
   /** Persist the IVF inverted lists as parquet PARTITIONED BY cid, plus

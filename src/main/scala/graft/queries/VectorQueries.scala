@@ -745,7 +745,11 @@ object VectorQueries extends QueryPack {
     (s, dir) => Similarity.knnGraph(
       Tables(s, dir).embeddings, k = 3, nlist = 8, nprobe = 2,
       model = Some(sharedCentroids(s, dir))),
-    Some("""WITH raw AS (SELECT kind, cid, pos, value, vec_id
+    Some(knnGraphOracleSql))
+
+  /** The q120/q128 oracle body — shared verbatim because the two
+    * registered implementations are bit-identical by contract. */
+  private lazy val knnGraphOracleSql: String = ("""WITH raw AS (SELECT kind, cid, pos, value, vec_id
         FROM read_parquet('__VERIFY_OUT__/q79_ivf_index_table/*.parquet')),
       c AS (SELECT cid, list(value ORDER BY pos) AS centroid
         FROM raw WHERE kind = 'c' GROUP BY cid),
@@ -782,7 +786,21 @@ object VectorQueries extends QueryPack {
             ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, dst_id) AS rn
         FROM d)
       SELECT src_id, dst_id, cos_sim, CAST(rn AS INT) AS rank
-      FROM s WHERE rn <= 3 ORDER BY src_id, rank"""))
+      FROM s WHERE rn <= 3 ORDER BY src_id, rank""")
+
+  /** q120 re-expressed through the broadcast-join probe path
+    * (operators.Similarity.knnGraphJoined) — the nlist-beyond-codegen
+    * form a 100 TB corpus needs (nlist ~ sqrt(N)). Registered with the SAME
+    * oracle as q120: the two implementations are bit-identical given the
+    * same model (parity also pinned in SimilaritySpec), so this row
+    * hash-proves the scale path end-to-end rather than trusting the
+    * spec alone. */
+  private val q128 = Q(
+    "q128_knn_graph_joined",
+    (s, dir) => Similarity.knnGraphJoined(
+      Tables(s, dir).embeddings, k = 3, nlist = Some(8), nprobe = 2,
+      model = Some(sharedCentroids(s, dir))),
+    Some(knnGraphOracleSql))
 
   /** The graph-dedup lifecycle composed end-to-end: kNN graph → edges at
     * cos ≥ 0.35 (q96's threshold) as undirected pairs → transitive
@@ -828,5 +846,5 @@ object VectorQueries extends QueryPack {
 
   override val all: Seq[Q] =
     Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
-      q96, q97, q105, q106, q109, q120, q121)
+      q96, q97, q105, q106, q109, q120, q121, q128)
 }

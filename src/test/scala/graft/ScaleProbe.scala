@@ -68,6 +68,24 @@ object ScaleProbe {
         residual = true, dim = 64, k = 5, nprobe = 3, refine = 50,
         idCol = "vec_id", embCol = "embedding").count()
     }
+    // all-corpus kNN graph: the expression path embeds nlist literal
+    // cosines per projection; the joined path meets a broadcast centroid
+    // TABLE — same output (parity-pinned in SimilaritySpec), and the one
+    // that must stay flat per row as nlist grows toward √N
+    val gModel = Similarity.kmeansCentroids(
+      big, 8, 3, trainCap = 65536L, corpusRows = Some(n))
+    time("knn_graph (expr, nlist=8)") {
+      Similarity.knnGraph(big, k = 3, nlist = 8, nprobe = 2,
+        model = Some(gModel)).count()
+    }
+    time("knn_graph (join, nlist=8)") {
+      Similarity.knnGraphJoined(big, k = 3, nlist = Some(8), nprobe = 2,
+        model = Some(gModel)).count()
+    }
+    time("knn_graph (join, nlist=√N)") {
+      Similarity.knnGraphJoined(big, k = 3, nprobe = 2,
+        corpusRows = Some(n)).count()
+    }
     spark.stop()
   }
 }

@@ -79,6 +79,30 @@ class SimilaritySpec extends SparkSpec {
     assert(viaGraph === viaQuery, "graph edges == per-query IVF ANN")
   }
 
+  test("knnGraphJoined is bit-identical to the expression-path knnGraph") {
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    // same trained model on both paths isolates the probe/assign parity
+    val model = Similarity.kmeansCentroids(emb, 8, 3)
+    val expr = edges(Similarity.knnGraph(
+      emb, k = 3, nlist = 8, nprobe = 2, model = Some(model)))
+    val joined = edges(Similarity.knnGraphJoined(
+      emb, k = 3, nlist = Some(8), nprobe = 2, model = Some(model)))
+    assert(joined === expr)
+    // and end-to-end (each path trains its own — deterministic — model)
+    val e2e = edges(Similarity.knnGraphJoined(emb, k = 3, nlist = Some(8),
+      nprobe = 2))
+    assert(e2e === expr, "independent training reproduces the same model")
+  }
+
+  test("defaultNlist: √N clamped to [8, 2^17]") {
+    assert(Similarity.defaultNlist(0L) === 8)
+    assert(Similarity.defaultNlist(100L) === 10)
+    assert(Similarity.defaultNlist(1000000L) === 1000)
+    assert(Similarity.defaultNlist(Long.MaxValue) === (1 << 17))
+  }
+
   test("persisted LSH index: pruned-scan ANN matches in-memory lshTopK") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
     Similarity.writeLshIndex(emb, dir, nbits = 8, tables = 4)
