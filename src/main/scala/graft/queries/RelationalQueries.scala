@@ -583,8 +583,48 @@ object RelationalQueries extends QueryPack {
       SELECT p_brand, p_partkey AS top_partkey, rev AS top_rev
       FROM w WHERE rn = 1 ORDER BY p_brand"""))
 
+  /** Salted equi-join on a PATHOLOGICALLY skewed key
+    * (operators.Skew.saltedEquiJoin — SURVEY §7.4's "one viral ticket"
+    * device): l_returnflag has THREE distinct values, so a plain
+    * shuffle join lands the whole fact table on ≤3 reducers; the salt
+    * spreads each flag over 16 buckets keyed by the line's own
+    * (orderkey, linenumber) identity while the 3-row dim replicates per
+    * bucket. The dim side carries a shuffle_hash hint — a dim this
+    * small would otherwise broadcast, which sidesteps the very skew
+    * the query demonstrates (broadcast IS the right plan for a tiny
+    * dim; the salt is for dims past broadcast size — NOTES §skew).
+    * Join semantics are salt-invariant, so the oracle is the plain SQL
+    * join. Per-flag output is all-deterministic arithmetic: max is
+    * fold-order-exact, /2 is one IEEE op. PlanSpec pins the salted
+    * shuffle join (no broadcast, __salt in the join keys). */
+  private val q129 = Q(
+    "q129_salted_skew_join",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      val dim = li.groupBy(col("l_returnflag"))
+        .agg(max(col("l_extendedprice")).as("flag_max"))
+        .hint("shuffle_hash")
+      graft.operators.Skew.saltedEquiJoin(
+          li, dim, "l_returnflag", "l_returnflag",
+          saltSource = col("l_orderkey") * 100 + col("l_linenumber"),
+          buckets = 16)
+        .filter(col("l_extendedprice") > col("flag_max") / 2)
+        .groupBy(col("l_returnflag"), col("flag_max"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH d AS (SELECT l_returnflag, max(l_extendedprice) AS flag_max
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag, d.flag_max, CAST(count(*) AS BIGINT) AS n_above
+      FROM lineitem l JOIN d ON l.l_returnflag = d.l_returnflag
+      WHERE l.l_extendedprice > d.flag_max / 2
+      GROUP BY l.l_returnflag, d.flag_max
+      ORDER BY l.l_returnflag"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q2a, q2b)
+    q29, q2a, q2b, q129)
 }

@@ -291,6 +291,20 @@ class PlanSpec extends SparkSpec {
       "span merge must partition by doc_id, not run globally")
   }
 
+  test("q129: skewed join runs salted — __salt in the shuffle-join keys") {
+    val p = plan("q129_salted_skew_join")
+    // the 3-value key must not ride a plain hash shuffle (≤3 live
+    // reducers) — the fact side's exchange and the join keys carry the
+    // 16-bucket salt, and the hinted dim side replicates instead of
+    // broadcasting
+    assert(p.contains("__salt"),
+      s"join must be salted:\n${p.take(1500)}")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salt demo requires the shuffle join path:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a broadcast would bypass the salted shuffle being demonstrated:\n${p.take(1500)}")
+  }
+
   test("q95: exact banding plans with NO single-partition exchange") {
     val p = plan("q95_ce_bands")
     // the r7 shape was ntile over Window.orderBy() with no partition —
