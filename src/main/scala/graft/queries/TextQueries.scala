@@ -1846,10 +1846,59 @@ object TextQueries extends QueryPack {
           / list_sum(list(term ORDER BY j)), 4) AS est_raw
       FROM t"""))
 
+  /** The q125 curation gate + decontamination stage as a STRUCTURED
+    * STREAM (streaming.DocumentStreams.curationGateToTable): the train
+    * split arrives as file-source micro-batches under
+    * Trigger.AvailableNow, is Gopher-gated map-only, signed with the
+    * index's own minhash/LSH parameters, probed against the static
+    * signature index of the eval split (stream-static left join — no
+    * stream-stream join), and the per-doc confirm verdict aggregates in
+    * complete mode (the q54/q55 device). FULL ORACLE via the q77
+    * signature fixture (the q100 SQL shape: band-equality candidates +
+    * sorted-word-hash jaccard ≥ 0.95) gated by the q92 Gopher fixture —
+    * so the streaming row is hash-verified end-to-end, and
+    * StreamingSpec additionally pins batch parity against the same gate
+    * + dedupAgainstSignatureIndex composition. */
+  private val q130 = Q(
+    "q130_stream_curation_gate",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val index = Dedup.signatureTable(
+        docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+        numHashes = 64, bands = 4)
+      graft.streaming.DocumentStreams.curationGateToTable(
+        s, dir, index, "q130_stream_out",
+        numHashes = 64, bands = 4, threshold = 0.95)
+    },
+    Some("""WITH raw AS (SELECT doc_id, kind, idx, value
+        FROM read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet')),
+      s AS (SELECT doc_id, list(value ORDER BY idx) AS wh
+        FROM raw WHERE kind = 'wh' GROUP BY doc_id),
+      b AS (SELECT doc_id, value AS bh, idx AS band
+        FROM raw WHERE kind = 'band'),
+      g AS (SELECT doc_id FROM
+        read_parquet('__VERIFY_OUT__/q92_gopher_quality/*.parquet')
+        WHERE n_words >= 30 AND mean_word_len <= 10
+          AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8),
+      inc AS (SELECT d.doc_id, d.lang FROM documents d
+        JOIN g ON g.doc_id = d.doc_id WHERE d.doc_id % 10 <> 0),
+      cand AS (SELECT DISTINCT a1.doc_id AS id_new, a2.doc_id AS id_old
+        FROM b a1 JOIN b a2 ON a1.band = a2.band AND a1.bh = a2.bh
+        WHERE a1.doc_id % 10 <> 0 AND a2.doc_id % 10 = 0),
+      dropped AS (SELECT DISTINCT id_new FROM cand
+        JOIN s sa ON sa.doc_id = cand.id_new
+        JOIN s sb ON sb.doc_id = cand.id_old
+        WHERE round(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+          / (len(sa.wh) + len(sb.wh) - len(list_intersect(sa.wh, sb.wh))),
+          4) >= 0.95)
+      SELECT doc_id, lang FROM inc
+      WHERE doc_id NOT IN (SELECT id_new FROM dropped)
+      ORDER BY doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
-      q123, q124, q125, q126, q127)
+      q123, q124, q125, q126, q127, q130)
 }

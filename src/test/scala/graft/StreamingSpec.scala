@@ -160,6 +160,30 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("streaming curation gate matches the batch gate + index-dedup composition") {
+    // q130's operator: gate + sign + probe-the-persisted-index on a file
+    // stream must keep exactly the docs the batch composition keeps
+    import graft.operators.Dedup
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sfDir).documents
+    val index = Dedup.signatureTable(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+      numHashes = 64, bands = 4)
+    val streamed = DocumentStreams.curationGateToTable(
+      spark, sfDir, index, "spec_curation_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val gated = docs.filter(col("doc_id") % 10 =!= 0)
+      .filter(DocumentStreams.qualityGate(col("text")))
+    val batch = Dedup.dedupAgainstSignatureIndex(
+        gated, index, col("text"), col("doc_id"),
+        numHashes = 64, bands = 4, threshold = 0.95)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must keep at least one doc")
+  }
+
   test("streaming heavy hitters: MisraGriesAgg matches batch in the exact regime") {
     // the typed imperative aggregate composes under Structured Streaming
     // (complete-mode global aggregation) — frequent-items over a live
