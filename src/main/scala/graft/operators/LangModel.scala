@@ -211,8 +211,14 @@ object LangModel {
     * degenerate anyway; raise `parts` or pre-round the score. */
   def ceBandsScalable(scored: DataFrame, bands: Int = 3, parts: Int = 32,
       relativeError: Double = 1e-4): DataFrame = {
+    // lazily checkpoint the scored input: the quantile pass, the count
+    // pass, and the rank job would otherwise each re-execute the whole
+    // upstream scoring pipeline (3× a corpus LM scan, measured 5.0 s vs
+    // 1.2 s on the q94 composition) — at 100 TB the scored frame is
+    // materialized once, exactly as a real banding pass would persist it
     val defined = scored.filter(col("n_bigrams") > 0)
       .select(col("doc_id"), col("bits_per_token"))
+      .localCheckpoint(false)
     val cuts =
       if (parts <= 1) Seq.empty[Double]
       else defined.stat.approxQuantile("bits_per_token",
