@@ -427,7 +427,11 @@ object Similarity {
     *   - probe side: the same broadcast join ranked by the 9dp-snapped
     *     (−cos, cid) rule through a group-limit window (partial top-nprobe
     *     runs map-side, so the corpus×nlist blowup collapses before the
-    *     exchange).
+    *     exchange);
+    *   - both blown-up stages carry only (id, ns, cid) — embeddings are
+    *     re-attached by a corpus-sized equi-join AFTER the collapse, so
+    *     no dim-sized array is ever replicated nlist-fold through a sort
+    *     or shuffle.
     * Output is BIT-IDENTICAL to [[knnGraph]] given the same model
     * (argmax rule: equal sims → smallest cid, the expression form's
     * array_position-of-max; probe rule: identical snap + tie order) —
@@ -451,22 +455,31 @@ object Similarity {
       kmeansCentroids(corpus, nl, iters, idCol, embCol, trainCap, knownRows))
     val cdf = broadcast(
       spark.createDataFrame(centroids.sortBy(_._1)).toDF("cid", "ctr"))
-    val lists = slim.crossJoin(cdf)
-      .select(col(idCol), col(embCol), col("cid"),
+    // both blown-up (corpus × nlist) stages stay ARRAY-FREE: the
+    // embedding is consumed by the cosine and dropped, so the partial
+    // aggregate / group-limit window sort and the exchange move ~20-byte
+    // (id, ns, cid) rows, not dim-sized vectors replicated nlist times;
+    // each side re-meets the slim (id, embedding) frame by id afterwards
+    // — a corpus-sized equi-join, NOT a blown-up one
+    val assigned = slim.crossJoin(cdf)
+      .select(col(idCol), col("cid"),
         cosine(col(embCol), col("ctr")).as("__sim"))
       .groupBy(col(idCol))
-      .agg(first(col(embCol)).as("__emb"),
-        min(struct((-col("__sim")).as("ns"), col("cid").as("cid"))).as("__m"))
-      .select(col(idCol), col("__emb").as(embCol), col("__m.cid").as("cid"))
+      .agg(min(struct((-col("__sim")).as("ns"), col("cid").as("cid"))).as("__m"))
+      .select(col(idCol), col("__m.cid").as("cid"))
+    val lists = assigned.join(slim, Seq(idCol))
     val pw = Window.partitionBy(col("src_id")).orderBy(col("ns"), col("cid"))
-    val srcProbes = slim
+    val probePicks = slim
       .select(col(idCol).as("src_id"), col(embCol).as("src_emb"))
       .crossJoin(cdf)
-      .select(col("src_id"), col("src_emb"), col("cid"),
+      .select(col("src_id"), col("cid"),
         (-round(cosine(col("src_emb"), col("ctr")), 9)).as("ns"))
       .withColumn("__rn", row_number().over(pw))
       .filter(col("__rn") <= nprobe)
-      .select(col("src_id"), col("src_emb"), col("cid"))
+      .select(col("src_id"), col("cid"))
+    val srcProbes = probePicks.join(
+      slim.select(col(idCol).as("src_id"), col(embCol).as("src_emb")),
+      Seq("src_id"))
     knnGraphTail(lists, srcProbes, k, idCol, embCol)
   }
 
