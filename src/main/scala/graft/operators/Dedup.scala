@@ -20,6 +20,26 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Solve the minhash-LSH banding for a target Jaccard threshold: among
+    * the (bands, rows) factorizations of `numHashes`, pick the one whose
+    * S-curve midpoint (1/b)^(1/r) — the similarity at which candidate
+    * probability is ≈ 1−1/e — sits closest to `targetThreshold`. The
+    * deployment helper behind the NOTES banding table: a 0.95-threshold
+    * pipeline on 64 hashes wants (2, 32); a 0.8-threshold web-dedup run
+    * on 128 hashes wants (8, 16). Pure driver arithmetic; persist the
+    * chosen parameters IN the index (signatureTable callers) — parameter
+    * drift probes wrong bands. */
+  def lshPlan(numHashes: Int, targetThreshold: Double): (Int, Int) = {
+    require(numHashes > 0, "numHashes must be positive")
+    require(targetThreshold > 0 && targetThreshold < 1,
+      "targetThreshold must be in (0, 1)")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .minBy { case (b, r) =>
+        math.abs(math.pow(1.0 / b, 1.0 / r) - targetThreshold)
+      }
+  }
+
   /** Exact duplicate groups by normalized-content fingerprint.
     * Output: fingerprint, n, keep_id (min id survives — the idempotent
     * replay rule, SURVEY §2.10). */

@@ -470,4 +470,21 @@ class DedupSpec extends SparkSpec {
       byHash.collect().map(key).sortBy(identity).toSeq)
     assert(byString.count() > 0, "fixture should contain duplicated 8-grams")
   }
+
+  test("lshPlan picks the factorization whose S-curve midpoint is nearest") {
+    assert(Dedup.lshPlan(64, 0.95) === ((2, 32)))
+    assert(Dedup.lshPlan(128, 0.8) === ((8, 16)))
+    // brute-force cross-check: no divisor pair sits closer than the pick
+    for ((n, t) <- Seq((64, 0.95), (128, 0.8), (100, 0.5), (64, 0.05))) {
+      val (b, r) = Dedup.lshPlan(n, t)
+      assert(b * r === n)
+      val err = math.abs(math.pow(1.0 / b, 1.0 / r) - t)
+      for (b2 <- 1 to n if n % b2 == 0) {
+        val e2 = math.abs(math.pow(1.0 / b2, 1.0 / (n / b2)) - t)
+        assert(err <= e2 + 1e-12, s"n=$n t=$t picked ($b,$r) but b=$b2 closer")
+      }
+    }
+    intercept[IllegalArgumentException](Dedup.lshPlan(64, 1.0))
+    intercept[IllegalArgumentException](Dedup.lshPlan(0, 0.5))
+  }
 }
