@@ -50,7 +50,8 @@ object DocumentStreams {
 
   /** Gate + incremental decontamination of a STREAMED crawl batch against
     * a static near-dup signature index (Dedup.signatureTable's layout),
-    * run to completion under Trigger.AvailableNow into a memory sink.
+    * run to completion under Trigger.AvailableNow, appending survivors to
+    * a parquet directory.
     *
     * Stream plan — each piece chosen for what streaming can actually
     * incrementalize:
@@ -62,22 +63,27 @@ object DocumentStreams {
     *     attached — no stream-stream join anywhere (the batch operator's
     *     anti-join re-meets the incoming frame, which a stream cannot;
     *     here the dup verdict rides the stream row itself);
-    *   - the per-doc "any candidate confirms" existential is a running
-    *     max(dup) aggregate in COMPLETE mode (the q54 device): state is
-    *     one row per incoming doc, bounded for a run-to-completion batch
-    *     and exactly the dedup-state a production stream would keep in a
-    *     store keyed by doc.
-    * Output: surviving (doc_id, lang) — batch-parity-pinned in
-    * StreamingSpec against the same gate + Dedup.dedupAgainstSignatureIndex
-    * composition, and hash-verified end-to-end by q130's oracle over the
-    * q77/q92 fixtures.
+    *   - the per-doc "any candidate confirms" existential needs NO
+    *     cross-batch state at all: a file source delivers each document
+    *     in exactly one micro-batch, so the max(dup) verdict is computed
+    *     per batch inside foreachBatch and survivors are APPENDED to the
+    *     output directory. The streaming plan itself is stateless (zero
+    *     state-store operators — asserted on every run), nothing is
+    *     materialized on the driver, and the output is distributed
+    *     storage: the shape that survives a corpus-cardinality stream.
+    * Output: surviving (doc_id, lang) read back from `outPath` —
+    * batch-parity-pinned in StreamingSpec against the same gate +
+    * Dedup.dedupAgainstSignatureIndex composition, and hash-verified
+    * end-to-end by q130's oracle over the q77/q92 fixtures.
     *
     * @param index  Dedup.signatureTable rows (doc_id, kind, idx, value) of
     *               the already-curated corpus — read it from its persisted
     *               parquet in production; parameter drift caveats of
-    *               dedupAgainstSignatureIndex apply identically. */
-  def curationGateToTable(
-      spark: SparkSession, dir: String, index: DataFrame, tableName: String,
+    *               dedupAgainstSignatureIndex apply identically.
+    * @param outPath parquet directory the surviving rows are appended to
+    *               (the "curated corpus" sink a production stream feeds). */
+  def curationGateToParquet(
+      spark: SparkSession, dir: String, index: DataFrame, outPath: String,
       numHashes: Int = 64, bands: Int = 4, threshold: Double = 0.95,
       conf: EventStreams.StreamRunConf = EventStreams.StreamRunConf()): DataFrame = {
     val rows = numHashes / bands
@@ -110,22 +116,36 @@ object DocumentStreams {
           round(graft.plans.NativeExprs.jaccardSorted(
             col("wh_new"), col("wh_old")), 4) >= threshold, 1)
           .otherwise(0).as("dup"))
-    val verdicts = probed
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(max(col("dup")).as("dup"))
+    // Seed the sink with an empty frame so the read-back has a schema even
+    // if no batch produced survivors (and so outPath is a valid parquet dir
+    // from the first trigger).
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType))))
+      .write.mode("overwrite").parquet(outPath)
     withStreamingShufflePartitions(spark, conf.shufflePartitions) {
-      val q = verdicts.writeStream
-        .format("memory")
-        .queryName(tableName)
-        .outputMode("complete")
+      val q = probed.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // each doc appears in exactly one micro-batch (file source), so
+          // this per-batch existential IS the per-doc verdict
+          batch.groupBy(col("doc_id"), col("lang"))
+            .agg(max(col("dup")).as("dup"))
+            .filter(col("dup") === 0)
+            .select(col("doc_id"), col("lang"))
+            .write.mode("append").parquet(outPath)
+          ()
+        }
         .options(conf.options)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the scale pin: the registered plan keeps NO streaming state — the
+      // verdict lives per batch, never in a state store or a memory sink
+      require(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+        "curation gate stream must be stateless (per-batch verdicts)")
     }
-    spark.table(tableName)
-      .filter(col("dup") === 0)
-      .select(col("doc_id"), col("lang"))
+    spark.read.parquet(outPath)
       .orderBy(col("doc_id"))
   }
 }

@@ -169,8 +169,9 @@ class StreamingSpec extends SparkSpec {
     val index = Dedup.signatureTable(
       docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
       numHashes = 64, bands = 4)
-    val streamed = DocumentStreams.curationGateToTable(
-      spark, sfDir, index, "spec_curation_out")
+    val streamed = DocumentStreams.curationGateToParquet(
+      spark, sfDir, index,
+      java.nio.file.Files.createTempDirectory("graft-spec-curation").toString)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val gated = docs.filter(col("doc_id") % 10 =!= 0)
       .filter(DocumentStreams.qualityGate(col("text")))
