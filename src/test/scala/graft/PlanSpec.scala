@@ -404,4 +404,14 @@ class PlanSpec extends SparkSpec {
     assert(p.split("rangepartitioning").length - 1 <= 1,
       s"no global sort beyond the presentation orderBy:\n${p.take(1500)}")
   }
+
+  test("q131: page range is pushed into the V2 scan — pruned pages never listed") {
+    val p = plan("q131_v2_page_scan")
+    // the BETWEEN 2 AND 5 predicate must reach the scan builder: the
+    // executed scan's partition list is exactly pages 2-5 (the fixture
+    // materializes pages 0-9, so an unpruned scan would render
+    // pages=[0,1,2,...,9])
+    assert(p.contains("pages=[2,3,4,5]"),
+      s"V2 scan must plan exactly pages 2-5:\n${p.take(1500)}")
+  }
 }
