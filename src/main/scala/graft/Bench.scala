@@ -27,15 +27,16 @@ import org.apache.spark.sql.SparkSession
   * start and the JVM GC-time delta across the rep, emitted per rep under
   * "reps_raw" as [seconds, loadavg, gc_sec] triples. After the sweep, any
   * query whose successful-rep spread (max/min) exceeds
-  * SPARK_GRAFT_BENCH_SPREAD (default 3×) by more than 1 s of absolute
-  * delta (sub-second swings are codegen/GC jitter, not neighbors) is
-  * re-run once more — by then the
-  * contending neighbor has usually finished, and min-of-N absorbs the
-  * extra sample. Extra reps are bounded (≤ max(8, 10% of queries)) so a
-  * globally-contended host cannot double the sweep; queries still flagged
-  * after the re-rep are listed under "contended" so a grader knows which
-  * minimums may still be inflated rather than misreading them as
-  * regressions.
+  * SPARK_GRAFT_BENCH_SPREAD (default 3×) by more than 0.5 s of absolute
+  * delta (sub-half-second swings are codegen/GC jitter, not neighbors) is
+  * re-run once more — by then the contending neighbor has usually
+  * finished, and min-of-N absorbs the extra sample. Extra reps are
+  * bounded (≤ max(10, 12.5% of queries)) so a globally-contended host
+  * cannot double the sweep. The "contended" label is then evaluated
+  * against the RECOVERED minimum: a query is still flagged only when its
+  * second-fastest rep also exceeds the minimum by the spread — i.e. the
+  * re-rep failed to confirm the minimum — so recovered queries are not
+  * permanently mislabeled.
   *
   * SUSTAINED slowdowns defeat both devices: when the host is degraded for
   * minutes (CPU steal, thermal/frequency caps, a neighbor container that
@@ -127,20 +128,33 @@ object Bench {
     def okTimes(rs: Seq[(Double, Double, Double)]): Seq[Double] =
       rs.map(_._1).filter(_ >= 0)
     // a rep pair is "contended" when the spread is multiplicative (>limit)
-    // AND material in absolute terms (>1s): sub-second queries swing 3×
-    // from codegen/GC jitter alone, and re-repping those wastes the budget
-    // the genuinely poisoned windows need
+    // AND material in absolute terms (>0.5s): sub-half-second queries
+    // swing 3× from codegen/GC jitter alone, and re-repping those wastes
+    // the budget the genuinely poisoned windows need. (The threshold was
+    // 1 s through r8 — BENCH_r08's q10 blip, 0.24→1.09 s with untouched
+    // code, sat just under it and shipped uncorrected.)
     def contendedSpread(rs: Seq[(Double, Double, Double)]): Boolean = {
       val ok = okTimes(rs)
       ok.size >= 2 && ok.min > 0 && ok.max / ok.min > spreadLimit &&
-        ok.max - ok.min > 1.0
+        ok.max - ok.min > 0.5
+    }
+    // the post-sweep label evaluates against the RECOVERED minimum: after
+    // a re-rep, a query is still contended only if its second-fastest
+    // successful rep also exceeds min by the spread (i.e. at most one rep
+    // was ever clean — the extra sample did not confirm the minimum).
+    // max/min here would never clear (appending a sample can only widen
+    // that spread), permanently flagging every recovered query.
+    def stillContended(rs: Seq[(Double, Double, Double)]): Boolean = {
+      val ok = okTimes(rs).sorted
+      ok.size >= 2 && ok.head > 0 && ok(1) / ok.head > spreadLimit &&
+        ok(1) - ok.head > 0.5
     }
 
     // post-sweep re-reps for contended windows: by the time the sweep ends
     // the neighbor that inflated a rep has typically finished, so one more
     // sample recovers the true minimum; bounded so a globally-loaded host
     // cannot stretch the sweep unboundedly
-    val rerunBudget = math.max(8, names.size / 10)
+    val rerunBudget = math.max(10, names.size / 8)
     var rerunsLeft = rerunBudget
     val results: Seq[(String, Seq[(Double, Double, Double)])] =
       firstPass.map { case (n, rs) =>
@@ -159,7 +173,7 @@ object Bench {
       if (ok.isEmpty) -1.0 else ok.min
     }
     val contended = results.collect {
-      case (n, rs) if contendedSpread(rs) => n
+      case (n, rs) if stillContended(rs) => n
     }
     val qs = results.map { case (k, rs) => "\"" + k + "\":" + best(rs) }
       .mkString("{", ",", "}")
@@ -177,20 +191,24 @@ object Bench {
     // record sized to survive tail capture whole — query keys shortened to
     // their unique qNN prefix, minimums at 3dp (1 ms resolution; the
     // full-precision value is on line 1).
-    val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
-    val qsShort =
-      if (shortKeys.distinct.size == shortKeys.size)
-        results.map { case (k, rs) =>
-          "\"" + k.takeWhile(_ != '_') + "\":" + f"${best(rs)}%.3f"
-        }.mkString("{", ",", "}")
-      else qs // prefix collision: fall back to full names over truncation
+    // one shortening rule for EVERY compact-line key (queries, canary_ms,
+    // contended): unique-qNN prefix, or full names everywhere if any two
+    // queries ever collide on a prefix — a collision must not emit
+    // duplicate JSON keys in one map while another silently truncates
+    val prefixes = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    val shortKey: String => String =
+      if (prefixes.distinct.size == prefixes.size) _.takeWhile(_ != '_')
+      else identity
+    val qsShort = results.map { case (k, rs) =>
+      "\"" + shortKey(k) + "\":" + f"${best(rs)}%.3f"
+    }.mkString("{", ",", "}")
     val contendedJson =
-      contended.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+      contended.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val canaryParEnd = canaryParSec()
     // keep the canary arithmetic observably live (no JIT elision)
     System.err.println(s"[bench] canary sink $canarySink")
     val canaryJson = canaries.map { case (k, ms) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$ms%.1f"
+      "\"" + shortKey(k) + "\":" + f"$ms%.1f"
     }.mkString("{", ",", "}")
     val canaryPar = f"[$canaryParStart%.2f,$canaryParEnd%.2f]"
     println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"reruns_used":${rerunBudget - rerunsLeft},"canary_ms":$canaryJson,"canary_par_sec":$canaryPar,"queries_full":$qs,"reps_raw":$raw}""")
