@@ -369,6 +369,7 @@ object Similarity {
       model: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val centroids = model.getOrElse(
       kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows))
+    requireNonZeroNormCentroids(centroids, "knnGraph")
     val slim = corpus.select(col(idCol), col(embCol))
       .filter(col(embCol).isNotNull)
     val lists = assignToCentroids(slim, centroids, idCol, embCol)
@@ -383,6 +384,22 @@ object Similarity {
           p => p.getField("cid"))).as("cid"))
     knnGraphTail(lists, srcProbes, k, idCol, embCol)
   }
+
+  /** The knnGraph/knnGraphJoined bit-identity contract assumes every
+    * centroid cosine is a real number: a zero-norm centroid yields NaN,
+    * which the expression path's array_sort ranks LARGEST (NaN sorts
+    * last in Spark, so the negated entry sorts first) while the join
+    * path's min(struct(-sim, cid)) ranks it by NaN-vs-double struct
+    * comparison — divergent cid assignment. Unreachable with healthy
+    * kmeans output (a centroid is a mean of unit-normed members), so
+    * guard the MODEL input (model-sized driver check) rather than
+    * nan-guarding every per-row cosine in the hot path. */
+  private def requireNonZeroNormCentroids(
+      centroids: Seq[(Int, Seq[Double])], caller: String): Unit =
+    require(centroids.forall(_._2.exists(_ != 0.0)),
+      s"$caller: zero-norm centroid(s) " +
+        centroids.filter(!_._2.exists(_ != 0.0)).map(_._1).mkString("[", ",", "]") +
+        " — cosine would be NaN and the expression/join probe paths diverge")
 
   /** Candidate join + per-source top-k shared by [[knnGraph]] and
     * [[knnGraphJoined]] — one shuffle join on cid (nlist-way blocked),
@@ -453,6 +470,7 @@ object Similarity {
       if (nlist.isEmpty && model.isEmpty) Some(rowCount) else corpusRows
     val centroids = model.getOrElse(
       kmeansCentroids(corpus, nl, iters, idCol, embCol, trainCap, knownRows))
+    requireNonZeroNormCentroids(centroids, "knnGraphJoined")
     val cdf = broadcast(
       spark.createDataFrame(centroids.sortBy(_._1)).toDF("cid", "ctr"))
     // both blown-up (corpus × nlist) stages stay ARRAY-FREE: the

@@ -96,6 +96,19 @@ class SimilaritySpec extends SparkSpec {
     assert(e2e === expr, "independent training reproduces the same model")
   }
 
+  test("knnGraph paths reject a zero-norm centroid model (NaN cosine guard)") {
+    // a zero-norm centroid makes its cosine NaN, and the expression/join
+    // probe paths rank NaN differently — the bit-identity contract only
+    // holds for non-degenerate models, so both paths must refuse one
+    val degenerate = Seq(0 -> Seq.fill(64)(0.0), 1 -> Seq.fill(64)(1.0))
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.knnGraph(emb, k = 3, nlist = 2, model = Some(degenerate)))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.knnGraphJoined(emb, k = 3, nlist = Some(2), model = Some(degenerate)))
+    assert(e1.getMessage.contains("zero-norm centroid"))
+    assert(e2.getMessage.contains("[0]"), "message names the offending cid")
+  }
+
   test("defaultNlist: √N clamped to [8, 2^17]") {
     assert(Similarity.defaultNlist(0L) === 8)
     assert(Similarity.defaultNlist(100L) === 10)
