@@ -10,9 +10,25 @@ import graft.functions.TextFunctions.gopherQuality
   * twins — deliberately the WORST case for the dedup/span families) and
   * times each operator warm through a noop write. Run:
   * sbt "Test/runMain graft.TextScaleProbe [sfDir] [reps]"
+  *
+  * Scaling mode — `sbt "Test/runMain graft.TextScaleProbe scaling
+  * [sfDir]"` — measures GROWTH instead of a single worst case: the
+  * corpus is grown 1×/4×/8× with rep-suffixed vocabularies (every word
+  * of rep r > 0 gets a `~r` suffix, so replicas share no shingles and
+  * the duplicate DENSITY stays constant while N grows — the clean
+  * scale-up, unlike the exact-twin worst case above), and the three
+  * banded text-dedup families (minhash-LSH q38, winnowing q44,
+  * substring-spans q90) are timed at each size. The probe ASSERTS
+  * sub-quadratic growth: an all-pairs shape would cost ~64× at 8×, the
+  * banded shapes must stay within 3× of linear (t8 ≤ 24·t1), else the
+  * run fails. Per-row costs are printed as NOTES-ready rows.
   */
 object TextScaleProbe {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("scaling")) scalingMain(args.drop(1))
+    else worstCaseMain(args)
+
+  private def worstCaseMain(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val spark = GraftSession.local(32)
@@ -78,6 +94,23 @@ object TextScaleProbe {
           big, col("text"), col("doc_id"), col("lang")),
         col("text"), col("doc_id"))
     }
+    // the many-class contrast pair: same corpus, 128 synthetic classes,
+    // one pre-trained model — wide path shuffles corpus-tokens × 128,
+    // sparse path shuffles only observed (doc, cls) hits
+    locally {
+      val docs128 = big.withColumn("c128", (col("doc_id") % 128).cast("string"))
+      val model128 = graft.operators.Classifier.naiveBayes(
+        docs128, col("text"), col("doc_id"), col("c128"))
+        .localCheckpoint(eager = true)
+      time("nb_score_wide (128 cls)") {
+        graft.operators.Classifier.nbScores(
+          docs128, model128, col("text"), col("doc_id"))
+      }
+      time("nb_score_sparse (128 cls)") {
+        graft.operators.Classifier.nbScoresSparse(
+          docs128, model128, col("text"), col("doc_id"))
+      }
+    }
     time("dsir_weights (pair-trained)") {
       val (lmT, lmS) = LangModel.bigramLmPair(
         big, col("text"), col("doc_id"), col("lang") === "en")
@@ -101,6 +134,71 @@ object TextScaleProbe {
         Dedup.signatureTable(big.filter(col("doc_id") % 2 === 0),
           col("text"), col("doc_id")),
         col("text"), col("doc_id"))
+    }
+    spark.stop()
+  }
+
+  private def scalingMain(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.sources.Tables(spark, dir).documents
+
+    /** reps-grown corpus with CONSTANT duplicate density: rep r > 0 gets
+      * every word suffixed `~r`, so each rep-slice reproduces the base
+      * corpus's internal near-dup structure over a disjoint vocabulary —
+      * N grows, the dup graph grows proportionally, bucket sizes don't. */
+    def grown(reps: Int): (org.apache.spark.sql.DataFrame, Long) = {
+      val g = base
+        .crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
+        .select((col("doc_id") * reps + col("rep")).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(array_join(transform(split(col("text"), " "),
+              w => concat(w, lit("~"), col("rep"))), " ")).as("text"),
+          col("lang"), col("source"))
+        .repartition(32).localCheckpoint(eager = true)
+      (g, g.count())
+    }
+
+    def timeOnce(f: => org.apache.spark.sql.DataFrame): Double = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val families: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "minhash_lsh_dedup (q38)" -> (d =>
+        Dedup.minhashDedupSurvivors(d, col("text"), col("doc_id"),
+          numHashes = 64, bands = 4, threshold = 0.95)),
+      "winnow_dedup (q44)" -> (d =>
+        Dedup.winnowDedupSurvivors(d, col("text"), col("doc_id"),
+          k = 20, window = 8, threshold = 0.8)),
+      "duplicate_spans (q90)" -> (d =>
+        Dedup.duplicateSpans(d, col("text"), col("doc_id"), n = 8,
+          hashGrams = true)))
+
+    val sizes = Seq(1, 4, 8)
+    val results: Seq[(String, Seq[(Int, Long, Double)])] = {
+      val corpora = sizes.map(r => r -> grown(r))
+      families.map { case (label, op) =>
+        label -> corpora.map { case (r, (c, n)) => (r, n, timeOnce(op(c))) }
+      }
+    }
+
+    results.foreach { case (label, rows) =>
+      rows.foreach { case (r, n, t) =>
+        println(f"[scaling] $label%-24s ${r}x  $n%7d docs  $t%7.2f s  ${t * 1000 / n}%6.3f ms/doc")
+      }
+      val t1 = rows.head._3
+      val t8 = rows.last._3
+      // sub-quadratic pin: all-pairs would be ~64x at 8x; the banded
+      // shapes must stay within 3x of linear. Floor t1 at 0.2s so a
+      // tiny-fixture denominator can't turn scheduler jitter into a fail.
+      val ratio = t8 / math.max(t1, 0.2)
+      println(f"[scaling] $label%-24s 8x/1x total-time ratio $ratio%5.1f (linear=8, quadratic=~64, limit 24)")
+      require(ratio < 24.0,
+        s"$label grew ${ratio}x from 1x to 8x — super-linear beyond the banded-join bound")
     }
     spark.stop()
   }
