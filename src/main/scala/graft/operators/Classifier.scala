@@ -98,6 +98,68 @@ object Classifier {
           .as("score"))
   }
 
+  /** [[nbScores]] re-expressed SPARSELY — the many-class (C ≥ ~100)
+    * deployment shape. The wide path crossJoins every token row with
+    * every class before the obs lookup, so its one corpus shuffle
+    * carries a ×C blowup (fine at C = 5, fatal at C = 1000). This path
+    * uses the standard sparse-NB decomposition
+    *   score(d,c) = prior_c + n_d·oov_c + Σ_{hits} (logp(w,c) − oov_c)
+    * so the corpus-sized shuffle carries only OBSERVED (doc, cls) hits
+    * (each token joins the classes that actually contain its word — the
+    * model-sparsity factor, not C) plus one per-doc token count; the
+    * dense doc×C surface is assembled afterwards by broadcast joins with
+    * no shuffle on it. Hit deltas fold in token-position order (the
+    * same OrderedSumAgg), so the path is deterministic.
+    *
+    * NOT bit-identical to [[nbScores]]: the wide fold adds oov_c once
+    * per unseen token inside the position-ordered chain, the sparse form
+    * adds n_d·oov_c in one multiply — IEEE results differ at ~1 ulp, so
+    * a pre-round score within ~1e-12 of a round(·, 6) boundary can land
+    * on the other side. ClassifierSpec pins equality of the rounded
+    * frames and labels on the fixture corpus at 5 classes and label
+    * parity at 128 synthetic classes.
+    *
+    * Shuffle audit (the point of the path): (1) hits keyed by
+    * (doc, cls) — corpus tokens × model sparsity, NOT × C; (2) per-doc
+    * token counts and delta maps keyed by doc — corpus-sized; the dense
+    * doc×C output is then a broadcast nested-loop product evaluated
+    * map-side (delta rides a per-doc map, bounded by the doc's distinct
+    * hit classes), so no ×C frame ever crosses an exchange. */
+  def nbScoresSparse(docs: DataFrame, model: DataFrame, textCol: Column,
+      idCol: Column): DataFrame = {
+    val obs = model.filter(col("kind") === "obs")
+      .select(col("word"), col("cls"), col("logp"))
+    val oov = model.filter(col("kind") === "oov")
+      .select(col("cls"), col("logp").as("lp_oov"))
+    val prior = model.filter(col("kind") === "prior")
+      .select(col("cls"), col("logp").as("lp_prior"))
+    val words = wordRows(docs, textCol, idCol)
+    val deltasPerDoc = words
+      .join(broadcast(obs), Seq("word"))
+      .join(broadcast(oov), Seq("cls"))
+      .select(col("doc_id"), col("cls"), col("pos"),
+        (col("logp") - col("lp_oov")).as("delta"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(graft.plans.OrderedFold.orderedSum(col("pos"), col("delta"))
+        .as("delta_sum"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("cls"), col("delta_sum")))))
+        .as("deltas"))
+    val lens = words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    docs.select(idCol.cast("long").as("doc_id"))
+      .join(lens, Seq("doc_id"), "left")
+      .join(deltasPerDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior.join(oov, Seq("cls"))))
+      .select(col("doc_id"), col("cls"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (round(col("lp_prior")
+          + coalesce(col("n_tokens"), lit(0L)).cast("double") * col("lp_oov")
+          + coalesce(element_at(col("deltas"), col("cls")), lit(0.0)), 6)
+          + lit(0.0)).as("score"))
+  }
+
   /** Argmax label per document over [[nbScores]] rows: highest score,
     * ties → smallest class string (min over the (−score, cls) struct —
     * one aggregate, no window). */

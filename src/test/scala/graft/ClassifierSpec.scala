@@ -4,9 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.Classifier
 import graft.sources.Tables
 
-/** Naive-Bayes train/score/label arithmetic, hand-pinned (the model
-  * export q113 is rows-only by design, so its math is verified HERE and
-  * transitively through q114's full oracle). */
+/** Naive-Bayes train/score/label arithmetic, hand-pinned (besides
+  * q113's verdict-style oracle — integer state cross-engine, logp
+  * tolerance-checked — and q114's transitive full oracle). */
 class ClassifierSpec extends SparkSpec {
 
   private def l2(x: Double): Double =
@@ -67,6 +67,31 @@ class ClassifierSpec extends SparkSpec {
     // doc 10: class a wins (x's observed likelihood beats b's double OOV);
     // doc 11: exact prior tie -> smallest class string
     assert(labels === Set((10L, "a"), (11L, "a")))
+  }
+
+  test("sparse many-class scoring matches the wide path (5 + 128 classes)") {
+    val docs = Tables(spark, sfDir).documents
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id"), col("cls")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    // 5 classes (lang): the rounded score frames agree exactly on the
+    // fixture (the two fold orders differ at ~1 ulp pre-round; see
+    // nbScoresSparse scaladoc for the boundary caveat)
+    val model = Classifier.naiveBayes(docs, col("text"), col("doc_id"), col("lang"))
+    val wide = Classifier.nbScores(docs, model, col("text"), col("doc_id"))
+    val sparse = Classifier.nbScoresSparse(docs, model, col("text"), col("doc_id"))
+    assert(frame(sparse) === frame(wide))
+    // many classes (the path's reason to exist): labels agree class-for-
+    // class on a 17-way synthetic split of the same corpus
+    val docs17 = docs.withColumn("c17", (col("doc_id") % 17).cast("string"))
+    val m17 = Classifier.naiveBayes(docs17, col("text"), col("doc_id"), col("c17"))
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Classifier.nbLabel(df).orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(
+      labels(Classifier.nbScoresSparse(docs17, m17, col("text"), col("doc_id")))
+        === labels(Classifier.nbScores(docs17, m17, col("text"), col("doc_id"))))
   }
 
   test("fixture: every document gets exactly one label from the class set") {
