@@ -31,4 +31,76 @@ object GraftSession {
       .master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+
+  /** The NOTES §"Deployment at scale" knob tables rendered as CODE: one
+    * value per operator-family knob, derived from the two numbers an
+    * operator actually knows. Rationale lives with each knob's row in
+    * the NOTES table and the named operator's scaladoc; this type exists
+    * so the guidance cannot be missed or half-applied when the engine
+    * moves to a real cluster. */
+  final case class ScaleDefaults(
+      /** 2-3× total executor cores (here 3×) — every shuffle's width. */
+      shufflePartitions: Int,
+      /** IVF lists / kNN-graph blocks: √N clamped [8, 2¹⁷]; use the
+        * broadcast-join probe path (knnGraphJoined) past ~10³ lists. */
+      nlist: Int,
+      /** recall dial; probe cost ∝ nprobe/nlist of the corpus. */
+      nprobe: Int,
+      /** minhash signature length for near-dup LSH. */
+      minhashNumHashes: Int,
+      /** banding solved by Dedup.lshPlan for the requested threshold —
+        * persist these IN the index; drift probes wrong bands. */
+      minhashBands: Int,
+      /** winnowing per-fingerprint fan-out cap (df guard). */
+      winnowMaxDf: Long,
+      /** decontamination gram length (the Lee et al. 13-gram convention). */
+      deconGramLen: Int,
+      /** Bloom prefilter bits per eval gram (one-sided; confirm join is
+        * exact). */
+      deconBitsPerGram: Int,
+      /** BPE training vocabulary cap — bounds driver model state. */
+      bpeMaxVocab: Int,
+      /** ceBandsScalable partition count (≈ cores × 4). */
+      ceBandingParts: Int,
+      /** HLL precision: rel. err ≈ 1.04/√2ᵖ. */
+      hllP: Int,
+      /** Count-Min geometry: ε ≈ e/width, δ ≈ e^−depth. */
+      cmsDepth: Int,
+      cmsWidth: Int,
+      /** skew-join salt buckets (only for past-broadcast dims). */
+      saltBuckets: Int)
+
+  /** Compute the 100 TB operating point from catalog corpus size and
+    * total cluster cores. `nearDupThreshold` picks the minhash banding
+    * S-curve (0.8 web-dedup default; a ≥0.95-only pipeline gets fewer,
+    * wider bands). */
+  def scaleDefaults(
+      corpusRows: Long, clusterCores: Int,
+      nearDupThreshold: Double = 0.8): ScaleDefaults = {
+    require(clusterCores > 0, "clusterCores must be positive")
+    val numHashes = 128
+    val (bands, _) = graft.operators.Dedup.lshPlan(numHashes, nearDupThreshold)
+    ScaleDefaults(
+      shufflePartitions = clusterCores * 3,
+      nlist = graft.operators.Similarity.defaultNlist(corpusRows),
+      nprobe = 8,
+      minhashNumHashes = numHashes,
+      minhashBands = bands,
+      winnowMaxDf = 10000L,
+      deconGramLen = 13,
+      deconBitsPerGram = 12,
+      bpeMaxVocab = graft.operators.Bpe.DefaultMaxVocab,
+      ceBandingParts = clusterCores * 4,
+      hllP = 13,
+      cmsDepth = 4,
+      cmsWidth = 1 << 18,
+      saltBuckets = math.min(1024, math.max(64, clusterCores / 4)))
+  }
+
+  /** A cluster-shaped builder: the engine conventions of [[builder]]
+    * with shuffle width already sized to the cluster (the one
+    * ScaleDefaults knob that is a session conf rather than an operator
+    * parameter). */
+  def builderFor(defaults: ScaleDefaults): SparkSession.Builder =
+    builder(shufflePartitions = defaults.shufflePartitions)
 }
