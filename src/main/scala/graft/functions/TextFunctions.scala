@@ -116,10 +116,19 @@ object TextFunctions {
 
   /** LSH band hashes of a minhash signature: `bands` hashes, each over
     * `rows = numHashes/bands` consecutive signature slots. Docs sharing any
-    * band hash are candidate near-duplicates. */
+    * band hash are candidate near-duplicates.
+    *
+    * Chained with Spark's multi-argument xxhash64 over the RAW LONG slots
+    * (seed 42; each slot's 8-byte lane feeds the next seed, band index
+    * folded in last to salt the bands apart): pure long-lane arithmetic —
+    * no per-row string materialization (an earlier form hashed a
+    * comma-joined decimal rendering of the band) and exactly restatable
+    * in SQL by the closed-formula XXH64 device, which is what lets the
+    * q77 signature export carry a full DuckDB oracle. */
   def lshBandHashes(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
-      xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)), lit(s"band-$b"))
+      xxhash64(((0 until rows).map(r => element_at(sig, b * rows + r + 1))
+        :+ lit(b.toLong)): _*)
     }: _*)
 
   /** 64-bit SimHash — delegates to the native Catalyst expression

@@ -117,4 +117,32 @@ object Sketches {
             log(lit(m.toDouble) / col("v_zeros").cast("double")), 4))
           .otherwise(col("est_raw")).as("est"))
   }
+
+  /** Approximate quantiles via Spark's Greenwald-Khanna summary — the
+    * scale path for percentile computation: the exact `percentile`
+    * surface (q29) buffers every value per group, which at 100 TB is a
+    * global-sort-sized job, while GK runs as one pass of map-side
+    * mergeable summaries whose size is O(1/relErr · log(relErr·N)) —
+    * model-sized driver state, never corpus-sized.
+    *
+    * Output: one (p, cut, rank_ok) row per requested probability, where
+    * `rank_ok` carries the GK CONTRACT itself: the exact rank of `cut`
+    * lies within relErr·N of p·N. The engine emits `true` (the claim);
+    * the q132 oracle RE-DERIVES the verdict from the exported cuts
+    * against an exact DuckDB rank count — the q40 tolerance-verdict
+    * device applied to a rank bound, which is exactly the property GK
+    * guarantees (the cut VALUES are summary-merge-order specific, like
+    * every engine's quantile sketch, and ride 1:1). A violated bound
+    * flips the oracle's verdict and reds the row. */
+  def gkQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+      relErr: Double): DataFrame = {
+    require(probs.nonEmpty && probs.forall(q => q >= 0 && q <= 1),
+      "probabilities must be in [0, 1]")
+    require(relErr > 0 && relErr < 1, "relErr must be in (0, 1)")
+    val cuts = df.stat.approxQuantile(valueCol, probs.toArray, relErr)
+    val spark = df.sparkSession
+    import spark.implicits._
+    probs.zip(cuts.toSeq).toDF("p", "cut")
+      .select(col("p"), col("cut"), lit(true).as("rank_ok"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.Sketches
 import graft.sources.Tables
 
 /** The core relational operator surface of the engine, exercised over the
@@ -684,8 +685,32 @@ object RelationalQueries extends QueryPack {
       FROM orders WHERE CAST(floor(o_orderkey / 50) AS BIGINT) BETWEEN 2 AND 5
       GROUP BY 1 ORDER BY page"""))
 
+  /** GK approximate quantiles over the largest table's price column —
+    * q29's exact-percentile surface at the 100 TB operating point: one
+    * pass of mergeable summaries instead of per-group value buffering.
+    * The oracle is the rank-bound verdict (Sketches.gkQuantiles scaladoc):
+    * cuts ride 1:1 from the export, DuckDB counts each cut's exact rank
+    * window [count(<cut), count(<=cut)] against lineitem and re-derives
+    * `rank_ok` = the window intersects [⌊(p−ε)N⌋, ⌈(p+ε)N⌉] — the
+    * Greenwald-Khanna guarantee itself, ε = 0.01. */
+  private val q132 = Q(
+    "q132_gk_quantiles",
+    (s, dir) => Sketches.gkQuantiles(
+      Tables(s, dir).lineitem, "l_extendedprice",
+      Seq(0.01, 0.25, 0.5, 0.75, 0.99), relErr = 0.01),
+    Some("""WITH fx AS (SELECT p, cut
+        FROM read_parquet('__VERIFY_OUT__/q132_gk_quantiles/*.parquet')),
+      agg AS (SELECT f.p, f.cut,
+          sum(CASE WHEN l.l_extendedprice < f.cut THEN 1 ELSE 0 END) AS rank_lo,
+          sum(CASE WHEN l.l_extendedprice <= f.cut THEN 1 ELSE 0 END) AS rank_hi,
+          count(*) AS n
+        FROM fx f CROSS JOIN lineitem l GROUP BY f.p, f.cut)
+      SELECT p, cut,
+        (rank_hi >= floor((p - 0.01) * n) AND rank_lo <= ceil((p + 0.01) * n)) AS rank_ok
+      FROM agg"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q2a, q2b, q129, q131)
+    q29, q2a, q2b, q129, q131, q132)
 }

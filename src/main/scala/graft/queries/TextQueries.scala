@@ -152,12 +152,20 @@ object TextQueries extends QueryPack {
     * q38's exact parameters), and the 64-bit simhash — the reusable index
     * artifact a 100 TB dedup pipeline materializes ONCE and shares across
     * runs instead of re-hashing the corpus per query. Map-only (no shuffle,
-    * no sort — at scale this is a straight scan→write). Rows-only for
-    * itself (xxhash64 is not SQL-restatable), but its parquet output IS
-    * the cross-engine fixture the q38/q39 oracles read: both engines take
-    * the signatures as given and independently re-derive the banding /
-    * Hamming / verify / survivor algebra — the join and grouping logic,
-    * which is what can actually break.
+    * no sort — at scale this is a straight scan→write).
+    *
+    * FULL ORACLE (the q93 verdict device): xxhash64-of-a-STRING is the one
+    * step SQL cannot restate, so the 'wh' rows ride from the export 1:1 —
+    * but everything DOWNSTREAM of the word hashes is integer lane
+    * arithmetic, and DuckDB re-derives ALL of it from those rows with the
+    * [[XxhashSqlGen]] closed formulas: the 64 minhash slots (min over
+    * signed longs of hashInt(k, hashLong(wh, 42)) — the exact
+    * NativeExprKernels.minhashSig chain), the four band hashes (a
+    * recursive-CTE fold of hashLong lanes over the 16 raw slots plus the
+    * band index — the exact multi-arg xxhash64 chaining lshBandHashes
+    * emits), and the 64-bit simhash (per-bit majority over the wh rows,
+    * excluding the empty-token hash the native kernel skips). A drifted
+    * slot, band, or sim bit anywhere breaks the driver's frame hash.
     *
     * Registered-query contract: the export is LONG-FORMAT SCALAR rows
     * (doc_id, kind, idx, value) — one row per word hash (kind 'wh'), per
@@ -171,7 +179,7 @@ object TextQueries extends QueryPack {
     (s, dir) => Dedup.signatureTable(
       Tables(s, dir).documents, col("text"), col("doc_id"),
       numHashes = 64, bands = 4),
-    None)
+    Some(q77OracleSql))
 
   /** MinHash+LSH near-dup dedup (banded bucket join + exact-jaccard verify
     * + greedy keep-min survivorship). FULL ORACLE via the q77 signature
@@ -738,6 +746,47 @@ object TextQueries extends QueryPack {
       s"x${t}j AS (SELECT *, ${mulmod(s"${t}f3", p3)} AS ${t}f4 FROM x${t}i)",
       s"x${t}k AS (SELECT *, ${xor(s"${t}f4", shr(s"${t}f4", 32))} AS h$t FROM x${t}j)"),
       s"x${t}k")
+    /** One XXH64-of-one-4-BYTE-INT chain (Spark XXH64.hashInt — the lane
+      * the minhash kernel folds the slot index k through): seed+P5+4,
+      * xor with v·P1, rotl 23, ·P2+P3, fmix. Same CTE contract as
+      * [[stages]]; `v` must be a non-negative HUGEINT < 2³². */
+    def stagesInt(t: String, v: String, seed: String, src: String): (Seq[String], String) = (Seq(
+      s"x${t}a AS (SELECT *, ($seed + ${p5 + 4}::HUGEINT) % $big AS ${t}h0, ${mulmod(v, p1)} AS ${t}k1 FROM $src)",
+      s"x${t}b AS (SELECT *, ${xor(s"${t}h0", s"${t}k1")} AS ${t}h1 FROM x${t}a)",
+      s"x${t}c AS (SELECT *, ${rotl(s"${t}h1", 23)} AS ${t}h1r FROM x${t}b)",
+      s"x${t}d AS (SELECT *, (${mulmod(s"${t}h1r", p2)} + $p3::HUGEINT) % $big AS ${t}h2 FROM x${t}c)",
+      s"x${t}e AS (SELECT *, ${xor(s"${t}h2", shr(s"${t}h2", 33))} AS ${t}f1 FROM x${t}d)",
+      s"x${t}f AS (SELECT *, ${mulmod(s"${t}f1", p2)} AS ${t}f2 FROM x${t}e)",
+      s"x${t}g AS (SELECT *, ${xor(s"${t}f2", shr(s"${t}f2", 29))} AS ${t}f3 FROM x${t}f)",
+      s"x${t}h AS (SELECT *, ${mulmod(s"${t}f3", p3)} AS ${t}f4 FROM x${t}g)",
+      s"x${t}i AS (SELECT *, ${xor(s"${t}f4", shr(s"${t}f4", 32))} AS h$t FROM x${t}h)"),
+      s"x${t}i")
+    /** XXH64.hashLong(v, seed) as ONE nested-subselect pipeline (no CTEs)
+      * — the form a recursive CTE's recursive term can hold, where the
+      * [[stages]] CTE chain is not allowed. `inner` is a SELECT producing
+      * HUGEINT columns `v` and `seed` plus the `carry` columns; the
+      * result SELECT emits `carry` plus the hash as column `h`. Linear
+      * text growth: each of the 12 steps adds one column to a wrapping
+      * SELECT *. */
+    def hashLongNestedSelect(inner: String, carry: Seq[String]): String = {
+      val steps: Seq[(String, String)] = Seq(
+        "nh0" -> s"(seed + ${p5 + 8}::HUGEINT) % $big",
+        "nk1a" -> mulmod("v", p2),
+        "nk1b" -> rotl("nk1a", 31),
+        "nk1c" -> mulmod("nk1b", p1),
+        "nh1" -> xor("nh0", "nk1c"),
+        "nh1r" -> rotl("nh1", 27),
+        "nh2" -> s"(${mulmod("nh1r", p1)} + $p4::HUGEINT) % $big",
+        "nf1" -> xor("nh2", shr("nh2", 33)),
+        "nf2" -> mulmod("nf1", p2),
+        "nf3" -> xor("nf2", shr("nf2", 29)),
+        "nf4" -> mulmod("nf3", p3),
+        "nhh" -> xor("nf4", shr("nf4", 32)))
+      val piped = steps.foldLeft(s"($inner)") { case (src, (c, e)) =>
+        s"(SELECT *, $e AS $c FROM $src)"
+      }
+      s"SELECT ${carry.mkString(", ")}, nhh AS h FROM $piped"
+    }
   }
 
   /** CTE chain computing the CMS bucket for every row of a `wh`-value
@@ -763,6 +812,83 @@ object TextQueries extends QueryPack {
     }
     (ctes :+ (s"buckets AS (SELECT doc_id, value, ${bucketCols.mkString(", ")}" +
       s" FROM $last)")).mkString("WITH ", ",\n", "")
+  }
+
+  /** Spark's `xxhash64("", 42)` — the hash the 'wh' rows carry for the
+    * empty token (whitespace-only text splits to [""]), which the native
+    * simhash kernel SKIPS; the q77 oracle's sim derivation excludes it to
+    * restate that skip. Closed form: avalanche(42 + PRIME64_5). */
+  private val EmptyTokenHash = -7444071767201028348L
+
+  /** The q77 full oracle: 'wh' rows ride from the export 1:1 (string
+    * hashing is the one non-restatable step); minhash slots, band hashes,
+    * and the simhash are RE-DERIVED from them with [[XxhashSqlGen]]'s
+    * closed formulas. Slots: min over signed longs of
+    * hashInt(k, hashLong(wh, 42)) — NativeExprKernels.minhashSig exactly.
+    * Bands: the multi-arg xxhash64 chain of lshBandHashes (seed 42, one
+    * hashLong lane per slot, band index last) as a 17-step recursive-CTE
+    * fold. Sim: strict per-bit majority over the wh rows, empty-token
+    * hash excluded (the kernel's non-empty filter). */
+  private def q77OracleSql: String = {
+    import XxhashSqlGen._
+    val half = "9223372036854775808::HUGEINT"
+    def signed(x: String): String =
+      s"CASE WHEN $x >= $half THEN $x - $big ELSE $x END"
+    val fx = "fx AS (SELECT doc_id, kind, idx, value FROM" +
+      " read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet'))"
+    val whr = "whr AS (SELECT doc_id, idx, value FROM fx WHERE kind = 'wh')"
+    val docs = "docs AS (SELECT DISTINCT doc_id FROM fx)"
+    val wbase = "wbase AS (SELECT doc_id, CASE WHEN value < 0" +
+      s" THEN value + $big ELSE CAST(value AS HUGEINT) END AS v FROM whr)"
+    val (wCtes, wLast) = stages("w", "v", "42::HUGEINT", "wbase")
+    val ks = "ks AS (SELECT CAST(unnest(range(0, 64)) AS HUGEINT) AS k)"
+    val wk = s"wk AS (SELECT doc_id, hw, k FROM $wLast CROSS JOIN ks)"
+    val (mCtes, mLast) = stagesInt("m", "k", "hw", "wk")
+    val slots = s"""slots AS (SELECT doc_id, CAST(k AS BIGINT) AS k,
+        min(${signed("hm")}) AS slot
+      FROM $mLast GROUP BY doc_id, k)"""
+    val bandin = s"""bandin AS (
+      SELECT doc_id, k // 16 AS band, (k % 16) + 1 AS i,
+        CASE WHEN slot < 0 THEN slot + $big ELSE slot END AS v
+      FROM slots
+      UNION ALL
+      SELECT doc_id, bb.band, CAST(17 AS BIGINT) AS i, CAST(bb.band AS HUGEINT) AS v
+      FROM docs CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS band) bb)"""
+    val fold = s"""fold AS (
+      SELECT doc_id, band, CAST(0 AS BIGINT) AS i, 42::HUGEINT AS h
+      FROM (SELECT DISTINCT doc_id, band FROM bandin)
+      UNION ALL
+      ${hashLongNestedSelect(
+        "SELECT f.doc_id AS doc_id, f.band AS band, f.i + 1 AS i, b.v AS v, f.h AS seed" +
+          " FROM fold f JOIN bandin b ON b.doc_id = f.doc_id" +
+          " AND b.band = f.band AND b.i = f.i + 1",
+        Seq("doc_id", "band", "i"))})"""
+    val bandh = "bandh AS (SELECT doc_id, band, h FROM fold WHERE i = 17)"
+    val simsrc = s"""simsrc AS (SELECT doc_id,
+        CASE WHEN value < 0 THEN CAST(value + $big AS UBIGINT)
+          ELSE CAST(value AS UBIGINT) END AS u
+      FROM whr WHERE value <> $EmptyTokenHash)"""
+    val simb = """simb AS (SELECT doc_id, bb.b AS b,
+        sum(CASE WHEN ((u >> bb.b) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE 0 END) AS votes,
+        count(*) AS n
+      FROM simsrc CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS b) bb
+      GROUP BY doc_id, bb.b)"""
+    val simh = """simh AS (SELECT doc_id,
+        sum(CASE WHEN votes * 2 > n THEN CAST(1::UBIGINT << b AS HUGEINT)
+          ELSE 0::HUGEINT END) AS sh
+      FROM simb GROUP BY doc_id)"""
+    val simall = "simall AS (SELECT d.doc_id, coalesce(s.sh, 0::HUGEINT) AS sh" +
+      " FROM docs d LEFT JOIN simh s USING (doc_id))"
+    (Seq(fx, whr, docs, wbase) ++ wCtes ++ Seq(ks, wk) ++ mCtes ++
+      Seq(slots, bandin, fold, bandh, simsrc, simb, simh, simall))
+      .mkString("WITH RECURSIVE ", ",\n", "\n") +
+      s"""SELECT doc_id, 'wh' AS kind, idx, value FROM whr
+        UNION ALL
+        SELECT doc_id, 'band' AS kind, CAST(band AS BIGINT) AS idx,
+          CAST(${signed("h")} AS BIGINT) AS value FROM bandh
+        UNION ALL
+        SELECT doc_id, 'sim' AS kind, CAST(0 AS BIGINT) AS idx,
+          CAST(${signed("sh")} AS BIGINT) AS value FROM simall"""
   }
 
   /** Corpus mixture resampling (operators.Sampling): deterministic

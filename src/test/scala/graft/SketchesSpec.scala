@@ -98,4 +98,31 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("est") - 20.0) < 3.0,
       "linear counting is near-exact at tiny cardinality")
   }
+
+  test("GK quantiles: every cut's exact rank is within relErr·N of p·N " +
+      "on a skewed frame (the q132 oracle's verdict, pinned in-engine)") {
+    // heavy-tailed: 0.9·N small values + a long geometric tail — the
+    // shape where a naive equi-width cut would miss badly
+    val xs = ((1 to 900).map(_.toDouble) ++
+      (1 to 100).map(i => 1000.0 * math.pow(1.05, i))).map(java.lang.Double.valueOf)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(xs.map(Row(_)), 8),
+      StructType(Seq(StructField("x", DoubleType, nullable = false))))
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val eps = 0.05
+    val out = Sketches.gkQuantiles(df, "x", probs, eps)
+      .orderBy("p").collect()
+    assert(out.length === probs.length)
+    val n = xs.length
+    val sorted = xs.map(_.doubleValue).sorted
+    for (r <- out) {
+      val (p, cut, ok) = (r.getDouble(0), r.getDouble(1), r.getBoolean(2))
+      assert(ok, "engine asserts its own contract column")
+      val rankLo = sorted.count(_ < cut)   // exact rank window of cut
+      val rankHi = sorted.count(_ <= cut)
+      assert(rankHi >= math.floor((p - eps) * n) &&
+        rankLo <= math.ceil((p + eps) * n),
+        s"p=$p cut=$cut rank window [$rankLo,$rankHi] outside ±${eps}·${n}")
+    }
+  }
 }
