@@ -72,6 +72,42 @@ object Sampling {
     stratifiedSample(df, strataCol, idCol,
       mixtureFractions(df, strataCol, targetShares), seed)
 
+  /** Temperature-scaled mixture shares — the multilingual smoothing rule
+    * of XLM-R (Conneau et al. 2020) / mT5 (Xue et al. 2021):
+    * share_s ∝ c_s^α, so α = 1 keeps the natural distribution, α → 0
+    * approaches uniform, and intermediate α up-samples low-resource
+    * strata without flattening entirely.
+    *
+    * Determinism contract: the Σ c^α normalizer is folded in ASCENDING
+    * STRATUM-NAME order (IEEE addition is order-sensitive; an unordered
+    * Map fold would make the shares run-dependent), and α = 0.5 routes
+    * through `sqrt` — the one power IEEE 754 requires correctly rounded,
+    * so a cross-engine oracle (q133) reproduces the exact doubles where
+    * generic libm `pow` parity is never assumed in this codebase.
+    * Driver state is strata-sized (the same counts collect as
+    * [[mixtureFractions]]), never corpus-sized. */
+  def temperatureShares(
+      df: DataFrame, strataCol: Column, alpha: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(strataCol.cast("string").as("s"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "temperatureShares needs a non-empty corpus")
+    val pows = counts.map { case (s, c) =>
+      s -> (if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha))
+    }
+    val z = pows.foldLeft(0.0)(_ + _._2)
+    pows.map { case (s, p) => s -> p / z }.toMap
+  }
+
+  /** Resample toward the α-temperature mixture (deterministic hash gate —
+    * composition of [[temperatureShares]] and [[resampleToMixture]]). */
+  def resampleToTemperature(
+      df: DataFrame, strataCol: Column, idCol: Column,
+      alpha: Double, seed: Long = 42L): DataFrame =
+    resampleToMixture(df, strataCol, idCol,
+      temperatureShares(df, strataCol, alpha), seed)
+
   /** Deterministic train/val/test (or any n-way) split: each row gets
     * exactly one label, chosen by where its unit hash falls among the
     * cumulative split fractions. A pure function of (id, seed) — the same

@@ -1103,6 +1103,34 @@ object TextQueries extends QueryPack {
         ON l.doc_id = d.doc_id
       WHERE l.label <> d.lang ORDER BY d.doc_id"""))
 
+  /** Temperature-scaled mixture resampling (Sampling.resampleToTemperature,
+    * α = 0.5) — the XLM-R/mT5 multilingual smoothing rule as a graded
+    * operator: share_s ∝ √c_s, then the same deterministic hash-gated
+    * stratified subsample as q69. FULL oracle: α = 0.5 keeps the share
+    * arithmetic inside IEEE-exact territory (sqrt is correctly rounded by
+    * both engines — generic libm pow parity is never assumed here), the
+    * normalizer is re-summed in the SAME ascending-lang order via
+    * list_sum(list(p ORDER BY s)), and the survival gate reuses
+    * [[xxhashUnitOracleCore]]. Fractions chain min(1, n·share/c) with n =
+    * min over strata of c/share — every step mirrored left-associative. */
+  private val q133 = Q(
+    "q133_temperature_mixture",
+    (s, dir) => Sampling.resampleToTemperature(
+        Tables(s, dir).documents, col("lang"), col("doc_id"), alpha = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some(xxhashUnitOracleCore + """,
+      counts AS (SELECT lang AS s, CAST(count(*) AS DOUBLE) AS c
+        FROM documents GROUP BY lang),
+      pows AS (SELECT s, c, sqrt(c) AS p FROM counts),
+      z AS (SELECT list_sum(list(p ORDER BY s)) AS z FROM pows),
+      shares AS (SELECT s, c, p / (SELECT z FROM z) AS share FROM pows),
+      nfeas AS (SELECT min(c / share) AS n FROM shares),
+      fr AS (SELECT s, least(1.0, (SELECT n FROM nfeas) * share / c) AS f
+        FROM shares)
+      SELECT u.doc_id, u.lang FROM unit u JOIN fr ON u.lang = fr.s
+      WHERE u.u < fr.f ORDER BY u.doc_id"""))
+
   /** Train/eval decontamination (operators.Dedup.contamination): the
     * held-out slice is doc_id % 10 == 0; word 8-grams; full oracle via
     * DuckDB window string_agg n-gram construction (the q36 pattern
@@ -2110,5 +2138,5 @@ object TextQueries extends QueryPack {
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
-      q123, q124, q125, q126, q127, q130)
+      q123, q124, q125, q126, q127, q130, q133)
 }

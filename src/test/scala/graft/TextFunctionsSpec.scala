@@ -156,6 +156,37 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixture: α=1 keeps natural shares, lower α flattens " +
+      "toward uniform, and the shares are the exact √c rule at α=0.5") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val natural = counts.map { case (s, c) =>
+      s -> c.toDouble / counts.map(_._2).sum }.toMap
+    val s1 = Sampling.temperatureShares(docs, col("lang"), alpha = 1.0)
+    natural.foreach { case (lang, share) =>
+      assert(math.abs(s1(lang) - share) < 1e-12, s"α=1 natural share $lang") }
+    // α=0.5: exactly √c/Σ√c with the ascending-lang fold order
+    val pows = counts.map { case (s, c) => s -> math.sqrt(c.toDouble) }
+    val z = pows.foldLeft(0.0)(_ + _._2)
+    val s05 = Sampling.temperatureShares(docs, col("lang"), alpha = 0.5)
+    pows.foreach { case (lang, p) =>
+      assert(s05(lang) === p / z, s"α=0.5 sqrt share $lang") }
+    // flattening: the max/min share ratio strictly shrinks as α falls
+    def spread(m: Map[String, Double]) = m.values.max / m.values.min
+    assert(spread(s05) < spread(s1), "lower α must flatten the mixture")
+    // resample composes: output is a deterministic non-trivial subset
+    val a = Sampling.resampleToTemperature(docs, col("lang"), col("doc_id"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.resampleToTemperature(docs, col("lang"), col("doc_id"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureShares(docs, col("lang"), alpha = 0.0)
+    }
+  }
+
   test("PII redaction masks planted emails/URLs/phones and counts them") {
     import spark.implicits._
     val planted = Seq(
