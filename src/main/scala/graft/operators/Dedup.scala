@@ -253,6 +253,17 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // Convergence probe: every id's label is NON-INCREASING round to
+    // round (next = min(old, propagated)), so Σ label is strictly
+    // monotone and "sum unchanged ⟺ fixpoint". One shuffle-free
+    // aggregate over the just-checkpointed frame replaces the earlier
+    // join-based changed-row probe (a keyed exchange of both label
+    // frames per round). decimal(38,0): exact at any scale — 10^12 ids
+    // of magnitude 2^63 sum under 10^32, far inside 38 digits, where a
+    // LongType sum would wrap.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -261,12 +272,10 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val changed = next.withColumnRenamed("label", "new_label")
-        .join(labels, Seq("id"))
-        .filter(col("new_label") =!= col("label"))
-        .limit(1).count() > 0
+      val nextSum = labelSum(next)
       labels = next
-      converged = !changed
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     // partially-propagated labels are silently WRONG clusters — refuse
