@@ -324,12 +324,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
   }
 
-  test("q103: all six DSIR LM lookups broadcast; one doc_id keep-all SMJ") {
+  test("q103: DSIR LM lookups broadcast; one doc_id keep-all SMJ") {
     val p = plan("q103_dsir_weights")
-    // 4 equi lookups (obs/unseen × target/source) + vocab-build joins
-    // broadcast; the two OOV rows are 1-row cross-broadcasts; the only
-    // corpus×corpus join is docs ⟕ per-doc weights on doc_id
-    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
+    // One COMBINED broadcast lookup per side (obs+unseen fused) against
+    // the PERSISTED pair LMs — training joins no longer appear in the
+    // scoring plan (the pair LM is a materialized artifact, the
+    // deployment shape); the two OOV rows are 1-row cross-broadcasts;
+    // the only corpus×corpus join is docs ⟕ per-doc weights on doc_id
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
       s"LM lookup joins must broadcast:\n${p.take(1500)}")
     val smj = p.split("SortMergeJoin").length - 1
     assert(smj <= 1 && (smj == 0 || p.contains("SortMergeJoin [doc_id")),
@@ -389,8 +391,11 @@ class PlanSpec extends SparkSpec {
 
   test("q114: NB model joins broadcast; only the doc_id keep-all join may sort-merge") {
     val p = plan("q114_nb_scores")
-    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
-      s"obs/oov/prior lookups must broadcast (model-sized):\n${p.take(1500)}")
+    // Scoring over the PERSISTED model (training joins live in q113's
+    // build, not here): the obs/oov lookups broadcast; prior rides the
+    // per-class cross product
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"obs/oov lookups must broadcast (model-sized):\n${p.take(1500)}")
     val smj = p.split("SortMergeJoin").length - 1
     assert(smj <= 1, s"corpus-side sort-merge crept in:\n${p.take(1500)}")
   }
