@@ -191,5 +191,40 @@ object EventQueries extends QueryPack {
       .withColumn("total", round(col("total"), 2)),
     q55.oracle)
 
-  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a)
+  /** Incremental HLL over the event STREAM
+    * (EventStreams.hllRegistersForStream): the register table maintained
+    * across micro-batches by elementwise max-merge — sketch-sized state on
+    * distributed storage, stateless streaming plan. FULL oracle: the final
+    * table must equal the BATCH register derivation over all of `events`
+    * (HLL merge-exactness), re-derived in DuckDB from the closed-formula
+    * XXH64 chain on `user_id` (the q126 device on the events table);
+    * StreamingSpec additionally drives the multi-batch merge path
+    * (maxFilesPerTrigger=1 over a 3-file copy) against the same batch
+    * frame. */
+  private val q134 = Q(
+    "q134_hll_stream",
+    (s, dir) => EventStreams.hllRegistersToParquet(
+      s, dir,
+      java.nio.file.Files.createTempDirectory("graft-q134-out").toString,
+      p = 9),
+    Some {
+      import TextQueries.XxhashSqlGen._
+      val base = "base AS (SELECT CASE WHEN user_id < 0" +
+        s" THEN user_id + $big ELSE CAST(user_id AS HUGEINT) END AS v" +
+        " FROM events WHERE user_id IS NOT NULL)"
+      val (c1, last1) = stages("p", "v", "42::HUGEINT", "base")
+      (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
+      reg AS (SELECT hp % 512 AS j,
+          CASE WHEN hp // 512 = 0 THEN 56
+               ELSE 56 - length(bin(hp // 512)) END AS rho
+        FROM $last1),
+      mx AS (SELECT j, max(rho) AS rho FROM reg GROUP BY j)
+      SELECT CAST(g.j AS INTEGER) AS j,
+        CAST(coalesce(mx.rho, 0) AS INTEGER) AS rho
+      FROM (SELECT unnest(range(0, 512)) AS j) g LEFT JOIN mx ON g.j = mx.j
+      ORDER BY j"""
+    })
+
+  override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
+    q134)
 }

@@ -715,7 +715,7 @@ object TextQueries extends QueryPack {
     * needing Spark's `xxhash64(longCol, ...)` (the CMS bucket rule, the
     * sampling gates) generates the identical arithmetic. See the
     * mulmod/limb-split notes on [[xxhashUnitOracleCore]]. */
-  private object XxhashSqlGen {
+  private[queries] object XxhashSqlGen {
     val M: BigInt = BigInt(2).pow(64)
     val (p1, p2, p3) = (BigInt("11400714785074694791"),
       BigInt("14029467366897019727"), BigInt("1609587929392839161"))

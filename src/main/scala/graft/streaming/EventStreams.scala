@@ -40,12 +40,15 @@ object EventStreams {
     * normalized to TimestampType micros `ts` regardless of the fixture's
     * physical timestamp layout (the session runs UTC, so the NTZ cast is
     * value-preserving). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    val raw = spark.readStream
+    val reader = spark.readStream
       .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(dir)
     tsType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -435,4 +438,57 @@ object EventStreams {
       .groupBy(col("user_id"))
       .agg(org.apache.spark.sql.functions.max(col("n_events")).as("n_events"))
   }
+
+  /** Incremental HLL distinct-count maintenance over an arbitrary stream —
+    * the sketch-as-a-table lifecycle under streaming ingest: the persisted
+    * register table IS the running state (exactly 2^p rows, BOUNDED by the
+    * sketch geometry regardless of stream volume — contrast a streaming
+    * `approx_count_distinct` aggregate, whose HLL++ buffer lives opaquely
+    * in a state store), each micro-batch max-merges its own register table
+    * into the store (HLL's merge is elementwise max — SketchesSpec pins
+    * union+re-max == whole-corpus), and the streaming plan itself is
+    * STATELESS (no state-store operators; require()-asserted). The merged
+    * frame is localCheckpoint-materialized before overwriting the path it
+    * was read from. Any consumer (q127's estimator, a monitoring panel)
+    * reads the table between or after triggers.
+    *
+    * Returns (final register table ordered by j, count of non-empty
+    * batches processed). */
+  def hllRegistersForStream(
+      spark: SparkSession, stream: DataFrame,
+      value: org.apache.spark.sql.Column, outPath: String, p: Int = 9,
+      options: Map[String, String] = Map.empty): (DataFrame, Int) = {
+    val m = 1 << p
+    spark.range(m)
+      .select(col("id").cast("int").as("j"), lit(0).cast("int").as("rho"))
+      .write.mode("overwrite").parquet(outPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = spark.read.parquet(outPath)
+          .unionByName(graft.operators.Sketches.hllRegisters(batch, value, p))
+          .groupBy(col("j")).agg(max(col("rho")).as("rho"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(outPath)
+        ()
+      }
+      .options(options)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+      "incremental HLL stream must be stateless " +
+        "(sketch state lives in the register table)")
+    (spark.read.parquet(outPath).orderBy(col("j")),
+      q.recentProgress.count(_.numInputRows > 0))
+  }
+
+  /** [[hllRegistersForStream]] over the streamed events table, sketching
+    * distinct `user_id` (q134's registered runner). */
+  def hllRegistersToParquet(
+      spark: SparkSession, dir: String, outPath: String, p: Int = 9,
+      conf: StreamRunConf = StreamRunConf()): DataFrame =
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
+      hllRegistersForStream(spark, readEventStream(spark, dir),
+        col("user_id"), outPath, p, conf.options)._1
+    }
 }

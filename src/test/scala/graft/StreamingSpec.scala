@@ -321,4 +321,28 @@ class StreamingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("salt-safe"))
   }
+
+  test("incremental HLL: the multi-batch max-merge path equals the batch " +
+      "register table (and the streaming plan keeps no state)") {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll-stream").toString
+    val events = Tables(spark, sfDir).events
+    events.select("user_id").repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/in")
+    val (regs, batches) = EventStreams.hllRegistersForStream(
+      spark, stream, col("user_id"), s"$tmp/out", p = 9)
+    assert(batches >= 2,
+      "merge discipline must be exercised across multiple micro-batches")
+    val got = regs.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val want = graft.operators.Sketches
+      .hllRegisters(events, col("user_id"), p = 9)
+      .orderBy("j").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got === want,
+      "incremental merge must reach the whole-corpus register table")
+    assert(got.length === 512, "bounded state: exactly 2^p register rows")
+  }
 }
