@@ -1097,6 +1097,48 @@ object TextQueries extends QueryPack {
       LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.cls = c.cls
       ORDER BY d.doc_id, c.cls"""))
 
+  /** The SPARSE many-class scoring path (Classifier.nbScoresSparse)
+    * graded as its own row — q114's semantics under the plan a C≥100
+    * deployment needs (observed-hits shuffle, no ×C blowup; see the
+    * operator scaladoc and the TextScaleProbe 128-class rows). The wide
+    * fold adds oov_c per unseen token, the sparse form adds n·oov_c in
+    * one multiply, so pre-round scores differ by ~1 ulp — the oracle is
+    * therefore a VERDICT row (the q93 device): keys and n_tokens
+    * re-derived exactly, the exported score rides 1:1, and `score_close`
+    * asserts it sits within one 6dp rounding step (1.5e-6) of DuckDB's
+    * own wide-form score — a real plan bug lands parsecs outside that. */
+  private val q135 = Q(
+    "q135_nb_scores_sparse",
+    (s, dir) => Classifier.nbScoresSparse(Tables(s, dir).documents,
+        sharedNbModel(s, dir), col("text"), col("doc_id"))
+      .withColumn("score_close", lit(true))
+      .orderBy(col("doc_id"), col("cls")),
+    Some("""WITH m AS (SELECT * FROM read_parquet('__VERIFY_OUT__/q113_nb_model/*.parquet')),
+      w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+          generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+        FROM documents),
+      cls AS (SELECT cls, logp AS lp_prior FROM m WHERE kind = 'prior'),
+      obs AS (SELECT word, cls, logp FROM m WHERE kind = 'obs'),
+      oov AS (SELECT cls, logp AS lp_oov FROM m WHERE kind = 'oov'),
+      lp AS (SELECT w.doc_id, w.pos, c.cls, coalesce(o.logp, v.lp_oov) AS lp
+        FROM w CROSS JOIN cls c
+        LEFT JOIN obs o ON o.word = w.word AND o.cls = c.cls
+        LEFT JOIN oov v ON v.cls = c.cls),
+      agg AS (SELECT doc_id, cls, count(*) AS n_tokens,
+          list_sum(list(lp ORDER BY pos)) AS s
+        FROM lp GROUP BY doc_id, cls),
+      wide AS (SELECT d.doc_id, c.cls,
+          CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+          round(c.lp_prior + coalesce(a.s, 0.0), 6) + 0.0 AS ws
+        FROM documents d CROSS JOIN cls c
+        LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.cls = c.cls),
+      ex AS (SELECT doc_id, cls, score
+        FROM read_parquet('__VERIFY_OUT__/q135_nb_scores_sparse/*.parquet'))
+      SELECT wi.doc_id, wi.cls, wi.n_tokens, e.score,
+        (abs(e.score - wi.ws) < 1.5e-6) AS score_close
+      FROM wide wi JOIN ex e ON e.doc_id = wi.doc_id AND e.cls = wi.cls
+      ORDER BY wi.doc_id, wi.cls"""))
+
   /** Argmax NB label per document (ties → smallest class). FULL oracle
     * via the q114 fixture: row_number over (score DESC, cls) restates
     * the min-struct argmax exactly. */
@@ -2222,5 +2264,5 @@ object TextQueries extends QueryPack {
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
-      q123, q124, q125, q126, q127, q130, q133)
+      q123, q124, q125, q126, q127, q130, q133, q135)
 }
