@@ -709,8 +709,45 @@ object RelationalQueries extends QueryPack {
         (rank_hi >= floor((p - 0.01) * n) AND rank_lo <= ceil((p + 0.01) * n)) AS rank_ok
       FROM agg"""))
 
+  /** Per-GROUP GK quantiles — q132's scale path as a grouped aggregate
+    * (Spark's `percentile_approx`, a map-side-mergeable GK summary per
+    * group): the per-domain length-distribution shape a 100 TB curation
+    * report needs, with no per-group value buffering (contrast q29's
+    * exact `percentile`). Token counts per language, ε = 1/accuracy =
+    * 0.01. Oracle = the q132 rank-bound verdict PER GROUP: cuts ride
+    * 1:1, DuckDB re-counts each cut's exact rank window within its
+    * language stratum and re-derives `rank_ok` against ±εN_lang. */
+  private val q136 = Q(
+    "q136_grouped_quantiles",
+    (s, dir) => {
+      val probs = Seq(0.25, 0.5, 0.75)
+      Tables(s, dir).documents
+        .select(col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(percentile_approx(col("n_tokens"),
+          array(probs.map(lit): _*), lit(100)).as("cuts"))
+        .select(col("lang"), posexplode(col("cuts")).as(Seq("i", "cut")))
+        .select(col("lang"),
+          element_at(array(probs.map(lit): _*), col("i") + 1).as("p"),
+          col("cut"), lit(true).as("rank_ok"))
+        .orderBy(col("lang"), col("p"))
+    },
+    Some("""WITH fx AS (SELECT lang, p, cut
+        FROM read_parquet('__VERIFY_OUT__/q136_grouped_quantiles/*.parquet')),
+      t AS (SELECT lang, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        FROM documents),
+      agg AS (SELECT f.lang, f.p, f.cut,
+          sum(CASE WHEN t.n < f.cut THEN 1 ELSE 0 END) AS rank_lo,
+          sum(CASE WHEN t.n <= f.cut THEN 1 ELSE 0 END) AS rank_hi,
+          count(*) AS n
+        FROM fx f JOIN t ON t.lang = f.lang GROUP BY f.lang, f.p, f.cut)
+      SELECT lang, p, cut,
+        (rank_hi >= floor((p - 0.01) * n) AND rank_lo <= ceil((p + 0.01) * n)) AS rank_ok
+      FROM agg ORDER BY lang, p"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q2a, q2b, q129, q131, q132)
+    q29, q2a, q2b, q129, q131, q132, q136)
 }

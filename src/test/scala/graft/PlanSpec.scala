@@ -338,6 +338,17 @@ class PlanSpec extends SparkSpec {
       s"only the doc_id keep-all join may sort-merge:\n${p.take(1500)}")
   }
 
+  test("q136: grouped GK quantiles plan as partial+final ObjectHashAggregate " +
+      "(map-side-mergeable summaries), no Window, one hash exchange") {
+    val p = plan("q136_grouped_quantiles")
+    assert(p.split("ObjectHashAggregate").length - 1 >= 2,
+      s"percentile_approx must run partial (map-side) + final:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      s"no per-group sort/window path:\n${p.take(1500)}")
+    assert(p.split("hashpartitioning").length - 1 <= 2,
+      s"one group-key exchange (plus AQE reads):\n${p.take(1500)}")
+  }
+
   test("q104: DSIR selection is TakeOrdered, never a global sort") {
     val p = plan("q104_dsir_select")
     assert(p.contains("TakeOrderedAndProject"),
