@@ -719,4 +719,52 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
+
+  /** Cross-source overlap audit: exact distinct-bigram Jaccard and
+    * containment between every pair of corpus sources — the "how much of
+    * source B is already in source A" report that decides which crawls /
+    * dumps are worth ingesting before any per-document dedup runs.
+    *
+    * Scale shape: one map-only pass emits word bigrams (adjacent-token
+    * pairs, zip_with — no self-join to form grams), one shuffle
+    * deduplicates (source, gram), and the pair counts come from an
+    * inverted self-join ON THE GRAM: each gram meets only the sources
+    * containing it, so fan-out per gram is bounded by the model-sized
+    * source count (≤ S²/2 rows per gram), never corpus². All outputs are
+    * exact count algebra plus single IEEE divisions — cross-engine
+    * hash-exact. */
+  def sourceOverlap(
+      docs: DataFrame,
+      textCol: Column,
+      sourceCol: Column): DataFrame = {
+    val toks = tokens(lower(textCol))
+    val grams = docs
+      .filter(size(toks) >= 2)
+      .select(sourceCol.as("source"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val common = grams.as("x")
+      .join(grams.as("y"),
+        col("x.gram") === col("y.gram") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_grams", "n_a"), Seq("src_a"))
+      .join(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_grams", "n_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
 }

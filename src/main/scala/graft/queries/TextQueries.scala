@@ -2259,10 +2259,105 @@ object TextQueries extends QueryPack {
       WHERE doc_id NOT IN (SELECT id_new FROM dropped)
       ORDER BY doc_id"""))
 
+  /** BM25 retrieval scoring ([[graft.operators.Ranking.bm25Scores]]) —
+    * ranked lexical relevance of every document against a small query
+    * set, the retrieval primitive behind relatedness-based curation and
+    * targeted decontamination probes. Query terms span the idf range
+    * (`dup` df≈25/500 vs `scan`/`join` df≈390/500) so the always-positive
+    * Lucene idf is exercised off the degenerate near-zero regime.
+    *
+    * Oracle = the q135 verdict device: `n_terms`/`tf_sum` are exact
+    * integer posting algebra DuckDB re-derives and hash-compares; the
+    * IEEE score rides 1:1 through an inner join (a row-set drift breaks
+    * row counts) and `score_close` re-computes BM25 in DuckDB — exact
+    * corpus constants by construction (avgdl divides exact long sums),
+    * so the tolerance only absorbs libm `ln` ulps and fold order
+    * (engine: pinned term-hash order; oracle: term order). */
+  private val q137 = Q(
+    "q137_bm25_scores",
+    (s, dir) => graft.operators.Ranking.bm25Scores(
+        Tables(s, dir).documents, col("doc_id"), col("text"),
+        Seq(1L -> Seq("spark", "join"),
+          2L -> Seq("dup", "scan"),
+          3L -> Seq("customer", "order", "value")))
+      .withColumn("score_close", lit(true))
+      .orderBy(col("query_id"), col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY 1),
+      st AS (SELECT
+          (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+          (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            FROM dl) AS avgdl),
+      qt(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'),
+        (2, 'dup'), (2, 'scan'),
+        (3, 'customer'), (3, 'order'), (3, 'value')),
+      dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tc
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+      c AS (SELECT q.query_id, t.doc_id, q.term, t.tf,
+          ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+            * (CAST(t.tf AS DOUBLE) * (1.2 + 1))
+            / (CAST(t.tf AS DOUBLE)
+               + 1.2 * ((1 - 0.75) + 0.75 * CAST(l.dl AS DOUBLE) / st.avgdl))
+            AS contrib
+        FROM qt q JOIN tc t ON t.term = q.term
+        JOIN dfq d ON d.term = q.term
+        JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st),
+      agg AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+          CAST(count(*) AS BIGINT) AS n_terms,
+          CAST(sum(tf) AS BIGINT) AS tf_sum,
+          list_sum(list(contrib ORDER BY term)) AS s
+        FROM c GROUP BY 1, 2),
+      ex AS (SELECT query_id, doc_id, score
+        FROM read_parquet('__VERIFY_OUT__/q137_bm25_scores/*.parquet'))
+      SELECT a.query_id, a.doc_id, a.n_terms, a.tf_sum, e.score,
+        (abs(e.score - a.s) < 1e-9 * greatest(abs(a.s), 1.0)) AS score_close
+      FROM agg a JOIN ex e
+        ON e.query_id = a.query_id AND e.doc_id = a.doc_id
+      ORDER BY a.query_id, a.doc_id"""))
+
+  /** Cross-source overlap audit ([[graft.operators.Dedup.sourceOverlap]]):
+    * exact distinct-bigram containment + Jaccard for every source pair —
+    * the "is this dump already covered" decision that runs BEFORE
+    * per-document dedup when ingesting a new crawl. FULL exact-hash
+    * oracle: counts are set algebra (map-only gram emission, one
+    * distinct shuffle, gram-keyed inverted self-join bounded by the
+    * model-sized source count), ratios are single IEEE divisions of
+    * exact longs. */
+  private val q140 = Q(
+    "q140_source_overlap",
+    (s, dir) => graft.operators.Dedup.sourceOverlap(
+        Tables(s, dir).documents, col("text"), col("source"))
+      .orderBy(col("src_a"), col("src_b")),
+    Some("""WITH toks AS (SELECT source, doc_id,
+          unnest(regexp_extract_all(lower(text), '\S+')) AS term,
+          generate_subscripts(regexp_extract_all(lower(text), '\S+'), 1) AS pos
+        FROM documents),
+      bi AS (SELECT DISTINCT t1.source, t1.term || ' ' || t2.term AS gram
+        FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id
+          AND t2.source = t1.source AND t2.pos = t1.pos + 1),
+      sz AS (SELECT source, count(*) AS n FROM bi GROUP BY 1),
+      cm AS (SELECT x.source AS src_a, y.source AS src_b,
+          count(*) AS n_common
+        FROM bi x JOIN bi y ON x.gram = y.gram AND x.source < y.source
+        GROUP BY 1, 2)
+      SELECT c.src_a, c.src_b,
+        CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        CAST(c.n_common AS BIGINT) AS n_common,
+        CAST(c.n_common AS DOUBLE) / CAST(least(a.n, b.n) AS DOUBLE)
+          AS containment,
+        CAST(c.n_common AS DOUBLE) / CAST(a.n + b.n - c.n_common AS DOUBLE)
+          AS jaccard
+      FROM cm c JOIN sz a ON a.source = c.src_a
+      JOIN sz b ON b.source = c.src_b
+      ORDER BY src_a, src_b"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
-      q123, q124, q125, q126, q127, q130, q133, q135)
+      q123, q124, q125, q126, q127, q130, q133, q135, q137, q140)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.{Pq, Projection, Similarity}
+import graft.operators.{Graph, Pq, Projection, Similarity}
 
 /** Similarity-search surface over the `embeddings` table (64-dim float
   * vectors): vector math via higher-order functions, brute-force cosine
@@ -872,7 +872,70 @@ object VectorQueries extends QueryPack {
       WHERE vec_id NOT IN (SELECT id FROM dropped)
       ORDER BY vec_id"""))
 
+  /** PageRank centrality over the persisted kNN graph
+    * ([[graft.operators.Graph.pageRank]], 5 iterations, d = 0.85) — the
+    * centrality-based corpus-subsampling signal, consuming the SAME
+    * persisted edge artifact as q121 (the shared-index lifecycle).
+    *
+    * FULL exact-hash oracle, no tolerance: rank arithmetic is +,·,/
+    * only (no libm), corpus constants divide exact counts, the engine
+    * folds in-neighbor contributions in pinned src order
+    * (OrderedSumAgg) while DuckDB folds `list_sum(list(_ ORDER BY
+    * src))`, and both snap each iteration to 9dp — so five unrolled
+    * iterations reproduce the doubles bit-for-bit. `in_deg` adds the
+    * exact integer structure check. Every double literal is CAST to
+    * DOUBLE in the SQL: DuckDB would otherwise parse `0.85` as
+    * DECIMAL(3,2) and compute exact decimal 0.15 for the teleport
+    * term — one ulp off the engine's binary `1.0 − 0.85`. */
+  private val q138 = Q(
+    "q138_pagerank",
+    (s, dir) => {
+      val g = sharedKnnGraph(s, dir)
+      val inDeg = g.groupBy(col("dst_id").as("node"))
+        .agg(count(lit(1)).as("in_deg"))
+      Graph.pageRank(g, col("src_id"), col("dst_id"),
+          iterations = 5, damping = 0.85)
+        .join(inDeg, Seq("node"), "left")
+        .select(col("node").as("vec_id"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"), col("pr"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      // Five unrolled iterations of the identical update rule: DuckDB's
+      // recursive CTEs reject aggregation in the recursive term, so the
+      // fixed iteration count is expanded programmatically.
+      // Snap mirrors the engine's floor(x·1e9 + 0.5)/1e9 — NOT round():
+      // Spark's double round() rounds the shortest decimal repr and
+      // disagrees with numeric rounding at repr half-boundaries.
+      def step(i: Int, prev: String) =
+        s"""it$i AS (SELECT nd.node,
+          floor(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+            + CAST(0.85 AS DOUBLE) * coalesce(s.insum, CAST(0 AS DOUBLE)))
+            * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9 AS pr
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (SELECT e.dst AS node,
+            list_sum(list(r.pr / od.outdeg ORDER BY e.src)) AS insum
+          FROM e JOIN $prev r ON r.node = e.src
+          JOIN od ON od.src = e.src
+          GROUP BY e.dst) s ON s.node = nd.node)"""
+      val iters = (1 to 5).map(i => step(i, if (i == 1) "r0" else s"it${i - 1}"))
+        .mkString(",\n      ")
+      s"""WITH e AS (SELECT src_id AS src, dst_id AS dst
+        FROM read_parquet('__VERIFY_OUT__/q120_knn_graph/*.parquet')),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+        FROM nodes CROSS JOIN nn),
+      $iters,
+      ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+        FROM e GROUP BY dst)
+      SELECT t.node AS vec_id, coalesce(i.in_deg, 0) AS in_deg, t.pr
+      FROM it5 t LEFT JOIN ind i ON i.node = t.node
+      ORDER BY vec_id"""
+    })
+
   override val all: Seq[Q] =
     Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
-      q96, q97, q105, q106, q109, q120, q121, q128)
+      q96, q97, q105, q106, q109, q120, q121, q128, q138)
 }

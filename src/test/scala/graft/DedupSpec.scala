@@ -487,4 +487,24 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.lshPlan(64, 1.0))
     intercept[IllegalArgumentException](Dedup.lshPlan(0, 0.5))
   }
+
+  test("sourceOverlap: exact bigram containment/jaccard; disjoint pairs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "a b c"),    // bigrams {a b, b c}
+      (2L, "s1", "a b"),      // dup gram within source collapses
+      (3L, "s2", "a b d"),    // {a b, b d}
+      (4L, "s3", "x y"),      // {x y} — disjoint from s1/s2
+      (5L, "s3", "z")         // single token: no bigram
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(d, col("text"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet === Set("s1" -> "s2"))
+    val (na, nb, nc, cont, jac) = got("s1" -> "s2")
+    assert((na, nb, nc) === ((2L, 2L, 1L)))
+    assert(cont === 0.5)
+    assert(jac === 1.0 / 3.0)
+  }
 }

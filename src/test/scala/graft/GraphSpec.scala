@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Double] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("s", "d"), col("s"), col("d"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Reference implementation: same update rule, same floor-snap, driver-side. */
+  private def refRanks(
+      edges: Seq[(Long, Long)], iters: Int,
+      damping: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val teleport = (1.0 - damping) / n
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dmShare = nodes.sorted.filterNot(out.contains)
+        .foldLeft(0.0)((acc, v) => acc + r(v)) / n
+      r = nodes.map { v =>
+        val insum = edges.filter(_._2 == v).sortBy(_._1)
+          .foldLeft(0.0)((acc, e) => acc + r(e._1) / out(e._1))
+        v -> math.floor((teleport + damping * (insum + dmShare)) * 1e9 + 0.5) / 1e9
+      }.toMap
+    }
+    r
+  }
+
+  test("two-node cycle converges to the uniform fixed point exactly") {
+    val r = ranks(Seq(1L -> 2L, 2L -> 1L))
+    assert(r(1L) === 0.5)
+    assert(r(2L) === 0.5)
+  }
+
+  test("matches the driver-side reference rule bit-for-bit on a 4-node graph") {
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 3L, 2L -> 4L)
+    val got = ranks(edges)
+    val want = refRanks(edges, 5)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, pr) => assert(pr === want(v), s"node $v") }
+    // the sink-heavy node 3 must dominate
+    assert(got(3L) === got.values.max)
+  }
+
+  test("dangling node redistributes mass: total rank conserved") {
+    // 2 is a sink (no out-edges); without redistribution rank mass leaks.
+    val r = ranks(Seq(1L -> 2L, 3L -> 2L, 2L -> 2L).filterNot(e => e._1 == 2L))
+    val total = r.values.sum
+    assert(math.abs(total - 1.0) < 1e-6, s"mass leaked: $total")
+    val want = refRanks(Seq(1L -> 2L, 3L -> 2L), 5)
+    r.foreach { case (v, pr) => assert(pr === want(v), s"node $v") }
+  }
+
+  test("repeated runs are bit-identical (pinned fold order)") {
+    val edges = (0L until 40L).flatMap(i =>
+      Seq(i -> ((i * 7 + 3) % 40), i -> ((i * 13 + 5) % 40)))
+    val a = ranks(edges)
+    val b = ranks(edges)
+    assert(a === b)
+  }
+}
