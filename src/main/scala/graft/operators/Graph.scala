@@ -55,16 +55,26 @@ object Graph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val teleport = (1.0 - damping) / n
 
+    // The dangling NODE SET is iteration-invariant (only its mass
+    // changes); detect it once, and skip the per-iteration scalar job
+    // entirely on graphs where every node has out-edges (kNN graphs by
+    // construction) — `+ 0.0` below is then a bit-exact no-op.
+    val danglingNodes = nodes
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = danglingNodes.limit(1).count() > 0
+
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iterations) {
-      // Dangling mass: global scalar (pinned node-order fold); exactly
-      // 0.0 when every node has out-edges, in which case the `+ 0.0`
-      // below is a bit-exact no-op.
-      val dmRow = ranks
-        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-        .agg(orderedSum(col("node"), col("pr")).as("dm"))
-        .collect()(0)
-      val dmShare = (if (dmRow.isNullAt(0)) 0.0 else dmRow.getDouble(0)) / n
+      // Dangling mass: global scalar (pinned node-order fold).
+      val dmShare =
+        if (!hasDangling) 0.0
+        else {
+          val dmRow = ranks.join(danglingNodes, Seq("node"), "left_semi")
+            .agg(orderedSum(col("node"), col("pr")).as("dm"))
+            .collect()(0)
+          (if (dmRow.isNullAt(0)) 0.0 else dmRow.getDouble(0)) / n
+        }
 
       val summed = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))

@@ -51,14 +51,19 @@ object Ranking {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // Posting frame: one shuffle on (doc_id, term). Empty-string tokens
-    // (whitespace-only text) are dropped to match `\S+` extraction.
+    // Posting frame: one shuffle on (doc_id, term), materialized ONCE
+    // (localCheckpoint) — dl, df, and the query match all read it, and a
+    // deployment persists exactly this frame as its inverted index
+    // rather than re-tokenizing the corpus per derived statistic.
+    // Empty-string tokens (whitespace-only text) are dropped to match
+    // `\S+` extraction.
     val tc = docs
       .select(idCol.as("doc_id"),
         explode(split(trim(lower(textCol)), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
 
     val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
 

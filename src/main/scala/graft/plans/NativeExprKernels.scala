@@ -439,4 +439,32 @@ object NativeExprKernels {
     }
     false
   }
+
+  private val deflateBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+  }
+
+  /** DEFLATE(level 6, default strategy, raw stream) output length in
+    * bytes for the UTF-8 bytes of `input`. A fresh Deflater per row would
+    * churn native zlib streams; `reset()` on a thread-local instance is
+    * the documented reuse path. Only the LENGTH is accumulated — the
+    * compressed bytes never leave the scratch buffer. */
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+
+  def deflateLen(input: UTF8String): Long = {
+    val bytes = input.getBytes
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = deflateBuf.get()
+    var total = 0L
+    while (!d.finished()) {
+      total += d.deflate(buf)
+    }
+    total
+  }
 }

@@ -2354,10 +2354,48 @@ object TextQueries extends QueryPack {
       JOIN sz b ON b.source = c.src_b
       ORDER BY src_a, src_b"""))
 
+  /** Compression-ratio quality signal
+    * ([[graft.plans.DeflateExpr.deflateLen]]): DEFLATE(level 6) size over
+    * byte length — the gzip-ratio heuristic (templated/repetitive docs
+    * compress to a fraction of natural prose; both distribution tails
+    * are curation flags). Map-only native expression inside whole-stage
+    * codegen — no UDF boxing, no shuffle.
+    *
+    * Oracle device: `n_bytes` is re-derived exactly (strlen); the
+    * compressed length is zlib state no SQL engine restates, so it RIDES
+    * 1:1 (the q77 fixture principle) and DuckDB re-computes `ratio` from
+    * the riding length and its own n_bytes — the division hash-checks
+    * bit-exactly — plus a `bounds_ok` verdict against the DEFLATE
+    * stored-block worst case. DeflateSpec pins the kernel itself
+    * (reference Deflater equality, determinism, repetition
+    * monotonicity). */
+  private val q141 = Q(
+    "q141_compression_ratio",
+    (s, dir) => {
+      val dlen = graft.plans.DeflateExpr.deflateLen(col("text"))
+      val nb = octet_length(col("text")).cast("long")
+      Tables(s, dir).documents
+        .select(col("doc_id"), nb.as("n_bytes"), dlen.as("deflate_len"),
+          (dlen.cast("double") / nb.cast("double")).as("ratio"),
+          lit(true).as("bounds_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ex AS (SELECT doc_id, deflate_len
+        FROM read_parquet('__VERIFY_OUT__/q141_compression_ratio/*.parquet')),
+      d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents)
+      SELECT d.doc_id, d.n_bytes, e.deflate_len,
+        CAST(e.deflate_len AS DOUBLE) / CAST(d.n_bytes AS DOUBLE) AS ratio,
+        (e.deflate_len > 0 AND
+         e.deflate_len <= d.n_bytes + 11 + 5 * (d.n_bytes / 16383 + 1))
+          AS bounds_ok
+      FROM d JOIN ex e ON e.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
-      q123, q124, q125, q126, q127, q130, q133, q135, q137, q140)
+      q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141)
 }
