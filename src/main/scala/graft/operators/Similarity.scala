@@ -29,8 +29,11 @@ object Similarity {
   /** THE multi-table plane derivation (table t seeds at 42L + t) — the
     * single definition shared by lshTopK, writeLshIndex, lshTopKFromIndex,
     * and lshBucketTable, so a seed-formula change cannot silently
-    * desynchronize the q48 fixture from the operator it oracles. */
-  private def tablePlaneSets(nbits: Int, tables: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    * desynchronize the q48 fixture from the operator it oracles.
+    * `private[graft]` so q78's generated oracle can embed the same plane
+    * values as SQL literals (the model is a deterministic seed-derived
+    * constant — exposing it adds no new state). */
+  private[graft] def tablePlaneSets(nbits: Int, tables: Int, dim: Int): Seq[Seq[Seq[Double]]] =
     (0 until tables).map(t => hyperplanes(nbits, dim, seed = 42L + t))
 
   /** Snap a Lloyd-averaged centroid element to 9 decimal places. The avg
@@ -721,10 +724,10 @@ object Similarity {
     * table IS the index's bucket directory. Map-only (no shuffle; at
     * scale a straight scan→write, the tabular twin of writeLshIndex's
     * partitioned layout). Doubles as the cross-engine fixture for q48's
-    * oracle: the float hyperplane geometry is not SQL-restatable, so both
-    * engines take the signatures as given and independently re-derive the
-    * probe expansion (sig XOR 1<<b), bucket join, and exact re-rank —
-    * the algebra that can actually break. */
+    * oracle (both engines re-derive the probe expansion, bucket join, and
+    * exact re-rank from these rows) — and since round 9 the table itself
+    * is fully oracled too: q78's generated SQL embeds the seed-derived
+    * plane constants as literals and re-derives every signature bit. */
   def lshBucketTable(
       corpus: DataFrame, nbits: Int = 8, tables: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding",

@@ -149,13 +149,46 @@ object VectorQueries extends QueryPack {
   /** The LSH index's bucket directory as a table (one row per corpus row
     * per hyperplane table) — the reusable artifact a 100 TB ANN pipeline
     * materializes once; its parquet output is also the cross-engine
-    * fixture q48's oracle reads (hyperplane float geometry is not
-    * SQL-restatable). Rows-only for itself. */
+    * fixture q48's oracle reads. FULL ORACLE (was rows-only through r8):
+    * the hyperplanes are deterministic seed-derived model CONSTANTS, so
+    * the generated SQL embeds them as list literals (the q105 sign-matrix
+    * device) and re-derives every signature bit from scratch — dot =
+    * position-ordered fold of emb[i]·plane[i], bit = (dot >= 0), sig =
+    * Σ bit·2^b. The one float bet is the summation tail: the kernel is a
+    * sequential left fold, DuckDB's list_sum a compensated sum, so the
+    * two dots can differ in the last ulps — a sign can only flip if some
+    * |dot| is within that noise (~1e-13) of zero, and SimilaritySpec's
+    * margin pin measures the fixture's true minimum (≈1e-3, ten orders
+    * above) so the compare is deterministic, not probabilistic. */
   private val q78 = Q(
     "q78_lsh_bucket_table",
     (s, dir) => Similarity.lshBucketTable(
-      Tables(s, dir).embeddings, nbits = 8, tables = 4),
-    None)
+        Tables(s, dir).embeddings, nbits = 8, tables = 4)
+      .orderBy(col("tbl"), col("sig"), col("vec_id")),
+    Some {
+      val rows = Similarity.tablePlaneSets(nbits = 8, tables = 4, dim = 64)
+        .zipWithIndex.flatMap { case (ps, t) =>
+          ps.zipWithIndex.map { case (p, b) =>
+            s"($t, $b, [${p.mkString(", ")}])" }
+        }.mkString(", ")
+      s"""WITH pl AS (SELECT * FROM (VALUES $rows) t(tbl, b, w)),
+      pw AS (SELECT tbl, b, CAST(unnest(w) AS DOUBLE) AS wv,
+          generate_subscripts(w, 1) AS pos FROM pl),
+      x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+          generate_subscripts(embedding, 1) AS pos
+        FROM embeddings WHERE embedding IS NOT NULL),
+      d AS (SELECT x.vec_id, pw.tbl, pw.b,
+          list_sum(list(x.v * pw.wv ORDER BY x.pos)) AS dot
+        FROM x JOIN pw USING (pos) GROUP BY x.vec_id, pw.tbl, pw.b),
+      sg AS (SELECT vec_id, tbl,
+          CAST(sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS INT) AS sig
+        FROM d GROUP BY vec_id, tbl)
+      SELECT CAST(tbl AS INT) AS tbl, sig, vec_id FROM sg
+      UNION ALL
+      SELECT CAST(r.range AS INT) AS tbl, CAST(NULL AS INT) AS sig, e.vec_id
+      FROM embeddings e CROSS JOIN range(4) r WHERE e.embedding IS NULL
+      ORDER BY tbl, sig, vec_id"""
+    })
 
   /** The IVF index exported as LONG-FORMAT SCALAR rows — kind 'c' rows
     * carry one centroid element (cid, pos, value), kind 'v' rows one list

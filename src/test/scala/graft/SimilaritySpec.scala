@@ -319,4 +319,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L, 5L, 6L), "min ids + the unpaired + the null row")
   }
+
+  test("q78 oracle device safety: every LSH dot keeps a wide sign margin") {
+    // The q78 oracle re-derives each signature bit as sign(dot) with
+    // DuckDB's list_sum, whose summation tail can differ from the
+    // kernel's sequential fold by ~1e-13 relative. A bit can therefore
+    // only disagree if some |dot| sits inside that noise band. This pin
+    // measures the fixture's true minimum margin — orders of magnitude
+    // above the noise — which makes the cross-engine compare
+    // deterministic rather than probabilistic.
+    val planes = Similarity.tablePlaneSets(nbits = 8, tables = 4, dim = 64)
+    val dots = planes.zipWithIndex.flatMap { case (ps, t) =>
+      ps.zipWithIndex.map { case (p, b) =>
+        abs(dot(col("embedding"), array(p.map(lit): _*))).as(s"d_${t}_$b") }
+    }
+    val minAbs = emb.filter(col("embedding").isNotNull)
+      .select(least(dots: _*).as("m"))
+      .agg(min(col("m"))).collect()(0).getDouble(0)
+    assert(minAbs > 1e-6, s"LSH sign margin too thin for the SQL oracle: $minAbs")
+  }
 }
