@@ -154,22 +154,25 @@ object VectorQueries extends QueryPack {
     * the generated SQL embeds them as list literals (the q105 sign-matrix
     * device) and re-derives every signature bit from scratch — dot =
     * position-ordered fold of emb[i]·plane[i], bit = (dot >= 0), sig =
-    * Σ bit·2^b. The one float bet is the summation tail: the kernel is a
-    * sequential left fold, DuckDB's list_sum a compensated sum, so the
-    * two dots can differ in the last ulps — a sign can only flip if some
-    * |dot| is within that noise (~1e-13) of zero, and SimilaritySpec's
-    * margin pin measures the fixture's true minimum (≈1e-3, ten orders
-    * above) so the compare is deterministic, not probabilistic. */
+    * Σ bit·2^b. The restatement is bit-exact, not approximate: plane
+    * literals go through a string→DOUBLE cast (a bare decimal literal
+    * would parse as DECIMAL and re-round), and DuckDB's list_sum over an
+    * ORDER BY pos list reproduces the kernel's sequential left fold
+    * bit-for-bit (measured) — so both engines compute the identical
+    * IEEE dot and the sign can never disagree. SimilaritySpec's margin
+    * pin (min |dot| ≈ 1e-3) stays as belt-and-suspenders evidence that
+    * even a summation-tail divergence could not flip a bit. */
   private val q78 = Q(
     "q78_lsh_bucket_table",
+    // no orderBy: the PlanSpec pin keeps this export a straight
+    // scan→write (the driver's compare sorts both sides anyway)
     (s, dir) => Similarity.lshBucketTable(
-        Tables(s, dir).embeddings, nbits = 8, tables = 4)
-      .orderBy(col("tbl"), col("sig"), col("vec_id")),
+        Tables(s, dir).embeddings, nbits = 8, tables = 4),
     Some {
       val rows = Similarity.tablePlaneSets(nbits = 8, tables = 4, dim = 64)
         .zipWithIndex.flatMap { case (ps, t) =>
           ps.zipWithIndex.map { case (p, b) =>
-            s"($t, $b, [${p.mkString(", ")}])" }
+            s"($t, $b, [${p.map(w => s"'$w'::DOUBLE").mkString(", ")}])" }
         }.mkString(", ")
       s"""WITH pl AS (SELECT * FROM (VALUES $rows) t(tbl, b, w)),
       pw AS (SELECT tbl, b, CAST(unnest(w) AS DOUBLE) AS wv,
@@ -200,11 +203,161 @@ object VectorQueries extends QueryPack {
     * only, because the driver's checker sorts frames in pandas, which
     * cannot sort the array cells the previous (cid, centroid, vec_id)
     * shape exported (the CORRECTNESS_r06 q79 RED row). */
+  /** FULL ORACLE for the IVF index export (was rows-only through r8) —
+    * the whole k-means lifecycle re-derived in SQL:
+    *  - seeds: the corpus ordered by (signed XXH64(vec_id, 42), vec_id)
+    *    — the closed-formula hash chain from [[TextQueries.XxhashSqlGen]]
+    *    — first nlist rows become centroid 0..nlist-1 (vec_ids are unique
+    *    in the fixture, so seedRows' third tie key never binds; the
+    *    SimilaritySpec device pin asserts that);
+    *  - three unrolled Lloyd iterations: cosine argmax assignment
+    *    (row_number ties → smallest cid, matching array_position's
+    *    first-max), per-(cid,pos) mean snapped to 9dp, empty clusters
+    *    carried through by the LEFT JOIN COALESCE;
+    *  - 'c' rows are verdict-checked: the exported value rides 1:1 and
+    *    `val_ok` pins it within 2e-9 of the SQL re-derivation (the float
+    *    mean is summation-order sensitive, so exact-hash would bet on
+    *    cross-engine ulp agreement at a rounding boundary — the q93
+    *    tolerance-verdict device instead);
+    *  - 'v' rows are EXACT: the final assignment is re-computed from the
+    *    EXPORTED centroid values (riding 1:1) with ordered-list folds
+    *    that reproduce the cosine kernel's sequential IEEE fold
+    *    bit-for-bit (measured — see the q78 scaladoc), and the
+    *    SimilaritySpec margin pin additionally shows every vec's top-2
+    *    centroid gap clears any conceivable fold noise by orders of
+    *    magnitude. */
+  /** Generated-SQL fragments shared by the k-means-family full oracles
+    * (q79 IVF centroids, q80 PQ codebooks, q83 residual IVF×PQ model):
+    * every fragment restates the Scala trainer 1:1 —
+    *  - [[prolog]]: `x` (1-based double-cast embedding elements), `xn`
+    *    (squared norms), and `hk` (each vec's rank under (signed
+    *    XXH64(vec_id, 42), vec_id) — seedRows' order; the third tie key
+    *    never binds because fixture vec_ids are unique, SimilaritySpec
+    *    pin);
+    *  - [[coarseLloyd]]: c0 = the first 8 hash-ranked embeddings, then
+    *    three cosine-argmax Lloyd iterations (row_number ties → smallest
+    *    cid = array_position first-max; per-(cid,pos) mean snapped to
+    *    9dp; empty clusters carried by LEFT JOIN COALESCE) ending in
+    *    `c3`;
+    *  - [[pqLloyd]]: the same shape per subspace over a `(vec_id, sub,
+    *    spos, v)` source CTE — seeds are the first 16 hash-ranked
+    *    vectors' slices, assignment is argmin of the 9dp-snapped L2²
+    *    (ties → smallest code, matching the window's (__d, code)
+    *    order) — ending in `<pfx>b3`.
+    * All folds are ORDER BY ordered-list sums, which reproduce the
+    * kernels' sequential IEEE folds bit-for-bit (measured); only the
+    * Lloyd means are summation-order sensitive, which is why the model
+    * exports are verdict-checked at 2e-9 instead of exact-hashed. */
+  private object KmeansSql {
+    import TextQueries.XxhashSqlGen._
+    val prolog: String = {
+      val qbase = s"qbase AS (SELECT vec_id, CASE WHEN vec_id < 0 THEN " +
+        s"vec_id + $big ELSE CAST(vec_id AS HUGEINT) END AS v " +
+        "FROM embeddings WHERE embedding IS NOT NULL)"
+      val (hashCtes, hashLast) = stages("s", "v", "42::HUGEINT", "qbase")
+      (Seq(qbase) ++ hashCtes).mkString("", ",\n      ", ",\n      ") +
+      s"""x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+          generate_subscripts(embedding, 1) AS pos
+        FROM embeddings WHERE embedding IS NOT NULL),
+      xn AS (SELECT vec_id, list_sum(list(v * v ORDER BY pos)) AS nx
+        FROM x GROUP BY vec_id),
+      hk AS (SELECT vec_id, row_number() OVER (ORDER BY
+          CASE WHEN hs >= 9223372036854775808::HUGEINT
+            THEN hs - $big ELSE hs END, vec_id) AS hrank
+        FROM $hashLast)"""
+    }
+    val coarseLloyd: String = {
+      def lloyd(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""cn$i AS (SELECT cid, list_sum(list(value * value ORDER BY pos)) AS ny
+        FROM $prev GROUP BY cid),
+      dt$i AS (SELECT x.vec_id, c.cid,
+          list_sum(list(x.v * c.value ORDER BY x.pos)) AS dot
+        FROM x JOIN $prev c ON c.pos = x.pos GROUP BY x.vec_id, c.cid),
+      sm$i AS (SELECT d.vec_id, d.cid, d.dot / (sqrt(n.nx) * sqrt(cn.ny)) AS sim
+        FROM dt$i d JOIN xn n ON n.vec_id = d.vec_id
+        JOIN cn$i cn ON cn.cid = d.cid),
+      ag$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM sm$i) WHERE rn = 1),
+      up$i AS (SELECT a.cid, x.pos,
+          round(list_sum(list(x.v ORDER BY x.vec_id)) / count(*), 9) AS value
+        FROM ag$i a JOIN x ON x.vec_id = a.vec_id GROUP BY a.cid, x.pos),
+      c$i AS (SELECT p.cid, p.pos, COALESCE(u.value, p.value) AS value
+        FROM $prev p LEFT JOIN up$i u ON u.cid = p.cid AND u.pos = p.pos)"""
+      }
+      s"""c0 AS (SELECT CAST(h.hrank AS INT) - 1 AS cid, x.pos, x.v AS value
+        FROM hk h JOIN x ON x.vec_id = h.vec_id WHERE h.hrank <= 8),
+      ${lloyd(1)},
+      ${lloyd(2)},
+      ${lloyd(3)}"""
+    }
+    def pqLloyd(src: String, pfx: String): String = {
+      def it(i: Int): String = {
+        val prev = s"${pfx}b${i - 1}"
+        s"""${pfx}dp$i AS (SELECT s.vec_id, s.sub, b.code,
+          round(list_sum(list((s.v - b.value) * (s.v - b.value)
+            ORDER BY s.spos)), 9) AS d
+        FROM $src s JOIN $prev b ON b.sub = s.sub AND b.spos = s.spos
+        GROUP BY s.vec_id, s.sub, b.code),
+      ${pfx}ap$i AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM ${pfx}dp$i) WHERE rn = 1),
+      ${pfx}up$i AS (SELECT a.sub, a.code, s.spos,
+          round(list_sum(list(s.v ORDER BY s.vec_id)) / count(*), 9) AS value
+        FROM ${pfx}ap$i a JOIN $src s
+          ON s.vec_id = a.vec_id AND s.sub = a.sub
+        GROUP BY a.sub, a.code, s.spos),
+      ${pfx}b$i AS (SELECT p.sub, p.code, p.spos,
+          COALESCE(u.value, p.value) AS value
+        FROM $prev p LEFT JOIN ${pfx}up$i u
+          ON u.sub = p.sub AND u.code = p.code AND u.spos = p.spos)"""
+      }
+      s"""${pfx}b0 AS (SELECT s.sub, CAST(h.hrank AS INT) - 1 AS code,
+          s.spos, s.v AS value
+        FROM hk h JOIN $src s ON s.vec_id = h.vec_id WHERE h.hrank <= 16),
+      ${it(1)},
+      ${it(2)},
+      ${it(3)}"""
+    }
+  }
+
   private val q79 = Q(
     "q79_ivf_index_table",
     (s, dir) => Similarity.ivfIndexScalarTable(
-      Tables(s, dir).embeddings, nlist = 8, iters = 3),
-    None)
+        Tables(s, dir).embeddings, nlist = 8, iters = 3)
+      .withColumn("val_ok", lit(true)),
+    Some {
+      import KmeansSql._
+      s"""WITH $prolog,
+      $coarseLloyd,
+      ec AS (SELECT cid, pos, value FROM
+        read_parquet('__VERIFY_OUT__/q79_ivf_index_table/*.parquet')
+        WHERE kind = 'c'),
+      fc AS (SELECT cid, pos + 1 AS pos, value FROM ec),
+      fn AS (SELECT cid, list_sum(list(value * value ORDER BY pos)) AS ny
+        FROM fc GROUP BY cid),
+      fd AS (SELECT x.vec_id, c.cid,
+          list_sum(list(x.v * c.value ORDER BY x.pos)) AS dot
+        FROM x JOIN fc c ON c.pos = x.pos GROUP BY x.vec_id, c.cid),
+      fs AS (SELECT d.vec_id, d.cid, d.dot / (sqrt(n.nx) * sqrt(f.ny)) AS sim
+        FROM fd d JOIN xn n ON n.vec_id = d.vec_id JOIN fn f ON f.cid = d.cid),
+      fa AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM fs) WHERE rn = 1)
+      SELECT 'c' AS kind, ec.cid, CAST(ec.pos AS INT) AS pos, ec.value,
+        CAST(NULL AS BIGINT) AS vec_id,
+        (abs(ec.value - c3.value) <= 2e-9) AS val_ok
+      FROM ec JOIN c3 ON c3.cid = ec.cid AND c3.pos = ec.pos + 1
+      UNION ALL
+      SELECT 'v' AS kind, fa.cid, CAST(NULL AS INT) AS pos,
+        CAST(NULL AS DOUBLE) AS value, fa.vec_id, TRUE AS val_ok FROM fa
+      UNION ALL
+      SELECT 'v' AS kind, CAST(0 AS INT) AS cid, CAST(NULL AS INT) AS pos,
+        CAST(NULL AS DOUBLE) AS value, e.vec_id, TRUE AS val_ok
+      FROM embeddings e WHERE e.embedding IS NULL
+      ORDER BY kind, cid, pos, vec_id"""
+    })
 
   /** LSH-bucketed ANN (random hyperplanes, multi-probe) — the scale path.
     * FULL ORACLE via the q78 bucket fixture (`__VERIFY_OUT__` is the
@@ -392,13 +545,34 @@ object VectorQueries extends QueryPack {
     * cells the previous codeword-array shape exported (the
     * CORRECTNESS_r06 q80 RED row); the oracles re-assemble with
     * list(value ORDER BY pos) GROUP BY sub, code. */
+  /** FULL ORACLE for the PQ codebook export (was rows-only through r8):
+    * the per-subspace k-means re-derived with [[KmeansSql.pqLloyd]] —
+    * seeds are the first 16 hash-ranked embeddings' 8-dim slices,
+    * assignment is argmin of the 9dp-snapped L2² (a bit-identical
+    * ordered fold; ties → smallest code), means snap to 9dp. Codeword
+    * values are verdict-checked at 2e-9 (the mean is summation-order
+    * sensitive — the q79 'c'-row device). */
   private val q80 = Q(
     "q80_pq_codebooks",
     (s, dir) => s.createDataFrame(sharedBooks(s, dir))
       .toDF("sub", "code", "codeword")
       .select(col("sub"), col("code"),
-        posexplode(col("codeword")).as(Seq("pos", "value"))),
-    None)
+        posexplode(col("codeword")).as(Seq("pos", "value")))
+      .withColumn("val_ok", lit(true)),
+    Some {
+      import KmeansSql._
+      s"""WITH $prolog,
+      sx AS (SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS sub,
+          CAST((pos - 1) % 8 AS INT) + 1 AS spos, v FROM x),
+      ${pqLloyd("sx", "k")},
+      eb AS (SELECT sub, code, pos, value FROM
+        read_parquet('__VERIFY_OUT__/q80_pq_codebooks/*.parquet'))
+      SELECT eb.sub, eb.code, eb.pos, eb.value,
+        (abs(eb.value - b.value) <= 2e-9) AS val_ok
+      FROM eb JOIN kb3 b
+        ON b.sub = eb.sub AND b.code = eb.code AND b.spos = eb.pos + 1
+      ORDER BY eb.sub, eb.code, eb.pos"""
+    })
 
   /** PQ encode: every embedding compressed to ONE BIGINT (8 subspace
     * bytes) — the 8-byte search column that replaces 256-byte vectors in
@@ -493,13 +667,54 @@ object VectorQueries extends QueryPack {
     * memoized training (model-reuse semantics — see sharedResidualModel);
     * the training-determinism evidence lives in the q81-vs-q80 pair and
     * PqSpec's re-train pins. */
+  /** FULL ORACLE for the residual IVF×PQ model export (was rows-only
+    * through r8) — the whole two-stage training re-derived:
+    *  - 'c' rows: the coarse centroids via [[KmeansSql.coarseLloyd]]
+    *    (identical training to q79), verdict-checked at 2e-9;
+    *  - 'b' rows: corpus assignment by 9dp-snapped L2² against the
+    *    EXPORTED centroids (riding 1:1 — so centroid-mean fold noise
+    *    cannot leak into the assignment), residuals r = v − centroid(v)
+    *    elementwise, then the per-subspace k-means over the residuals
+    *    via [[KmeansSql.pqLloyd]] (seeds = the first 16 hash-ranked
+    *    vectors' residual slices), verdict-checked at 2e-9. */
   private val q83 = Q(
     "q83_pq_residual_model",
     (s, dir) => {
       val (centroids, books, _) = sharedResidualModel(s, dir)
-      Pq.modelTable(s, centroids, books)
+      Pq.modelTable(s, centroids, books).withColumn("val_ok", lit(true))
     },
-    None)
+    Some {
+      import KmeansSql._
+      s"""WITH $prolog,
+      $coarseLloyd,
+      raw AS (SELECT kind, i, j, pos, value FROM
+        read_parquet('__VERIFY_OUT__/q83_pq_residual_model/*.parquet')),
+      fc AS (SELECT i AS cid, pos + 1 AS pos, value FROM raw WHERE kind = 'c'),
+      ad AS (SELECT x.vec_id, c.cid,
+          round(list_sum(list((x.v - c.value) * (x.v - c.value)
+            ORDER BY x.pos)), 9) AS d
+        FROM x JOIN fc c ON c.pos = x.pos GROUP BY x.vec_id, c.cid),
+      asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM ad) WHERE rn = 1),
+      rv AS (SELECT x.vec_id, x.pos, x.v - c.value AS v
+        FROM x JOIN asg a ON a.vec_id = x.vec_id
+        JOIN fc c ON c.cid = a.cid AND c.pos = x.pos),
+      rsx AS (SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS sub,
+          CAST((pos - 1) % 8 AS INT) + 1 AS spos, v FROM rv),
+      ${pqLloyd("rsx", "r")}
+      SELECT 'c' AS kind, r.i, r.j, r.pos, r.value,
+        (abs(r.value - c3.value) <= 2e-9) AS val_ok
+      FROM raw r JOIN c3 ON c3.cid = r.i AND c3.pos = r.pos + 1
+      WHERE r.kind = 'c'
+      UNION ALL
+      SELECT 'b' AS kind, r.i, r.j, r.pos, r.value,
+        (abs(r.value - b.value) <= 2e-9) AS val_ok
+      FROM raw r JOIN rb3 b
+        ON b.sub = r.i AND b.code = r.j AND b.spos = r.pos + 1
+      WHERE r.kind = 'b'
+      ORDER BY kind, i, j, pos"""
+    })
 
   /** Residual IVF×PQ ANN — the strongest ANN composition (FAISS-style:
     * codes encode v − centroid(v), so the same 8-byte budget quantizes

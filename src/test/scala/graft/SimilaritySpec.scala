@@ -338,4 +338,31 @@ class SimilaritySpec extends SparkSpec {
       .agg(min(col("m"))).collect()(0).getDouble(0)
     assert(minAbs > 1e-6, s"LSH sign margin too thin for the SQL oracle: $minAbs")
   }
+
+  test("q79 oracle device safety: unique ids; argmax gaps clear the noise") {
+    // Device pin 1: seedRows orders by (xxhash64(id), id, xxhash64(emb));
+    // the SQL oracle drops the third key, which is only sound while
+    // vec_ids are unique in the fixture.
+    val n = emb.count()
+    assert(emb.select(col("vec_id")).distinct().count() === n,
+      "q79's seed restatement assumes unique vec_ids")
+    // Device pin 2: every Lloyd assignment (and the final one) is an
+    // argmax over cosines that the oracle recomputes with a different
+    // summation tail (~1e-13 noise) from 9dp-snapped centroids (~1e-9
+    // perturbation). An argmax can only flip if some vec's top-2 centroid
+    // cosines sit closer than that; measure the true minimum gap against
+    // every intermediate model state (iters = 0 is the raw seed state).
+    for (it <- 0 to 3) {
+      val model = Similarity.kmeansCentroids(emb, k = 8, iters = it)
+      val sims = array_sort(array(model.sortBy(_._1).map { case (_, ctr) =>
+        cosine(col("embedding"), array(ctr.map(lit): _*)) }: _*)).as("s")
+      val gaps = emb.filter(col("embedding").isNotNull)
+        .select(sims)
+        .select((element_at(col("s"), 8) - element_at(col("s"), 7)).as("gap"))
+        .filter(col("gap") =!= 0.0) // bit-equal ties are engine-stable
+        .agg(min(col("gap"))).collect()(0).getDouble(0)
+      assert(gaps > 1e-6,
+        s"top-2 assignment gap too thin at iteration state $it: $gaps")
+    }
+  }
 }
