@@ -2259,6 +2259,74 @@ object TextQueries extends QueryPack {
       WHERE doc_id NOT IN (SELECT id_new FROM dropped)
       ORDER BY doc_id"""))
 
+  /** Streaming curation with index MAINTENANCE
+    * ([[graft.streaming.DocumentStreams.incrementalCurationToParquet]]):
+    * the q130 gate+dedup lifecycle plus the piece a real continuous crawl
+    * needs — each micro-batch's survivors append their OWN signatures to
+    * the persisted index, so batch 1 dedups against the seed corpus AND
+    * batch 0's survivors, batch 2 against all of it. The crawl is
+    * rendered as one file per batch (batch = doc_id % 3) with forced
+    * mtime order and maxFilesPerTrigger=1, so the cascade is
+    * deterministic. ALL cross-batch state is the on-disk index (streaming
+    * plan stateless, require()-asserted); within-batch new-new pairs are
+    * intentionally out of scope (dedupAgainstSignatureIndex's contract).
+    *
+    * FULL ORACLE: the q130 SQL widened to the 3-batch unroll — `near` is
+    * the role-agnostic banded-candidate + exact-jaccard pair set from the
+    * q77 fixture, and s0/s1/s2 chain NOT EXISTS against seed ∪ earlier
+    * survivors, exactly the sequential semantics the mtime order pins. */
+  private val q142 = Q(
+    "q142_stream_index_maintenance",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val seedIdx = Dedup.signatureTable(
+        docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+        numHashes = 64, bands = 4)
+      graft.streaming.DocumentStreams.incrementalCurationToParquet(
+        s, dir, seedIdx,
+        java.nio.file.Files.createTempDirectory("graft-q142-out").toString,
+        java.nio.file.Files.createTempDirectory("graft-q142-idx").toString,
+        batchFiles = 3, numHashes = 64, bands = 4, threshold = 0.95)
+    },
+    Some("""WITH raw AS (SELECT doc_id, kind, idx, value
+        FROM read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet')),
+      s AS (SELECT doc_id, list(value ORDER BY idx) AS wh
+        FROM raw WHERE kind = 'wh' GROUP BY doc_id),
+      b AS (SELECT doc_id, value AS bh, idx AS band
+        FROM raw WHERE kind = 'band'),
+      g AS (SELECT doc_id FROM
+        read_parquet('__VERIFY_OUT__/q92_gopher_quality/*.parquet')
+        WHERE n_words >= 30 AND mean_word_len <= 10
+          AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8),
+      cand AS (SELECT DISTINCT a1.doc_id AS id_new, a2.doc_id AS id_old
+        FROM b a1 JOIN b a2 ON a1.band = a2.band AND a1.bh = a2.bh
+        WHERE a1.doc_id <> a2.doc_id),
+      near AS (SELECT DISTINCT id_new, id_old FROM cand
+        JOIN s sa ON sa.doc_id = cand.id_new
+        JOIN s sb ON sb.doc_id = cand.id_old
+        WHERE round(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+          / (len(sa.wh) + len(sb.wh) - len(list_intersect(sa.wh, sb.wh))),
+          4) >= 0.95),
+      inc AS (SELECT d.doc_id, d.lang, d.doc_id % 3 AS bat FROM documents d
+        JOIN g ON g.doc_id = d.doc_id WHERE d.doc_id % 10 <> 0),
+      seed AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+      s0 AS (SELECT doc_id, lang FROM inc i WHERE bat = 0 AND NOT EXISTS (
+        SELECT 1 FROM near n JOIN seed sd ON sd.doc_id = n.id_old
+        WHERE n.id_new = i.doc_id)),
+      s1 AS (SELECT doc_id, lang FROM inc i WHERE bat = 1 AND NOT EXISTS (
+        SELECT 1 FROM near n WHERE n.id_new = i.doc_id AND (
+          n.id_old IN (SELECT doc_id FROM seed)
+          OR n.id_old IN (SELECT doc_id FROM s0)))),
+      s2 AS (SELECT doc_id, lang FROM inc i WHERE bat = 2 AND NOT EXISTS (
+        SELECT 1 FROM near n WHERE n.id_new = i.doc_id AND (
+          n.id_old IN (SELECT doc_id FROM seed)
+          OR n.id_old IN (SELECT doc_id FROM s0)
+          OR n.id_old IN (SELECT doc_id FROM s1))))
+      SELECT doc_id, lang FROM s0
+      UNION ALL SELECT doc_id, lang FROM s1
+      UNION ALL SELECT doc_id, lang FROM s2
+      ORDER BY doc_id"""))
+
   /** BM25 retrieval scoring ([[graft.operators.Ranking.bm25Scores]]) —
     * ranked lexical relevance of every document against a small query
     * set, the retrieval primitive behind relatedness-based curation and
@@ -2397,5 +2465,6 @@ object TextQueries extends QueryPack {
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
-      q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141)
+      q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
+      q142)
 }

@@ -148,4 +148,107 @@ object DocumentStreams {
     spark.read.parquet(outPath)
       .orderBy(col("doc_id"))
   }
+
+  /** Continuous-ingest curation with index MAINTENANCE — the full
+    * lifecycle [[curationGateToParquet]] stops short of: each arriving
+    * micro-batch is quality-gated, deduped against the PERSISTED
+    * signature index as it stands, its survivors are appended to the
+    * curated corpus, and the survivors' OWN signatures are appended to
+    * the index — so a later batch dedups against everything curated
+    * before it (seed corpus + all earlier batches), exactly how a
+    * production crawl keeps its dedup store current.
+    *
+    * Scale shape: the index lives on distributed storage and is read
+    * per batch through the same banded probe join (never re-signed, never
+    * driver-resident); the per-batch work is
+    * [[graft.operators.Dedup.dedupAgainstSignatureIndex]] verbatim; the
+    * streaming plan itself stays stateless (zero state-store operators,
+    * require()-asserted) because ALL cross-batch state is the persisted
+    * index — bounded by curated-corpus size on disk, not by stream volume
+    * in memory. Within-batch new-new duplicates are intentionally not
+    * compared (dedupAgainstSignatureIndex's documented contract;
+    * minhashDedupSurvivors is the batch-internal tool) — a doc therefore
+    * never collides with its OWN batch's signatures even though they are
+    * appended before the stream finishes.
+    *
+    * Determinism: the incoming crawl is rendered as one parquet file per
+    * batch (`batch b` = pmod(doc_id, batchFiles)) with strictly
+    * increasing modification times, and the file source is throttled to
+    * maxFilesPerTrigger=1 — FileStreamSource orders by (mtime, path), so
+    * batches replay in a fixed order and the survivor set is a pure
+    * function of the corpus (StreamingSpec pins parity with the
+    * sequential batch unroll; q142's oracle re-derives the whole cascade
+    * in SQL).
+    *
+    * @param seedIndex [[graft.operators.Dedup.signatureTable]] rows of the
+    *                  already-curated corpus; persisted to `indexPath` as
+    *                  the stream's starting state.
+    * @return surviving (doc_id, lang) read back from `outPath`. */
+  def incrementalCurationToParquet(
+      spark: SparkSession, dir: String, seedIndex: DataFrame,
+      outPath: String, indexPath: String, batchFiles: Int = 3,
+      numHashes: Int = 64, bands: Int = 4, threshold: Double = 0.95,
+      conf: EventStreams.StreamRunConf = EventStreams.StreamRunConf()): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    require(batchFiles >= 1, "need at least one batch file")
+    // render the crawl: one file per batch, mtimes force replay order
+    val streamDir = Files.createTempDirectory("graft-crawl").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0) // the seed (eval) split never streams
+    (0 until batchFiles).foreach { b =>
+      val tmp = Files.createTempDirectory("graft-crawl-part").toString
+      docs.filter(pmod(col("doc_id"), lit(batchFiles)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file for batch $b"))
+      val dest = Paths.get(streamDir, f"batch$b%02d.parquet")
+      Files.move(part.toPath, dest)
+      require(dest.toFile.setLastModified((b + 1) * 60000L),
+        s"could not stamp batch $b's replay order")
+    }
+    seedIndex.write.mode("overwrite").parquet(indexPath)
+    // seed the survivor sink so the read-back has a schema even if every
+    // batch dedups away
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType))))
+      .write.mode("overwrite").parquet(outPath)
+    val incoming = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
+      val q = incoming.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the index AS OF this batch: listing captured at read time, so
+          // this batch's own signature append (below) is invisible to it
+          val idx = spark.read.parquet(indexPath)
+          val gated = batch.filter(qualityGate(col("text")))
+          val survIds = graft.operators.Dedup.dedupAgainstSignatureIndex(
+            gated, idx, col("text"), col("doc_id"),
+            numHashes, bands, threshold)
+          val kept = gated
+            .withColumn("doc_id", col("doc_id").cast("long"))
+            .join(survIds, Seq("doc_id"))
+            .localCheckpoint(true) // one computation feeds both appends
+          try {
+            kept.select(col("doc_id"), col("lang"))
+              .write.mode("append").parquet(outPath)
+            graft.operators.Dedup.signatureTable(
+                kept, col("text"), col("doc_id"), numHashes, bands)
+              .write.mode("append").parquet(indexPath)
+          } finally kept.unpersist()
+          ()
+        }
+        .options(conf.options)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+        "incremental curation stream must be stateless (index IS the state)")
+    }
+    spark.read.parquet(outPath).orderBy(col("doc_id"))
+  }
 }

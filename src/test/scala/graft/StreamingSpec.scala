@@ -185,6 +185,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must keep at least one doc")
   }
 
+  test("incremental curation: stream == sequential unroll; the growing index binds") {
+    // q142's operator: per-batch dedup against the persisted index PLUS
+    // survivor-signature append must equal the hand-unrolled sequential
+    // composition (batch b deduped against seed ∪ survivors of 0..b-1)
+    import graft.operators.Dedup
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sfDir).documents
+    val seedIdx = Dedup.signatureTable(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+      numHashes = 64, bands = 4)
+    val streamed = DocumentStreams.incrementalCurationToParquet(
+        spark, sfDir, seedIdx,
+        java.nio.file.Files.createTempDirectory("graft-spec-inc-out").toString,
+        java.nio.file.Files.createTempDirectory("graft-spec-inc-idx").toString,
+        batchFiles = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val gatedAll = docs.filter(col("doc_id") % 10 =!= 0)
+      .filter(DocumentStreams.qualityGate(col("text")))
+    var idx = seedIdx.localCheckpoint(true)
+    var unrolled = Seq.empty[(Long, String)]
+    for (b <- 0 until 3) {
+      val gb = gatedAll.filter(pmod(col("doc_id"), lit(3)) === b)
+      val sIds = Dedup.dedupAgainstSignatureIndex(
+        gb, idx, col("text"), col("doc_id"),
+        numHashes = 64, bands = 4, threshold = 0.95)
+      val kept = gb.withColumn("doc_id", col("doc_id").cast("long"))
+        .join(sIds, Seq("doc_id")).localCheckpoint(true)
+      unrolled ++= kept.select(col("doc_id"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      idx = idx.unionByName(Dedup.signatureTable(
+        kept, col("text"), col("doc_id"), numHashes = 64, bands = 4))
+        .localCheckpoint(true)
+    }
+    assert(streamed.sorted === unrolled.sorted)
+    // the maintenance semantics must BIND on the fixture: dedup against
+    // the seed alone keeps strictly more docs than the growing index
+    val seedOnly = Dedup.dedupAgainstSignatureIndex(
+      gatedAll, seedIdx, col("text"), col("doc_id"),
+      numHashes = 64, bands = 4, threshold = 0.95).count()
+    assert(seedOnly > streamed.size.toLong,
+      "fixture must contain cross-batch near-dups for q142 to exercise")
+  }
+
   test("streaming heavy hitters: MisraGriesAgg matches batch in the exact regime") {
     // the typed imperative aggregate composes under Structured Streaming
     // (complete-mode global aggregation) — frequent-items over a live
