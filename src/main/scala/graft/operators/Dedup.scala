@@ -767,4 +767,83 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
   }
+
+  /** All single-character deletions of a string column, as an array.
+    * Guarded for the empty string: sequence(1, 0) would run DESCENDING
+    * (Spark infers step -1), not empty. */
+  private def deleteOne(s: Column): Column =
+    when(length(s) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i))))
+
+  /** The ≤k-deletion neighborhood of a string (FastSS, Bocek et al.
+    * 2007): every string obtainable by deleting at most k characters,
+    * the original included. |N_k(s)| ≤ Σ_{i≤k} C(|s|, i) — linear in
+    * |s| for k=1, quadratic for k=2; keep k small, which is also where
+    * edit-distance dedup is semantically meaningful. */
+  private[operators] def deletionNeighborhood(s: Column, k: Int): Column = {
+    var acc = array(s)
+    for (_ <- 1 to k) acc =
+      array_distinct(concat(acc, flatten(transform(acc, deleteOne(_)))))
+    acc
+  }
+
+  /** Edit-distance near-dup pairs: (id_a < id_b, dist) for every pair of
+    * rows whose strings are within Levenshtein distance `k` — fuzzy
+    * entity matching (names, titles, URLs) as a JOIN, never an all-pairs
+    * scan.
+    *
+    * Blocking is the FastSS deletion neighborhood: if ed(a,b) ≤ k then
+    * deleting from `a` the characters an optimal script substitutes or
+    * deletes (≤ k of them) and from `b` the characters it substitutes or
+    * inserts (≤ k) leaves the same string — so every qualifying pair
+    * shares a key in the ≤k-deletion neighborhoods, and the equi-join on
+    * that key is COMPLETE (the q143 oracle brute-forces all pairs, so a
+    * missed pair is a hash mismatch, not a silent recall loss).
+    * Candidates then verify with the exact codegen'd `levenshtein`.
+    *
+    * Why not PassJoin-style segment blocking: entity corpora share long
+    * constant affixes (c_name's "Customer#…" prefix), which make any
+    * positional segment a single hot block — degenerate all-pairs. A
+    * deletion variant, by contrast, is almost the whole string, so two
+    * strings share one only if they are already near-identical: block
+    * size tracks the true neighborhood size, independent of shared
+    * affixes.
+    *
+    * Scale shape: one map-only explode (×|N_k| rows), one shuffle on the
+    * variant key, one distinct on candidate pairs, exact verify on
+    * candidates only. At 100 TB: cap pathological variant blocks the
+    * maxBlock way only if the corpus contains adversarial mass-duplicate
+    * strings — exact-equal strings all share every variant, so dedup
+    * EXACT duplicates first (fingerprintDedupSurvivors), then run this on
+    * survivors. */
+  def editDistancePairs(
+      df: DataFrame, strCol: Column, idCol: Column, k: Int = 1): DataFrame = {
+    require(k >= 1 && k <= 2, s"k=$k: deletion-neighborhood size is C(|s|,k)")
+    val base = df
+      .select(idCol.cast("long").as("eid"), strCol.as("s"))
+      .filter(col("s").isNotNull)
+    val keys = base.select(col("eid"), col("s"),
+      explode(deletionNeighborhood(col("s"), k)).as("v"))
+    keys.as("a")
+      .join(keys.as("b"),
+        col("a.v") === col("b.v") && col("a.eid") < col("b.eid"))
+      .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .distinct()
+      .filter(levenshtein(col("s_a"), col("s_b")) <= k)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+  }
+
+  /** Keep-min survivorship over [[editDistancePairs]] — same rule as
+    * minhashDedupSurvivors: a row survives unless a smaller-id row sits
+    * within distance k. */
+  def editDistanceSurvivors(
+      df: DataFrame, strCol: Column, idCol: Column, k: Int = 1): DataFrame = {
+    val dropped = editDistancePairs(df, strCol, idCol, k)
+      .select(col("id_b").as("eid")).distinct()
+    df.select(idCol.cast("long").as("eid"))
+      .join(dropped, Seq("eid"), "left_anti")
+  }
 }

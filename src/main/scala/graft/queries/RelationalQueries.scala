@@ -772,8 +772,28 @@ object RelationalQueries extends QueryPack {
       GROUP BY 1, 2, 3, 4
       ORDER BY l.l_orderkey, l.l_linenumber"""))
 
+  /** Fuzzy entity matching ([[graft.operators.Dedup.editDistancePairs]]):
+    * every customer-name pair within Levenshtein distance 1 — the
+    * record-linkage primitive (near-identical names/titles/URLs) as a
+    * blocked equi-join, never an all-pairs scan. Blocking = the FastSS
+    * ≤1-deletion neighborhood, chosen over positional segments because
+    * entity strings share long constant affixes ("Customer#…") that make
+    * any segment a single hot block. The oracle BRUTE-FORCES all pairs in
+    * DuckDB, so blocking completeness is hash-verified, not assumed
+    * (Spark and DuckDB implement the same classic Levenshtein). */
+  private val q143 = Q(
+    "q143_fuzzy_name_pairs",
+    (s, dir) => graft.operators.Dedup.editDistancePairs(
+        Tables(s, dir).customer, col("c_name"), col("c_custkey"), k = 1)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q2a, q2b, q129, q131, q132, q136, q139)
+    q29, q2a, q2b, q129, q131, q132, q136, q139, q143)
 }

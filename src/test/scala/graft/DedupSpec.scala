@@ -507,4 +507,41 @@ class DedupSpec extends SparkSpec {
     assert(cont === 0.5)
     assert(jac === 1.0 / 3.0)
   }
+
+  test("editDistancePairs: FastSS blocking complete for subs, indels, empty") {
+    import spark.implicits._
+    // hand corpus exercising every edit kind at k=1 and k=2, plus the
+    // empty-string guard (sequence(1,0) would run descending unguarded)
+    val rows = Seq(
+      (1L, "spark"), (2L, "spork"), // substitution           ed 1
+      (3L, "sprk"), //                deletion                 ed 1 from spark
+      (4L, "sparkk"), //              insertion                ed 1 from spark
+      (5L, "fling"), (6L, "flink"), // tail substitution       ed 1
+      (7L, "zzzzz"), //               far from everything
+      (8L, ""), (9L, "a")) //         empty vs one char        ed 1
+    val df = rows.toDF("id", "s")
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- 1 to 2) {
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && ed(sa, sb) <= k
+      } yield (ia, ib, ed(sa, sb))).toSet
+      val got = Dedup.editDistancePairs(df, col("s"), col("id"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === want, s"k=$k")
+      assert(want.nonEmpty, s"hand corpus must contain ed<=$k pairs")
+    }
+    // keep-min survivorship: 2/3/4 fall to 1; 6 falls to 5; 7/8 survive
+    // (9 falls to 8: ed("", "a") = 1)
+    val kept = Dedup.editDistanceSurvivors(df, col("s"), col("id"), k = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L, 7L, 8L))
+  }
 }
