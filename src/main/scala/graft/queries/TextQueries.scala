@@ -2327,6 +2327,59 @@ object TextQueries extends QueryPack {
       UNION ALL SELECT doc_id, lang FROM s2
       ORDER BY doc_id"""))
 
+  /** Split-leakage audit: near-duplicate document pairs that STRADDLE a
+    * train/val/test boundary — the pairs that silently inflate eval
+    * scores when a model memorizes the train twin. Composes the q38
+    * banded minhash pair generation with the q75 deterministic split
+    * assignment; the filter keeps only cross-split pairs. At 100 TB this
+    * is the q38 join plus two keyed split joins — no new shuffle shape.
+    * FULL ORACLE: q38's pair SQL over the q77 signature fixture joined
+    * against the q75 split fixture. */
+  private val q144 = Q(
+    "q144_split_leakage_audit",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup.minhashNearDupPairs(
+        docs, col("text"), col("doc_id"),
+        numHashes = 64, bands = 4, threshold = 0.95)
+      val splits = Sampling.assignSplits(
+          docs, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH raw AS (SELECT doc_id, kind, idx, value
+        FROM read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet')),
+      s AS (SELECT doc_id, list(value ORDER BY idx) AS wh
+        FROM raw WHERE kind = 'wh' GROUP BY doc_id),
+      b AS (SELECT doc_id, value AS bh, idx AS band
+        FROM raw WHERE kind = 'band'),
+      cand AS (SELECT DISTINCT a1.doc_id AS id_a, a2.doc_id AS id_b
+        FROM b a1 JOIN b a2
+          ON a1.band = a2.band AND a1.bh = a2.bh AND a1.doc_id < a2.doc_id),
+      pairs AS (SELECT id_a, id_b,
+          round(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+            / (len(sa.wh) + len(sb.wh) - len(list_intersect(sa.wh, sb.wh))),
+            4) AS jaccard
+        FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+                  JOIN s sb ON sb.doc_id = cand.id_b),
+      sp AS (SELECT doc_id, split FROM
+        read_parquet('__VERIFY_OUT__/q75_train_val_test_split/*.parquet'))
+      SELECT p.id_a, p.id_b, pa.split AS split_a, pb.split AS split_b,
+        p.jaccard
+      FROM pairs p JOIN sp pa ON pa.doc_id = p.id_a
+                   JOIN sp pb ON pb.doc_id = p.id_b
+      WHERE p.jaccard >= 0.95 AND pa.split <> pb.split
+      ORDER BY id_a, id_b"""))
+
   /** BM25 retrieval scoring ([[graft.operators.Ranking.bm25Scores]]) —
     * ranked lexical relevance of every document against a small query
     * set, the retrieval primitive behind relatedness-based curation and
@@ -2466,5 +2519,5 @@ object TextQueries extends QueryPack {
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
-      q142)
+      q142, q144)
 }
