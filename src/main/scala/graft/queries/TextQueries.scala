@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Classifier, Dedup, Dsir, LangModel, Sampling, Sketches}
+import graft.operators.{Bpe, Classifier, Dedup, Dsir, LangModel, Metrics, Sampling, Sketches}
 
 /** Text-analysis + dedup surface over the `documents` table — the
   * LLM-training-data operators (BASELINE.json north star) layered on the
@@ -2380,6 +2380,85 @@ object TextQueries extends QueryPack {
       WHERE p.jaccard >= 0.95 AND pa.split <> pb.split
       ORDER BY id_a, id_b"""))
 
+  /** Binary ROC AUC ([[graft.operators.Metrics.binaryAuc]]) of the NB
+    * classifier's 'en' log-score against the declared language — the
+    * "does this quality/lang score actually separate the classes" gate a
+    * pipeline must pass before filtering 100 TB on a threshold. The
+    * Mann-Whitney u2 stays in LONG arithmetic (half-credit ties ×2), so
+    * the compare is exact except the final 9dp ratio; the cumulative
+    * counts use bucketed per-partition windows (no SinglePartition
+    * exchange — PlanSpec pin). Oracle re-derives the whole statistic
+    * from the q114 score fixture with a plain ordered window. */
+  private val q145 = Q(
+    "q145_nb_score_auc",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Metrics.binaryAuc(
+        sharedNbScores(s, dir).filter(col("cls") === "en")
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").as("y")), Seq("doc_id")),
+        col("score"), col("y"))
+    },
+    Some("""WITH sc AS (SELECT s.doc_id, s.score, (d.lang = 'en') AS y
+        FROM read_parquet('__VERIFY_OUT__/q114_nb_scores/*.parquet') s
+        JOIN documents d ON d.doc_id = s.doc_id
+        WHERE s.cls = 'en'),
+      agg AS (SELECT score,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        FROM sc GROUP BY score),
+      cum AS (SELECT score, n_pos, n_neg,
+          CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cnb
+        FROM agg)
+      SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        CAST(sum(n_pos * (2 * cnb + n_neg)) AS BIGINT) AS u2,
+        round(CAST(sum(n_pos * (2 * cnb + n_neg)) AS DOUBLE)
+          / (2.0 * sum(n_pos) * sum(n_neg)), 9) AS auc
+      FROM cum"""))
+
+  /** The full precision/recall curve ([[graft.operators.Metrics
+    * .prCurve]]) for the same score/label pair — one row per distinct
+    * score for the rule "positive iff score ≥ s": exact LONG tp/fp/fn
+    * plus 6dp precision/recall. Same bucketed-cumsum engine as q145. */
+  private val q146 = Q(
+    "q146_nb_score_pr_curve",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Metrics.prCurve(
+        sharedNbScores(s, dir).filter(col("cls") === "en")
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").as("y")), Seq("doc_id")),
+        col("score"), col("y"))
+    },
+    Some("""WITH sc AS (SELECT s.doc_id, s.score, (d.lang = 'en') AS y
+        FROM read_parquet('__VERIFY_OUT__/q114_nb_scores/*.parquet') s
+        JOIN documents d ON d.doc_id = s.doc_id
+        WHERE s.cls = 'en'),
+      agg AS (SELECT score,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        FROM sc GROUP BY score),
+      cum AS (SELECT score, n_pos, n_neg,
+          CAST(coalesce(sum(n_pos) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cpb,
+          CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cnb
+        FROM agg),
+      tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+          CAST(sum(n_neg) AS BIGINT) AS n FROM agg)
+      SELECT c.score, (t.p - c.cpb) AS tp, (t.n - c.cnb) AS fp,
+        c.cpb AS fn,
+        round(CAST(t.p - c.cpb AS DOUBLE)
+          / ((t.p - c.cpb) + (t.n - c.cnb)), 6) AS precision,
+        round(CAST(t.p - c.cpb AS DOUBLE) / t.p, 6) AS recall
+      FROM cum c CROSS JOIN tot t
+      ORDER BY c.score DESC"""))
+
   /** BM25 retrieval scoring ([[graft.operators.Ranking.bm25Scores]]) —
     * ranked lexical relevance of every document against a small query
     * set, the retrieval primitive behind relatedness-based curation and
@@ -2519,5 +2598,5 @@ object TextQueries extends QueryPack {
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
-      q142, q144)
+      q142, q144, q145, q146)
 }
