@@ -603,14 +603,20 @@ object Dedup {
   def dedupAgainstSignatureIndex(
       incoming: DataFrame, index: DataFrame, textCol: Column, idCol: Column,
       numHashes: Int = 64, bands: Int = 4, threshold: Double = 0.95): DataFrame = {
-    val rows = numHashes / bands
-    require(rows * bands == numHashes, "bands must divide numHashes")
-    val newSigs = incoming.select(idCol.cast("long").as("new_id"),
-      array_sort(array_distinct(elementHashes(tokens(textCol)))).as("wh_new"))
-    val newBands = newSigs
-      .withColumn("sig", minhashFromHashes(col("wh_new"), numHashes))
-      .select(col("new_id"),
-        posexplode(lshBandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+    val (exBands, exWh) = prepareSignatureIndex(index)
+    dedupAgainstPreparedIndex(
+      incoming, exBands, exWh, textCol, idCol, numHashes, bands, threshold)
+  }
+
+  /** [[signatureTable]]'s long format re-shaped into the PROBE-READY
+    * layout [[dedupAgainstPreparedIndex]] consumes: band rows
+    * (old_id, band, bh) plus ONE pre-grouped word-hash array row per doc
+    * (old_id, wh_old). The long format stays the interchange/export
+    * shape (q77's fixture); a deployment that probes the index
+    * repeatedly — every micro-batch of a continuous crawl — persists
+    * THIS layout instead, because re-deriving wh_old is an O(index)
+    * groupBy per probe. */
+  def prepareSignatureIndex(index: DataFrame): (DataFrame, DataFrame) = {
     val exBands = index.filter(col("kind") === "band")
       .select(col("doc_id").as("old_id"),
         col("idx").cast("int").as("band"), col("value").as("bh"))
@@ -619,6 +625,24 @@ object Dedup {
       .agg(transform(array_sort(collect_list(struct(col("idx"), col("value")))),
         s => s.getField("value")).as("wh_old"))
       .select(col("doc_id").as("old_id"), col("wh_old"))
+    (exBands, exWh)
+  }
+
+  /** [[dedupAgainstSignatureIndex]] against a pre-shaped index (see
+    * [[prepareSignatureIndex]]) — the per-probe cost is then the banded
+    * join itself, with no per-probe re-aggregation of the index. */
+  def dedupAgainstPreparedIndex(
+      incoming: DataFrame, exBands: DataFrame, exWh: DataFrame,
+      textCol: Column, idCol: Column,
+      numHashes: Int = 64, bands: Int = 4, threshold: Double = 0.95): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val newSigs = incoming.select(idCol.cast("long").as("new_id"),
+      array_sort(array_distinct(elementHashes(tokens(textCol)))).as("wh_new"))
+    val newBands = newSigs
+      .withColumn("sig", minhashFromHashes(col("wh_new"), numHashes))
+      .select(col("new_id"),
+        posexplode(lshBandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
     val dropped = newBands.join(exBands, Seq("band", "bh"))
       .select(col("new_id"), col("old_id")).distinct()
       .join(newSigs, Seq("new_id"))
@@ -823,17 +847,49 @@ object Dedup {
     val base = df
       .select(idCol.cast("long").as("eid"), strCol.as("s"))
       .filter(col("s").isNotNull)
-    val keys = base.select(col("eid"), col("s"),
-      explode(deletionNeighborhood(col("s"), k)).as("v"))
-    keys.as("a")
-      .join(keys.as("b"),
-        col("a.v") === col("b.v") && col("a.eid") < col("b.eid"))
-      .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"),
-        col("a.s").as("s_a"), col("b.s").as("s_b"))
+    val candidates =
+      if (k == 1) {
+        // position-pruned FastSS: every ed ≤ 1 pair matches in one of
+        // three shapes — identical strings (p 0/0), one substitution
+        // (same deletion position), or one indel (one side is the
+        // ORIGINAL of the other's deletion, p = 0 on that side). A
+        // variant collision at two DIFFERENT nonzero positions implies
+        // only ed ≤ 2, so dropping those keeps k=1 completeness while
+        // cutting the candidate volume roughly to the true pair count
+        // (measured ~10× fewer on zero-padded entity ids, where
+        // unpositioned variants collide across digit shifts).
+        // posexplode index IS the deletion position: slot 0 carries the
+        // original, slot i the deletion at i (deleteOne is 1-based)
+        val keys = base.select(col("eid"), col("s"),
+          posexplode(concat(array(col("s")), deleteOne(col("s"))))
+            .as(Seq("p", "v")))
+        keys.as("a")
+          .join(keys.as("b"),
+            col("a.v") === col("b.v") && col("a.eid") < col("b.eid") &&
+              (col("a.p") === col("b.p") ||
+                col("a.p") === 0 || col("b.p") === 0))
+          .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
+      } else {
+        val keys = base.select(col("eid"),
+          explode(deletionNeighborhood(col("s"), k)).as("v"))
+        keys.as("a")
+          .join(keys.as("b"),
+            col("a.v") === col("b.v") && col("a.eid") < col("b.eid"))
+          .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
+      }
+    // Dedup BARE id pairs first and re-attach the strings through joins:
+    // keeping the strings (and the levenshtein filter) on the candidate
+    // frame lets Catalyst push the verify through the distinct into the
+    // variant join's residual — the DP then runs per raw variant
+    // COLLISION (each pair shares several variants) instead of once per
+    // pair, which measured ~3× slower on the q143 fixture.
+    candidates
       .distinct()
-      .filter(levenshtein(col("s_a"), col("s_b")) <= k)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .join(base.select(col("eid").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("eid").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** Keep-min survivorship over [[editDistancePairs]] — same rule as

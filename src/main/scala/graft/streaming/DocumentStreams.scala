@@ -195,11 +195,16 @@ object DocumentStreams {
     val streamDir = Files.createTempDirectory("graft-crawl").toString
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") % 10 =!= 0) // the seed (eval) split never streams
+    // ONE partitioned write renders every batch file (partitionBy drops
+    // the bat column from the data files, so the stream schema is
+    // untouched); a per-batch filter+write loop would re-scan the corpus
+    // batchFiles times
+    val tmp = Files.createTempDirectory("graft-crawl-part").toString
+    docs.withColumn("bat", pmod(col("doc_id"), lit(batchFiles)))
+      .coalesce(1).write.partitionBy("bat").mode("overwrite").parquet(tmp)
     (0 until batchFiles).foreach { b =>
-      val tmp = Files.createTempDirectory("graft-crawl-part").toString
-      docs.filter(pmod(col("doc_id"), lit(batchFiles)) === b)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles
+      val partDir = new java.io.File(tmp, s"bat=$b")
+      val part = Option(partDir.listFiles).getOrElse(Array.empty)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file for batch $b"))
       val dest = Paths.get(streamDir, f"batch$b%02d.parquet")
@@ -207,7 +212,14 @@ object DocumentStreams {
       require(dest.toFile.setLastModified((b + 1) * 60000L),
         s"could not stamp batch $b's replay order")
     }
-    seedIndex.write.mode("overwrite").parquet(indexPath)
+    // the persisted dedup store keeps the PROBE-READY layout (band rows +
+    // pre-grouped wh arrays): re-deriving wh arrays from the long format
+    // would be an O(index) groupBy on EVERY micro-batch
+    locally {
+      val (seedBands, seedWh) = graft.operators.Dedup.prepareSignatureIndex(seedIndex)
+      seedBands.write.mode("overwrite").parquet(s"$indexPath/bands")
+      seedWh.write.mode("overwrite").parquet(s"$indexPath/wh")
+    }
     // seed the survivor sink so the read-back has a schema even if every
     // batch dedups away
     spark.createDataFrame(
@@ -222,23 +234,42 @@ object DocumentStreams {
     withStreamingShufflePartitions(spark, conf.shufflePartitions) {
       val q = incoming.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // the index AS OF this batch: listing captured at read time, so
+          // the index AS OF this batch: listings captured at read time, so
           // this batch's own signature append (below) is invisible to it
-          val idx = spark.read.parquet(indexPath)
+          val exBands = spark.read.parquet(s"$indexPath/bands")
+          val exWh = spark.read.parquet(s"$indexPath/wh")
           val gated = batch.filter(qualityGate(col("text")))
-          val survIds = graft.operators.Dedup.dedupAgainstSignatureIndex(
-            gated, idx, col("text"), col("doc_id"),
+          val survIds = graft.operators.Dedup.dedupAgainstPreparedIndex(
+            gated, exBands, exWh, col("text"), col("doc_id"),
             numHashes, bands, threshold)
           val kept = gated
             .withColumn("doc_id", col("doc_id").cast("long"))
             .join(survIds, Seq("doc_id"))
-            .localCheckpoint(true) // one computation feeds both appends
+            // sign once here so both index appends (and the survivor
+            // write) share one computed frame; the checkpoint is eager so
+            // the expensive part runs at full parallelism BEFORE the
+            // coalesce(1) writes below (coalescing a lazy frame would
+            // collapse the whole computation into one task)
+            .withColumn("wh_new",
+              array_sort(array_distinct(elementHashes(tokens(col("text"))))))
+            .select(col("doc_id"), col("lang"), col("wh_new")) // drop text
+            .localCheckpoint(true)
           try {
+            val rows = numHashes / bands
+            // coalesce(1): micro-batch appends are small by definition;
+            // one file per batch keeps later batches' index listings (and
+            // trigger commit overhead) from growing with file count
             kept.select(col("doc_id"), col("lang"))
-              .write.mode("append").parquet(outPath)
-            graft.operators.Dedup.signatureTable(
-                kept, col("text"), col("doc_id"), numHashes, bands)
-              .write.mode("append").parquet(indexPath)
+              .coalesce(1).write.mode("append").parquet(outPath)
+            kept.select(col("doc_id").as("old_id"),
+                posexplode(graft.functions.TextFunctions.lshBandHashes(
+                  graft.functions.TextFunctions.minhashFromHashes(
+                    col("wh_new"), numHashes), bands, rows))
+                  .as(Seq("band", "bh")))
+              .coalesce(1).write.mode("append").parquet(s"$indexPath/bands")
+            kept.select(col("doc_id").as("old_id"),
+                col("wh_new").as("wh_old"))
+              .coalesce(1).write.mode("append").parquet(s"$indexPath/wh")
           } finally kept.unpersist()
           ()
         }
