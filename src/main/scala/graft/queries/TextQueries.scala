@@ -2459,6 +2459,101 @@ object TextQueries extends QueryPack {
       FROM cum c CROSS JOIN tot t
       ORDER BY c.score DESC"""))
 
+  /** Corpus snapshot diff ([[graft.operators.Snapshot.snapshotDiff]]):
+    * added/removed/changed rows between two versions of the documents
+    * table — the refresh audit before retraining. The v2 snapshot is a
+    * deterministic transform both engines derive independently (every
+    * 7th doc removed, every 11th survivor revised, every 13th doc
+    * re-added under a shifted id), so the oracle rebuilds both versions
+    * and diffs raw text while the engine diffs 64-bit content hashes —
+    * a hash collision would surface as a hash mismatch here. */
+  private val q147 = Q(
+    "q147_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("added revision of "), col("doc_id")).as("text")))
+      graft.operators.Snapshot.snapshotDiff(
+          docs, v2, col("doc_id"), Seq(col("text")))
+        .orderBy(col("change"), col("id"))
+    },
+    Some("""WITH old AS (SELECT doc_id AS id, text FROM documents),
+      v2 AS (SELECT doc_id AS id,
+          CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS id,
+          'added revision of ' || doc_id AS text
+        FROM documents WHERE doc_id % 13 = 0),
+      j AS (SELECT coalesce(o.id, n.id) AS id,
+          CASE WHEN o.id IS NULL THEN 'added'
+               WHEN n.id IS NULL THEN 'removed'
+               WHEN o.text <> n.text THEN 'changed'
+               ELSE 'unchanged' END AS change
+        FROM old o FULL OUTER JOIN v2 n ON o.id = n.id)
+      SELECT id, change FROM j WHERE change <> 'unchanged'
+      ORDER BY change, id"""))
+
+  /** Winsorized (outlier-clamped) per-language token statistics — the
+    * robust-mean report a curation pipeline uses where raw means are
+    * wrecked by boilerplate giants and empty stubs: clamp every count to
+    * the approximate [p05, p95] of its language, then average. One GK
+    * aggregate for the cuts (map-side-mergeable, q136's shape) + one
+    * broadcast-joined clamp pass. Oracle = the q136 rank-bound verdict
+    * on BOTH cuts, and — because GK cuts are actual data values, hence
+    * integers here — the clamped sum is EXACT integer arithmetic
+    * re-derived from the riding cuts (only the final mean rounds). */
+  private val q148 = Q(
+    "q148_winsorized_stats",
+    (s, dir) => {
+      val t = Tables(s, dir).documents.select(col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      val cuts = t.groupBy(col("lang"))
+        .agg(percentile_approx(col("n"),
+          array(lit(0.05), lit(0.95)), lit(100)).as("cs"))
+        .select(col("lang"), element_at(col("cs"), 1).as("lo"),
+          element_at(col("cs"), 2).as("hi"))
+      t.join(broadcast(cuts), Seq("lang"))
+        .groupBy(col("lang"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("n") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(greatest(col("lo"), least(col("hi"), col("n")))).as("wsum"))
+        .select(col("lang"), col("lo"), col("hi"), col("n"),
+          col("n_clip_lo"), col("n_clip_hi"),
+          round(col("wsum").cast("double") / col("n"), 6).as("wins_mean"),
+          lit(true).as("rank_ok_lo"), lit(true).as("rank_ok_hi"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH fx AS (SELECT lang, lo, hi FROM
+        read_parquet('__VERIFY_OUT__/q148_winsorized_stats/*.parquet')),
+      t AS (SELECT lang,
+          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        FROM documents),
+      agg AS (SELECT f.lang, f.lo, f.hi,
+          count(*) AS n,
+          CAST(sum(CASE WHEN t.n < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_clip_lo,
+          CAST(sum(CASE WHEN t.n > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_clip_hi,
+          sum(greatest(f.lo, least(f.hi, t.n))) AS wsum,
+          sum(CASE WHEN t.n <= f.lo THEN 1 ELSE 0 END) AS r_lo_hi,
+          sum(CASE WHEN t.n < f.hi THEN 1 ELSE 0 END) AS r_hi_lo,
+          sum(CASE WHEN t.n <= f.hi THEN 1 ELSE 0 END) AS r_hi_hi
+        FROM fx f JOIN t ON t.lang = f.lang GROUP BY 1, 2, 3)
+      SELECT lang, lo, hi, CAST(n AS BIGINT) AS n, n_clip_lo, n_clip_hi,
+        round(CAST(wsum AS DOUBLE) / n, 6) AS wins_mean,
+        (r_lo_hi >= floor(0.04 * n) AND n_clip_lo <= ceil(0.06 * n))
+          AS rank_ok_lo,
+        (r_hi_hi >= floor(0.94 * n) AND r_hi_lo <= ceil(0.96 * n))
+          AS rank_ok_hi
+      FROM agg ORDER BY lang"""))
+
   /** BM25 retrieval scoring ([[graft.operators.Ranking.bm25Scores]]) —
     * ranked lexical relevance of every document against a small query
     * set, the retrieval primitive behind relatedness-based curation and
@@ -2598,5 +2693,5 @@ object TextQueries extends QueryPack {
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
-      q142, q144, q145, q146)
+      q142, q144, q145, q146, q147, q148)
 }
