@@ -180,5 +180,72 @@ object MultimodalQueries extends QueryPack {
       WHERE doc_id NOT IN (SELECT id FROM dropped)
       ORDER BY media_id"""))
 
-  override val all: Seq[Q] = Seq(q70, q71, q72, q116, q117, q118)
+  /** Audio fingerprint per media blob (Multimodal.ahash64): sign of the
+    * OCTAVE-bucketed energy gradient over 65 time segments. The fixture
+    * payloads are text bytes → every row takes the byte-energy STUB
+    * (Σ byte² per segment, seg = i·65/len — exact integer arithmetic,
+    * bucket = bitLength = floor(log2)+1), which the oracle re-derives
+    * with HUGEINT sums and the q116 bit-packing device. Real WAV/AIFF PCM fingerprints (ramp ⇒ all-ones, constant
+    * tone ⇒ zero, volume-invariance) are hand-pinned in
+    * MultimodalSpec. */
+  private val q149 = Q(
+    "q149_media_ahash",
+    (s, dir) => Multimodal.ahashTable(
+        Multimodal.ingestFromDocuments(Tables(s, dir).documents))
+      .select(col("media_id"), col("kind"), col("ahash"))
+      .orderBy(col("media_id")),
+    Some("""WITH d AS (SELECT doc_id, 'media/' || lang AS kind, text,
+          length(text) AS len FROM documents),
+      cv AS (SELECT doc_id, unnest(range(0, len)) AS i FROM d),
+      es AS (SELECT cv.doc_id,
+          CAST((cv.i * 65) // d.len AS INT) AS seg,
+          sum(CAST(unicode(substr(d.text, CAST(cv.i AS INT) + 1, 1)) AS HUGEINT)
+            * CAST(unicode(substr(d.text, CAST(cv.i AS INT) + 1, 1)) AS HUGEINT))
+            AS e
+        FROM cv JOIN d ON d.doc_id = cv.doc_id GROUP BY 1, 2),
+      segs AS (SELECT d.doc_id, d.kind, sg.s AS seg,
+          coalesce(es.e, 0::HUGEINT) AS e
+        FROM d CROSS JOIN (SELECT unnest(range(0, 65)) AS s) sg
+        LEFT JOIN es ON es.doc_id = d.doc_id AND es.seg = sg.s),
+      bk AS (SELECT doc_id, kind, seg,
+          CASE WHEN e = 0 THEN 0
+            ELSE CAST(floor(log2(CAST(e AS DOUBLE))) AS INT) + 1 END AS eb
+        FROM segs),
+      bits AS (SELECT a.doc_id, a.kind, CAST(a.seg AS INT) AS b,
+          CASE WHEN n.eb > a.eb THEN 1 ELSE 0 END AS bit
+        FROM bk a JOIN bk n
+          ON n.doc_id = a.doc_id AND n.seg = a.seg + 1
+        WHERE a.seg < 64),
+      s AS (SELECT doc_id, kind,
+          sum(CAST(bit AS HUGEINT) * CAST(1::UBIGINT << b AS HUGEINT)) AS h
+        FROM bits GROUP BY doc_id, kind)
+      SELECT doc_id AS media_id, kind,
+        CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+          THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS ahash
+      FROM s ORDER BY media_id"""))
+
+  /** Banded Hamming near-dup pairs over q149's audio fingerprints —
+    * identical machinery and oracle device as q117 (maxHamming 3 < 4
+    * bands ⇒ banding exhaustive by pigeonhole, so the oracle re-derives
+    * pairs from the hashes alone). */
+  private val q150 = Q(
+    "q150_media_audio_neardup",
+    (s, dir) => Multimodal.ahashNearDupPairs(
+        Multimodal.ahashTable(
+          Multimodal.ingestFromDocuments(Tables(s, dir).documents)))
+      .orderBy(col("kind"), col("id_a"), col("id_b")),
+    Some("""WITH h AS (SELECT media_id, kind, ahash
+        FROM read_parquet('__VERIFY_OUT__/q149_media_ahash/*.parquet')),
+      u AS (SELECT media_id, kind,
+          CAST(CASE WHEN ahash < 0 THEN ahash + 18446744073709551616::HUGEINT
+            ELSE CAST(ahash AS HUGEINT) END AS UBIGINT) AS uh
+        FROM h)
+      SELECT a.kind, a.media_id AS id_a, b.media_id AS id_b,
+        CAST(bit_count(xor(a.uh, b.uh)) AS INTEGER) AS hamming
+      FROM u a JOIN u b ON a.kind = b.kind AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.uh, b.uh)) <= 3
+      ORDER BY a.kind, id_a, id_b"""))
+
+  override val all: Seq[Q] =
+    Seq(q70, q71, q72, q116, q117, q118, q149, q150)
 }

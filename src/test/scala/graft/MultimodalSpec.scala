@@ -241,4 +241,56 @@ class MultimodalSpec extends SparkSpec {
     // every variant is within hamming 3 of base (id 0)
     assert(Seq((0L, 1L), (0L, 2L), (0L, 3L)).forall(found.contains))
   }
+
+  test("ahash64: real PCM octave envelope — hand-pinned patterns") {
+    import javax.sound.sampled._
+    // 6500 frames of 8 kHz mono 16-bit PCM → exactly 100 frames per
+    // fingerprint segment; per-segment DC amplitude chosen per pattern
+    def wavOf(ampOfSegment: Int => Short,
+        tpe: AudioFileFormat.Type = AudioFileFormat.Type.WAVE,
+        bigEndian: Boolean = false): Array[Byte] = {
+      val nFrames = 6500
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val amp = ampOfSegment(i / 100)
+        val (b0, b1) = ((amp & 0xFF).toByte, ((amp >> 8) & 0xFF).toByte)
+        if (bigEndian) { pcm(2 * i) = b1; pcm(2 * i + 1) = b0 }
+        else { pcm(2 * i) = b0; pcm(2 * i + 1) = b1 }
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 6500L), tpe, bos)
+      bos.toByteArray
+    }
+    // constant tone: every segment energy equal -> no gradient anywhere
+    assert(Multimodal.ahash64(wavOf(_ => 8192)) === 0L)
+    // quiet/loud alternation (energy ratio 16 = 4 octaves): bit b set iff
+    // segment b is the quiet one -> 0x5555555555555555
+    def alt(q: Short, l: Short): Int => Short =
+      s => if (s % 2 == 0) q else l
+    assert(Multimodal.ahash64(wavOf(alt(3277, 13107))) === 0x5555555555555555L)
+    // volume doubling shifts every octave bucket equally: same fingerprint
+    assert(Multimodal.ahash64(wavOf(alt(6554, 26214))) === 0x5555555555555555L)
+    // big-endian AIFF of the same waveform: same fingerprint
+    assert(Multimodal.ahash64(
+      wavOf(alt(3277, 13107), AudioFileFormat.Type.AIFF, bigEndian = true))
+      === 0x5555555555555555L)
+  }
+
+  test("ahash64 stub path: brute-force byte-energy recompute matches") {
+    val payload = ("the quick brown fox " * 40).getBytes("UTF-8")
+    val e = new Array[Long](65)
+    for (i <- payload.indices) {
+      val v = (payload(i) & 0xFF).toLong
+      e(((i.toLong * 65) / payload.length).toInt) += v * v
+    }
+    def bucket(x: Long): Int = if (x <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+    var want = 0L
+    for (b <- 0 until 64)
+      if (bucket(e(b + 1)) > bucket(e(b))) want |= 1L << b
+    assert(Multimodal.ahash64(payload) === want)
+    // empty payload is defined as 0
+    assert(Multimodal.ahash64(Array.emptyByteArray) === 0L)
+  }
 }
