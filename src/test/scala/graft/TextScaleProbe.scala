@@ -200,6 +200,36 @@ object TextScaleProbe {
       require(ratio < 24.0,
         s"$label grew ${ratio}x from 1x to 8x — super-linear beyond the banded-join bound")
     }
+
+    // ---- fuzzy edit-distance join (q143) over grown NAMES. Constant
+    // dup density needs cross-rep pairs OUT of ed ≤ 1 range: rep r > 0
+    // suffixes "~rr" (tilde + rep digit twice), so two reps of the same
+    // base name differ in ≥ 2 positions and the unsuffixed rep 0 differs
+    // in length by 3 — neither collides under the position-pruned k=1
+    // blocking, while each rep-slice reproduces the base corpus's
+    // internal ed-1 pair structure.
+    val custBase = graft.sources.Tables(spark, dir).customer
+      .select(col("c_custkey").cast("long").as("eid"), col("c_name").as("s"))
+    def grownNames(reps: Int): (org.apache.spark.sql.DataFrame, Long) = {
+      val g = custBase
+        .crossJoin(spark.range(reps.toLong).select(col("id").as("rep")))
+        .select((col("eid") * reps + col("rep")).as("eid"),
+          when(col("rep") === 0, col("s"))
+            .otherwise(concat(col("s"), lit("~"), col("rep"), col("rep")))
+            .as("s"))
+        .repartition(32).localCheckpoint(eager = true)
+      (g, g.count())
+    }
+    val nameRows = sizes.map { r =>
+      val (c, n) = grownNames(r)
+      val t = timeOnce(Dedup.editDistancePairs(c, col("s"), col("eid"), k = 1))
+      println(f"[scaling] fuzzy_ed_pairs (q143)   ${r}x  $n%7d rows  $t%7.2f s  ${t * 1000 / n}%6.3f ms/row")
+      (r, n, t)
+    }
+    val nmRatio = nameRows.last._3 / math.max(nameRows.head._3, 0.2)
+    println(f"[scaling] fuzzy_ed_pairs (q143)   8x/1x total-time ratio $nmRatio%5.1f (linear=8, quadratic=~64, limit 24)")
+    require(nmRatio < 24.0,
+      s"fuzzy_ed_pairs grew ${nmRatio}x from 1x to 8x — super-linear beyond the neighborhood-join bound")
     spark.stop()
   }
 }
