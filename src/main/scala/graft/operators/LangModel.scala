@@ -140,7 +140,10 @@ object LangModel {
     * broadcast; the fold's state is one document's bigrams, never
     * corpus-wide. `+ 0.0` normalizes a possible IEEE −0.0 total (a
     * degenerate all-certain corpus) to +0.0 on both engines. */
-  def crossEntropy(docs: DataFrame, lm: DataFrame, textCol: Column,
+  /** Per-(doc, pos) bigram log-probability under `lm` — the shared
+    * scoring frame behind [[crossEntropy]] and [[minKProb]] (broadcast
+    * model-sized lookups, obs → unseen-continuation → OOV coalesce). */
+  private def tokenLogps(docs: DataFrame, lm: DataFrame, textCol: Column,
       idCol: Column): DataFrame = {
     val obs = lm.filter(col("w1") =!= "" && col("w2") =!= "")
       .select(col("w1"), col("w2"), col("logp"))
@@ -148,12 +151,17 @@ object LangModel {
       .select(col("w1"), col("logp").as("lp_unseen"))
     val oov = lm.filter(col("w1") === "" && col("w2") === "")
       .select(col("logp").as("lp_oov"))
-    val lp = bigramRows(docs, textCol, idCol)
+    bigramRows(docs, textCol, idCol)
       .join(obs, Seq("w1", "w2"), "left")
       .join(uns, Seq("w1"), "left")
       .crossJoin(broadcast(oov))
       .select(col("doc_id"), col("pos"),
         coalesce(col("logp"), col("lp_unseen"), col("lp_oov")).as("lp"))
+  }
+
+  def crossEntropy(docs: DataFrame, lm: DataFrame, textCol: Column,
+      idCol: Column): DataFrame = {
+    val lp = tokenLogps(docs, lm, textCol, idCol)
     val perDoc = lp.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_bigrams"),
       graft.plans.OrderedFold.orderedSum(col("pos"), col("lp")).as("sum_lp"))
@@ -165,6 +173,46 @@ object LangModel {
         when(coalesce(col("n_bigrams"), lit(0L)) > 0,
           round(col("sum_lp") * lit(-1.0) / col("n_bigrams"), 6) + lit(0.0))
           .as("bits_per_token"))
+  }
+
+  /** Min-K% prob membership audit (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): per document, the
+    * mean log-probability of its LOWEST-k-fraction token logps. The
+    * paper's signal: a document the model trained on has its outlier
+    * (lowest-probability) tokens predicted unusually well, so a HIGH
+    * min-k mean flags likely membership / benchmark contamination —
+    * while the full-document mean ([[crossEntropy]]) is diluted by the
+    * easy tokens everyone predicts.
+    *
+    * m = max(1, floor(k·n_bigrams)); both engines compute floor on the
+    * identical IEEE product, so the cut is cross-engine stable. The
+    * selected-subset sum folds by SELECTION RANK (the per-doc
+    * (lp, pos) order) through the native ordered aggregate, which the
+    * oracle reproduces bit-for-bit with an ordered list_sum. Scale
+    * shape: the LM lookups broadcast (model-sized); the selection is a
+    * per-document window (never global); state is one document's
+    * bigrams. */
+  def minKProb(docs: DataFrame, lm: DataFrame, textCol: Column,
+      idCol: Column, k: Double = 0.2): DataFrame = {
+    require(k > 0 && k <= 1, s"k=$k must be a fraction in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("lp"), col("pos"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val sel = tokenLogps(docs, lm, textCol, idCol)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_bigrams", count(lit(1)).over(cw))
+      .withColumn("m", greatest(lit(1L), floor(lit(k) * col("n_bigrams"))))
+      .filter(col("rn") <= col("m"))
+    val perDoc = sel.groupBy(col("doc_id")).agg(
+      max(col("n_bigrams")).as("n_bigrams"), max(col("m")).as("m"),
+      graft.plans.OrderedFold.orderedSum(col("rn"), col("lp")).as("s"))
+    docs.select(idCol.cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("m"), lit(0L)).as("m"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          round(col("s") / col("m"), 6) + lit(0.0)).as("mink_logp"))
   }
 
   /** CCNet's head/middle/tail banding: rank scored docs by

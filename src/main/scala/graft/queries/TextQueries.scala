@@ -2554,6 +2554,49 @@ object TextQueries extends QueryPack {
           AS rank_ok_hi
       FROM agg ORDER BY lang"""))
 
+  /** Min-K% prob membership audit ([[graft.operators.LangModel
+    * .minKProb]], Shi et al. 2023): per doc, the mean of its lowest-20%
+    * bigram logps under the shared LM — the training-data-detection /
+    * contamination signal the full-document perplexity dilutes. Oracle =
+    * q94's scoring CTEs + a per-doc (lp, pos) rank window; the
+    * selected-subset sum re-folds by selection rank (ordered list_sum ==
+    * the native ordered aggregate bit-for-bit). */
+  private val q151 = Q(
+    "q151_mink_prob",
+    (s, dir) => LangModel.minKProb(Tables(s, dir).documents,
+        sharedBigramLm(s, dir), col("text"), col("doc_id"), k = 0.2)
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word,
+          generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos
+        FROM documents),
+      b AS (SELECT a.doc_id, a.pos, a.word AS w1, b.word AS w2
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      lm AS (SELECT * FROM read_parquet('__VERIFY_OUT__/q93_bigram_lm/*.parquet')),
+      obs AS (SELECT w1, w2, logp FROM lm WHERE w1 <> '' AND w2 <> ''),
+      uns AS (SELECT w1, logp AS lp_unseen FROM lm WHERE w1 <> '' AND w2 = ''),
+      oov AS (SELECT logp AS lp_oov FROM lm WHERE w1 = '' AND w2 = ''),
+      lp AS (SELECT b.doc_id, b.pos,
+          coalesce(obs.logp, uns.lp_unseen, (SELECT lp_oov FROM oov)) AS lp
+        FROM b LEFT JOIN obs ON b.w1 = obs.w1 AND b.w2 = obs.w2
+          LEFT JOIN uns ON b.w1 = uns.w1),
+      sel AS (SELECT doc_id, pos, lp,
+          row_number() OVER (PARTITION BY doc_id ORDER BY lp, pos) AS rn,
+          count(*) OVER (PARTITION BY doc_id) AS n
+        FROM lp),
+      kept AS (SELECT * FROM sel
+        WHERE rn <= greatest(1, CAST(floor(0.2 * n) AS BIGINT))),
+      agg AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_bigrams,
+          greatest(1, CAST(floor(0.2 * max(n)) AS BIGINT)) AS m,
+          list_sum(list(lp ORDER BY rn)) AS s
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(agg.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        coalesce(agg.m, CAST(0 AS BIGINT)) AS m,
+        CASE WHEN agg.n_bigrams > 0
+          THEN round(agg.s / agg.m, 6) + 0.0 END AS mink_logp
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id"""))
+
   /** BM25 retrieval scoring ([[graft.operators.Ranking.bm25Scores]]) —
     * ranked lexical relevance of every document against a small query
     * set, the retrieval primitive behind relatedness-based curation and
@@ -2693,5 +2736,5 @@ object TextQueries extends QueryPack {
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
-      q142, q144, q145, q146, q147, q148)
+      q142, q144, q145, q146, q147, q148, q151)
 }

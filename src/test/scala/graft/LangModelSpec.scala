@@ -151,4 +151,39 @@ class LangModelSpec extends SparkSpec {
       assert(mism === 0L, s"$tag LM diverged from separate training")
     }
   }
+
+  test("minKProb: k=1 is the full mean; smaller k selects the worst tokens") {
+    val docs = graft.sources.Tables(spark, sfDir).documents.limit(80)
+    val m = LangModel.bigramLm(docs, col("text"), col("doc_id"))
+    // k = 1 keeps everything: mink_logp == -bits_per_token (the full
+    // mean, same 6dp rounding — HALF_UP is sign-symmetric)
+    val full = LangModel.crossEntropy(docs, m, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val k1 = LangModel.minKProb(docs, m, col("text"), col("doc_id"), k = 1.0)
+      .collect()
+    k1.foreach { r =>
+      val (n, bpt) = full(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === (if (n == 0) 0L else n))
+      val got = Option(r.get(3)).map(_.asInstanceOf[Double])
+      assert(got === bpt.map(b => r6(-b)), s"doc ${r.getLong(0)}")
+    }
+    // smaller k means a worse (lower) selected mean, monotonically
+    val k20 = LangModel.minKProb(docs, m, col("text"), col("doc_id"), k = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    k1.foreach { r =>
+      (k20(r.getLong(0)), Option(r.get(3)).map(_.asInstanceOf[Double])) match {
+        case (Some(lo), Some(all)) =>
+          assert(lo <= all + 1e-9, s"doc ${r.getLong(0)}: min-20% above mean")
+        case _ => ()
+      }
+    }
+    // and m is the documented max(1, floor(0.2 n))
+    LangModel.minKProb(docs, m, col("text"), col("doc_id"), k = 0.2)
+      .filter(col("n_bigrams") > 0).collect().foreach { r =>
+        assert(r.getLong(2) === math.max(1L, math.floor(0.2 * r.getLong(1)).toLong))
+      }
+  }
 }
