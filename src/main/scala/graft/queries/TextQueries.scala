@@ -1465,6 +1465,89 @@ object TextQueries extends QueryPack {
         ON sp.doc_id = c.doc_id
       ORDER BY c.doc_id"""))
 
+  /** The curation FUNNEL report: q125's exact pipeline re-expressed as
+    * per-source attrition counts — every incoming train doc attributed
+    * to its FIRST drop stage (quality gate → exact dedup → eval
+    * decontamination) or to 'kept'. This is the governance artifact a
+    * pipeline publishes with each corpus release ("where did the data
+    * go, per source"); counts are all integers, so the oracle compare is
+    * exact. Composes the same stage semantics (and fixtures) as q125;
+    * the decon flag is per-doc subset-independent, which is what lets
+    * the q110 fixture restrict to the deduped subset exactly. */
+  private val q152 = Q(
+    "q152_curation_funnel",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val labeled = train.withColumn("g", gopherQuality(col("text")))
+        .withColumn("gate_ok",
+          col("g.n_words") >= 30 && col("g.mean_word_len") <= 10 &&
+            col("g.symbol_ratio") <= 0.1 && col("g.alpha_word_frac") >= 0.8)
+        .drop("g")
+      val gated = labeled.filter(col("gate_ok"))
+      val keep = graft.operators.Dedup.exactDupGroups(
+          gated, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
+        .distinct()
+      val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+      val flagged = graft.operators.Dedup.contaminationScanFirst(
+          deduped, evalDocs, col("text"), col("doc_id"), n = 8)
+        .select(col("train_id").as("doc_id"), lit(true).as("is_flagged"))
+        .distinct()
+      labeled
+        .join(keep, Seq("doc_id"), "left")
+        .join(flagged, Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(!col("gate_ok"), "gate")
+            .when(col("is_keeper").isNull, "exact_dup")
+            .when(col("is_flagged").isNotNull, "contaminated")
+            .otherwise("kept"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("stage") === "gate", 1L).otherwise(0L))
+            .as("n_gate_fail"),
+          sum(when(col("stage") === "exact_dup", 1L).otherwise(0L))
+            .as("n_exact_dup"),
+          sum(when(col("stage") === "contaminated", 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH q AS (SELECT doc_id FROM
+        read_parquet('__VERIFY_OUT__/q92_gopher_quality/*.parquet')
+        WHERE n_words >= 30 AND mean_word_len <= 10
+          AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8),
+      tr AS (SELECT doc_id, source, text FROM documents
+        WHERE doc_id % 10 <> 0),
+      surv AS (SELECT t.doc_id,
+          md5(trim(regexp_replace(lower(t.text), '\s+', ' ', 'g'))) AS fp
+        FROM tr t JOIN q ON q.doc_id = t.doc_id),
+      keep AS (SELECT fp, min(doc_id) AS keep_id FROM surv GROUP BY fp),
+      ded AS (SELECT s.doc_id FROM surv s
+        JOIN keep k ON k.fp = s.fp AND k.keep_id = s.doc_id),
+      flag AS (SELECT train_id FROM
+        read_parquet('__VERIFY_OUT__/q110_decon_scan/*.parquet')),
+      lab AS (SELECT t.doc_id, t.source,
+          CASE WHEN q.doc_id IS NULL THEN 'gate'
+               WHEN d.doc_id IS NULL THEN 'exact_dup'
+               WHEN f.train_id IS NOT NULL THEN 'contaminated'
+               ELSE 'kept' END AS stage
+        FROM tr t
+        LEFT JOIN q ON q.doc_id = t.doc_id
+        LEFT JOIN ded d ON d.doc_id = t.doc_id
+        LEFT JOIN flag f ON f.train_id = t.doc_id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN stage = 'gate' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_gate_fail,
+        CAST(sum(CASE WHEN stage = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_exact_dup,
+        CAST(sum(CASE WHEN stage = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_contaminated,
+        CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept
+      FROM lab GROUP BY source ORDER BY source"""))
+
   /** Heavy-hitter word 2-grams via the native Misra-Gries typed
     * imperative aggregate (plans.MisraGriesAgg): each map task ships one
     * ≤ capacity-entry summary (ObjectHashAggregate partial — map-side
@@ -2736,5 +2819,5 @@ object TextQueries extends QueryPack {
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
-      q142, q144, q145, q146, q147, q148, q151)
+      q142, q144, q145, q146, q147, q148, q151, q152)
 }
