@@ -430,4 +430,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("pages=[2,3,4,5]"),
       s"V2 scan must plan exactly pages 2-5:\n${p.take(1500)}")
   }
+
+  test("q143: fuzzy join is an equi-join on variants; the DP never joins raw") {
+    val p = plan("q143_fuzzy_name_pairs")
+    // the deletion-neighborhood join must key on the variant (a hash or
+    // sort-merge EQUI join), never degenerate to nested-loop all-pairs
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"variant blocking collapsed to all-pairs:\n${p.take(1500)}")
+    // the exact verify must run once per DISTINCT pair — above the
+    // variant join, never in its residual (once per collision). It
+    // landing in the 1:1 string re-attach join's residual is fine; the
+    // VARIANT join (keyed on v) must not mention it.
+    val variantJoins = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("[v#")).mkString("\n")
+    assert(variantJoins.nonEmpty, s"variant equi-join not found:\n${p.take(1500)}")
+    assert(!variantJoins.contains("levenshtein"),
+      s"levenshtein pushed into the variant join — runs per collision:\n$variantJoins")
+  }
+
+  test("q147: the snapshot diff shuffles hashes, not text") {
+    val p = plan("q147_snapshot_diff")
+    // content is reduced to xxhash64 BELOW the full-outer join: the join
+    // node itself must not reference the text column
+    val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(joinLines.contains("FullOuter"), s"expected a full outer join:\n$joinLines")
+    assert(!joinLines.contains("text"),
+      s"text must be hashed before the join, never shuffled:\n$joinLines")
+    assert(p.contains("xxhash64"), s"content hash missing from the plan:\n${p.take(1200)}")
+  }
+
+  test("q148: the GK cut table broadcasts; no global sort before the clamp") {
+    val p = plan("q148_winsorized_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-language cuts are language-count-sized — must broadcast:\n${p.take(1500)}")
+    // percentile_approx is a partial+final aggregate, never a Window
+    assert(!p.contains("Window"), s"no window in the GK cut derivation:\n${p.take(1500)}")
+  }
 }
