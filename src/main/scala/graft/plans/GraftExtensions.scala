@@ -50,7 +50,10 @@ object GraftFunctions {
     ("winnow_fingerprints",
       new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName, "winnow_fingerprints"),
       (es: Seq[Expression]) =>
-        WinnowFingerprintsExpr(es(0), intArg(es(1), "k"), intArg(es(2), "window"))))
+        WinnowFingerprintsExpr(es(0), intArg(es(1), "k"), intArg(es(2), "window"))),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalizeExpr(es.head)))
 
   /** Register all engine functions as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

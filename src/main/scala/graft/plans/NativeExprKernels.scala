@@ -454,6 +454,16 @@ object NativeExprKernels {
       new java.util.zip.Deflater(6, true)
   }
 
+  /** Unicode NFC canonical composition (see plans.NfcNormalizeExpr).
+    * Fast path: Normalizer.isNormalized avoids the rebuild for the
+    * overwhelmingly-common already-NFC document. */
+  def nfcNormalize(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def deflateLen(input: UTF8String): Long = {
     val bytes = input.getBytes
     val d = deflater.get()

@@ -18,6 +18,13 @@ import graft.operators.{Bpe, Classifier, Dedup, Dsir, LangModel, Metrics, Sampli
   */
 object TextQueries extends QueryPack {
 
+  /** Decomposed-combining-character suffix planted by q153 (e + U+0301,
+    * n + U+0303): NFC composes both, shrinking it by exactly 2 code
+    * points. One definition feeds the Spark literal AND the oracle SQL
+    * so the two engines normalize identical bytes. */
+  private val NfcSuffix = " caf\u0065\u0301 ma\u006E\u0303ana"
+
+
   /** Content fingerprinting (rolling dedup key): md5 of normalized text. */
   private val q30 = Q(
     "q30_doc_fingerprint",
@@ -1548,6 +1555,33 @@ object TextQueries extends QueryPack {
           AS n_kept
       FROM lab GROUP BY source ORDER BY source"""))
 
+  /** Unicode NFC normalization ([[graft.plans.NfcExpr]]) — the
+    * canonical-composition pass that precedes every hash-based operator
+    * in a multilingual pipeline (decomposed "é" = e + U+0301 is a
+    * different byte string to every fingerprint and join key). The
+    * fixture text is ASCII, so a DECOMPOSED suffix is planted on every
+    * row — the same Scala string literal feeds both engines, and NFC
+    * composes exactly its two combining sequences (é, ñ), so n_composed
+    * is 2 everywhere unless normalization misfires. Spark's codegen'd
+    * java.text.Normalizer and DuckDB's nfc_normalize implement the same
+    * Unicode algorithm; both `length`s count code points. */
+  private val q153 = Q(
+    "q153_nfc_normalize", {
+      (s, dir) =>
+        Tables(s, dir).documents.select(col("doc_id"),
+            length(concat(col("text"), lit(NfcSuffix))).as("n_before"),
+            length(graft.plans.NfcExpr.nfcNormalize(
+              concat(col("text"), lit(NfcSuffix)))).as("n_after"))
+          .withColumn("n_composed", (col("n_before") - col("n_after")).cast("int"))
+          .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+        CAST(length(text || '$NfcSuffix') AS INT) AS n_before,
+        CAST(length(nfc_normalize(text || '$NfcSuffix')) AS INT) AS n_after,
+        CAST(length(text || '$NfcSuffix')
+          - length(nfc_normalize(text || '$NfcSuffix')) AS INT) AS n_composed
+      FROM documents ORDER BY doc_id"""))
+
   /** Heavy-hitter word 2-grams via the native Misra-Gries typed
     * imperative aggregate (plans.MisraGriesAgg): each map task ships one
     * ≤ capacity-entry summary (ObjectHashAggregate partial — map-side
@@ -2819,5 +2853,5 @@ object TextQueries extends QueryPack {
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
-      q142, q144, q145, q146, q147, q148, q151, q152)
+      q142, q144, q145, q146, q147, q148, q151, q152, q153)
 }

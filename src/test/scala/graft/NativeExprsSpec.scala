@@ -182,4 +182,29 @@ class NativeExprsSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))").head().getDouble(0)
     assert(cs === 1.0)
   }
+
+  test("nfc_normalize: composes decomposed sequences, identity on NFC text") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "cafe\u0301"), //           e + combining acute -> \u00e9
+      (2L, "caf\u00e9"), //             already composed    -> unchanged
+      (3L, "man\u0303ana mixed"), //    n + combining tilde -> \u00f1
+      (4L, "plain ascii"), //          identity fast path
+      (5L, null.asInstanceOf[String])) // null-safe
+      .toDF("id", "s")
+    val got = rows.select(col("id"),
+        graft.plans.NfcExpr.nfcNormalize(col("s")).as("n"),
+        length(col("s")).as("lb"), length(col("n")).as("la"))
+      .orderBy(col("id")).collect()
+    assert(got(0).getString(1) === "caf\u00e9" && got(0).getInt(3) === 4
+      && got(0).getInt(2) === 5)
+    assert(got(1).getString(1) === "caf\u00e9")
+    assert(got(2).getString(1) === "ma\u00f1ana mixed")
+    assert(got(3).getString(1) === "plain ascii")
+    assert(got(4).isNullAt(1))
+    // and the SQL registration
+    graft.plans.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301')").head().getString(0)
+      === "caf\u00e9")
+  }
 }
