@@ -792,8 +792,37 @@ object RelationalQueries extends QueryPack {
       WHERE levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY id_a, id_b"""))
 
+  /** Column-level table profile ([[graft.operators.Profiling.profile]])
+    * over `orders` — per-column row/null/distinct counts, min/max, and a
+    * q40-style verdict that the HLL sketch tracks the exact distinct.
+    * The oracle re-derives every exact metric per column (min/max
+    * round-trip through string casts that both engines render
+    * identically for longs, strings, and dates) and asserts the verdict
+    * TRUE. */
+  private val q154 = Q(
+    "q154_table_profile", {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority", "o_totalprice")
+      (s, dir) => graft.operators.Profiling.profile(
+          Tables(s, dir).orders, cols)
+        .orderBy(col("column"))
+    },
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority", "o_totalprice")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nulls,
+        CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        CAST(min($c) AS VARCHAR) AS min_value,
+        CAST(max($c) AS VARCHAR) AS max_value,
+        TRUE AS approx_ok FROM orders"""
+      }.mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY \"column\"")
+    })
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q2a, q2b, q129, q131, q132, q136, q139, q143)
+    q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154)
 }

@@ -32,4 +32,23 @@ class SnapshotSpec extends SparkSpec {
       col("id"), Seq(col("a"), col("b"))).count()
     assert(realigned === 0L)
   }
+
+  test("profile: null counts, all-null columns, distinct, min/max") {
+    import spark.implicits._
+    val df = Seq(
+        (1L, Some("b"), Some(10)), (2L, Some("a"), None),
+        (3L, None, Some(10)), (4L, Some("a"), Some(30)))
+      .toDF("id", "s", "v")
+      .withColumn("dead", lit(null).cast("string"))
+    val got = graft.operators.Profiling.profile(df, Seq("id", "s", "v", "dead"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5)),
+          r.getBoolean(6))).toMap
+    assert(got("id") === ((4L, 0L, 4L, Some("1"), Some("4"), true)))
+    assert(got("s") === ((4L, 1L, 2L, Some("a"), Some("b"), true)))
+    assert(got("v") === ((4L, 1L, 2L, Some("10"), Some("30"), true)))
+    // an all-null column: 0 distinct, no min/max, vacuously-true verdict
+    assert(got("dead") === ((4L, 4L, 0L, None, None, true)))
+  }
 }
