@@ -74,6 +74,33 @@ object Sketches {
       .select(col("j"), coalesce(col("rho"), lit(0)).as("rho"))
   }
 
+  /** Per-GROUP HLL register tables — [[hllRegisters]] with a group key:
+    * one dense m-register block per group value (missing registers
+    * materialized at rho 0), ≤ m·|groups| rows total. The 100 TB shape
+    * for "distinct users per segment" dashboards: one map-side-combining
+    * max aggregate keyed on (group, register); merging two snapshots is
+    * still union + re-max per group. Null groups and null values are
+    * excluded (they sketch nothing). */
+  def hllRegistersGrouped(
+      df: DataFrame, group: Column, value: Column, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll precision out of range: $p")
+    val m = 1 << p
+    val maxRho = 64 - p + 1
+    val spark = df.sparkSession
+    val h = df.filter(value.isNotNull && group.isNotNull)
+      .select(group.as("grp"), xxhash64(value).as("h"))
+    val w = shiftrightunsigned(col("h"), p)
+    val reg = h.select(col("grp"),
+      col("h").bitwiseAND(lit((m - 1).toLong)).cast("int").as("j"),
+      when(w === 0L, lit(maxRho))
+        .otherwise(lit(maxRho) - length(bin(w))).cast("int").as("rho"))
+    val mx = reg.groupBy(col("grp"), col("j")).agg(max(col("rho")).as("rho"))
+    df.filter(group.isNotNull).select(group.as("grp")).distinct()
+      .crossJoin(spark.range(m).select(col("id").cast("int").as("j")))
+      .join(mx, Seq("grp", "j"), "left")
+      .select(col("grp"), col("j"), coalesce(col("rho"), lit(0)).as("rho"))
+  }
+
   /** Raw HLL estimator αₘ·m²/Σ2^-rho off a register table; one row
     * `(m, v_zeros, est_raw)`. The indicator sum is exact and order-pinned:
     * each term 2^((64-p+1)-rho) is an integer power of two ≤ 2^(64-p+1)

@@ -225,6 +225,40 @@ object EventQueries extends QueryPack {
       ORDER BY j"""
     })
 
+  /** Per-GROUP HLL registers ([[graft.operators.Sketches
+    * .hllRegistersGrouped]]): one dense 32-register block per event
+    * type over `user_id` — "distinct users per segment" as mergeable
+    * sketch state (p = 5 keeps the output segment-count-sized). FULL
+    * ORACLE: the q126 closed-formula XXH64 device with the group key
+    * carried through — registers, rho bit-lengths, and the dense
+    * (group × register) universe all re-derived in DuckDB. */
+  private val q155 = Q(
+    "q155_hll_grouped",
+    (s, dir) => graft.operators.Sketches.hllRegistersGrouped(
+        Tables(s, dir).events, col("event_type"), col("user_id"), p = 5)
+      .select(col("grp").as("event_type"), col("j"), col("rho"))
+      .orderBy(col("event_type"), col("j")),
+    Some {
+      import TextQueries.XxhashSqlGen._
+      val base = "base AS (SELECT event_type AS grp, CASE WHEN user_id < 0" +
+        s" THEN user_id + $big ELSE CAST(user_id AS HUGEINT) END AS v" +
+        " FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL)"
+      val (c1, last1) = stages("p", "v", "42::HUGEINT", "base")
+      (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
+      reg AS (SELECT grp, hp % 32 AS j,
+          CASE WHEN hp // 32 = 0 THEN 60
+               ELSE 60 - length(bin(hp // 32)) END AS rho
+        FROM $last1),
+      mx AS (SELECT grp, j, max(rho) AS rho FROM reg GROUP BY grp, j),
+      uni AS (SELECT gg.grp, g.j
+        FROM (SELECT DISTINCT grp FROM base) gg
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS j) g)
+      SELECT uni.grp AS event_type, CAST(uni.j AS INTEGER) AS j,
+        CAST(coalesce(mx.rho, 0) AS INTEGER) AS rho
+      FROM uni LEFT JOIN mx ON mx.grp = uni.grp AND mx.j = uni.j
+      ORDER BY event_type, j"""
+    })
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134)
+    q134, q155)
 }

@@ -125,4 +125,22 @@ class SketchesSpec extends SparkSpec {
         s"p=$p cut=$cut rank window [$rankLo,$rankHi] outside ±${eps}·${n}")
     }
   }
+
+  test("hllRegistersGrouped: each group block equals the per-slice registers") {
+    val ev = graft.sources.Tables(spark, sfDir).events
+    val grouped = Sketches.hllRegistersGrouped(
+        ev, col("event_type"), col("user_id"), p = 5)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) =>
+        g -> rs.map(r => (r.getInt(1), r.getInt(2))).toMap }
+    assert(grouped.nonEmpty)
+    grouped.keys.foreach { t =>
+      val slice = Sketches.hllRegisters(
+          ev.filter(col("event_type") === t), col("user_id"), p = 5)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+      assert(grouped(t) === slice, s"group $t diverged from its own sketch")
+      assert(grouped(t).size === 32, s"group $t register block not dense")
+    }
+  }
 }
