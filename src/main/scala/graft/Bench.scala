@@ -3,10 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints two JSON lines — full-fidelity detail first, then the canonical
-  * compact record LAST (the driver's artifact keeps only the final 2000
-  * chars of stdout, so the last line is sized to survive tail capture
-  * whole). Results are materialized through the `noop` sink —
+  * prints three JSON lines — full-fidelity detail first, the per-query
+  * compact map second, and a SMALL summary record LAST (total, contended,
+  * canaries, n_queries). The driver's artifact keeps only the final 2000
+  * chars of stdout; at 158 queries the compact map alone exceeds that, so
+  * BENCH_r09's tail truncated away exactly the summary fields the
+  * contention-proofing added. The summary line is a few hundred bytes and
+  * always survives; the tail additionally retains the trailing portion of
+  * the per-query map. Results are materialized through the `noop` sink —
   * `count()` would let Catalyst prune away projections and most of the
   * query's real work. A small untimed warmup absorbs JVM/codegen startup so
   * per-query numbers are comparable; queries run in sorted-name order.
@@ -50,6 +54,16 @@ import org.apache.spark.sql.SparkSession
   * Canary cost scales ONLY with host health — a grader reading an
   * inflated block checks the canaries over the same window before
   * calling it a regression.
+  *
+  * CROSS-ROUND guard (added after r9): the within-run spread trigger keys
+  * on rep disagreement and cannot catch a window that is consistently
+  * noisy for a whole query (both reps equally inflated — the r9
+  * q57/q69/q70 pattern). So Bench persists each run's per-query minimums
+  * to bench_prior.json (cwd) and, at the next run, any query whose best
+  * exceeds 3× its prior min by >0.5 s absolute gets ONE confirming
+  * re-rep from the same bounded budget. Queries still above the prior
+  * envelope after the re-rep are listed under "regressed" in the summary
+  * — a real regression confirms, a noisy window usually recovers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -114,6 +128,18 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, load, (gcMillis() - gc0) / 1e3)
     }
 
+    // prior-round minimums (written by the previous Bench run): flat JSON
+    // object of shortKey -> seconds; parsed with a regex so a missing or
+    // hand-edited file can never fail the bench
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_prior.json")
+    val priorMins: Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromFile(priorPath)
+        val txt = try src.mkString finally src.close()
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // untimed warmup: JVM/codegen/parquet-footer caches (canary warms too)
     names.headOption.foreach(materialize)
@@ -156,9 +182,22 @@ object Bench {
     // cannot stretch the sweep unboundedly
     val rerunBudget = math.max(10, names.size / 8)
     var rerunsLeft = rerunBudget
+    // shortened key used for prior-file lookups and the compact line; one
+    // rule for everything (unique qNN prefix, else full names everywhere)
+    val prefixes0 = names.map(_.takeWhile(_ != '_'))
+    val shortKey: String => String =
+      if (prefixes0.distinct.size == prefixes0.size) _.takeWhile(_ != '_')
+      else identity
+    // cross-round drift: both reps consistently inflated vs the previous
+    // run's minimum — the within-run spread trigger can't see this
+    def crossRoundSlow(n: String, rs: Seq[(Double, Double, Double)]): Boolean =
+      priorMins.get(shortKey(n)).exists { prior =>
+        val b = okTimes(rs)
+        prior > 0 && b.nonEmpty && b.min > 3.0 * prior && b.min - prior > 0.5
+      }
     val results: Seq[(String, Seq[(Double, Double, Double)])] =
       firstPass.map { case (n, rs) =>
-        if (contendedSpread(rs) && rerunsLeft > 0) {
+        if ((contendedSpread(rs) || crossRoundSlow(n, rs)) && rerunsLeft > 0) {
           rerunsLeft -= 1
           n -> (rs :+ materialize(n))
         } else n -> rs
@@ -191,17 +230,16 @@ object Bench {
     // record sized to survive tail capture whole — query keys shortened to
     // their unique qNN prefix, minimums at 3dp (1 ms resolution; the
     // full-precision value is on line 1).
-    // one shortening rule for EVERY compact-line key (queries, canary_ms,
-    // contended): unique-qNN prefix, or full names everywhere if any two
-    // queries ever collide on a prefix — a collision must not emit
-    // duplicate JSON keys in one map while another silently truncates
-    val prefixes = results.map { case (k, _) => k.takeWhile(_ != '_') }
-    val shortKey: String => String =
-      if (prefixes.distinct.size == prefixes.size) _.takeWhile(_ != '_')
-      else identity
     val qsShort = results.map { case (k, rs) =>
       "\"" + shortKey(k) + "\":" + f"${best(rs)}%.3f"
     }.mkString("{", ",", "}")
+    // still >3x prior after the confirming re-rep → candidate real
+    // regression (or a window noisy across the entire sweep)
+    val regressed = results.collect {
+      case (n, rs) if crossRoundSlow(n, rs) => n
+    }
+    val regressedJson =
+      regressed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val contendedJson =
       contended.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val canaryParEnd = canaryParSec()
@@ -211,8 +249,16 @@ object Bench {
       "\"" + shortKey(k) + "\":" + f"$ms%.1f"
     }.mkString("{", ",", "}")
     val canaryPar = f"[$canaryParStart%.2f,$canaryParEnd%.2f]"
-    println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"reruns_used":${rerunBudget - rerunsLeft},"canary_ms":$canaryJson,"canary_par_sec":$canaryPar,"queries_full":$qs,"reps_raw":$raw}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"contended":$contendedJson,"canary_par_sec":$canaryPar,"queries":$qsShort}""")
+    // persist this run's minimums for the next run's cross-round guard;
+    // best-effort (a read-only cwd must not fail the bench)
+    try {
+      val w = new java.io.PrintWriter(priorPath)
+      try w.println(qsShort) finally w.close()
+    } catch { case _: Throwable => () }
+    // three lines, smallest + most important LAST (tail-2000 survival):
+    println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"canary_ms":$canaryJson,"queries_full":$qs,"reps_raw":$raw}""")
+    println(s"""{"metric":"bench_queries","unit":"sec","sf":"$sfDir","queries":$qsShort}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"contended":$contendedJson,"regressed":$regressedJson,"canary_par_sec":$canaryPar}""")
     spark.stop()
   }
 }

@@ -183,18 +183,55 @@ object DocumentStreams {
     * @param seedIndex [[graft.operators.Dedup.signatureTable]] rows of the
     *                  already-curated corpus; persisted to `indexPath` as
     *                  the stream's starting state.
+    * @param docsPath     crawl relation under `dir` (parameterized so a
+    *                     deployment points at its own table).
+    * @param streamSplit  predicate selecting the crawl side (rows NOT in
+    *                     the seed corpus); default keeps doc_id%10==0 as
+    *                     the never-streamed seed/eval split.
+    * @param compactEvery rewrite both index dirs into target-size files
+    *                     every this many batches (0 disables) — bounds the
+    *                     O(batches) listing growth of per-batch appends.
     * @return surviving (doc_id, lang) read back from `outPath`. */
+  /** Rewrite a parquet directory into ceil(bytes/targetBytes) files when
+    * its current file count exceeds that target — size-tiered compaction
+    * for the streaming signature store. The snapshot is eagerly
+    * checkpointed BEFORE the overwrite so reading and rewriting the same
+    * path is safe; the overwrite itself is a delete-then-write window
+    * (same caveat as the per-batch appends, documented at the call
+    * site). */
+  private[graft] def compactParquetDir(
+      spark: SparkSession, path: String, targetBytes: Long): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return
+    val files = fs.listStatus(hp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (files.length <= want) return
+    val snap = spark.read.parquet(path).localCheckpoint(true)
+    try snap.coalesce(want).write.mode("overwrite").parquet(path)
+    finally snap.unpersist()
+  }
+
   def incrementalCurationToParquet(
       spark: SparkSession, dir: String, seedIndex: DataFrame,
       outPath: String, indexPath: String, batchFiles: Int = 3,
       numHashes: Int = 64, bands: Int = 4, threshold: Double = 0.95,
-      conf: EventStreams.StreamRunConf = EventStreams.StreamRunConf()): DataFrame = {
+      conf: EventStreams.StreamRunConf = EventStreams.StreamRunConf(),
+      docsPath: String = "documents.parquet",
+      streamSplit: Column = col("doc_id") % 10 =!= 0,
+      compactEvery: Int = 2,
+      compactTargetBytes: Long = 128L << 20): DataFrame = {
     import java.nio.file.{Files, Paths}
     require(batchFiles >= 1, "need at least one batch file")
     // render the crawl: one file per batch, mtimes force replay order
     val streamDir = Files.createTempDirectory("graft-crawl").toString
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 10 =!= 0) // the seed (eval) split never streams
+    // streamSplit selects the crawl side (default: the 10%-eval split is
+    // the seed corpus and never streams); both the predicate and the
+    // source relation are parameters so a deployment can point the stream
+    // at its own crawl table without editing the operator
+    val docs = spark.read.parquet(s"$dir/$docsPath").filter(streamSplit)
     // ONE partitioned write renders every batch file (partitionBy drops
     // the bat column from the data files, so the stream schema is
     // untouched); a per-batch filter+write loop would re-scan the corpus
@@ -233,7 +270,7 @@ object DocumentStreams {
       .parquet(streamDir)
     withStreamingShufflePartitions(spark, conf.shufflePartitions) {
       val q = incoming.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // the index AS OF this batch: listings captured at read time, so
           // this batch's own signature append (below) is invisible to it
           val exBands = spark.read.parquet(s"$indexPath/bands")
@@ -256,11 +293,20 @@ object DocumentStreams {
             .localCheckpoint(true)
           try {
             val rows = numHashes / bands
+            // NON-TRANSACTIONAL WINDOW: the three writes below are
+            // separate parquet commits — a mid-batch crash leaves them
+            // partially applied. Index parts are written BEFORE the
+            // survivor commit on purpose: on foreachBatch replay the
+            // batch's docs then collide with their own already-appended
+            // signatures and are dropped, so the curated corpus can never
+            // contain duplicate rows (the failure mode is under-inclusion
+            // of the crashed batch, which a dedup store prefers; the
+            // survivors-first order would instead double-append docs).
+            // The production-strength fix is a manifest commit over
+            // batch-id-suffixed files; out of scope for this operator.
             // coalesce(1): micro-batch appends are small by definition;
             // one file per batch keeps later batches' index listings (and
             // trigger commit overhead) from growing with file count
-            kept.select(col("doc_id"), col("lang"))
-              .coalesce(1).write.mode("append").parquet(outPath)
             kept.select(col("doc_id").as("old_id"),
                 posexplode(graft.functions.TextFunctions.lshBandHashes(
                   graft.functions.TextFunctions.minhashFromHashes(
@@ -270,7 +316,19 @@ object DocumentStreams {
             kept.select(col("doc_id").as("old_id"),
                 col("wh_new").as("wh_old"))
               .coalesce(1).write.mode("append").parquet(s"$indexPath/wh")
+            kept.select(col("doc_id"), col("lang"))
+              .coalesce(1).write.mode("append").parquet(outPath)
           } finally kept.unpersist()
+          // size-tiered compaction: even with one appended file per batch
+          // the index listing grows O(batches) over a stream's lifetime;
+          // every compactEvery batches both index dirs are rewritten into
+          // ceil(bytes/target) files. Runs AFTER this batch's commits and
+          // BEFORE the next batch's listing, so the listing-before-append
+          // invariant (a batch never sees its own signatures) holds.
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            compactParquetDir(spark, s"$indexPath/bands", compactTargetBytes)
+            compactParquetDir(spark, s"$indexPath/wh", compactTargetBytes)
+          }
           ()
         }
         .options(conf.options)

@@ -228,6 +228,37 @@ class StreamingSpec extends SparkSpec {
       "fixture must contain cross-batch near-dups for q142 to exercise")
   }
 
+  test("incremental curation: compaction bounds index files, survivors unchanged") {
+    // per-batch appends grow the index listing O(batches); compaction must
+    // rewrite bands/+wh/ into a bounded file count WITHOUT changing the
+    // survivor cascade (a batch still never sees its own signatures)
+    import graft.operators.Dedup
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sfDir).documents
+    val seedIdx = Dedup.signatureTable(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+      numHashes = 64, bands = 4)
+    def run(compactEvery: Int): (Seq[(Long, String)], Int) = {
+      val idxPath = java.nio.file.Files
+        .createTempDirectory(s"graft-spec-compact-$compactEvery").toString
+      val surv = DocumentStreams.incrementalCurationToParquet(
+          spark, sfDir, seedIdx,
+          java.nio.file.Files.createTempDirectory("graft-spec-compact-out").toString,
+          idxPath, batchFiles = 3, compactEvery = compactEvery)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val nFiles = Option(new java.io.File(s"$idxPath/bands").listFiles)
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+      (surv, nFiles)
+    }
+    val (survOff, filesOff) = run(compactEvery = 0)
+    val (survOn, filesOn) = run(compactEvery = 1)
+    assert(survOn === survOff, "compaction must not change the cascade")
+    // off: seed write + one appended file per batch; on: every batch ends
+    // with a rewrite into ceil(bytes/128MB)=1 file at fixture scale
+    assert(filesOn === 1, s"compacted bands dir must hold 1 file, got $filesOn")
+    assert(filesOff > filesOn, "fixture must make compaction observable")
+  }
+
   test("streaming heavy hitters: MisraGriesAgg matches batch in the exact regime") {
     // the typed imperative aggregate composes under Structured Streaming
     // (complete-mode global aggregation) — frequent-items over a live
