@@ -643,15 +643,32 @@ object RelationalQueries extends QueryPack {
       val out = java.nio.file.Files.createTempDirectory("graft-q131-pages").toString
       val keys = Tables(s, dir).orders.select(col("o_orderkey"))
         .filter(col("o_orderkey") < 500L)
-        .collect().map(_.getLong(0)).sorted
-      val byPage = keys.groupBy(k => (k / 50).toInt).toSeq.sortBy(_._1)
-      byPage.foreach { case (p, ks) =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$out/page-$p.json"),
-          ks.map(k => s"""{"o_orderkey":$k}""").mkString("\n").getBytes("UTF-8"))
+      // ONE partitioned JSON write renders every page file (the q142
+      // device): partitionBy drops the pg column from the record bodies,
+      // so each pg=N dir holds exactly page N's {"o_orderkey":k} lines.
+      // Driver-side work is O(pages) renames + a 1-row aggregate collect
+      // — never a collect of the page DATA (the r9 version collected all
+      // keys and wrote files in a driver loop; bounded here, but the
+      // pattern must not be the template).
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q131-part").toString
+      keys.withColumn("pg", floor(col("o_orderkey") / 50).cast("int"))
+        .coalesce(1).write.partitionBy("pg").mode("overwrite").json(tmp)
+      val pgRe = "pg=(\\d+)".r
+      val pageDirs = Option(new java.io.File(tmp).listFiles)
+        .getOrElse(Array.empty).flatMap(d => d.getName match {
+          case pgRe(n) => Some(n.toInt -> d)
+          case _ => None
+        })
+      pageDirs.foreach { case (p, d) =>
+        val part = Option(d.listFiles).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".json"))
+          .getOrElse(throw new IllegalStateException(s"no json part for page $p"))
+        java.nio.file.Files.move(
+          part.toPath, java.nio.file.Paths.get(s"$out/page-$p.json"))
       }
+      val total = keys.count()
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/meta.json"),
-        s"""{"pagination":{"total_count":${keys.length},"total_pages":${byPage.size}}}"""
+        s"""{"pagination":{"total_count":$total,"total_pages":${pageDirs.length}}}"""
           .getBytes("UTF-8"))
       out
     })
@@ -679,6 +696,80 @@ object RelationalQueries extends QueryPack {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy(col("page"))
+    },
+    Some("""SELECT CAST(floor(o_orderkey / 50) AS BIGINT) AS page, count(*) AS n,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders WHERE CAST(floor(o_orderkey / 50) AS BIGINT) BETWEEN 2 AND 5
+      GROUP BY 1 ORDER BY page"""))
+
+  /** q131's scan through the source's LIVE-HTTP backend — the reference's
+    * actual modality (paginated REST, SyncCustomers.php:57-83) graded in
+    * CORRECTNESS, not just spec'd: the same page fixture is served by a
+    * loopback HTTP server started inside the query body, the scan plans
+    * from the remote manifest (count-first A1), fetches page bodies over
+    * the wire, and the pushed page-range means pruned pages are NEVER
+    * REQUESTED (require()-asserted against the server's request log —
+    * planning-time pruning observed at the network layer, the strongest
+    * form of the F4 claim). HTTP page numbering is 1-based request order
+    * (listPages maps the manifest count to page-1..page-N), so the pushed
+    * range is [3,6] and the output re-derives q24's 0-based key page from
+    * the data — SAME ORACLE as q131. The result is eagerly materialized
+    * (localCheckpoint) before the server stops, so the returned frame is
+    * wire-independent. */
+  private val q156 = Q(
+    "q156_v2_page_scan_live_http",
+    (s, dir) => {
+      import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+      val fixture = pagedOrdersDir(s, dir)
+      val filePages = Option(new java.io.File(fixture).listFiles)
+        .getOrElse(Array.empty).map(_.getName)
+        .flatMap { n => "page-(\\d+)\\.json".r.findFirstMatchIn(n).map(_.group(1).toInt) }
+        .sorted
+      require(filePages.toSeq == (0 until filePages.length),
+        s"q156 needs a dense 0..N-1 page fixture, got ${filePages.toSeq}")
+      val requested = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val server = HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/api", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val p = ex.getRequestURI.getPath
+          requested.add(p)
+          val re = ".*page-(\\d+)\\.json".r
+          val f = p match {
+            // http page n (1-based request order) serves file page n-1
+            case re(n) => new java.io.File(fixture, s"page-${n.toInt - 1}.json")
+            case _ => new java.io.File(fixture, "meta.json")
+          }
+          if (f.exists()) {
+            val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+          } else ex.sendResponseHeaders(404, -1)
+          ex.close()
+        }
+      })
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "o_orderkey", org.apache.spark.sql.types.LongType)))
+        val res = s.read.format("graft-pages").schema(schema).load(base)
+          .filter(col("page").between(3, 6)) // http 3..6 == key pages 2..5
+          .groupBy(floor(col("o_orderkey") / 50).cast("long").as("page"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("page"))
+          .localCheckpoint(true)
+        val pagesHit = scala.jdk.CollectionConverters
+          .ListHasAsScala(requested).asScala.filter(_.contains("page-")).toSeq
+        require(pagesHit.nonEmpty && pagesHit.forall(p =>
+            (3 to 6).exists(n => p.endsWith(s"page-$n.json"))),
+          s"pruned pages were requested over the wire: $pagesHit")
+        res
+      } finally server.stop(0)
     },
     Some("""SELECT CAST(floor(o_orderkey / 50) AS BIGINT) AS page, count(*) AS n,
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
@@ -824,5 +915,5 @@ object RelationalQueries extends QueryPack {
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154)
+    q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156)
 }
