@@ -80,7 +80,10 @@ object Metrics {
   /** Binary ROC AUC — one row: (n_pos, n_neg, u2, auc). u2 = 2·U where
     * U is the Mann-Whitney statistic with the standard half credit for
     * ties: u2 = Σ_s n_pos(s)·(2·cum_neg_below(s) + n_neg(s)), exact in
-    * LONG arithmetic; auc = u2 / (2·n_pos·n_neg) rounded to 9dp. */
+    * LONG arithmetic; auc = u2 / (2·n_pos·n_neg) rounded to 9dp. AUC is
+    * undefined when either class is absent — that raises at evaluation
+    * time (raise_error keeps the operator lazy/distributed; mirroring
+    * prCurve's require() would force an extra driver-side job here). */
   def binaryAuc(
       df: DataFrame, scoreCol: Column, labelCol: Column,
       buckets: Int = 32): DataFrame =
@@ -89,8 +92,13 @@ object Metrics {
         sum(col("n_pos") * (lit(2L) * col("cum_neg_below") + col("n_neg")))
           .as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
-        round(col("u2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 9).as("auc"))
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 9))
+          .otherwise(raise_error(concat(
+            lit("binaryAuc needs both classes: n_pos="), col("n_pos"),
+            lit(" n_neg="), col("n_neg"))))
+          .as("auc"))
 
   /** The precision/recall curve: one row per distinct score s for the
     * decision rule "positive iff score ≥ s" — (score, tp, fp, fn,

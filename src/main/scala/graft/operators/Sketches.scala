@@ -80,7 +80,9 @@ object Sketches {
     * for "distinct users per segment" dashboards: one map-side-combining
     * max aggregate keyed on (group, register); merging two snapshots is
     * still union + re-max per group. Null groups and null values are
-    * excluded (they sketch nothing). */
+    * excluded (they sketch nothing); a group observed ONLY with null
+    * values emits no register block at all — an all-zero block would
+    * linear-count to a spurious ~0.36m instead of 0. */
   def hllRegistersGrouped(
       df: DataFrame, group: Column, value: Column, p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 16, s"hll precision out of range: $p")
@@ -95,7 +97,10 @@ object Sketches {
       when(w === 0L, lit(maxRho))
         .otherwise(lit(maxRho) - length(bin(w))).cast("int").as("rho"))
     val mx = reg.groupBy(col("grp"), col("j")).agg(max(col("rho")).as("rho"))
-    df.filter(group.isNotNull).select(group.as("grp")).distinct()
+    // group universe from h (non-null group AND value): a group whose
+    // values are all NULL sketches nothing and must not emit an all-zero
+    // register block (its raw estimate would be a spurious ~0.36m)
+    h.select(col("grp")).distinct()
       .crossJoin(spark.range(m).select(col("id").cast("int").as("j")))
       .join(mx, Seq("grp", "j"), "left")
       .select(col("grp"), col("j"), coalesce(col("rho"), lit(0)).as("rho"))

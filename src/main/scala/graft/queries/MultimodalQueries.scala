@@ -190,10 +190,22 @@ object MultimodalQueries extends QueryPack {
     * MultimodalSpec. */
   private val q149 = Q(
     "q149_media_ahash",
-    (s, dir) => Multimodal.ahashTable(
-        Multimodal.ingestFromDocuments(Tables(s, dir).documents))
-      .select(col("media_id"), col("kind"), col("ahash"))
-      .orderBy(col("media_id")),
+    (s, dir) => {
+      // the oracle speaks unicode() code points over CHAR indices while
+      // the engine hashes UTF-8 payload BYTES — equivalent only on pure
+      // ASCII. Check the assumption row-level instead of assuming it:
+      // octet_length == length iff the text is ASCII; assert_true is
+      // codegen'd inside the same scan (no extra job) and aborts the
+      // query on the first non-ASCII document rather than silently
+      // hash-diverging. coalesce(NULL-on-success, true) keeps the
+      // predicate a no-op filter.
+      val docs = Tables(s, dir).documents.where(coalesce(
+        assert_true(octet_length(col("text")) === length(col("text")),
+          lit("q149 oracle equivalence needs ASCII payloads")), lit(true)))
+      Multimodal.ahashTable(Multimodal.ingestFromDocuments(docs))
+        .select(col("media_id"), col("kind"), col("ahash"))
+        .orderBy(col("media_id"))
+    },
     Some("""WITH d AS (SELECT doc_id, 'media/' || lang AS kind, text,
           length(text) AS len FROM documents),
       cv AS (SELECT doc_id, unnest(range(0, len)) AS i FROM d),

@@ -21,6 +21,18 @@ class MetricsSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.75)
   }
 
+  test("binaryAuc: single-class input raises instead of silent NULL auc") {
+    import spark.implicits._
+    val onlyPos = Seq((0.9, true), (0.5, true)).toDF("score", "y")
+    val e = intercept[Exception] {
+      Metrics.binaryAuc(onlyPos, col("score"), col("y")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("binaryAuc needs both classes")),
+      s"unexpected error: $e")
+  }
+
   test("prCurve: hand-computed tp/fp/precision/recall at every threshold") {
     val rows = Metrics.prCurve(tiny, col("score"), col("y")).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -143,4 +143,18 @@ class SketchesSpec extends SparkSpec {
       assert(grouped(t).size === 32, s"group $t register block not dense")
     }
   }
+
+  test("hllRegistersGrouped: a group seen only with null values emits no block") {
+    // an all-zero register block would linear-count to ~0.36m, not 0 —
+    // the group universe must come from (group, value) both non-null
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      ("ghost", None), ("ghost", None)).toDF("g", "v")
+    val out = Sketches.hllRegistersGrouped(df, col("g"), col("v"), p = 5)
+      .collect()
+    val groups = out.map(_.getString(0)).distinct.toSet
+    assert(groups === Set("a"), s"got blocks for $groups")
+    assert(out.length === 32, "group a must still be a dense block")
+  }
 }
