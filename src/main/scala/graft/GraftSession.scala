@@ -51,7 +51,8 @@ object GraftSession {
       /** banding solved by Dedup.lshPlan for the requested threshold —
         * persist these IN the index; drift probes wrong bands. */
       minhashBands: Int,
-      /** winnowing per-fingerprint fan-out cap (df guard). */
+      /** winnowing per-fingerprint fan-out cap (df guard): √N clamped
+        * [256, 2²⁰] — see [[defaultWinnowMaxDf]]. */
       winnowMaxDf: Long,
       /** decontamination gram length (the Lee et al. 13-gram convention). */
       deconGramLen: Int,
@@ -86,7 +87,7 @@ object GraftSession {
       nprobe = 8,
       minhashNumHashes = numHashes,
       minhashBands = bands,
-      winnowMaxDf = 10000L,
+      winnowMaxDf = defaultWinnowMaxDf(corpusRows),
       deconGramLen = 13,
       deconBitsPerGram = 12,
       bpeMaxVocab = graft.operators.Bpe.DefaultMaxVocab,
@@ -95,6 +96,23 @@ object GraftSession {
       cmsDepth = 4,
       cmsWidth = 1 << 18,
       saltBuckets = math.min(1024, math.max(64, clusterCores / 4)))
+  }
+
+  /** Winnowing boilerplate cap derived from corpus size — the same √N
+    * balance [[graft.operators.Similarity.defaultNlist]] strikes for IVF:
+    * a fingerprint kept at df ≤ √N contributes at most df² ≈ N candidate
+    * pairs to the bucket self-join, so the worst single-fingerprint term
+    * stays linear in corpus size, while the cap itself GROWS with N — a
+    * constant cap (10k through r9) silently drops the shared fingerprints
+    * of any dup cluster larger than the constant once the corpus outgrows
+    * it, degrading recall with scale. Clamped to [256, 2^20]: the floor
+    * keeps small-corpus recall at the operator default, the ceiling
+    * bounds worst-case bucket memory at the 100 TB point
+    * (TextScaleProbe's 16× winnow row pins the growth stays ≈linear when
+    * the cap rides this derivation). */
+  def defaultWinnowMaxDf(corpusRows: Long): Long = {
+    val root = math.round(math.sqrt(math.max(corpusRows, 0L).toDouble))
+    math.max(256L, math.min(1L << 20, root))
   }
 
   /** A cluster-shaped builder: the engine conventions of [[builder]]

@@ -37,10 +37,18 @@ class GraftSessionSpec extends SparkSpec {
     // operator caps ride through unchanged
     assert(d.bpeMaxVocab === graft.operators.Bpe.DefaultMaxVocab)
     assert(d.saltBuckets >= 64 && d.saltBuckets <= 1024)
+    // winnowing df cap derives from corpus size (√N, clamped [256, 2^20])
+    // — a constant cap would drop shared fingerprints of any dup cluster
+    // larger than it once the corpus outgrows the constant
+    assert(d.winnowMaxDf === 100000L)
+    assert(GraftSession.defaultWinnowMaxDf(5000L) === 256L)       // floor
+    assert(GraftSession.defaultWinnowMaxDf(4_000_000L) === 2000L) // √N
+    assert(GraftSession.defaultWinnowMaxDf(Long.MaxValue) === (1L << 20)) // ceil
     // tiny inputs clamp instead of degenerating
     val tiny = GraftSession.scaleDefaults(corpusRows = 0L, clusterCores = 1)
     assert(tiny.nlist === 8)
     assert(tiny.shufflePartitions === 3)
+    assert(tiny.winnowMaxDf === 256L)
   }
 
   test("builderFor sizes the session's shuffle width from the defaults") {

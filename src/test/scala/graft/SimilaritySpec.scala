@@ -34,6 +34,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"multi-probe LSH recall too low: $recall")
   }
 
+  test("ANN recall floors hold at sf0.1: IVF at √N nlist + scale nprobe, LSH") {
+    // recall at fixed nprobe/tables DEGRADES as the corpus grows — the
+    // sf0.001 floors above say nothing about the first scale-up step.
+    // This is the sf0.1 row: 2000 vectors, IVF sized exactly as a 100 TB
+    // deployment would size it (defaultNlist(N)=√N lists, scaleDefaults'
+    // nprobe=8), LSH at the registered q48 operating point.
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val embL = Tables(spark, dir).embeddings.cache()
+    try {
+      val n = embL.count()
+      val qs = embL.filter(col("vec_id").isin(0L, 100L, 250L))
+      val truth = Similarity.bruteForceTopK(embL, qs, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Similarity.ivfTopK(embL, qs, k = 5,
+          nlist = Similarity.defaultNlist(n), nprobe = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfRecall = (ivf intersect truth).size.toDouble / truth.size
+      assert(ivfRecall >= 0.4, s"IVF recall@5 at sf0.1 fell to $ivfRecall")
+      val lsh = Similarity.lshTopK(embL, qs, k = 5, nbits = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lshRecall = (lsh intersect truth).size.toDouble / truth.size
+      assert(lshRecall >= 0.4, s"LSH recall@5 at sf0.1 fell to $lshRecall")
+    } finally embL.unpersist()
+  }
+
   test("hll approx distinct within 10% of exact") {
     val li = Tables(spark, sfDir).lineitem
     val r = li.agg(

@@ -111,6 +111,30 @@ object TextScaleProbe {
           docs128, model128, col("text"), col("doc_id"))
       }
     }
+    // many-class TREND (the NOTES-promised 1000-class revisit): the
+    // sparse path's delta work scales with OBSERVED (doc, word, cls)
+    // hits — one class per doc here, so constant in k — while only the
+    // k-row prior crossJoin output grows with k. Per-class cost must
+    // FALL: 8x the classes in well under 8x the time.
+    locally {
+      def sparseTime(k: Int): Double = {
+        val docsK = big.withColumn("ck", pmod(col("doc_id"), lit(k)).cast("string"))
+        val modelK = graft.operators.Classifier.naiveBayes(
+          docsK, col("text"), col("doc_id"), col("ck"))
+          .localCheckpoint(eager = true)
+        val f = graft.operators.Classifier.nbScoresSparse(
+          docsK, modelK, col("text"), col("doc_id"))
+        f.write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t128 = sparseTime(128)
+      val t1024 = sparseTime(1024)
+      println(f"[scale] nb_sparse_many_class      128cls ${t128}%6.2f s (${t128 * 1000 / 128}%6.2f ms/cls)   1024cls ${t1024}%6.2f s (${t1024 * 1000 / 1024}%6.2f ms/cls)")
+      require(t1024 / math.max(t128, 0.2) < 4.0,
+        f"sparse NB grew ${t1024 / math.max(t128, 0.2)}%.1fx for 8x classes — per-class cost is not falling")
+    }
     time("dsir_weights (pair-trained)") {
       val (lmT, lmS) = LangModel.bigramLmPair(
         big, col("text"), col("doc_id"), col("lang") === "en")
@@ -200,6 +224,24 @@ object TextScaleProbe {
       require(ratio < 24.0,
         s"$label grew ${ratio}x from 1x to 8x — super-linear beyond the banded-join bound")
     }
+
+    // ---- winnowing at 16x with the DERIVED df cap: the one measured
+    // ≈linear-growth family, probed one doubling further than the main
+    // loop, and with maxDf riding GraftSession.defaultWinnowMaxDf(N)
+    // instead of a constant — the knob a 100 TB deployment would use.
+    // Pin: no super-linear bend (t16 within 3x of linear from t1).
+    val winnowRows = (sizes :+ 16).map { r =>
+      val (c, n) = grown(r)
+      val cap = GraftSession.defaultWinnowMaxDf(n)
+      val t = timeOnce(Dedup.winnowDedupSurvivors(c, col("text"), col("doc_id"),
+        k = 20, window = 8, threshold = 0.8, maxDf = cap))
+      println(f"[scaling] winnow_16x (derived df)  ${r}x  $n%7d docs  $t%7.2f s  ${t * 1000 / n}%6.3f ms/doc  (maxDf=$cap)")
+      (r, n, t)
+    }
+    val wRatio = winnowRows.last._3 / math.max(winnowRows.head._3, 0.2)
+    println(f"[scaling] winnow_16x (derived df)  16x/1x total-time ratio $wRatio%5.1f (linear=16, quadratic=~256, limit 48)")
+    require(wRatio < 48.0,
+      s"winnowing grew ${wRatio}x from 1x to 16x — super-linear bend under the derived df cap")
 
     // ---- fuzzy edit-distance join (q143) over grown NAMES. Constant
     // dup density needs cross-rep pairs OUT of ed ≤ 1 range: rep r > 0
