@@ -31,12 +31,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    # optional filters for long sf0.1 sweeps: --only a,b / --skip a,b
+    only = skip = None
+    args = sys.argv[3:]
+    while args:
+        if args[0] == "--only": only = set(args[1].split(",")); args = args[2:]
+        elif args[0] == "--skip": skip = set(args[1].split(",")); args = args[2:]
+        else: raise SystemExit(f"unknown arg {args[0]}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and (only is None or d in only)
+                   and (skip is None or d not in skip))
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         parts = glob.glob(os.path.join(out_dir, name, "*.parquet"))

@@ -125,4 +125,51 @@ object Metrics {
           .as("recall"))
       .orderBy(col("score").desc)
   }
+
+  /** Ranking-quality eval for the ANN/retrieval family: one row per
+    * query — `n_hits` (how many of the exact top-k the retrieved top-k
+    * found), `recall_k` = n_hits/k, and `rr` = reciprocal rank of the
+    * TRUE nearest neighbor in the retrieved list (0.0 when missed) —
+    * the per-query pieces of recall@k and MRR. Averaging across queries
+    * is left to the caller: per-query rows avoid a cross-query float
+    * accumulation, so every output value is a count or a single IEEE
+    * division (1/rank, n/k) that any engine rounds identically — no
+    * libm, no order-dependent sums.
+    *
+    * Ranks are re-derived on BOTH frames with the family's tie order
+    * (score desc, id asc), making the metric a pure function of the two
+    * frames regardless of their row order. Queries present in `truth`
+    * but absent from `retrieved` still emit a row (zero hits). Scale
+    * shape: both inputs are per-query top-k frames (queries × k rows,
+    * never corpus-sized); one equi-join on (query, id) + one groupBy
+    * query. */
+  def retrievalEval(
+      retrieved: DataFrame, truth: DataFrame, k: Int,
+      qCol: String = "q_id", idCol: String = "vec_id",
+      scoreCol: String = "cos_sim"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    def ranked(df: DataFrame, rank: String): DataFrame = {
+      val w = Window.partitionBy(col(qCol))
+        .orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(qCol), col(idCol), col(scoreCol))
+        .withColumn(rank, row_number().over(w))
+        .filter(col(rank) <= k)
+        .drop(scoreCol)
+    }
+    val r = ranked(retrieved, "rank")
+    val t = ranked(truth, "t_rank")
+    val hits = r.join(t, Seq(qCol, idCol))
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(when(col("t_rank") === 1, col("rank"))).as("nn_rank"))
+    t.select(col(qCol)).distinct()
+      .join(hits, Seq(qCol), "left")
+      .select(col(qCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall_k"),
+        when(col("nn_rank").isNotNull,
+            lit(1.0) / col("nn_rank").cast("double"))
+          .otherwise(lit(0.0)).as("rr"))
+  }
 }

@@ -1183,7 +1183,47 @@ object VectorQueries extends QueryPack {
       ORDER BY vec_id"""
     })
 
+  /** Retrieval-quality eval ([[graft.operators.Metrics.retrievalEval]]):
+    * per-query recall@5 and reciprocal rank of the true nearest neighbor
+    * for the IVF ANN path (q49's operating point) against the exact
+    * brute-force top-5 (q46) — the measurement loop a deployment runs
+    * before trusting an ANN index at scale, as a GRADED row rather than
+    * a ScalaTest floor. Every output value is a count or one IEEE
+    * division, so the oracle is exact: DuckDB re-ranks both persisted
+    * fixtures with the family's (sim desc, id) tie order and re-derives
+    * the same joins. */
+  private val q157 = Q(
+    "q157_retrieval_eval",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val qs = t.embeddings.filter(col("vec_id").isin(0L, 100L, 250L))
+      val truth = Similarity.bruteForceTopK(t.embeddings, qs, 5)
+      val retrieved = Similarity.ivfTopK(
+        t.embeddings, qs, k = 5, nlist = 8, nprobe = 3)
+      graft.operators.Metrics.retrievalEval(retrieved, truth, k = 5)
+        .orderBy(col("q_id"))
+    },
+    Some("""WITH r AS (SELECT q_id, vec_id, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM read_parquet('__VERIFY_OUT__/q49_knn_ivf/*.parquet')),
+      rk AS (SELECT * FROM r WHERE rank <= 5),
+      t AS (SELECT q_id, vec_id, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS t_rank
+        FROM read_parquet('__VERIFY_OUT__/q46_knn_bruteforce/*.parquet')),
+      tk AS (SELECT * FROM t WHERE t_rank <= 5),
+      h AS (SELECT rk.q_id, count(*) AS n_hits,
+          min(CASE WHEN tk.t_rank = 1 THEN rk.rank END) AS nn_rank
+        FROM rk JOIN tk ON tk.q_id = rk.q_id AND tk.vec_id = rk.vec_id
+        GROUP BY rk.q_id)
+      SELECT q.q_id AS q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall_k,
+        CASE WHEN h.nn_rank IS NOT NULL
+          THEN CAST(1 AS DOUBLE) / h.nn_rank ELSE 0.0 END AS rr
+      FROM (SELECT DISTINCT q_id FROM tk) q
+      LEFT JOIN h ON h.q_id = q.q_id
+      ORDER BY q_id"""))
+
   override val all: Seq[Q] =
     Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
-      q96, q97, q105, q106, q109, q120, q121, q128, q138)
+      q96, q97, q105, q106, q109, q120, q121, q128, q138, q157)
 }

@@ -21,6 +21,29 @@ class MetricsSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.75)
   }
 
+  test("retrievalEval: hand-computed recall@k and reciprocal rank") {
+    import spark.implicits._
+    // truth top-3 for q1: (11, 12, 13); retrieved finds 12 first (the
+    // true NN 11 at rank 2) and misses 13 → n_hits=2, recall=2/3, rr=1/2.
+    // q2's retrieval misses the true NN entirely → rr=0; q3 has truth
+    // rows but no retrieved rows at all → zero row still emitted.
+    val truth = Seq(
+      (1L, 11L, 0.9), (1L, 12L, 0.8), (1L, 13L, 0.7),
+      (2L, 21L, 0.9), (2L, 22L, 0.8), (2L, 23L, 0.7),
+      (3L, 31L, 0.9)).toDF("q_id", "vec_id", "cos_sim")
+    val retrieved = Seq(
+      (1L, 12L, 0.95), (1L, 11L, 0.85), (1L, 99L, 0.75),
+      (2L, 22L, 0.9), (2L, 23L, 0.8), (2L, 98L, 0.7))
+      .toDF("q_id", "vec_id", "cos_sim")
+    val rows = Metrics.retrievalEval(retrieved, truth, k = 3)
+      .orderBy(col("q_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (1L, 2L, 2.0 / 3, 0.5),
+      (2L, 2L, 2.0 / 3, 0.0),
+      (3L, 0L, 0.0, 0.0)))
+  }
+
   test("binaryAuc: single-class input raises instead of silent NULL auc") {
     import spark.implicits._
     val onlyPos = Seq((0.9, true), (0.5, true)).toDF("score", "y")
