@@ -55,15 +55,30 @@ import org.apache.spark.sql.SparkSession
   * inflated block checks the canaries over the same window before
   * calling it a regression.
   *
-  * CROSS-ROUND guard (added after r9): the within-run spread trigger keys
-  * on rep disagreement and cannot catch a window that is consistently
-  * noisy for a whole query (both reps equally inflated — the r9
-  * q57/q69/q70 pattern). So Bench persists each run's per-query minimums
-  * to bench_prior.json (cwd) and, at the next run, any query whose best
-  * exceeds 3× its prior min by >0.5 s absolute gets ONE confirming
-  * re-rep from the same bounded budget. Queries still above the prior
-  * envelope after the re-rep are listed under "regressed" in the summary
-  * — a real regression confirms, a noisy window usually recovers.
+  * CROSS-ROUND guard (added after r9, hardened after r10): the within-run
+  * spread trigger keys on rep disagreement and cannot catch a window that
+  * is consistently noisy for a whole query (both reps equally inflated —
+  * the r9 q57/q69/q70 pattern). So Bench keeps a prior ENVELOPE in
+  * bench_prior.json (cwd) and, at the next run, any query whose best
+  * exceeds 3× its envelope value by >0.5 s absolute gets ONE confirming
+  * re-rep from the same bounded budget. Queries still above the envelope
+  * after the re-rep are listed under "regressed" as {query: [current,
+  * prior]} pairs — a real regression confirms, a noisy window usually
+  * recovers.
+  *
+  * The envelope is the ROLLING minimum min(prior, current) per query —
+  * NOT this run's values. r10 proved the naive overwrite destroys the
+  * guard: an earlier same-session run on a degraded host replaced the
+  * committed anchor, and q94 then sat 5.8× over the real envelope with
+  * "regressed":[] (the run compared noise to noise). With the rolling
+  * minimum a confirmed regression keeps tripping the guard every round
+  * until the envelope is deliberately re-baselined
+  * (SPARK_GRAFT_BENCH_REBASE=1 writes current values verbatim — use it
+  * after an intentional cost change). The summary also carries
+  * "prior_matched" (how many query keys resolved against the envelope):
+  * a key-scheme drift or a lost file would otherwise disable the guard
+  * silently. The file is written via temp + ATOMIC_MOVE so concurrent
+  * runs sharing a cwd can never interleave a torn write.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -234,12 +249,15 @@ object Bench {
       "\"" + shortKey(k) + "\":" + f"${best(rs)}%.3f"
     }.mkString("{", ",", "}")
     // still >3x prior after the confirming re-rep → candidate real
-    // regression (or a window noisy across the entire sweep)
+    // regression (or a window noisy across the entire sweep); each entry
+    // carries [current, prior] so the artifact is self-adjudicating
     val regressed = results.collect {
-      case (n, rs) if crossRoundSlow(n, rs) => n
+      case (n, rs) if crossRoundSlow(n, rs) => n -> best(rs)
     }
-    val regressedJson =
-      regressed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    val regressedJson = regressed.map { case (n, cur) =>
+      val prior = priorMins.getOrElse(shortKey(n), -1.0)
+      "\"" + shortKey(n) + "\":" + f"[$cur%.3f,$prior%.3f]"
+    }.mkString("{", ",", "}")
     val contendedJson =
       contended.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val canaryParEnd = canaryParSec()
@@ -249,16 +267,38 @@ object Bench {
       "\"" + shortKey(k) + "\":" + f"$ms%.1f"
     }.mkString("{", ",", "}")
     val canaryPar = f"[$canaryParStart%.2f,$canaryParEnd%.2f]"
-    // persist this run's minimums for the next run's cross-round guard;
-    // best-effort (a read-only cwd must not fail the bench)
+    // persist the ROLLING envelope min(prior, current) for the next run's
+    // cross-round guard — overwriting with current values would erase a
+    // confirmed regression's anchor after one round (the r10 failure).
+    // SPARK_GRAFT_BENCH_REBASE=1 deliberately re-baselines to current.
+    // Atomic (temp + ATOMIC_MOVE) so concurrent runs in one cwd never
+    // interleave a torn write; best-effort (a read-only cwd must not fail
+    // the bench).
+    val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE").contains("1")
+    val envelope = results.flatMap { case (n, rs) =>
+      val cur = best(rs)
+      if (cur < 0) priorMins.get(shortKey(n)).map(shortKey(n) -> _)
+      else if (rebase) Some(shortKey(n) -> cur)
+      else Some(shortKey(n) -> math.min(priorMins.getOrElse(shortKey(n), cur), cur))
+    }
+    val envelopeJson = envelope.map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
     try {
-      val w = new java.io.PrintWriter(priorPath)
-      try w.println(qsShort) finally w.close()
+      val tmp = java.nio.file.Paths.get(priorPath + ".tmp")
+      java.nio.file.Files.write(tmp,
+        (envelopeJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(priorPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } catch { case _: Throwable => () }
+    // a non-empty prior file with ZERO resolving keys means the guard is
+    // dead (key-scheme drift); surface that in the summary
+    val priorMatched = names.count(n => priorMins.contains(shortKey(n)))
     // three lines, smallest + most important LAST (tail-2000 survival):
     println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"canary_ms":$canaryJson,"queries_full":$qs,"reps_raw":$raw}""")
     println(s"""{"metric":"bench_queries","unit":"sec","sf":"$sfDir","queries":$qsShort}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"contended":$contendedJson,"regressed":$regressedJson,"canary_par_sec":$canaryPar}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"contended":$contendedJson,"regressed":$regressedJson,"canary_par_sec":$canaryPar}""")
     spark.stop()
   }
 }

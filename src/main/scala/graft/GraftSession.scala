@@ -46,6 +46,10 @@ object GraftSession {
       nlist: Int,
       /** recall dial; probe cost ∝ nprobe/nlist of the corpus. */
       nprobe: Int,
+      /** LSH-ANN OR-amplification tables for 0.95 NN recall at the
+        * 8-bit signature point — see
+        * [[graft.operators.Similarity.defaultLshTables]]. */
+      lshTables: Int,
       /** minhash signature length for near-dup LSH. */
       minhashNumHashes: Int,
       /** banding solved by Dedup.lshPlan for the requested threshold —
@@ -69,7 +73,10 @@ object GraftSession {
       cmsDepth: Int,
       cmsWidth: Int,
       /** skew-join salt buckets (only for past-broadcast dims). */
-      saltBuckets: Int)
+      saltBuckets: Int,
+      /** ingest-time bucket count for bucketed fact tables (the q158
+        * co-located-join layout): see [[defaultBuckets]]. */
+      factTableBuckets: Int)
 
   /** Compute the 100 TB operating point from catalog corpus size and
     * total cluster cores. `nearDupThreshold` picks the minhash banding
@@ -85,6 +92,7 @@ object GraftSession {
       shufflePartitions = clusterCores * 3,
       nlist = graft.operators.Similarity.defaultNlist(corpusRows),
       nprobe = 8,
+      lshTables = graft.operators.Similarity.defaultLshTables(nbits = 8),
       minhashNumHashes = numHashes,
       minhashBands = bands,
       winnowMaxDf = defaultWinnowMaxDf(corpusRows),
@@ -95,7 +103,36 @@ object GraftSession {
       hllP = 13,
       cmsDepth = 4,
       cmsWidth = 1 << 18,
-      saltBuckets = math.min(1024, math.max(64, clusterCores / 4)))
+      saltBuckets = math.min(1024, math.max(64, clusterCores / 4)),
+      factTableBuckets = defaultBuckets(corpusRows, clusterCores))
+  }
+
+  /** Bucket count for an ingest-time bucketed fact table — q158's layout
+    * knob, derived like nlist/winnowMaxDf instead of hardcoded (8 through
+    * r10 was the test scale masquerading as a constant). Two forces:
+    * every cluster core should own at least one bucket (fewer ⇒ idle
+    * cores on the co-located join), and each bucket's rows must fit an
+    * executor's sort/merge budget (more rows ⇒ spill), so
+    * `max(clusterCores, ⌈rows / targetRowsPerBucket⌉)` with 4M rows per
+    * bucket (~hundreds of MB of parquet at fact-row widths). Rounded UP
+    * to a power of two and clamped [8, 2¹⁵]: power-of-two counts keep
+    * tables bucketed at different epochs mutually divisible, which is
+    * exactly the shape `spark.sql.bucketing.coalesceBucketsInJoin` can
+    * still co-locate without a shuffle; the ceiling bounds small-file
+    * explosion on the write side. */
+  def defaultBuckets(
+      corpusRows: Long, clusterCores: Int,
+      targetRowsPerBucket: Long = 4_000_000L): Int = {
+    require(clusterCores > 0, "clusterCores must be positive")
+    require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
+    val rows = math.max(corpusRows, 0L)
+    // overflow-safe ceil division (corpusRows may be Long.MaxValue)
+    val byRows = rows / targetRowsPerBucket +
+      (if (rows % targetRowsPerBucket > 0) 1L else 0L)
+    val needed = math.min(1L << 15, math.max(clusterCores.toLong, byRows))
+    var b = 8
+    while (b < needed) b <<= 1
+    b
   }
 
   /** Winnowing boilerplate cap derived from corpus size — the same √N

@@ -432,6 +432,30 @@ object Similarity {
     math.max(8L, math.min(1L << 17, root)).toInt
   }
 
+  /** OR-amplification table count for [[lshTopK]] at a target
+    * NEAREST-NEIGHBOR recall — the LSH recall dial, derived from the
+    * hyperplane collision model instead of guessed. A true neighbor at
+    * angle θ agrees with a random hyperplane bit w.p. 1−θ/π; call that
+    * `bitAgreement` (default 0.8 ≈ 36°, the "clearly nearest" regime a
+    * retrieval consumer cares about). One table of `nbits` bits catches
+    * the pair w.p. p = bitAgreement^nbits, so T independent tables reach
+    * recall 1−(1−p)^T, giving T = ln(1−target)/ln(1−p). At the q48 point
+    * (nbits=8) this lands at 17 tables for 0.95 NN-recall — and the
+    * measured sf0.1 floor bears it out: 4 tables hold recall@5 ≥ 0.4 but
+    * lose the TRUE nearest neighbor entirely (MRR 0.0), 16–17 recover
+    * both to 1.0. Capped at 64: past that the corpus signing scan (one
+    * posexplode row per table) dominates and nbits should drop instead. */
+  def defaultLshTables(
+      nbits: Int, targetRecall: Double = 0.95,
+      bitAgreement: Double = 0.8): Int = {
+    require(nbits >= 1 && nbits <= 30, "nbits out of range")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0,1)")
+    require(bitAgreement > 0 && bitAgreement < 1, "bitAgreement in (0,1)")
+    val pTable = math.pow(bitAgreement, nbits)
+    val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable))
+    math.min(64, math.max(1, t.toInt))
+  }
+
   /** [[knnGraph]] with BOTH centroid passes as broadcast joins instead of
     * literal-centroid expressions — the nlist-beyond-codegen path.
     * The expression form embeds nlist cosine subtrees in one projection,

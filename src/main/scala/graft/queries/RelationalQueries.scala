@@ -780,25 +780,45 @@ object RelationalQueries extends QueryPack {
     * bucketed + sorted on their join keys): a deployment buckets at
     * ingest ONCE and every later join rides the layout, so the graded
     * query must not re-write the tables per bench rep. Table names are
-    * dir-scoped to keep multiple SF dirs in one session distinct. */
+    * dir-scoped to keep multiple SF dirs in one session distinct.
+    *
+    * The memo stores catalog table NAMES, which are only meaningful in a
+    * catalog that actually holds them — a fresh SparkSession in the same
+    * JVM (new test suite, bench re-entry) starts with an empty in-memory
+    * catalog, so every hit is re-validated with `catalog.tableExists`
+    * and re-materialized on a miss instead of failing table-not-found.
+    * Bucket count rides [[graft.GraftSession.defaultBuckets]] (rows +
+    * parallelism), not a constant: at the fixture SFs the cores term
+    * binds, at 100 TB the rows term takes over. */
   private val bucketedTabs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def bucketedOrdersLineitem(
-      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
-    bucketedTabs.getOrElseUpdate(dir, {
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    def build(): (String, String) = {
       val tag = Integer.toHexString(dir.hashCode)
       val base = java.nio.file.Files
         .createTempDirectory("graft-q158-buckets").toString
       val t = Tables(s, dir)
       val (li, ord) = (s"graft_q158_li_$tag", s"graft_q158_ord_$tag")
+      // ONE derived count for the co-joined family (largest member sets
+      // it) — mismatched counts would re-introduce a shuffle on one side
+      val buckets = graft.sources.Bucketing.derivedBuckets(
+        t.lineitem, clusterCores = s.sparkContext.defaultParallelism)
       graft.sources.Bucketing.writeBucketed(
         t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
-        li, "l_orderkey", 8, s"$base/li")
+        li, "l_orderkey", buckets, s"$base/li")
       graft.sources.Bucketing.writeBucketed(
         t.orders.select(col("o_orderkey"), col("o_orderdate")),
-        ord, "o_orderkey", 8, s"$base/ord")
+        ord, "o_orderkey", buckets, s"$base/ord")
       (li, ord)
-    })
+    }
+    val (li, ord) = bucketedTabs.getOrElseUpdate(dir, build())
+    if (s.catalog.tableExists(li) && s.catalog.tableExists(ord)) (li, ord)
+    else {
+      bucketedTabs.remove(dir)
+      bucketedTabs.getOrElseUpdate(dir, build())
+    }
+  }
 
   /** The bucketed co-located join GRADED (sources.Bucketing, spec-only
     * through r9): lineitem ⋈ orders with both sides bucketed + sorted on
@@ -808,7 +828,14 @@ object RelationalQueries extends QueryPack {
     * bucket-aware, with broadcast disabled so the claim is about
     * co-location, not about the dimension fitting in memory (at sf
     * fixtures Spark would otherwise broadcast). Revenue-by-year
-    * aggregate on top; plain-SQL oracle. */
+    * aggregate on top; plain-SQL oracle.
+    *
+    * CONTRACT: the set/restore of `autoBroadcastJoinThreshold` mutates
+    * SESSION state — safe because the harness runs registered queries
+    * sequentially on one session (Verify/Bench/specs all do) and the
+    * restore is in `finally`; a concurrent runner sharing the session
+    * would race the conf and must clone the session first
+    * (`spark.newSession()` confs are per-session). */
   private val q158 = Q(
     "q158_bucketed_join",
     (s, dir) => {

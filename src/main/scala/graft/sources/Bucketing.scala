@@ -29,6 +29,19 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Bucket count for a co-bucketed table FAMILY, derived from the
+    * family's LARGEST member and the cluster width
+    * ([[graft.GraftSession.defaultBuckets]]) instead of caller-picked.
+    * One count for the whole family: a shuffle-free sort-merge join
+    * needs both sides on the SAME bucket count (differing power-of-two
+    * counts survive only behind `coalesceBucketsInJoin`, which coalesces
+    * — i.e. under-parallelizes — the wider side), so the biggest table
+    * sets the count and every smaller co-joined table rides it. The one
+    * extra `count()` pass runs at ingest, amortized against every later
+    * join on the layout. */
+  def derivedBuckets(largest: DataFrame, clusterCores: Int): Int =
+    graft.GraftSession.defaultBuckets(largest.count(), clusterCores)
+
   /** Equi-join two tables bucketed on their join keys — co-located, so the
     * plan carries no Exchange (verify with .explain). */
   def bucketedJoin(

@@ -25,6 +25,12 @@ class GraftSessionSpec extends SparkSpec {
     // √N sizing for IVF/kNN-graph lists, clamped to [8, 2^17]
     assert(d.nlist === graft.operators.Similarity.defaultNlist(10_000_000_000L))
     assert(d.nlist === 100000)
+    // LSH-ANN OR-amplification from the collision model: 0.8^8 per-table
+    // collision → 17 tables for 0.95 NN recall (4 tables measured MRR 0.0
+    // at sf0.1 — recall@5 alone hid the lost true neighbor)
+    assert(d.lshTables === 17)
+    assert(graft.operators.Similarity.defaultLshTables(8) === 17)
+    assert(graft.operators.Similarity.defaultLshTables(30) === 64) // cap
     // shuffle width 3x cores; banding parts 4x cores
     assert(d.shufflePartitions === 24000)
     assert(d.ceBandingParts === 32000)
@@ -49,6 +55,16 @@ class GraftSessionSpec extends SparkSpec {
     assert(tiny.nlist === 8)
     assert(tiny.shufflePartitions === 3)
     assert(tiny.winnowMaxDf === 256L)
+    assert(tiny.factTableBuckets === 8)
+    // fact-table buckets: max(cores, ceil(rows/4M)) rounded UP to a power
+    // of two, clamped [8, 2^15] — cores bind here (10e9/4M = 2500 < 8000)
+    assert(d.factTableBuckets === 8192)
+    // rows bind when the corpus outgrows the cores
+    assert(GraftSession.defaultBuckets(10_000_000_000L, 64) === 4096)
+    assert(GraftSession.defaultBuckets(5L, 1) === 8)              // floor
+    assert(GraftSession.defaultBuckets(Long.MaxValue, 1) === 32768) // ceil, no overflow
+    // power-of-two round-up keeps epoch layouts mutually divisible
+    assert(GraftSession.defaultBuckets(0L, 33) === 64)
   }
 
   test("builderFor sizes the session's shuffle width from the defaults") {

@@ -101,6 +101,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
   }
 
+  test("q158 re-materializes its bucketed tables after a catalog wipe") {
+    // the per-dataset memo stores catalog table NAMES; a fresh
+    // SparkSession in the same JVM (new suite, bench re-entry) starts
+    // with an empty catalog, so a memo hit must be re-validated with
+    // tableExists and rebuilt on a miss instead of failing
+    // table-not-found. Dropping the tables between runs exercises
+    // exactly that path against the live memo.
+    def run(): Seq[String] =
+      SparkEntry.queries("q158_bucketed_join")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_q158_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    assert(run() === first)
+  }
+
   test("q38: LSH dedup has no cartesian product anywhere") {
     val p = plan("q38_minhash_dedup")
     assert(!p.contains("CartesianProduct"))

@@ -40,23 +40,38 @@ class SimilaritySpec extends SparkSpec {
     // This is the sf0.1 row: 2000 vectors, IVF sized exactly as a 100 TB
     // deployment would size it (defaultNlist(N)=√N lists, scaleDefaults'
     // nprobe=8), LSH at the registered q48 operating point.
+    // The floors are computed THROUGH Metrics.retrievalEval (q157's graded
+    // operator), so the eval code path and the scale pin are the same code
+    // — a regression in either the ANN or the metric trips this row.
+    // retrievalEval additionally pins MRR: recall@5 can stay flat while
+    // the TRUE nearest neighbor drops out of the list (the failure a
+    // retrieval consumer feels first).
     val dir = "/root/testdata/sf0.1"
     assume(new java.io.File(dir).isDirectory, s"$dir not present")
     val embL = Tables(spark, dir).embeddings.cache()
     try {
       val n = embL.count()
       val qs = embL.filter(col("vec_id").isin(0L, 100L, 250L))
-      val truth = Similarity.bruteForceTopK(embL, qs, 5).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val ivf = Similarity.ivfTopK(embL, qs, k = 5,
-          nlist = Similarity.defaultNlist(n), nprobe = 8).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val ivfRecall = (ivf intersect truth).size.toDouble / truth.size
+      val truth = Similarity.bruteForceTopK(embL, qs, 5).localCheckpoint(true)
+      def evalOf(retrieved: org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val r = graft.operators.Metrics.retrievalEval(retrieved, truth, k = 5)
+          .agg(avg(col("recall_k")), avg(col("rr"))).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+      val (ivfRecall, ivfMrr) = evalOf(Similarity.ivfTopK(embL, qs, k = 5,
+        nlist = Similarity.defaultNlist(n), nprobe = 8))
       assert(ivfRecall >= 0.4, s"IVF recall@5 at sf0.1 fell to $ivfRecall")
-      val lsh = Similarity.lshTopK(embL, qs, k = 5, nbits = 8).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val lshRecall = (lsh intersect truth).size.toDouble / truth.size
-      assert(lshRecall >= 0.4, s"LSH recall@5 at sf0.1 fell to $lshRecall")
+      assert(ivfMrr >= 0.3, s"IVF MRR at sf0.1 fell to $ivfMrr")
+      // LSH at the DERIVED table count (defaultLshTables(8) = 17): the
+      // q48 4-table point holds recall@5 >= 0.4 here but loses the true
+      // nearest neighbor outright (measured MRR 0.0) — recall@k alone
+      // cannot see that failure, which is why the MRR pin rides the
+      // derived OR-amplification operating point
+      val (lshRecall, lshMrr) = evalOf(Similarity.lshTopK(
+        embL, qs, k = 5, nbits = 8,
+        tables = Similarity.defaultLshTables(nbits = 8)))
+      assert(lshRecall >= 0.6, s"LSH recall@5 at sf0.1 fell to $lshRecall")
+      assert(lshMrr >= 0.5, s"LSH MRR at sf0.1 fell to $lshMrr")
     } finally embL.unpersist()
   }
 
