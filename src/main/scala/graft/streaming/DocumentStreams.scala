@@ -188,30 +188,216 @@ object DocumentStreams {
     * @param streamSplit  predicate selecting the crawl side (rows NOT in
     *                     the seed corpus); default keeps doc_id%10==0 as
     *                     the never-streamed seed/eval split.
-    * @param compactEvery rewrite both index dirs into target-size files
-    *                     every this many batches (0 disables) — bounds the
-    *                     O(batches) listing growth of per-batch appends.
-    * @return surviving (doc_id, lang) read back from `outPath`. */
-  /** Rewrite a parquet directory into ceil(bytes/targetBytes) files when
-    * its current file count exceeds that target — size-tiered compaction
-    * for the streaming signature store. The snapshot is eagerly
-    * checkpointed BEFORE the overwrite so reading and rewriting the same
-    * path is safe; the overwrite itself is a delete-then-write window
-    * (same caveat as the per-batch appends, documented at the call
-    * site). */
-  private[graft] def compactParquetDir(
-      spark: SparkSession, path: String, targetBytes: Long): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) return
-    val files = fs.listStatus(hp)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val bytes = files.map(_.getLen).sum
-    val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    if (files.length <= want) return
-    val snap = spark.read.parquet(path).localCheckpoint(true)
-    try snap.coalesce(want).write.mode("overwrite").parquet(path)
-    finally snap.unpersist()
+    * Durability: every batch's three outputs (band rows, wh rows,
+    * survivors) commit ATOMICALLY via the manifest protocol documented at
+    * [[CommitState]] — a mid-batch crash loses nothing and duplicates
+    * nothing, and a foreachBatch replay of an already-committed batch is
+    * a skip (exactly-once). Compaction swaps the manifest the same way,
+    * so the r10 in-place-rewrite hazard (crash ⇒ total index loss) is
+    * structurally gone.
+    *
+    * @param compactEvery rewrite the live entries of all three bases into
+    *                     one target-size token every this many batches (0
+    *                     disables) — bounds the O(batches) listing growth
+    *                     of per-batch commits.
+    * @return surviving (doc_id, lang) resolved through the manifest. */
+  /** MANIFEST COMMIT PROTOCOL for the streaming curation store (the
+    * production-strength fix the r9/r10 scaladoc promised): the store is
+    * three parquet bases — `indexPath/bands`, `indexPath/wh` (the
+    * signature index) and `outPath` (the curated corpus) — each holding
+    * batch-token SUBDIRECTORIES (`seed`, `batch00001`, `compact00002`,
+    * …). Which tokens are LIVE is decided solely by one manifest file
+    * (`indexPath/_commits`, leading underscore so parquet listings skip
+    * it), swapped atomically via FileContext.rename(OVERWRITE) — atomic
+    * on HDFS and on POSIX local paths. Readers resolve the manifest to
+    * concrete paths; a token dir not in the manifest does not exist as
+    * far as the store is concerned.
+    *
+    * Crash matrix (replacing the r10 "non-transactional 3-append
+    * window", whose failure mode was under-inclusion of a batch, and the
+    * in-place compaction rewrite, whose failure mode was TOTAL index
+    * loss):
+    *   - crash before the manifest swap → every write of the batch is an
+    *     orphan dir; replay recomputes against the unchanged manifest
+    *     view and mode("overwrite") replaces the partial dirs. Nothing
+    *     lost, nothing duplicated.
+    *   - crash after the swap (before the streaming checkpoint commit) →
+    *     the replayed batch's id is already in the manifest and the
+    *     processor SKIPS it — exactly-once without recomputation.
+    *   - compaction crash before its swap → orphan compact dirs, live
+    *     state untouched; after its swap → stale pre-compaction dirs are
+    *     deleted best-effort and are unreadable anyway (not in the
+    *     manifest).
+    * The manifest also carries the set of committed batch IDs separately
+    * from the live entries, so compaction (which REPLACES entries) never
+    * erases the replay-skip record. */
+  private[graft] final case class CommitState(
+      entries: Seq[String], batches: Set[Long])
+
+  private def manifestPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_commits")
+
+  private[graft] def readCommits(
+      spark: SparkSession, indexPath: String): CommitState = {
+    val p = manifestPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return CommitState(Seq.empty, Set.empty)
+    val in = fs.open(p)
+    val txt = try {
+      val b = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
+      b.toString("UTF-8")
+    } finally in.close()
+    val lines = txt.split("\n").map(_.trim).filter(_.nonEmpty)
+    CommitState(
+      lines.collect { case s if s.startsWith("entry ") => s.drop(6) }.toSeq,
+      lines.collect { case s if s.startsWith("batch ") => s.drop(6).toLong }.toSet)
+  }
+
+  private[graft] def commitCommits(
+      spark: SparkSession, indexPath: String, st: CommitState): Unit = {
+    val p = manifestPath(indexPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/_commits.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (st.entries.map("entry " + _) ++
+        st.batches.toSeq.sorted.map("batch " + _)).mkString("", "\n", "\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    // THE commit point: atomic swap (HDFS + POSIX rename semantics)
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Seed the curation store: prepared seed index under token `seed` in
+    * both index bases, an empty (schema-bearing) survivor dir, and the
+    * initial manifest. */
+  private[graft] def initCurationStore(
+      spark: SparkSession, seedIndex: DataFrame,
+      indexPath: String, outPath: String): Unit = {
+    // the persisted dedup store keeps the PROBE-READY layout (band rows +
+    // pre-grouped wh arrays): re-deriving wh arrays from the long format
+    // would be an O(index) groupBy on EVERY micro-batch
+    val (seedBands, seedWh) = graft.operators.Dedup.prepareSignatureIndex(seedIndex)
+    seedBands.write.mode("overwrite").parquet(s"$indexPath/bands/seed")
+    seedWh.write.mode("overwrite").parquet(s"$indexPath/wh/seed")
+    // empty survivor seed so the read-back has a schema even if every
+    // batch dedups away
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType))))
+      .write.mode("overwrite").parquet(s"$outPath/seed")
+    commitCommits(spark, indexPath, CommitState(Seq("seed"), Set.empty))
+  }
+
+  /** Read the curated corpus as committed by the manifest. */
+  private[graft] def readCurated(
+      spark: SparkSession, indexPath: String, outPath: String): DataFrame = {
+    val st = readCommits(spark, indexPath)
+    spark.read.parquet(st.entries.map(e => s"$outPath/$e"): _*)
+  }
+
+  /** One micro-batch of the incremental curation lifecycle under the
+    * manifest protocol: gate → dedup against the manifest view of the
+    * index → write the batch's three outputs under a batch token
+    * (idempotent overwrite) → swap the manifest. Public-to-the-package so
+    * the crash-replay spec can drive it directly; `failBeforeCommit`
+    * injects a crash in the one window that exists (after the dir writes,
+    * before the swap). */
+  private[graft] def processCurationBatch(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String,
+      numHashes: Int, bands: Int, threshold: Double,
+      failBeforeCommit: Boolean = false): Unit = {
+    val st = readCommits(spark, indexPath)
+    // exactly-once replay skip: the batch committed, the stream
+    // checkpoint just didn't record it before the crash
+    if (st.batches.contains(batchId)) return
+    // the index AS OF this batch = the manifest view; the batch's own
+    // token is not in it, so a doc never meets its own signatures
+    val exBands =
+      spark.read.parquet(st.entries.map(e => s"$indexPath/bands/$e"): _*)
+    val exWh =
+      spark.read.parquet(st.entries.map(e => s"$indexPath/wh/$e"): _*)
+    val gated = batch.filter(qualityGate(col("text")))
+    val survIds = graft.operators.Dedup.dedupAgainstPreparedIndex(
+      gated, exBands, exWh, col("text"), col("doc_id"),
+      numHashes, bands, threshold)
+    val kept = gated
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .join(survIds, Seq("doc_id"))
+      // sign once here so both index writes (and the survivor write)
+      // share one computed frame; the checkpoint is eager so the
+      // expensive part runs at full parallelism BEFORE the coalesce(1)
+      // writes below (coalescing a lazy frame would collapse the whole
+      // computation into one task)
+      .withColumn("wh_new",
+        array_sort(array_distinct(elementHashes(tokens(col("text"))))))
+      .select(col("doc_id"), col("lang"), col("wh_new")) // drop text
+      .localCheckpoint(true)
+    try {
+      val rows = numHashes / bands
+      val token = f"batch$batchId%05d"
+      // coalesce(1): micro-batch outputs are small by definition; one
+      // file per batch keeps later batches' listings (and trigger commit
+      // overhead) from growing with file count. mode("overwrite") makes
+      // a replay after a pre-commit crash replace partial dirs.
+      kept.select(col("doc_id").as("old_id"),
+          posexplode(graft.functions.TextFunctions.lshBandHashes(
+            graft.functions.TextFunctions.minhashFromHashes(
+              col("wh_new"), numHashes), bands, rows))
+            .as(Seq("band", "bh")))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/bands/$token")
+      kept.select(col("doc_id").as("old_id"), col("wh_new").as("wh_old"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/wh/$token")
+      kept.select(col("doc_id"), col("lang"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/$token")
+      if (failBeforeCommit)
+        throw new IllegalStateException(
+          "injected crash before manifest commit")
+      commitCommits(spark, indexPath,
+        CommitState(st.entries :+ token, st.batches + batchId))
+    } finally kept.unpersist()
+  }
+
+  /** Size-tiered compaction under the manifest protocol: rewrite the
+    * UNION of the live entries of each base into one `compactNNNNN`
+    * token dir (ceil(bytes/targetBytes) files), swap the manifest to the
+    * single compacted entry, then delete the replaced dirs best-effort
+    * (a crash leaves only unreadable orphans — the live state is always
+    * whatever the manifest names, never a partially-rewritten dir). */
+  private[graft] def compactCommitted(
+      spark: SparkSession, indexPath: String, outPath: String,
+      batchId: Long, targetBytes: Long): Unit = {
+    val st = readCommits(spark, indexPath)
+    if (st.entries.size <= 1) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val token = f"compact$batchId%05d"
+    val bases = Seq(s"$indexPath/bands", s"$indexPath/wh", outPath)
+    for (base <- bases) {
+      val dirs = st.entries.map(e => s"$base/$e")
+      val bytes = dirs.map { d =>
+        val hp = new org.apache.hadoop.fs.Path(d)
+        val fs = hp.getFileSystem(conf)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      }.sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(dirs: _*)
+        .coalesce(want).write.mode("overwrite").parquet(s"$base/$token")
+    }
+    commitCommits(spark, indexPath, CommitState(Seq(token), st.batches))
+    // the swap is durable; stale dirs are unreachable — deletion is pure
+    // housekeeping and may fail without consequence
+    for (base <- bases; e <- st.entries) {
+      try {
+        val hp = new org.apache.hadoop.fs.Path(s"$base/$e")
+        hp.getFileSystem(conf).delete(hp, true); ()
+      } catch { case _: Throwable => () }
+    }
   }
 
   def incrementalCurationToParquet(
@@ -249,21 +435,7 @@ object DocumentStreams {
       require(dest.toFile.setLastModified((b + 1) * 60000L),
         s"could not stamp batch $b's replay order")
     }
-    // the persisted dedup store keeps the PROBE-READY layout (band rows +
-    // pre-grouped wh arrays): re-deriving wh arrays from the long format
-    // would be an O(index) groupBy on EVERY micro-batch
-    locally {
-      val (seedBands, seedWh) = graft.operators.Dedup.prepareSignatureIndex(seedIndex)
-      seedBands.write.mode("overwrite").parquet(s"$indexPath/bands")
-      seedWh.write.mode("overwrite").parquet(s"$indexPath/wh")
-    }
-    // seed the survivor sink so the read-back has a schema even if every
-    // batch dedups away
-    spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("lang", StringType))))
-      .write.mode("overwrite").parquet(outPath)
+    initCurationStore(spark, seedIndex, indexPath, outPath)
     val incoming = spark.readStream
       .schema(documentSchema)
       .option("maxFilesPerTrigger", 1)
@@ -271,64 +443,20 @@ object DocumentStreams {
     withStreamingShufflePartitions(spark, conf.shufflePartitions) {
       val q = incoming.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // the index AS OF this batch: listings captured at read time, so
-          // this batch's own signature append (below) is invisible to it
-          val exBands = spark.read.parquet(s"$indexPath/bands")
-          val exWh = spark.read.parquet(s"$indexPath/wh")
-          val gated = batch.filter(qualityGate(col("text")))
-          val survIds = graft.operators.Dedup.dedupAgainstPreparedIndex(
-            gated, exBands, exWh, col("text"), col("doc_id"),
+          // all batch effects commit atomically through the manifest
+          // swap in processCurationBatch (crash matrix at CommitState)
+          processCurationBatch(spark, batch, batchId, indexPath, outPath,
             numHashes, bands, threshold)
-          val kept = gated
-            .withColumn("doc_id", col("doc_id").cast("long"))
-            .join(survIds, Seq("doc_id"))
-            // sign once here so both index appends (and the survivor
-            // write) share one computed frame; the checkpoint is eager so
-            // the expensive part runs at full parallelism BEFORE the
-            // coalesce(1) writes below (coalescing a lazy frame would
-            // collapse the whole computation into one task)
-            .withColumn("wh_new",
-              array_sort(array_distinct(elementHashes(tokens(col("text"))))))
-            .select(col("doc_id"), col("lang"), col("wh_new")) // drop text
-            .localCheckpoint(true)
-          try {
-            val rows = numHashes / bands
-            // NON-TRANSACTIONAL WINDOW: the three writes below are
-            // separate parquet commits — a mid-batch crash leaves them
-            // partially applied. Index parts are written BEFORE the
-            // survivor commit on purpose: on foreachBatch replay the
-            // batch's docs then collide with their own already-appended
-            // signatures and are dropped, so the curated corpus can never
-            // contain duplicate rows (the failure mode is under-inclusion
-            // of the crashed batch, which a dedup store prefers; the
-            // survivors-first order would instead double-append docs).
-            // The production-strength fix is a manifest commit over
-            // batch-id-suffixed files; out of scope for this operator.
-            // coalesce(1): micro-batch appends are small by definition;
-            // one file per batch keeps later batches' index listings (and
-            // trigger commit overhead) from growing with file count
-            kept.select(col("doc_id").as("old_id"),
-                posexplode(graft.functions.TextFunctions.lshBandHashes(
-                  graft.functions.TextFunctions.minhashFromHashes(
-                    col("wh_new"), numHashes), bands, rows))
-                  .as(Seq("band", "bh")))
-              .coalesce(1).write.mode("append").parquet(s"$indexPath/bands")
-            kept.select(col("doc_id").as("old_id"),
-                col("wh_new").as("wh_old"))
-              .coalesce(1).write.mode("append").parquet(s"$indexPath/wh")
-            kept.select(col("doc_id"), col("lang"))
-              .coalesce(1).write.mode("append").parquet(outPath)
-          } finally kept.unpersist()
-          // size-tiered compaction: even with one appended file per batch
-          // the index listing grows O(batches) over a stream's lifetime;
-          // every compactEvery batches both index dirs are rewritten into
-          // ceil(bytes/target) files. Runs AFTER this batch's commits and
-          // BEFORE the next batch's listing, so the listing-before-append
-          // invariant (a batch never sees its own signatures) holds.
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            compactParquetDir(spark, s"$indexPath/bands", compactTargetBytes)
-            compactParquetDir(spark, s"$indexPath/wh", compactTargetBytes)
-          }
+          // size-tiered compaction: even at one file per batch the
+          // listings grow O(batches) over a stream's lifetime; every
+          // compactEvery batches the live entries are rewritten into one
+          // ceil(bytes/target)-file token and the manifest swaps to it.
+          // Runs AFTER this batch's commit and BEFORE the next batch's
+          // manifest read, so a batch still never sees its own
+          // signatures.
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactCommitted(spark, indexPath, outPath, batchId,
+              compactTargetBytes)
           ()
         }
         .options(conf.options)
@@ -338,6 +466,6 @@ object DocumentStreams {
       require(q.recentProgress.flatMap(_.stateOperators).isEmpty,
         "incremental curation stream must be stateless (index IS the state)")
     }
-    spark.read.parquet(outPath).orderBy(col("doc_id"))
+    readCurated(spark, indexPath, outPath).orderBy(col("doc_id"))
   }
 }

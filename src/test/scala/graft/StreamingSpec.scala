@@ -246,17 +246,78 @@ class StreamingSpec extends SparkSpec {
           java.nio.file.Files.createTempDirectory("graft-spec-compact-out").toString,
           idxPath, batchFiles = 3, compactEvery = compactEvery)
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
-      val nFiles = Option(new java.io.File(s"$idxPath/bands").listFiles)
-        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
-      (surv, nFiles)
+      // token dirs under bands/ — count parquet files across all of them
+      def countParquet(f: java.io.File): Int =
+        Option(f.listFiles).getOrElse(Array.empty).map { c =>
+          if (c.isDirectory) countParquet(c)
+          else if (c.getName.endsWith(".parquet")) 1 else 0
+        }.sum
+      (surv, countParquet(new java.io.File(s"$idxPath/bands")))
     }
     val (survOff, filesOff) = run(compactEvery = 0)
     val (survOn, filesOn) = run(compactEvery = 1)
     assert(survOn === survOff, "compaction must not change the cascade")
-    // off: seed write + one appended file per batch; on: every batch ends
-    // with a rewrite into ceil(bytes/128MB)=1 file at fixture scale
-    assert(filesOn === 1, s"compacted bands dir must hold 1 file, got $filesOn")
+    // off: seed token + one token dir per batch; on: every batch ends
+    // with a manifest swap to one ceil(bytes/128MB)=1-file compact token
+    // (the replaced dirs are deleted after the swap)
+    assert(filesOn === 1, s"compacted bands base must hold 1 file, got $filesOn")
     assert(filesOff > filesOn, "fixture must make compaction observable")
+  }
+
+  test("incremental curation: manifest commit is atomic — crash-replay is exactly-once") {
+    // the crash matrix at DocumentStreams.CommitState, driven directly:
+    // (1) a crash in the only window that exists (token dirs written,
+    // manifest not yet swapped) leaves the store observably unchanged;
+    // (2) replaying the batch commits it exactly once; (3) replaying an
+    // already-committed batch (crash after swap, before the streaming
+    // checkpoint) is a skip, not a double-commit.
+    import graft.operators.Dedup
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sfDir).documents
+    val seedIdx = Dedup.signatureTable(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+      numHashes = 64, bands = 4)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-spec-crash-idx").toString
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-spec-crash-out").toString
+    DocumentStreams.initCurationStore(spark, seedIdx, idxPath, outPath)
+    val batch0 = docs.filter(col("doc_id") % 10 =!= 0)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    def survivors(): Seq[(Long, String)] =
+      DocumentStreams.readCurated(spark, idxPath, outPath)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    // (1) injected crash between the dir writes and the manifest swap
+    intercept[IllegalStateException] {
+      DocumentStreams.processCurationBatch(spark, batch0, 0L, idxPath,
+        outPath, numHashes = 64, bands = 4, threshold = 0.95,
+        failBeforeCommit = true)
+    }
+    assert(survivors() === Seq.empty,
+      "a pre-commit crash must leave the curated corpus unchanged")
+    assert(DocumentStreams.readCommits(spark, idxPath) ===
+      DocumentStreams.CommitState(Seq("seed"), Set.empty),
+      "a pre-commit crash must leave the manifest unchanged")
+    // (2) replay commits exactly once, over the partial orphan dirs
+    DocumentStreams.processCurationBatch(spark, batch0, 0L, idxPath,
+      outPath, numHashes = 64, bands = 4, threshold = 0.95)
+    val afterReplay = survivors()
+    assert(afterReplay.nonEmpty, "fixture batch must keep at least one doc")
+    val expected = Dedup.dedupAgainstSignatureIndex(
+        batch0.filter(DocumentStreams.qualityGate(col("text"))),
+        seedIdx, col("text"), col("doc_id"),
+        numHashes = 64, bands = 4, threshold = 0.95)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(afterReplay === expected,
+      "replayed batch must equal the batch-computed survivor set")
+    // (3) a replay AFTER the swap is a skip — survivors unchanged, and
+    // the index gained nothing (batch id is already in the manifest)
+    val idxBefore = DocumentStreams.readCommits(spark, idxPath)
+    DocumentStreams.processCurationBatch(spark, batch0, 0L, idxPath,
+      outPath, numHashes = 64, bands = 4, threshold = 0.95)
+    assert(survivors() === afterReplay, "post-commit replay must be a no-op")
+    assert(DocumentStreams.readCommits(spark, idxPath) === idxBefore)
   }
 
   test("streaming heavy hitters: MisraGriesAgg matches batch in the exact regime") {
