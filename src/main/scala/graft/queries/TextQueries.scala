@@ -2444,6 +2444,51 @@ object TextQueries extends QueryPack {
       UNION ALL SELECT doc_id, lang FROM s2
       ORDER BY doc_id"""))
 
+  /** The q142 cascade driven through the manifest-commit protocol WITH A
+    * CRASH IN THE LOOP ([[graft.streaming.DocumentStreams
+    * .processCurationBatch]]): batch 1 is first killed in the only
+    * window the protocol leaves (token dirs written, manifest not yet
+    * swapped), then replayed; every batch is additionally processed a
+    * second time after its commit (the crash-after-swap replay). If any
+    * window lost survivors, double-committed a batch, or let a replayed
+    * doc meet its own signatures, the result diverges from the
+    * crash-free cascade — so the FULL q142 oracle re-derivation is the
+    * grader of the protocol's exactly-once claim, not just a spec
+    * assertion. Shares q142's oracle SQL verbatim (identical semantics
+    * is the point). */
+  private val q159 = Q(
+    "q159_crash_consistent_curation",
+    (s, dir) => {
+      import graft.streaming.DocumentStreams
+      val docs = Tables(s, dir).documents
+      val seedIdx = Dedup.signatureTable(
+        docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+        numHashes = 64, bands = 4)
+      val idxPath =
+        java.nio.file.Files.createTempDirectory("graft-q159-idx").toString
+      val outPath =
+        java.nio.file.Files.createTempDirectory("graft-q159-out").toString
+      DocumentStreams.initCurationStore(s, seedIdx, idxPath, outPath)
+      val crawl = docs.filter(col("doc_id") % 10 =!= 0)
+      (0 until 3).foreach { b =>
+        val batch = crawl.filter(pmod(col("doc_id"), lit(3)) === b)
+        def process(fail: Boolean): Unit =
+          DocumentStreams.processCurationBatch(s, batch, b.toLong, idxPath,
+            outPath, numHashes = 64, bands = 4, threshold = 0.95,
+            failBeforeCommit = fail)
+        if (b == 1) {
+          // crash in the pre-swap window, leaving orphan token dirs the
+          // replay must overwrite
+          try { process(fail = true); sys.error("injected crash did not fire") }
+          catch { case _: IllegalStateException => () }
+        }
+        process(fail = false)
+        process(fail = false) // crash-after-swap replay: must be a skip
+      }
+      DocumentStreams.readCurated(s, idxPath, outPath).orderBy(col("doc_id"))
+    },
+    q142.oracle)
+
   /** Split-leakage audit: near-duplicate document pairs that STRADDLE a
     * train/val/test boundary — the pairs that silently inflate eval
     * scores when a model memorizes the train twin. Composes the q38
@@ -2853,5 +2898,5 @@ object TextQueries extends QueryPack {
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
-      q142, q144, q145, q146, q147, q148, q151, q152, q153)
+      q142, q144, q145, q146, q147, q148, q151, q152, q153, q159)
 }
