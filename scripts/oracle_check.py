@@ -13,6 +13,17 @@ are reported as rows-only (count > 0).
 import sys, os, json, glob
 import duckdb
 import pandas as pd
+try:
+    # pyarrow's default jemalloc pool hoards freed arenas across
+    # pd.read_parquet calls; on sf0.1 sweeps that starves DuckDB's
+    # allocator into spurious tiny-block OOMs (q83's generated-SQL oracle
+    # failed at a 16KB allocation with >100 GB free, deterministically,
+    # whenever ANY pandas parquet read preceded it). The system allocator
+    # returns memory to the OS and the interference disappears.
+    import pyarrow as _pa
+    _pa.set_memory_pool(_pa.system_memory_pool())
+except Exception:
+    pass
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -39,6 +50,17 @@ def main():
         elif args[0] == "--skip": skip = set(args[1].split(",")); args = args[2:]
         else: raise SystemExit(f"unknown arg {args[0]}")
     con = duckdb.connect()
+    # sf0.1 sweeps: a few generated-SQL oracles (PQ k-means unrolls, span
+    # self-joins, bigram LM) exceed an in-memory connection's allocation
+    # ceiling; a temp_directory enables DuckDB's out-of-core spill and an
+    # explicit memory_limit keeps the process from fighting the host.
+    # Defaults (unset) preserve the driver's sf0.01 behavior exactly.
+    if os.environ.get("ORACLE_TEMP_DIR"):
+        con.execute(f"SET temp_directory='{os.environ['ORACLE_TEMP_DIR']}'")
+    if os.environ.get("ORACLE_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['ORACLE_MEMORY_LIMIT']}'")
+    if os.environ.get("ORACLE_THREADS"):
+        con.execute(f"SET threads={int(os.environ['ORACLE_THREADS'])}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
