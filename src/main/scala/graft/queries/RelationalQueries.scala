@@ -864,6 +864,84 @@ object RelationalQueries extends QueryPack {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_year"""))
 
+  /** Per-dataset memo of the EPOCH-DRIFTED bucketed pair for q160:
+    * lineitem at the currently-derived bucket count, orders at HALF of
+    * it — the layout a real deployment accumulates when a table family
+    * is re-bucketed as the corpus doubles. Same catalog-existence
+    * re-validation as [[bucketedOrdersLineitem]]. */
+  private val bucketedDriftTabs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedDriftTables(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    def build(): (String, String) = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q160-buckets").toString
+      val t = Tables(s, dir)
+      val (li, ord) = (s"graft_q160_li_$tag", s"graft_q160_ord_$tag")
+      val buckets = graft.sources.Bucketing.derivedBuckets(
+        t.lineitem, clusterCores = s.sparkContext.defaultParallelism)
+      graft.sources.Bucketing.writeBucketed(
+        t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
+        li, "l_orderkey", buckets, s"$base/li")
+      graft.sources.Bucketing.writeBucketed(
+        t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+        ord, "o_orderkey", buckets / 2, s"$base/ord")
+      (li, ord)
+    }
+    val (li, ord) = bucketedDriftTabs.getOrElseUpdate(dir, build())
+    if (s.catalog.tableExists(li) && s.catalog.tableExists(ord)) (li, ord)
+    else {
+      bucketedDriftTabs.remove(dir)
+      bucketedDriftTabs.getOrElseUpdate(dir, build())
+    }
+  }
+
+  /** The bucket-count DIVISIBILITY claim of
+    * [[graft.GraftSession.defaultBuckets]] graded: that derivation
+    * rounds to powers of two precisely so tables bucketed at different
+    * EPOCHS (the corpus doubled, the count doubled) stay mutually
+    * divisible — and `spark.sql.bucketing.coalesceBucketsInJoin` can
+    * then co-locate a 2ⁿ ⋈ 2ⁿ⁻¹ join by reading the wider side's bucket
+    * pairs together, with NO Exchange on either side (without it, the
+    * mismatched counts would re-shuffle a side and the ingest-time
+    * layout would be worthless across epochs). The body require()s zero
+    * Exchange in the executed plan with broadcast disabled; a sort on
+    * the coalesced side is expected and allowed (two sorted buckets read
+    * as one partition are merely locally unsorted — cheap, no network).
+    * Same sequential-session conf contract as q158. */
+  private val q160 = Q(
+    "q160_bucket_coalesced_join",
+    (s, dir) => {
+      val (li, ord) = bucketedDriftTables(s, dir)
+      val oldB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val oldC = s.conf.get("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+        val j = graft.sources.Bucketing.bucketedJoin(
+          s, li, ord, "l_orderkey", "o_orderkey")
+        val p = j.queryExecution.executedPlan.toString
+        require(!p.contains("Exchange"),
+          s"epoch-drifted bucketed join planned a shuffle:\n${p.take(1200)}")
+        require(p.contains("Coalesced"),
+          s"wider side was not bucket-coalesced:\n${p.take(1200)}")
+        j.groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+        s.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", oldC)
+      }
+    },
+    Some("""SELECT o_orderpriority,
+        round(sum(l_extendedprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority"""))
+
   /** GK approximate quantiles over the largest table's price column —
     * q29's exact-percentile surface at the 100 TB operating point: one
     * pass of mergeable summaries instead of per-group value buffering.
@@ -1003,5 +1081,6 @@ object RelationalQueries extends QueryPack {
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158)
+    q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
+    q160)
 }
