@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-round bench guard's arithmetic, unit-pinned. Two rounds of
+  * guard failures were both envelope-update bugs (r9: no envelope at
+  * all; r10: self-overwrite erased the anchor and `regressed` compared
+  * noise to noise), so the update rule now lives in pure functions this
+  * spec can hold still. No SparkSession needed.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("envelope only tightens: a regressing run cannot erase its anchor") {
+    val prior = Map("q1" -> 0.5, "q2" -> 1.0)
+    val cur = Map("q1" -> 5.0, "q2" -> 0.8)
+    val e = Bench.rollingEnvelope(prior, cur, rebase = false)
+    assert(e("q1") === 0.5, "regressed query keeps its prior minimum")
+    assert(e("q2") === 0.8, "faster run tightens the envelope")
+  }
+
+  test("all-reps-failed query keeps its prior instead of dropping out") {
+    val e = Bench.rollingEnvelope(
+      Map("q1" -> 0.5), Map("q1" -> -1.0, "q2" -> -1.0), rebase = false)
+    assert(e === Map("q1" -> 0.5), "failed reps: prior kept, no-prior dropped")
+  }
+
+  test("a new query enters the envelope at its current value") {
+    val e = Bench.rollingEnvelope(Map.empty, Map("q9" -> 2.0), rebase = false)
+    assert(e === Map("q9" -> 2.0))
+  }
+
+  test("rebase replaces values verbatim (deliberate re-baseline)") {
+    val e = Bench.rollingEnvelope(
+      Map("q1" -> 0.5), Map("q1" -> 5.0), rebase = true)
+    assert(e === Map("q1" -> 5.0))
+  }
+
+  test("regression trigger needs BOTH the ratio and the absolute delta") {
+    // ratio alone: 0.05 -> 0.3 is 6x but only +0.25s — codegen jitter
+    assert(!Bench.exceedsPrior(best = 0.3, prior = 0.05, spreadLimit = 3.0))
+    // delta alone: 2.0 -> 2.9 is +0.9s but under 3x — normal variance
+    assert(!Bench.exceedsPrior(best = 2.9, prior = 2.0, spreadLimit = 3.0))
+    // both: the r10 q94 shape (0.897 -> 5.24)
+    assert(Bench.exceedsPrior(best = 5.24, prior = 0.897, spreadLimit = 3.0))
+    // degenerate priors/failures never fire
+    assert(!Bench.exceedsPrior(best = 5.0, prior = 0.0, spreadLimit = 3.0))
+    assert(!Bench.exceedsPrior(best = -1.0, prior = 1.0, spreadLimit = 3.0))
+  }
+}
