@@ -162,19 +162,16 @@ object VectorQueries extends QueryPack {
     * IEEE dot and the sign can never disagree. SimilaritySpec's margin
     * pin (min |dot| ≈ 1e-3) stays as belt-and-suspenders evidence that
     * even a summation-tail divergence could not flip a bit. */
-  private val q78 = Q(
-    "q78_lsh_bucket_table",
-    // no orderBy: the PlanSpec pin keeps this export a straight
-    // scan→write (the driver's compare sorts both sides anyway)
-    (s, dir) => Similarity.lshBucketTable(
-        Tables(s, dir).embeddings, nbits = 8, tables = 4),
-    Some {
-      val rows = Similarity.tablePlaneSets(nbits = 8, tables = 4, dim = 64)
-        .zipWithIndex.flatMap { case (ps, t) =>
-          ps.zipWithIndex.map { case (p, b) =>
-            s"($t, $b, [${p.map(w => s"'$w'::DOUBLE").mkString(", ")}])" }
-        }.mkString(", ")
-      s"""WITH pl AS (SELECT * FROM (VALUES $rows) t(tbl, b, w)),
+  /** q78's signature-re-derivation oracle, parameterized by table count
+    * so the derived OR-amplification point (q161, 17 tables) grades
+    * through the identical device. */
+  private def lshBucketOracleSql(nbits: Int, tables: Int): String = {
+    val rows = Similarity.tablePlaneSets(nbits = nbits, tables = tables, dim = 64)
+      .zipWithIndex.flatMap { case (ps, t) =>
+        ps.zipWithIndex.map { case (p, b) =>
+          s"($t, $b, [${p.map(w => s"'$w'::DOUBLE").mkString(", ")}])" }
+      }.mkString(", ")
+    s"""WITH pl AS (SELECT * FROM (VALUES $rows) t(tbl, b, w)),
       pw AS (SELECT tbl, b, CAST(unnest(w) AS DOUBLE) AS wv,
           generate_subscripts(w, 1) AS pos FROM pl),
       x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -189,9 +186,17 @@ object VectorQueries extends QueryPack {
       SELECT CAST(tbl AS INT) AS tbl, sig, vec_id FROM sg
       UNION ALL
       SELECT CAST(r.range AS INT) AS tbl, CAST(NULL AS INT) AS sig, e.vec_id
-      FROM embeddings e CROSS JOIN range(4) r WHERE e.embedding IS NULL
+      FROM embeddings e CROSS JOIN range($tables) r WHERE e.embedding IS NULL
       ORDER BY tbl, sig, vec_id"""
-    })
+  }
+
+  private val q78 = Q(
+    "q78_lsh_bucket_table",
+    // no orderBy: the PlanSpec pin keeps this export a straight
+    // scan→write (the driver's compare sorts both sides anyway)
+    (s, dir) => Similarity.lshBucketTable(
+        Tables(s, dir).embeddings, nbits = 8, tables = 4),
+    Some(lshBucketOracleSql(nbits = 8, tables = 4)))
 
   /** The IVF index exported as LONG-FORMAT SCALAR rows — kind 'c' rows
     * carry one centroid element (cid, pos, value), kind 'v' rows one list
@@ -368,16 +373,13 @@ object VectorQueries extends QueryPack {
     * (sim desc, vec_id) tie order — cross-checking the bucket-join /
     * probe-expansion / top-k algebra. Recall vs q46's brute-force ground
     * truth stays asserted in ScalaTest. */
-  private val q48 = Q(
-    "q48_knn_lsh",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      Similarity.lshTopK(
-        t.embeddings, t.embeddings.filter(col("vec_id").isin(0L, 100L, 250L)),
-        k = 5, nbits = 8)
-    },
-    Some("""WITH bt AS (SELECT tbl, sig, vec_id
-        FROM read_parquet('__VERIFY_OUT__/q78_lsh_bucket_table/*.parquet')),
+  /** q48's probe/candidate/top-k re-derivation, parameterized by the
+    * bucket-table fixture it reads (the table count is implicit in the
+    * fixture's tbl rows; the probe set is always sig + every 1-bit
+    * flip of the nbits signature). */
+  private def lshKnnOracleSql(fixture: String, nbits: Int): String =
+    s"""WITH bt AS (SELECT tbl, sig, vec_id
+        FROM read_parquet('__VERIFY_OUT__/$fixture/*.parquet')),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
         WHERE vec_id IN (0, 100, 250)),
       qsig AS (SELECT q.q_id, b.tbl, b.sig FROM q JOIN bt b ON b.vec_id = q.q_id),
@@ -385,7 +387,7 @@ object VectorQueries extends QueryPack {
         SELECT q_id, tbl, sig FROM qsig
         UNION
         SELECT q_id, tbl, xor(sig, 1 << f.b) AS sig
-        FROM qsig CROSS JOIN (SELECT unnest(range(8)) AS b) f),
+        FROM qsig CROSS JOIN (SELECT unnest(range($nbits)) AS b) f),
       cand AS (SELECT DISTINCT p.q_id, b.vec_id
         FROM probes p JOIN bt b ON b.tbl = p.tbl AND b.sig = p.sig
         WHERE b.vec_id <> p.q_id),
@@ -403,7 +405,48 @@ object VectorQueries extends QueryPack {
           row_number() OVER (PARTITION BY q_id
             ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 4) DESC, vec_id) AS rn
         FROM d)
-      SELECT q_id, vec_id, cos_sim FROM s WHERE rn <= 5 ORDER BY q_id, rn"""))
+      SELECT q_id, vec_id, cos_sim FROM s WHERE rn <= 5 ORDER BY q_id, rn"""
+
+  private val q48 = Q(
+    "q48_knn_lsh",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.lshTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id").isin(0L, 100L, 250L)),
+        k = 5, nbits = 8)
+    },
+    Some(lshKnnOracleSql("q78_lsh_bucket_table", nbits = 8)))
+
+  /** The q78 bucket directory at the DERIVED OR-amplification point
+    * ([[graft.operators.Similarity.defaultLshTables]](8) = 17 tables for
+    * 0.95 NN recall) — the operating point the r11 sf0.1 MRR pin showed
+    * a retrieval consumer actually needs (4 tables lose the true nearest
+    * neighbor outright). Same generated-SQL signature re-derivation as
+    * q78, just 17 plane sets; the export is 17/4× q78's rows, still one
+    * map-only scan at any scale. */
+  private val q161 = Q(
+    "q161_lsh_table_derived",
+    (s, dir) => Similarity.lshBucketTable(
+        Tables(s, dir).embeddings, nbits = 8,
+        tables = Similarity.defaultLshTables(nbits = 8)),
+    Some(lshBucketOracleSql(
+      nbits = 8, tables = Similarity.defaultLshTables(nbits = 8))))
+
+  /** LSH ANN at the derived table count — q48's algebra over the q161
+    * fixture, so the defaultLshTables derivation is graded end-to-end:
+    * signatures (q161), then probe expansion / bucket join / exact
+    * re-rank here, all cross-engine-checked. The ScalaTest side pins
+    * that THIS operating point recovers MRR at sf0.1 where q48's
+    * 4-table point measured 0.0. */
+  private val q162 = Q(
+    "q162_knn_lsh_derived",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.lshTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id").isin(0L, 100L, 250L)),
+        k = 5, nbits = 8, tables = Similarity.defaultLshTables(nbits = 8))
+    },
+    Some(lshKnnOracleSql("q161_lsh_table_derived", nbits = 8)))
 
   /** IVF ANN (mini-k-means coarse quantizer + nprobe inverted lists).
     * FULL ORACLE via the q79 index fixture (see q48): DuckDB takes the
@@ -1225,5 +1268,5 @@ object VectorQueries extends QueryPack {
 
   override val all: Seq[Q] =
     Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
-      q96, q97, q105, q106, q109, q120, q121, q128, q138, q157)
+      q96, q97, q105, q106, q109, q120, q121, q128, q138, q157, q161, q162)
 }
