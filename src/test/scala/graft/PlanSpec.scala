@@ -139,6 +139,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort"), s"no sort in a map-only export:\n${p.take(800)}")
   }
 
+  test("q161: derived-point bucket export stays map-only at 17 tables") {
+    // 4x the plane sets must not change the plan shape — still one
+    // scan→posexplode→write, no exchange, no sort
+    val p = plan("q161_lsh_table_derived")
+    assert(!p.contains("Exchange"),
+      s"derived bucket export must stay a straight scan→write:\n${p.take(800)}")
+    assert(!p.contains("Sort"), s"no sort in a map-only export:\n${p.take(800)}")
+  }
+
   test("q79: IVF index export is one map-only scan — no exchange of any kind") {
     val p = plan("q79_ivf_index_table")
     assert(!p.contains("Exchange"),
