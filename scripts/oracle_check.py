@@ -55,10 +55,12 @@ def main():
     # ceiling; a temp_directory enables DuckDB's out-of-core spill and an
     # explicit memory_limit keeps the process from fighting the host.
     # Defaults (unset) preserve the driver's sf0.01 behavior exactly.
+    def esc(v):  # SQL string literal: double embedded single quotes
+        return v.replace("'", "''")
     if os.environ.get("ORACLE_TEMP_DIR"):
-        con.execute(f"SET temp_directory='{os.environ['ORACLE_TEMP_DIR']}'")
+        con.execute(f"SET temp_directory='{esc(os.environ['ORACLE_TEMP_DIR'])}'")
     if os.environ.get("ORACLE_MEMORY_LIMIT"):
-        con.execute(f"SET memory_limit='{os.environ['ORACLE_MEMORY_LIMIT']}'")
+        con.execute(f"SET memory_limit='{esc(os.environ['ORACLE_MEMORY_LIMIT'])}'")
     if os.environ.get("ORACLE_THREADS"):
         con.execute(f"SET threads={int(os.environ['ORACLE_THREADS'])}")
     for t in TABLES:

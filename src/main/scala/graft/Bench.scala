@@ -311,10 +311,15 @@ object Bench {
       envelope.get(k).map(v => "\"" + k + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")
     try {
-      val tmp = java.nio.file.Paths.get(priorPath + ".tmp")
+      val target = java.nio.file.Paths.get(priorPath).toAbsolutePath
+      // per-process temp name: a FIXED .tmp path would let two concurrent
+      // runs interleave writes into one file and atomically commit the
+      // torn result — unique names make the rename the only shared step
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, "bench_prior", ".tmp")
       java.nio.file.Files.write(tmp,
         (envelopeJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(priorPath),
+      java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } catch { case _: Throwable => () }

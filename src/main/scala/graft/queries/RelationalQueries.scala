@@ -789,36 +789,48 @@ object RelationalQueries extends QueryPack {
     * and re-materialized on a miss instead of failing table-not-found.
     * Bucket count rides [[graft.GraftSession.defaultBuckets]] (rows +
     * parallelism), not a constant: at the fixture SFs the cores term
-    * binds, at 100 TB the rows term takes over. */
-  private val bucketedTabs =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def bucketedOrdersLineitem(
-      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    * binds, at 100 TB the rows term takes over.
+    *
+    * ONE implementation for both graded pairs (q158 same-count, q160
+    * epoch-drifted) — the tableExists/remove/rebuild revalidation is
+    * subtle enough that two copies would silently diverge.
+    * `ordBucketDivisor` = 1 keeps the co-joined family on ONE derived
+    * count (largest member sets it; mismatched counts would re-shuffle
+    * a side), 2 models the earlier-epoch layout q160 grades. */
+  private def memoBucketedPair(
+      memo: scala.collection.concurrent.TrieMap[String, (String, String)],
+      s: org.apache.spark.sql.SparkSession, dir: String, qTag: String,
+      ordCol: String, ordBucketDivisor: Int): (String, String) = {
     def build(): (String, String) = {
       val tag = Integer.toHexString(dir.hashCode)
       val base = java.nio.file.Files
-        .createTempDirectory("graft-q158-buckets").toString
+        .createTempDirectory(s"graft-$qTag-buckets").toString
       val t = Tables(s, dir)
-      val (li, ord) = (s"graft_q158_li_$tag", s"graft_q158_ord_$tag")
-      // ONE derived count for the co-joined family (largest member sets
-      // it) — mismatched counts would re-introduce a shuffle on one side
+      val (li, ord) = (s"graft_${qTag}_li_$tag", s"graft_${qTag}_ord_$tag")
       val buckets = graft.sources.Bucketing.derivedBuckets(
         t.lineitem, clusterCores = s.sparkContext.defaultParallelism)
       graft.sources.Bucketing.writeBucketed(
         t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
         li, "l_orderkey", buckets, s"$base/li")
       graft.sources.Bucketing.writeBucketed(
-        t.orders.select(col("o_orderkey"), col("o_orderdate")),
-        ord, "o_orderkey", buckets, s"$base/ord")
+        t.orders.select(col("o_orderkey"), col(ordCol)),
+        ord, "o_orderkey", buckets / ordBucketDivisor, s"$base/ord")
       (li, ord)
     }
-    val (li, ord) = bucketedTabs.getOrElseUpdate(dir, build())
+    val (li, ord) = memo.getOrElseUpdate(dir, build())
     if (s.catalog.tableExists(li) && s.catalog.tableExists(ord)) (li, ord)
     else {
-      bucketedTabs.remove(dir)
-      bucketedTabs.getOrElseUpdate(dir, build())
+      memo.remove(dir)
+      memo.getOrElseUpdate(dir, build())
     }
   }
+
+  private val bucketedTabs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedOrdersLineitem(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+    memoBucketedPair(bucketedTabs, s, dir, "q158", "o_orderdate",
+      ordBucketDivisor = 1)
 
   /** The bucketed co-located join GRADED (sources.Bucketing, spec-only
     * through r9): lineitem ⋈ orders with both sides bucketed + sorted on
@@ -867,35 +879,13 @@ object RelationalQueries extends QueryPack {
   /** Per-dataset memo of the EPOCH-DRIFTED bucketed pair for q160:
     * lineitem at the currently-derived bucket count, orders at HALF of
     * it — the layout a real deployment accumulates when a table family
-    * is re-bucketed as the corpus doubles. Same catalog-existence
-    * re-validation as [[bucketedOrdersLineitem]]. */
+    * is re-bucketed as the corpus doubles. Rides [[memoBucketedPair]]. */
   private val bucketedDriftTabs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def bucketedDriftTables(
-      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
-    def build(): (String, String) = {
-      val tag = Integer.toHexString(dir.hashCode)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-q160-buckets").toString
-      val t = Tables(s, dir)
-      val (li, ord) = (s"graft_q160_li_$tag", s"graft_q160_ord_$tag")
-      val buckets = graft.sources.Bucketing.derivedBuckets(
-        t.lineitem, clusterCores = s.sparkContext.defaultParallelism)
-      graft.sources.Bucketing.writeBucketed(
-        t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
-        li, "l_orderkey", buckets, s"$base/li")
-      graft.sources.Bucketing.writeBucketed(
-        t.orders.select(col("o_orderkey"), col("o_orderpriority")),
-        ord, "o_orderkey", buckets / 2, s"$base/ord")
-      (li, ord)
-    }
-    val (li, ord) = bucketedDriftTabs.getOrElseUpdate(dir, build())
-    if (s.catalog.tableExists(li) && s.catalog.tableExists(ord)) (li, ord)
-    else {
-      bucketedDriftTabs.remove(dir)
-      bucketedDriftTabs.getOrElseUpdate(dir, build())
-    }
-  }
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+    memoBucketedPair(bucketedDriftTabs, s, dir, "q160", "o_orderpriority",
+      ordBucketDivisor = 2)
 
   /** The bucket-count DIVISIBILITY claim of
     * [[graft.GraftSession.defaultBuckets]] graded: that derivation

@@ -228,11 +228,20 @@ object DocumentStreams {
     *     state untouched; after its swap → stale pre-compaction dirs are
     *     deleted best-effort and are unreadable anyway (not in the
     *     manifest).
-    * The manifest also carries the set of committed batch IDs separately
-    * from the live entries, so compaction (which REPLACES entries) never
-    * erases the replay-skip record. */
+    * The manifest also carries the replay-skip record separately from the
+    * live entries, so compaction (which REPLACES entries) never erases
+    * it. That record is the MAX committed batch id, not a set: stream
+    * batch ids are monotonic (FileStreamSource numbers micro-batches
+    * 0,1,2,…) and only the last not-yet-checkpointed batch can replay,
+    * so `batchId <= maxBatch` decides "already committed" exactly — and
+    * the manifest stays O(live entries) for the stream's whole lifetime
+    * instead of accumulating one line per batch forever (a set would
+    * quietly reintroduce the unbounded-growth problem the compaction
+    * half of this protocol exists to bound). Contract: callers must
+    * present batch ids in nondecreasing order (replays of the current id
+    * included) — the streaming wrapper always does. */
   private[graft] final case class CommitState(
-      entries: Seq[String], batches: Set[Long])
+      entries: Seq[String], maxBatch: Long)
 
   private def manifestPath(indexPath: String) =
     new org.apache.hadoop.fs.Path(s"$indexPath/_commits")
@@ -241,7 +250,7 @@ object DocumentStreams {
       spark: SparkSession, indexPath: String): CommitState = {
     val p = manifestPath(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return CommitState(Seq.empty, Set.empty)
+    if (!fs.exists(p)) return CommitState(Seq.empty, -1L)
     val in = fs.open(p)
     val txt = try {
       val b = new java.io.ByteArrayOutputStream()
@@ -251,7 +260,8 @@ object DocumentStreams {
     val lines = txt.split("\n").map(_.trim).filter(_.nonEmpty)
     CommitState(
       lines.collect { case s if s.startsWith("entry ") => s.drop(6) }.toSeq,
-      lines.collect { case s if s.startsWith("batch ") => s.drop(6).toLong }.toSet)
+      lines.collect { case s if s.startsWith("max_batch ") => s.drop(10).toLong }
+        .headOption.getOrElse(-1L))
   }
 
   private[graft] def commitCommits(
@@ -262,8 +272,8 @@ object DocumentStreams {
     val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/_commits.tmp")
     val out = fs.create(tmp, true)
     try {
-      val body = (st.entries.map("entry " + _) ++
-        st.batches.toSeq.sorted.map("batch " + _)).mkString("", "\n", "\n")
+      val body = (st.entries.map("entry " + _) :+
+        s"max_batch ${st.maxBatch}").mkString("", "\n", "\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
     // THE commit point: atomic swap (HDFS + POSIX rename semantics)
@@ -290,7 +300,7 @@ object DocumentStreams {
         StructType(Seq(StructField("doc_id", LongType),
           StructField("lang", StringType))))
       .write.mode("overwrite").parquet(s"$outPath/seed")
-    commitCommits(spark, indexPath, CommitState(Seq("seed"), Set.empty))
+    commitCommits(spark, indexPath, CommitState(Seq("seed"), -1L))
   }
 
   /** Read the curated corpus as committed by the manifest. */
@@ -314,8 +324,9 @@ object DocumentStreams {
       failBeforeCommit: Boolean = false): Unit = {
     val st = readCommits(spark, indexPath)
     // exactly-once replay skip: the batch committed, the stream
-    // checkpoint just didn't record it before the crash
-    if (st.batches.contains(batchId)) return
+    // checkpoint just didn't record it before the crash (ids are
+    // monotonic — the CommitState contract — so <= max means committed)
+    if (batchId <= st.maxBatch) return
     // the index AS OF this batch = the manifest view; the batch's own
     // token is not in it, so a doc never meets its own signatures
     val exBands =
@@ -360,7 +371,7 @@ object DocumentStreams {
         throw new IllegalStateException(
           "injected crash before manifest commit")
       commitCommits(spark, indexPath,
-        CommitState(st.entries :+ token, st.batches + batchId))
+        CommitState(st.entries :+ token, math.max(st.maxBatch, batchId)))
     } finally kept.unpersist()
   }
 
@@ -389,7 +400,7 @@ object DocumentStreams {
       spark.read.parquet(dirs: _*)
         .coalesce(want).write.mode("overwrite").parquet(s"$base/$token")
     }
-    commitCommits(spark, indexPath, CommitState(Seq(token), st.batches))
+    commitCommits(spark, indexPath, CommitState(Seq(token), st.maxBatch))
     // the swap is durable; stale dirs are unreachable — deletion is pure
     // housekeeping and may fail without consequence
     for (base <- bases; e <- st.entries) {

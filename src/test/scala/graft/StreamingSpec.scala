@@ -296,7 +296,7 @@ class StreamingSpec extends SparkSpec {
     assert(survivors() === Seq.empty,
       "a pre-commit crash must leave the curated corpus unchanged")
     assert(DocumentStreams.readCommits(spark, idxPath) ===
-      DocumentStreams.CommitState(Seq("seed"), Set.empty),
+      DocumentStreams.CommitState(Seq("seed"), -1L),
       "a pre-commit crash must leave the manifest unchanged")
     // (2) replay commits exactly once, over the partial orphan dirs
     DocumentStreams.processCurationBatch(spark, batch0, 0L, idxPath,
