@@ -230,7 +230,12 @@ object DocumentStreams {
     *     manifest).
     * The manifest also carries the replay-skip record separately from the
     * live entries, so compaction (which REPLACES entries) never erases
-    * it. That record is the MAX committed batch id, not a set: stream
+    * it. SINGLE-WRITER contract: the manifest swap is atomic but the
+    * read-modify-write around it is not CAS'd — exactly the Structured
+    * Streaming model (one streaming query owns one checkpoint and its
+    * store); two concurrent writers on one store would lose updates and
+    * must serialize externally. That record is the MAX committed batch
+    * id, not a set: stream
     * batch ids are monotonic (FileStreamSource numbers micro-batches
     * 0,1,2,…) and only the last not-yet-checkpointed batch can replay,
     * so `batchId <= maxBatch` decides "already committed" exactly — and
