@@ -932,6 +932,60 @@ object RelationalQueries extends QueryPack {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  /** Runtime Bloom-filter join pruning (Catalyst's InjectRuntimeFilter)
+    * — the third leg of the engine's big-join story: q129 salts skew,
+    * q158/q160 amortize the shuffle into ingest-time layout, and this
+    * one handles the SELECTIVE-DIMENSION case where neither applies —
+    * a fact ⋈ filtered-dim join where the dim predicate can't reach the
+    * fact scan as a static pushdown. Spark builds a Bloom filter from
+    * the filtered creation side at runtime and injects
+    * `bloom_filter_might_contain` into the fact side's scan stage, so
+    * most fact rows die BEFORE the shuffle instead of after it — at
+    * 100 TB that's the difference between shuffling the full fact table
+    * and shuffling the ~matching fraction (one-sided: false positives
+    * only, the join stays exact, which is why the oracle is plain SQL).
+    * The body lowers the application-side threshold (sized for real
+    * clusters, fixture scans are far below it) and require()s the
+    * injected predicate in the executed plan; same sequential-session
+    * conf contract as q158. */
+  private val q163 = Q(
+    "q163_runtime_bloom_join",
+    (s, dir) => {
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val old = keys.map(k => k -> s.conf.get(k))
+      try {
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "0") // fixture scans sit far below the 10GB default
+        s.conf.set(keys(2), "-1") // SMJ: the shuffle the filter exists to starve
+        val t = Tables(s, dir)
+        val dim = t.orders
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val res = t.lineitem
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_year"))
+        val p = res.queryExecution.executedPlan.toString
+        require(p.contains("might_contain"),
+          s"runtime bloom filter was not injected:\n${p.take(1200)}")
+        // materialize under the conf so the executed plan is the
+        // asserted one (restored in finally)
+        res.localCheckpoint(true)
+      } finally old.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        round(sum(l_extendedprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY o_year"""))
+
   /** GK approximate quantiles over the largest table's price column —
     * q29's exact-percentile surface at the 100 TB operating point: one
     * pass of mergeable summaries instead of per-group value buffering.
@@ -1072,5 +1126,5 @@ object RelationalQueries extends QueryPack {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
-    q160)
+    q160, q163)
 }
