@@ -986,6 +986,71 @@ object RelationalQueries extends QueryPack {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY o_year"""))
 
+  /** Per-dataset memo of the YEAR-PARTITIONED lineitem layout for q164 —
+    * the hive-partitioned fact shape every 100 TB warehouse stores its
+    * event data in (our flat fixture parquet can't exhibit partition
+    * pruning, so the layout is materialized once per dataset). */
+  private val dppFactDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def yearPartitionedLineitem(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path = dppFactDirs.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q164-fact").toString
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          year(col("l_shipdate")).as("l_year"))
+        .write.partitionBy("l_year").mode("overwrite").parquet(base)
+      base
+    })
+    if (new java.io.File(path).isDirectory) path
+    else { dppFactDirs.remove(dir); yearPartitionedLineitem(s, dir) }
+  }
+
+  /** Dynamic partition pruning graded — the scan-side sibling of q163's
+    * runtime Bloom filter: when the fact table is PARTITIONED on the
+    * join column and the dim side's qualifying keys only exist at
+    * runtime (here: order-years with above-median order counts, a
+    * predicate over an aggregate no static optimizer can fold), Catalyst
+    * injects a `dynamicpruning` subquery into the fact scan's
+    * PartitionFilters — whole partitions are never listed, opened, or
+    * read. At 100 TB this is the difference between scanning every
+    * date partition and scanning the qualifying ones; the body
+    * require()s the injected filter in the executed plan. The median
+    * threshold is computed driver-side (a 1-row scalar over a
+    * years-count frame — model-sized, like every sanctioned collect),
+    * and the dim aggregate itself is what makes the pruning dynamic.
+    * Oracle re-derives the median gate and the join in plain SQL. */
+  private val q164 = Q(
+    "q164_dynamic_partition_pruning",
+    (s, dir) => {
+      val fact = s.read.parquet(yearPartitionedLineitem(s, dir))
+      val dim0 = Tables(s, dir).orders
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("c"))
+      val med = dim0.agg(percentile(col("c"), lit(0.5))).head().getDouble(0)
+      val dim = dim0.filter(col("c") > med).select(col("o_year"))
+      val res = fact
+        .join(dim, col("l_year") === col("o_year"))
+        .groupBy(col("l_year").cast("int").as("l_year"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_year"))
+      val p = res.queryExecution.executedPlan.toString
+      require(p.contains("dynamicpruning"),
+        s"partition filter was not dynamically injected:\n${p.take(1200)}")
+      res
+    },
+    Some("""WITH d AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS c FROM orders GROUP BY 1),
+      m AS (SELECT median(c) AS med FROM d),
+      k AS (SELECT o_year FROM d, m WHERE c > med)
+      SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+        round(sum(l_extendedprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN k ON CAST(year(l_shipdate) AS INT) = k.o_year
+      GROUP BY 1 ORDER BY l_year"""))
+
   /** GK approximate quantiles over the largest table's price column —
     * q29's exact-percentile surface at the 100 TB operating point: one
     * pass of mergeable summaries instead of per-group value buffering.
@@ -1126,5 +1191,5 @@ object RelationalQueries extends QueryPack {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
-    q160, q163)
+    q160, q163, q164)
 }
