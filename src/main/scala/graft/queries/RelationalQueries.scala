@@ -1051,6 +1051,84 @@ object RelationalQueries extends QueryPack {
       FROM lineitem JOIN k ON CAST(year(l_shipdate) AS INT) = k.o_year
       GROUP BY 1 ORDER BY l_year"""))
 
+  /** AQE skew-join split graded — the runtime counterpart of q129's
+    * manual salting: the fact side's join key is folded so ~95% of rows
+    * land on one hot key (-1, absent from the fixture's real keys), and
+    * Spark's OptimizeSkewedJoin splits the oversized shuffle partition
+    * into advisory-sized chunks at runtime, duplicating the dim side's
+    * matching partition — same effect as salting, zero query rewrite.
+    * The body sizes the skew thresholds to the fixture (the defaults
+    * are cluster-scaled: 256 MB advisory, median×5 factor) and
+    * require()s BOTH markers in the executed final plan:
+    * `SortMergeJoin(skew=true)` and a `skewed` AQEShuffleRead. Two
+    * constraints found while probing, both real scale facts:
+    *  - map-output sizes are COMPRESSED, so a constant synthetic hot
+    *    key with a compressible payload never crosses the threshold —
+    *    the fact side ships l_extendedprice (incompressible doubles);
+    *  - the split unit is an UPSTREAM MAP OUTPUT: AQE divides a skewed
+    *    partition into groups of mapper blocks, so a hot partition fed
+    *    by ONE mapper is unsplittable and the rule skips it silently.
+    *    A 100 TB fact scan has thousands of mappers; the fixture's
+    *    single parquet file has one, so the fact side is
+    *    repartition(8)'d to restore the real mapper fan-in (this also
+    *    documents the production caveat: AQE cannot fix skew that a
+    *    single upstream task produces — that case still needs q129's
+    *    salting).
+    * The split is correctness-neutral (the dim partition is replicated
+    * per chunk), so the oracle is plain SQL. */
+  private val q165 = Q(
+    "q165_aqe_skew_join",
+    (s, dir) => {
+      val keys = Seq(
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val old = keys.map(k => k -> s.conf.get(k))
+      try {
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "16KB") // fixture-scale; default 256MB is cluster-sized
+        s.conf.set(keys(2), "16KB")
+        s.conf.set(keys(3), "-1")
+        val t = Tables(s, dir)
+        val fact = t.lineitem.repartition(8).select(
+          when(col("l_orderkey") % lit(20) =!= lit(0), lit(-1L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_extendedprice"))
+        val dim = t.orders
+          .filter(col("o_orderkey") % lit(20) === lit(0))
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+          .unionByName(s.range(1).select(
+            lit(-1L).as("k"), lit("HOT").as("o_orderpriority")))
+        val res = fact.join(dim, Seq("k"))
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+        // AQE finalizes the plan only when THIS queryExecution runs
+        // (localCheckpoint spawns its own execution and would leave
+        // res's adaptive plan un-finalized) — collect the priority-count
+        // result (≤7 rows) and assert on the final plan
+        val rows = res.collect()
+        val p = res.queryExecution.executedPlan.toString
+        require(p.contains("skew=true"),
+          s"AQE did not mark the join skewed:\n${p.take(1200)}")
+        require(p.contains("skewed"),
+          s"no skewed AQEShuffleRead in the final plan:\n${p.take(1200)}")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally old.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+    Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 20 <> 0 THEN -1
+            ELSE l_orderkey END AS k, l_extendedprice FROM lineitem),
+      d AS (SELECT o_orderkey AS k, o_orderpriority FROM orders
+            WHERE o_orderkey % 20 = 0
+            UNION ALL SELECT -1, 'HOT')
+      SELECT o_orderpriority,
+        round(sum(l_extendedprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n
+      FROM f JOIN d ON f.k = d.k
+      GROUP BY 1 ORDER BY o_orderpriority"""))
+
   /** GK approximate quantiles over the largest table's price column —
     * q29's exact-percentile surface at the 100 TB operating point: one
     * pass of mergeable summaries instead of per-group value buffering.
@@ -1191,5 +1269,5 @@ object RelationalQueries extends QueryPack {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
-    q160, q163, q164)
+    q160, q163, q164, q165)
 }
