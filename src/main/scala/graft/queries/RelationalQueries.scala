@@ -1129,6 +1129,79 @@ object RelationalQueries extends QueryPack {
       FROM f JOIN d ON f.k = d.k
       GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  /** AQE runtime join re-planning graded — the fourth adaptive device
+    * (after coalescing, the q165 skew split, and the q164/q163 runtime
+    * filters): a fact ⋈ filtered-dim join whose dim-side FILTER is
+    * hash-gated, so the static optimizer cannot estimate its
+    * selectivity and plans a shuffle join — then the materialized
+    * runtime size reveals the filtered dim is broadcast-small and AQE
+    * rewrites the running query to a BroadcastHashJoin, eliminating
+    * the fact side's shuffle mid-flight. At 100 TB this is the common
+    * "dim is huge pre-filter, tiny post-filter" shape where no amount
+    * of static planning can pick the right join. The fixture models the
+    * estimate gap with the two SEPARATE thresholds Spark has for
+    * exactly this split: the static `autoBroadcastJoinThreshold` is
+    * dropped below the dim's scan size (so the initial plan is the SMJ
+    * a big dim gets), the `adaptive.autoBroadcastJoinThreshold` stays
+    * above the filtered size (so the runtime rewrite can fire). The
+    * body require()s BOTH halves off the finalized adaptive plan:
+    * SortMergeJoin in the initial plan, BroadcastHashJoin in the final
+    * plan. Join is exact either way; plain-SQL oracle. */
+  private val q166 = Q(
+    "q166_aqe_join_replan",
+    (s, dir) => {
+      val keys = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      // getOption: the adaptive threshold is UNSET by default (null) —
+      // a get/set round-trip would throw on restore
+      val old = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set(keys(0), "1KB")
+        s.conf.set(keys(1), "4MB")
+        val t = Tables(s, dir)
+        val dim = t.orders
+          .filter(pmod(xxhash64(col("o_orderkey")), lit(50)) === lit(0))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val res = t.lineitem
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+        val rows = res.collect() // finalize the adaptive plan
+        val p = res.queryExecution.executedPlan.toString
+        val parts = p.split("== Initial Plan ==")
+        require(parts.length == 2 && parts(1).contains("SortMergeJoin"),
+          s"static plan was not the shuffle join:\n${p.take(1200)}")
+        require(parts(0).contains("BroadcastHashJoin"),
+          s"AQE did not re-plan to broadcast at runtime:\n${p.take(1200)}")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some {
+      // the hash gate re-derived with the closed-formula XXH64 device
+      // (q75/q134's idiom): signed pmod of XXH64(o_orderkey, 42) by 50
+      import TextQueries.XxhashSqlGen._
+      val base = "base AS (SELECT o_orderkey, o_orderpriority, " +
+        s"CASE WHEN o_orderkey < 0 THEN o_orderkey + $big " +
+        "ELSE CAST(o_orderkey AS HUGEINT) END AS v FROM orders)"
+      val (c1, last1) = stages("q", "v", "42::HUGEINT", "base")
+      (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
+      d AS (SELECT o_orderkey, o_orderpriority FROM $last1
+        WHERE ((CASE WHEN hq >= 9223372036854775808::HUGEINT
+                THEN hq - $big ELSE hq END) % 50 + 50) % 50 = 0)
+      SELECT o_orderpriority,
+        round(sum(l_extendedprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN d ON l_orderkey = d.o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority"""
+    })
+
   /** GK approximate quantiles over the largest table's price column —
     * q29's exact-percentile surface at the 100 TB operating point: one
     * pass of mergeable summaries instead of per-group value buffering.
@@ -1269,5 +1342,5 @@ object RelationalQueries extends QueryPack {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
-    q160, q163, q164, q165)
+    q160, q163, q164, q165, q166)
 }
