@@ -177,4 +177,70 @@ object Sketches {
     probs.zip(cuts.toSeq).toDF("p", "cut")
       .select(col("p"), col("cut"), lit(true).as("rank_ok"))
   }
+
+  /** KMV shard-overlap estimation (Beyer et al., SIGMOD'07) — the
+    * multiset question HLL cannot answer: given two corpus shards (two
+    * crawl snapshots, two pipeline epochs), estimate each shard's
+    * distinct count, the union, the Jaccard, and the INTERSECTION from
+    * two k-minimum-value summaries instead of a distinct-join over both
+    * corpora. At 100 TB this is the "how much of snapshot B is already
+    * in snapshot A" planning query that decides whether a re-dedup run
+    * is worth scheduling, answered from 2·k·8 bytes of state.
+    *
+    * One aggregation pass over one scan: both sketches build in a single
+    * ObjectHashAggregate via null-gated inputs (`when(inA, h)`) — the
+    * KmvMinimaAgg buffer skips NULLs, so a row in both shards feeds both
+    * summaries and a row in neither feeds none. Everything downstream is
+    * array-function algebra on the two ≤k-element results (codegen, no
+    * UDF): the union sketch is the k smallest of the merged arrays, and
+    * every estimate is a closed formula a DuckDB oracle reproduces —
+    * u(h) = (toDouble(h) + 2^63)/2^64 maps the signed hash to (0,1),
+    * distinct ≈ (k-1)/u(k-th min) (exact when the sketch holds fewer
+    * than k values, i.e. ALL of them), J ≈ shared/|kmin(A∪B)|,
+    * |A∩B| ≈ J·est(A∪B). Estimates are rounded to 6dp on both engines
+    * (the q127 device) so a last-ulp divergence in the one double
+    * division cannot flip the hash compare.
+    *
+    * Output: one row (n_a, n_b, est_a, est_b, n_union, est_union,
+    * shared, jaccard, est_intersect). */
+  def kmvOverlap(df: DataFrame, inA: Column, inB: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k > 1, s"kmv overlap needs k > 1, got $k")
+    val h = xxhash64(value)
+    val sk = df.filter(value.isNotNull).agg(
+      graft.plans.Kmv.kmvMinima(when(inA, h), k).as("a"),
+      graft.plans.Kmv.kmvMinima(when(inB, h), k).as("b"))
+    // (k-1)/u(k-th min) when the sketch is full; exact size otherwise
+    def est(arr: Column): Column = {
+      // 0-based get: NULL (never thrown) out of bounds — the size<k
+      // branch means it is only consumed when index k-1 exists
+      val kth = get(arr, lit(k - 1)).cast("double")
+      val u = (kth + lit(9223372036854775808.0)) / lit(1.8446744073709552E19)
+      round(when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / u), 6)
+    }
+    val merged = slice(array_sort(array_union(col("a"), col("b"))), 1, k)
+    sk.select(col("a"), col("b"), merged.as("u"))
+      .select(
+        size(col("a")).as("n_a"),
+        size(col("b")).as("n_b"),
+        est(col("a")).as("est_a"),
+        est(col("b")).as("est_b"),
+        size(col("u")).as("n_union"),
+        est(col("u")).as("est_union"),
+        size(filter(col("u"), x =>
+          array_contains(col("a"), x) && array_contains(col("b"), x)))
+          .as("shared"),
+        col("u"))
+      .select(
+        col("n_a"), col("n_b"), col("est_a"), col("est_b"),
+        col("n_union"), col("est_union"), col("shared"),
+        round(col("shared").cast("double") / col("n_union"), 6)
+          .as("jaccard"),
+        // UNROUNDED ratio here: in the under-k (exact) regime the
+        // intersection must come out integer-exact, and a pre-rounded J
+        // would turn 20/60·60 into 19.99998
+        round(col("shared").cast("double") / col("n_union")
+          * col("est_union"), 6).as("est_intersect"))
+  }
 }

@@ -2323,6 +2323,71 @@ object TextQueries extends QueryPack {
           / list_sum(list(term ORDER BY j)), 4) AS est_raw
       FROM t"""))
 
+  /** KMV shard-overlap estimation (operators.Sketches.kmvOverlap) — the
+    * multiset question the HLL rows (q126/q127) cannot answer: distinct
+    * counts, union, Jaccard, and INTERSECTION of two corpus shards from
+    * two 128-minimum-value summaries built in ONE aggregation pass over
+    * one scan (null-gated inputs into the same ObjectHashAggregate — no
+    * second scan, no distinct-join). The 100 TB use: "how much of crawl
+    * snapshot B is already in snapshot A" decided from 2·k·8 bytes before
+    * scheduling a re-dedup run. Shards are doc_id thirds (A = thirds
+    * {0,1}, B = {1,2} → true J = 1/3) so the gate is INDEPENDENT of the
+    * sketch hash — gating on the sketch hash itself would restrict each
+    * shard's hash range and break KMV's uniformity assumption. FULL
+    * ORACLE: the k-min set of distinct values is order-independent, so
+    * DuckDB re-derives it as DISTINCT h ORDER BY h LIMIT k over the
+    * [[XxhashSqlGen]] chain (hq's signed image), and every estimate is
+    * the same closed formula: u = (h + 2⁶³)/2⁶⁴ via string→DOUBLE casts
+    * of the exact power-of-two constants (a bare literal of that length
+    * would parse as DECIMAL — the q127 device), est = (k−1)/u(k-th min),
+    * J = shared/|kmin(A∪B)|, |A∩B| = J·est(A∪B), each rounded 6dp on
+    * both engines so the single IEEE division cannot flip the compare. */
+  private val q167 = Q(
+    "q167_kmv_overlap",
+    (s, dir) => Sketches.kmvOverlap(
+      Tables(s, dir).documents,
+      inA = pmod(col("doc_id"), lit(3L)) < 2,
+      inB = pmod(col("doc_id"), lit(3L)) >= 1,
+      value = col("doc_id"), k = 128),
+    Some {
+      import XxhashSqlGen._
+      val base = "base AS (SELECT doc_id, CASE WHEN doc_id < 0 THEN " +
+        s"doc_id + $big ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents)"
+      val (c1, last1) = stages("q", "v", "42::HUGEINT", "base")
+      val p63 = "CAST('9223372036854775808' AS DOUBLE)"
+      val p64 = "CAST('18446744073709551616' AS DOUBLE)"
+      def est(n: String, kth: String) =
+        s"round(CASE WHEN $n < 128 THEN CAST($n AS DOUBLE) " +
+          s"ELSE 127.0 / ((CAST($kth AS DOUBLE) + $p63) / $p64) END, 6)"
+      (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
+      hh AS (SELECT doc_id,
+          CASE WHEN hq >= 9223372036854775808::HUGEINT
+               THEN hq - $big ELSE hq END AS h FROM $last1),
+      a AS (SELECT DISTINCT h FROM hh
+        WHERE ((doc_id % 3) + 3) % 3 < 2 ORDER BY h LIMIT 128),
+      b AS (SELECT DISTINCT h FROM hh
+        WHERE ((doc_id % 3) + 3) % 3 >= 1 ORDER BY h LIMIT 128),
+      u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+        ORDER BY h LIMIT 128),
+      stats AS (SELECT
+        (SELECT count(*) FROM a) AS n_a, (SELECT max(h) FROM a) AS kth_a,
+        (SELECT count(*) FROM b) AS n_b, (SELECT max(h) FROM b) AS kth_b,
+        (SELECT count(*) FROM u) AS n_u, (SELECT max(h) FROM u) AS kth_u,
+        (SELECT count(*) FROM u
+          WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+          AS shared),
+      ests AS (SELECT n_a, n_b, n_u, shared,
+        ${est("n_a", "kth_a")} AS est_a,
+        ${est("n_b", "kth_b")} AS est_b,
+        ${est("n_u", "kth_u")} AS est_union,
+        round(CAST(shared AS DOUBLE) / n_u, 6) AS jaccard FROM stats)
+      SELECT CAST(n_a AS INTEGER) AS n_a, CAST(n_b AS INTEGER) AS n_b,
+        est_a, est_b, CAST(n_u AS INTEGER) AS n_union, est_union,
+        CAST(shared AS INTEGER) AS shared, jaccard,
+        round(CAST(shared AS DOUBLE) / n_u * est_union, 6) AS est_intersect
+      FROM ests"""
+    })
+
   /** The q125 curation gate + decontamination stage as a STRUCTURED
     * STREAM (streaming.DocumentStreams.curationGateToParquet): the train
     * split arrives as file-source micro-batches under
@@ -2898,5 +2963,5 @@ object TextQueries extends QueryPack {
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
-      q142, q144, q145, q146, q147, q148, q151, q152, q153, q159)
+      q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167)
 }

@@ -157,4 +157,72 @@ class SketchesSpec extends SparkSpec {
     assert(groups === Set("a"), s"got blocks for $groups")
     assert(out.length === 32, "group a must still be a dense block")
   }
+
+  // ---- KMV (k minimum values) ----
+
+  private def kmvOf(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+    df.agg(graft.plans.Kmv.kmvMinima(xxhash64(col("v")), k).as("m"))
+      .collect()(0).getSeq[Long](0)
+
+  test("kmv: the k smallest distinct hashes, ascending; dupes occupy one slot") {
+    val base = (1L to 200L).map(java.lang.Long.valueOf)
+    val dup = longs(base ++ base ++ base)
+    val expected = (1L to 200L)
+      .map(v => longs(Seq(java.lang.Long.valueOf(v)))
+        .select(xxhash64(col("v"))).collect()(0).getLong(0))
+      .sorted.take(16)
+    assert(kmvOf(dup, 16) === expected)
+    assert(kmvOf(longs(base), 16) === expected, "duplicates changed the sketch")
+  }
+
+  test("kmv: merge of split sketches equals the whole-frame sketch") {
+    val xs = (1L to 500L).map(java.lang.Long.valueOf)
+    val whole = kmvOf(longs(xs), 32)
+    // shard by parity, sketch each, merge relationally (the map-side path
+    // exercises TreeSet merge; this pins the same algebra end to end)
+    val parts = longs(xs).withColumn("p", pmod(col("v"), lit(2L)))
+      .groupBy("p").agg(graft.plans.Kmv.kmvMinima(xxhash64(col("v")), 32).as("m"))
+      .agg(slice(array_sort(flatten(collect_list(col("m")))), 1, 32).as("m"))
+      .collect()(0).getSeq[Long](0)
+    assert(parts === whole)
+  }
+
+  test("kmv: under k distinct inputs the sketch is the complete value set") {
+    val xs = (1L to 10L).map(java.lang.Long.valueOf)
+    val m = kmvOf(longs(xs), 64)
+    assert(m.length === 10)
+    assert(m === m.sorted)
+  }
+
+  test("kmvOverlap: estimates within 20% of truth; exact path when under k") {
+    import spark.implicits._
+    // A = [0, 4000), B = [2000, 6000): |A|=|B|=4000, ∩=2000, ∪=6000, J=1/3
+    val df = (0L until 6000L).toDF("v")
+    val r = Sketches.kmvOverlap(df,
+      inA = col("v") < 4000L, inB = col("v") >= 2000L,
+      value = col("v"), k = 256).collect()(0)
+    assert(r.getAs[Int]("n_a") === 256 && r.getAs[Int]("n_union") === 256)
+    assert(math.abs(r.getAs[Double]("est_a") - 4000) / 4000.0 < 0.2)
+    assert(math.abs(r.getAs[Double]("est_union") - 6000) / 6000.0 < 0.2)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3) < 0.1)
+    assert(math.abs(r.getAs[Double]("est_intersect") - 2000) / 2000.0 < 0.35)
+    // under-k regime: every figure exact
+    val small = (0L until 60L).toDF("v")
+    val e = Sketches.kmvOverlap(small,
+      inA = col("v") < 40L, inB = col("v") >= 20L,
+      value = col("v"), k = 256).collect()(0)
+    assert(e.getAs[Double]("est_a") === 40.0)
+    assert(e.getAs[Double]("est_b") === 40.0)
+    assert(e.getAs[Double]("est_union") === 60.0)
+    assert(e.getAs[Int]("shared") === 20)
+    assert(e.getAs[Double]("est_intersect") === 20.0)
+  }
+
+  test("kmv: plans as ObjectHashAggregate with a partial stage (map-side combine)") {
+    val df = longs((1L to 100L).map(java.lang.Long.valueOf))
+    val plan = df.agg(graft.plans.Kmv.kmvMinima(xxhash64(col("v")), 8))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(plan.toLowerCase.contains("partial_kmv_minima"), plan.take(500))
+  }
 }
