@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.operators.{Layout, Sketches}
 import graft.sources.Tables
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** The core relational operator surface of the engine, exercised over the
   * TPC-H-ish fixtures. Each query re-expresses one (or more) operators from
@@ -1202,6 +1203,105 @@ object RelationalQueries extends QueryPack {
       GROUP BY 1 ORDER BY o_orderpriority"""
     })
 
+  /** Key-sharded JSON fixture pair for q168, one write per dataset dir
+    * (fact + dim `partitionBy(shard)` layouts under a temp base); the
+    * memo revalidates the directories still exist — the q158 catalog
+    * idiom applied to a filesystem fixture. Shard count rides the same
+    * [[graft.sources.Bucketing.derivedBuckets]] derivation as the
+    * bucketed-join family: one count for the co-joined pair. */
+  private val keyedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def keyedJsonPair(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    def build(): (String, String) = {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q168-keyed").toString
+      val t = Tables(s, dir)
+      val shards = graft.sources.Bucketing.derivedBuckets(
+        t.lineitem, clusterCores = s.sparkContext.defaultParallelism).toLong
+      t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+          pmod(xxhash64(col("l_orderkey")), lit(shards)).cast("int").as("shard"))
+        .write.partitionBy("shard").json(s"$base/fact")
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+          pmod(xxhash64(col("o_orderkey")), lit(shards)).cast("int").as("shard"))
+        .write.partitionBy("shard").json(s"$base/dim")
+      (s"$base/fact", s"$base/dim")
+    }
+    val (f, d) = keyedDirs.getOrElseUpdate(dir, build())
+    if (new java.io.File(f).isDirectory && new java.io.File(d).isDirectory)
+      (f, d)
+    else { keyedDirs.remove(dir); keyedDirs.getOrElseUpdate(dir, build()) }
+  }
+
+  /** Storage-partitioned join (SPARK-37375) graded — the CONNECTOR leg of
+    * the co-location story: q158/q160 prove shuffle-free big-big joins
+    * through Hive bucketing (catalog tables); this proves the same claim
+    * for a path-based DataSource V2 source with NO metastore — the
+    * engine's `graft-keyed` source reports `KeyGroupedPartitioning` over
+    * `identity(shard)` (sources/v2/KeyedJsonSource) and each shard
+    * directory carries its key via `HasPartitionKey`, so Catalyst aligns
+    * the two sides' partitions at planning time and the fact ⋈ dim join
+    * runs with ZERO Exchange. This is the Iceberg-era layout contract at
+    * 100 TB: co-location travels with the data layout, not with a
+    * catalog registration. Three confs gate it, set/restored in-body
+    * (q158's sequential-session contract): `v2.bucketing.enabled` (off
+    * by default), `requireAllClusterKeysForCoPartition=false` (the join
+    * keys (shard, key) are a SUPERSET of the partition keys — with the
+    * default `true`, partition-keys ⊊ join-keys forces a shuffle), and
+    * broadcast disabled so the claim is co-location. The shard id is
+    * write-time-materialized pmod(xxhash64(key), S) — shard equality is
+    * implied by key equality, so the oracle is the plain key equi-join. */
+  private val q168 = Q(
+    "q168_storage_partitioned_join",
+    (s, dir) => {
+      val (factDir, dimDir) = keyedJsonPair(s, dir)
+      val keys = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.requireAllClusterKeysForCoPartition",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val old = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "false")
+        s.conf.set(keys(2), "-1")
+        val factSchema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_extendedprice", DoubleType),
+          StructField("shard", IntegerType)))
+        val dimSchema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderpriority", StringType),
+          StructField("shard", IntegerType)))
+        val fact = s.read.format("graft-keyed").schema(factSchema)
+          .option("keycol", "shard").load(factDir)
+        val dim = s.read.format("graft-keyed").schema(dimSchema)
+          .option("keycol", "shard").load(dimDir)
+        val j = fact.join(dim,
+          fact("shard") === dim("shard")
+            && col("l_orderkey") === col("o_orderkey"))
+        val p = j.queryExecution.executedPlan.toString
+        require(!p.contains("Exchange"),
+          s"storage-partitioned join planned a shuffle:\n${p.take(1200)}")
+        require(p.contains("SortMergeJoin"),
+          s"expected a co-partitioned SMJ:\n${p.take(1200)}")
+        j.groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+          // materialize under the SPJ confs so the executed join matches
+          // the asserted plan (confs are restored in finally)
+          .localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some("""SELECT o_orderpriority,
+        round(sum(l_extendedprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority"""))
+
   /** GK approximate quantiles over the largest table's price column —
     * q29's exact-percentile surface at the 100 TB operating point: one
     * pass of mergeable summaries instead of per-group value buffering.
@@ -1342,5 +1442,5 @@ object RelationalQueries extends QueryPack {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
-    q160, q163, q164, q165, q166)
+    q160, q163, q164, q165, q166, q168)
 }

@@ -1,0 +1,190 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 source for a KEY-SHARDED directory layout
+  * (`<keycol>=<v>/part-*.json`, the layout `df.write.partitionBy(keycol)`
+  * produces) that REPORTS its clustering to Catalyst — the
+  * storage-partitioned-join device (SPARK-37375): the scan implements
+  * `SupportsReportPartitioning` with a `KeyGroupedPartitioning` over
+  * `identity(keycol)` and every input partition carries its key via
+  * `HasPartitionKey`, so a join of two such tables on the shard key plans
+  * with ZERO Exchange — co-location proven by layout, like Hive bucketing
+  * (q158/q160), but carried by the CONNECTOR, no metastore, no catalog
+  * table registration. This is how the Iceberg-era lakehouse avoids
+  * shuffles on 100 TB fact-fact joins, and the engine's paged DSv2 source
+  * (S1/S2) gains the same planning citizenship its relational scans have.
+  *
+  * identity(), not bucket(): a V2 bucket transform is only resolvable
+  * through a FunctionCatalog, which a path-based table does not have —
+  * so the shard id is materialized AT WRITE TIME (pmod(xxhash64(key), S),
+  * the q129/q158 idiom) and reported as an identity-partitioned column.
+  * The reader never parses the shard from data files (partitionBy strips
+  * it): it is injected from the directory name, exactly as the page scan
+  * injects its page id.
+  *
+  * Usage: spark.read.format("graft-keyed").schema(s)
+  *   .option("keycol", "shard").load(dir)
+  * The schema must contain `keycol` as an INT column.
+  */
+class KeyedJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-keyed"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-keyed requires an explicit schema (schema-on-read)")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-keyed requires a path"))
+    val keyCol = Option(opts.get("keycol")).getOrElse(
+      throw new IllegalArgumentException("graft-keyed requires keycol"))
+    require(schema.fieldNames.contains(keyCol),
+      s"graft-keyed: schema must contain key column '$keyCol'")
+    require(schema(keyCol).dataType == IntegerType,
+      s"graft-keyed: key column '$keyCol' must be INT")
+    new KeyedJsonTable(schema, path, keyCol)
+  }
+}
+
+class KeyedJsonTable(userSchema: StructType, path: String, keyCol: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-keyed:$path"
+  override def schema(): StructType = userSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KeyedJsonScanBuilder(userSchema, path, keyCol)
+}
+
+object KeyedJson {
+  /** (keyValue, files) per shard directory, sorted by key — a stable
+    * partition order keeps two sides' reported partitionings comparable. */
+  def listShards(path: String, keyCol: String): Seq[(Int, Seq[String])] = {
+    val dir = new java.io.File(path)
+    val re = (java.util.regex.Pattern.quote(keyCol) + "=(-?\\d+)").r
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(d => d.getName match {
+        case re(v) if d.isDirectory =>
+          val files = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+            .filter(f => f.isFile && !f.getName.startsWith("_")
+              && !f.getName.startsWith("."))
+            .map(_.getAbsolutePath).sorted
+          if (files.nonEmpty) Some(v.toInt -> files) else None
+        case _ => None
+      }).sortBy(_._1)
+  }
+}
+
+class KeyedJsonScanBuilder(userSchema: StructType, path: String, keyCol: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = userSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new KeyedJsonScan(userSchema, required, path, keyCol)
+}
+
+class KeyedJsonScan(
+    userSchema: StructType,
+    required: StructType,
+    path: String,
+    keyCol: String) extends Scan with Batch with SupportsReportPartitioning {
+
+  private val shards: Seq[(Int, Seq[String])] = KeyedJson.listShards(path, keyCol)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-keyed shards=${shards.size} of $path"
+
+  /** The SPJ contract: clustering by identity(keyCol) with one reported
+    * partition per shard directory. Catalyst resolves the reference
+    * against the scan output, so the key column must survive pruning for
+    * the partitioning to be honored (a join on it always reads it). */
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity(keyCol)), shards.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    shards.map { case (v, files) => ShardPartition(v, files): InputPartition }
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedJsonReaderFactory(required, keyCol)
+}
+
+/** One shard directory = one input partition; `partitionKey` is what lets
+  * BatchScanExec group/align the two sides without a shuffle. */
+case class ShardPartition(key: Int, files: Seq[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
+
+class KeyedJsonReaderFactory(required: StructType, keyCol: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ShardPartitionReader(partition.asInstanceOf[ShardPartition], required, keyCol)
+}
+
+/** Reads every data file of one shard directory; the shard column is not
+  * in the files (partitionBy strips it) — it is injected from the
+  * directory's key, the page-id-injection pattern of the paged scan. */
+class ShardPartitionReader(
+    partition: ShardPartition,
+    required: StructType,
+    keyCol: String) extends PartitionReader[InternalRow] {
+
+  private val dataFields: Seq[StructField] =
+    required.fields.toSeq.filter(_.name != keyCol)
+  private val dataSchema = StructType(dataFields)
+  private val keyIdx: Int = required.fieldNames.indexOf(keyCol)
+
+  private lazy val parser = new JacksonParser(
+    dataSchema, new JSONOptions(Map.empty[String, String], "UTC", ""),
+    false, Seq.empty)
+
+  private lazy val rows: Iterator[InternalRow] =
+    partition.files.iterator.flatMap { f =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+        .asScala.iterator.filter(_.trim.nonEmpty)
+    }.flatMap { line =>
+      parser.parse(line, CreateJacksonParser.string,
+        (s: String) => org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    }.map { dataRow =>
+      if (keyIdx < 0) dataRow.copy()
+      else {
+        val out = new GenericInternalRow(required.length)
+        var i = 0; var j = 0
+        while (i < required.length) {
+          if (i == keyIdx) out.update(i, partition.key)
+          else { out.update(i, dataRow.get(j, dataFields(j).dataType)); j += 1 }
+          i += 1
+        }
+        out
+      }
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

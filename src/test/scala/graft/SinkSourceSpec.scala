@@ -438,4 +438,72 @@ class SinkSourceSpec extends SparkSpec {
       assert(e.getMessage.contains("exceeds the 4000ms clamp"))
     } finally server.stop(0)
   }
+
+  test("DSv2 keyed source: shard injection from dir names, SPJ on/off control") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-keyed-spec").toString
+    import spark.implicits._
+    val left = (0L until 400L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .withColumn("shard", pmod(xxhash64(col("k")), lit(8L)).cast("int"))
+    val right = (0L until 400L by 4).map(k => (k, s"g${k % 5}")).toDF("k2", "g")
+      .withColumn("shard", pmod(xxhash64(col("k2")), lit(8L)).cast("int"))
+    left.write.partitionBy("shard").json(s"$base/l")
+    right.write.partitionBy("shard").json(s"$base/r")
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType), StructField("shard", IntegerType)))
+    val rSchema = StructType(Seq(StructField("k2", LongType),
+      StructField("g", StringType), StructField("shard", IntegerType)))
+    def rd(p: String, sch: StructType) =
+      spark.read.format("graft-keyed").schema(sch).option("keycol", "shard").load(p)
+
+    // the injected shard must equal the hash the writer partitioned by
+    val l = rd(s"$base/l", lSchema)
+    assert(l.filter(col("shard") =!=
+      pmod(xxhash64(col("k")), lit(8L)).cast("int")).count() === 0L)
+    assert(l.count() === 400L)
+
+    // one input partition per shard dir, keyed
+    val scan = new graft.sources.v2.KeyedJsonScan(lSchema, lSchema, s"$base/l", "shard")
+    val parts = scan.planInputPartitions()
+    assert(parts.length === 8)
+    assert(parts.forall(_.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey]))
+    val kgp = scan.outputPartitioning()
+      .asInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+    assert(kgp.numPartitions === 8)
+
+    // positive + NEGATIVE control: the zero-Exchange join exists only
+    // because of the reported partitioning — flipping the conf off must
+    // bring the shuffle back (proves the plan isn't degenerate)
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(1), "false")
+      spark.conf.set(keys(2), "-1")
+      def joinPlan(): String = {
+        val lf = rd(s"$base/l", lSchema); val rf = rd(s"$base/r", rSchema)
+        lf.join(rf, lf("shard") === rf("shard") && col("k") === col("k2"))
+          .queryExecution.executedPlan.toString
+      }
+      spark.conf.set(keys(0), "true")
+      val on = joinPlan()
+      assert(!on.contains("Exchange"), s"SPJ did not engage:\n${on.take(800)}")
+      spark.conf.set(keys(0), "false")
+      val off = joinPlan()
+      assert(off.contains("Exchange"),
+        "without v2 bucketing the join must shuffle — the SPJ claim is vacuous otherwise")
+      // correctness under SPJ: equals the plain shuffled join
+      spark.conf.set(keys(0), "true")
+      val lf = rd(s"$base/l", lSchema); val rf = rd(s"$base/r", rSchema)
+      val got = lf.join(rf, lf("shard") === rf("shard") && col("k") === col("k2"))
+        .agg(count(lit(1)), round(sum(col("v")), 2)).collect()(0)
+      assert(got.getLong(0) === 100L)
+      assert(got.getDouble(1) === (0L until 400L by 4).map(_ * 2.0).sum)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
