@@ -203,6 +203,18 @@ object Sketches {
     *
     * Output: one row (n_a, n_b, est_a, est_b, n_union, est_union,
     * shared, jaccard, est_intersect). */
+  /** (k-1)/u(k-th min) when the sketch is full; exact size otherwise.
+    * u maps the signed hash to (0,1) via the exact power-of-two
+    * constants 2⁶³/2⁶⁴ (both exactly representable doubles). */
+  private def kmvEst(arr: Column, k: Int): Column = {
+    // 0-based get: NULL (never thrown) out of bounds — the size<k
+    // branch means it is only consumed when index k-1 exists
+    val kth = get(arr, lit(k - 1)).cast("double")
+    val u = (kth + lit(9223372036854775808.0)) / lit(1.8446744073709552E19)
+    round(when(size(arr) < k, size(arr).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / u), 6)
+  }
+
   def kmvOverlap(df: DataFrame, inA: Column, inB: Column, value: Column,
       k: Int): DataFrame = {
     require(k > 1, s"kmv overlap needs k > 1, got $k")
@@ -210,15 +222,7 @@ object Sketches {
     val sk = df.filter(value.isNotNull).agg(
       graft.plans.Kmv.kmvMinima(when(inA, h), k).as("a"),
       graft.plans.Kmv.kmvMinima(when(inB, h), k).as("b"))
-    // (k-1)/u(k-th min) when the sketch is full; exact size otherwise
-    def est(arr: Column): Column = {
-      // 0-based get: NULL (never thrown) out of bounds — the size<k
-      // branch means it is only consumed when index k-1 exists
-      val kth = get(arr, lit(k - 1)).cast("double")
-      val u = (kth + lit(9223372036854775808.0)) / lit(1.8446744073709552E19)
-      round(when(size(arr) < k, size(arr).cast("double"))
-        .otherwise(lit((k - 1).toDouble) / u), 6)
-    }
+    def est(arr: Column): Column = kmvEst(arr, k)
     val merged = slice(array_sort(array_union(col("a"), col("b"))), 1, k)
     sk.select(col("a"), col("b"), merged.as("u"))
       .select(
@@ -242,5 +246,47 @@ object Sketches {
         // would turn 20/60·60 into 19.99998
         round(col("shared").cast("double") / col("n_union")
           * col("est_union"), 6).as("est_intersect"))
+  }
+
+  /** [[kmvOverlap]] generalized to a GROUP: one KMV sketch per group
+    * value, then the full pairwise overlap matrix — G sketches from ONE
+    * aggregation pass over one scan, G·(G−1)/2 estimates from
+    * sketch-level algebra. The 100 TB shape this replaces is the
+    * audience/cohort overlap matrix ("which segments share users"),
+    * which computed exactly is G² distinct-intersection joins over the
+    * corpus; here the corpus is read once and the pairing is a
+    * nested-loop join of G ≤k·8-byte summary rows (model-sized by
+    * construction — it never touches data). Same estimate contract as
+    * [[kmvOverlap]], same 6dp rounding; exact below k per group.
+    *
+    * Output: one row per unordered group pair (grp_a < grp_b). */
+  def kmvOverlapMatrix(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k > 1, s"kmv overlap needs k > 1, got $k")
+    val sk = df.filter(value.isNotNull && group.isNotNull)
+      .select(group.as("g"), xxhash64(value).as("h"))
+      .groupBy(col("g"))
+      .agg(graft.plans.Kmv.kmvMinima(col("h"), k).as("m"))
+    val x = sk.select(col("g").as("grp_a"), col("m").as("ma"))
+    val y = sk.select(col("g").as("grp_b"), col("m").as("mb"))
+    val merged = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
+    x.join(y, col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("ma"), col("mb"),
+        merged.as("u"))
+      .select(col("grp_a"), col("grp_b"),
+        size(col("ma")).as("n_a"), size(col("mb")).as("n_b"),
+        kmvEst(col("ma"), k).as("est_a"), kmvEst(col("mb"), k).as("est_b"),
+        size(col("u")).as("n_union"), kmvEst(col("u"), k).as("est_union"),
+        size(filter(col("u"), h =>
+          array_contains(col("ma"), h) && array_contains(col("mb"), h)))
+          .as("shared"), col("u"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("est_a"), col("est_b"), col("n_union"), col("est_union"),
+        col("shared"),
+        round(col("shared").cast("double") / col("n_union"), 6)
+          .as("jaccard"),
+        round(col("shared").cast("double") / col("n_union")
+          * col("est_union"), 6).as("est_intersect"))
+      .orderBy(col("grp_a"), col("grp_b"))
   }
 }

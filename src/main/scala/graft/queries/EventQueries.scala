@@ -259,6 +259,79 @@ object EventQueries extends QueryPack {
       ORDER BY event_type, j"""
     })
 
+  /** Cohort audience-overlap MATRIX via grouped KMV sketches
+    * ([[graft.operators.Sketches.kmvOverlapMatrix]]) — the multiset
+    * companion to q155's grouped HLL: q155 answers "distinct users per
+    * segment"; this answers "which segments share users", the G²
+    * distinct-intersection question, from G sketches built in ONE pass
+    * (here: high-value cohorts, events gated value > 190 so each
+    * event type covers a PARTIAL user set — ungated, every type
+    * saturates the user universe and every Jaccard is 1). The pairing
+    * is a nested-loop join of G ≤k·8-byte rows — sketch-level, never
+    * corpus-level. Exercises BOTH estimator regimes across the SFs:
+    * under k (exact) at sf0.001/sf0.01, estimator path at sf0.1.
+    * FULL ORACLE: per-group k-min sets re-derived as row_number over
+    * DISTINCT signed hashes from the XXH64 chain; union k-min, shared
+    * counts, and the (k−1)/u estimates restated with the q167 devices
+    * (string→DOUBLE power-of-two casts, 6dp rounding both sides). */
+  private val q169 = Q(
+    "q169_kmv_audience_matrix",
+    (s, dir) => graft.operators.Sketches.kmvOverlapMatrix(
+      Tables(s, dir).events.filter(col("value") > 190),
+      col("event_type"), col("user_id"), k = 128),
+    Some {
+      import TextQueries.XxhashSqlGen._
+      val base = "base AS (SELECT event_type AS g, CASE WHEN user_id < 0" +
+        s" THEN user_id + $big ELSE CAST(user_id AS HUGEINT) END AS v" +
+        " FROM events WHERE value > 190" +
+        " AND user_id IS NOT NULL AND event_type IS NOT NULL)"
+      val (c1, last1) = stages("q", "v", "42::HUGEINT", "base")
+      val p63 = "CAST('9223372036854775808' AS DOUBLE)"
+      val p64 = "CAST('18446744073709551616' AS DOUBLE)"
+      def est(n: String, kth: String) =
+        s"round(CASE WHEN $n < 128 THEN CAST($n AS DOUBLE) " +
+          s"ELSE 127.0 / ((CAST($kth AS DOUBLE) + $p63) / $p64) END, 6)"
+      (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
+      hh AS (SELECT DISTINCT g,
+          CASE WHEN hq >= 9223372036854775808::HUGEINT
+               THEN hq - $big ELSE hq END AS h FROM $last1),
+      r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM hh),
+      sk AS (SELECT g, h FROM r WHERE rn <= 128),
+      cnt AS (SELECT g, count(*) AS n, max(h) AS kth FROM sk GROUP BY g),
+      pr AS (SELECT x.g AS ga, y.g AS gb
+        FROM (SELECT DISTINCT g FROM sk) x
+        JOIN (SELECT DISTINCT g FROM sk) y ON x.g < y.g),
+      uh AS (SELECT pr.ga, pr.gb, s.h FROM pr JOIN sk s ON s.g = pr.ga
+        UNION
+        SELECT pr.ga, pr.gb, s.h FROM pr JOIN sk s ON s.g = pr.gb),
+      ur AS (SELECT ga, gb, h,
+        row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM uh),
+      uk AS (SELECT ga, gb, h FROM ur WHERE rn <= 128),
+      us AS (SELECT ga, gb, count(*) AS n_u, max(h) AS kth_u
+        FROM uk GROUP BY ga, gb),
+      sh AS (SELECT uk.ga, uk.gb, count(*) AS shared
+        FROM uk
+        JOIN sk sa ON sa.g = uk.ga AND sa.h = uk.h
+        JOIN sk sb ON sb.g = uk.gb AND sb.h = uk.h
+        GROUP BY uk.ga, uk.gb)
+      SELECT us.ga AS grp_a, us.gb AS grp_b,
+        CAST(ca.n AS INTEGER) AS n_a, CAST(cb.n AS INTEGER) AS n_b,
+        ${est("ca.n", "ca.kth")} AS est_a,
+        ${est("cb.n", "cb.kth")} AS est_b,
+        CAST(us.n_u AS INTEGER) AS n_union,
+        ${est("us.n_u", "us.kth_u")} AS est_union,
+        CAST(coalesce(sh.shared, 0) AS INTEGER) AS shared,
+        round(CAST(coalesce(sh.shared, 0) AS DOUBLE) / us.n_u, 6) AS jaccard,
+        round(CAST(coalesce(sh.shared, 0) AS DOUBLE) / us.n_u
+          * ${est("us.n_u", "us.kth_u")}, 6) AS est_intersect
+      FROM us
+      JOIN cnt ca ON ca.g = us.ga
+      JOIN cnt cb ON cb.g = us.gb
+      LEFT JOIN sh ON sh.ga = us.ga AND sh.gb = us.gb
+      ORDER BY grp_a, grp_b"""
+    })
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134, q155)
+    q134, q155, q169)
 }

@@ -218,6 +218,25 @@ class SketchesSpec extends SparkSpec {
     assert(e.getAs[Double]("est_intersect") === 20.0)
   }
 
+  test("kmvOverlapMatrix: pair rows agree with the two-cohort operator") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(v => (v, if (v < 2000) "a" else "zz"))
+      .toDF("v", "g")
+      // overlap: the middle 1000 belongs to both groups
+      .union((1000L until 2000L).map(v => (v, "zz")).toDF("v", "g"))
+    val m = Sketches.kmvOverlapMatrix(df, col("g"), col("v"), k = 64)
+      .collect()
+    assert(m.length === 1)
+    val pair = m(0)
+    assert(pair.getAs[String]("grp_a") === "a")
+    val two = Sketches.kmvOverlap(df, inA = col("g") === "a",
+      inB = col("g") === "zz", value = col("v"), k = 64).collect()(0)
+    for (c <- Seq("n_a", "n_b", "n_union", "shared"))
+      assert(pair.getAs[Int](c) === two.getAs[Int](c), c)
+    for (c <- Seq("est_a", "est_b", "est_union", "jaccard", "est_intersect"))
+      assert(pair.getAs[Double](c) === two.getAs[Double](c), c)
+  }
+
   test("kmv: plans as ObjectHashAggregate with a partial stage (map-side combine)") {
     val df = longs((1L to 100L).map(java.lang.Long.valueOf))
     val plan = df.agg(graft.plans.Kmv.kmvMinima(xxhash64(col("v")), 8))
