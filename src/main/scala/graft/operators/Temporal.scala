@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,49 @@ object Temporal {
     * @param rightPayloadCols right columns to carry (right's ts column is
     *                         always carried)
     */
+  /** Point-in-interval range join WITHOUT an equi-key — "which interval
+    * windows cover this event" (incident attribution, campaign windows,
+    * config validity). Spark plans a bare inequality join as
+    * BroadcastNestedLoopJoin/CartesianProduct — quadratic, the 100 TB
+    * killer. The classic rewrite: quantize the time axis into
+    * `bucketWidth`-sized epoch buckets, explode each interval into the
+    * buckets it covers, bucket the point side once, equi-join on the
+    * bucket, then re-check the exact predicate as a residual. Each
+    * (point, interval) match surfaces EXACTLY once — the point owns one
+    * bucket, so no dedup pass is needed (the interval side's explosion
+    * is where the memory goes: (len/bucketWidth + 1) rows per interval;
+    * pick bucketWidth near the typical interval length so the blow-up
+    * stays ~2×). The join is now a plain shuffled equi-join — linear
+    * shuffle, skew-safe under AQE, no nested loop.
+    *
+    * Column contract: the two frames must have DISJOINT column names;
+    * output is left ++ right columns per match (inner join).
+    * `leftTs`/`from`/`to` are epoch-second LONG expressions over their
+    * frames; the residual predicate is from <= ts <= to (inclusive).
+    * Degenerate intervals with from > to are dropped (they can match
+    * nothing, and sequence() would otherwise walk DESCENDING and build
+    * wrong buckets). */
+  def rangeJoin(
+      left: DataFrame, leftTs: Column,
+      right: DataFrame, from: Column, to: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"range join requires disjoint columns: $overlap")
+    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    val lb = left.withColumn("__ts", leftTs.cast("long"))
+      .withColumn("__lb", bucketOf(col("__ts")))
+    val rb = right
+      .withColumn("__from", from.cast("long"))
+      .withColumn("__to", to.cast("long"))
+      .filter(col("__from") <= col("__to"))
+      .withColumn("__rb",
+        explode(sequence(bucketOf(col("__from")), bucketOf(col("__to")))))
+    lb.join(rb, col("__lb") === col("__rb")
+        && col("__ts") >= col("__from") && col("__ts") <= col("__to"))
+      .drop("__ts", "__lb", "__from", "__to", "__rb")
+  }
+
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTs: String, rightTs: String,

@@ -332,6 +332,52 @@ object EventQueries extends QueryPack {
       ORDER BY grp_a, grp_b"""
     })
 
+  /** Batch point-in-interval range join WITHOUT an equi-key
+    * (operators.Temporal.rangeJoin) — q58's as-of join answers "latest
+    * left row at or before"; this answers "ALL intervals covering the
+    * point": purchases attributed to one-hour incident windows opened by
+    * error events, across ALL users (no key to equi-join on). The naive
+    * inequality join is BroadcastNestedLoopJoin — quadratic at 100 TB —
+    * so the operator quantizes the time axis (1 h buckets ≈ the interval
+    * length), explodes each interval into its covered buckets, and
+    * equi-joins on the bucket with the exact predicate as residual; the
+    * body require()s the executed plan carries NO nested-loop/cartesian
+    * node. Exactly-once per match by construction (the point owns one
+    * bucket), so the oracle is the plain inequality join DuckDB runs
+    * natively (IEJoin). Epoch seconds via cast(ts as long) ↔
+    * floor(epoch(ts)) — both floor micros to seconds, UTC sessions. */
+  private val q170 = Q(
+    "q170_range_join",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          col("ts").cast("long").as("w_from"),
+          (col("ts").cast("long") + 3600L).as("w_to"))
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), col("value").as("p_value"))
+      val j = graft.operators.Temporal.rangeJoin(
+        points, col("p_ts").cast("long"),
+        windows, col("w_from"), col("w_to"), bucketWidth = 3600L)
+      val p = j.queryExecution.executedPlan.toString
+      require(!p.contains("CartesianProduct")
+          && !p.contains("BroadcastNestedLoopJoin"),
+        s"range join planned a quadratic join:\n${p.take(1200)}")
+      j.groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("p_value")), 2).as("purchase_value"))
+        .orderBy(col("incident_id"))
+    },
+    Some("""WITH w AS (SELECT event_id AS incident_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS f
+        FROM events WHERE event_type = 'error'),
+      p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT incident_id, count(*) AS n_purchases,
+        round(sum(value), 2) AS purchase_value
+      FROM w JOIN p ON p.ts >= w.f AND p.ts <= w.f + 3600
+      GROUP BY 1 ORDER BY incident_id"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134, q155, q169)
+    q134, q155, q169, q170)
 }

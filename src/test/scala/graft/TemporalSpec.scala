@@ -68,4 +68,29 @@ class TemporalSpec extends SparkSpec {
     assert(got === want)
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
   }
+
+  test("rangeJoin: exactly-once matches across bucket boundaries, vs brute force") {
+    import spark.implicits._
+    // points on a fine grid; intervals of wildly different lengths, some
+    // spanning many buckets, one degenerate (from > to), boundary-inclusive
+    val pts = (0L until 500L).map(t => (t * 7L, s"p$t")).toDF("ts", "pid")
+    val ivs = Seq(
+      (1L, 0L, 100L), (2L, 95L, 105L), (3L, 100L, 100L), // point interval
+      (4L, 0L, 3490L),                                   // spans all buckets
+      (5L, 200L, 100L),                                  // degenerate: drops
+      (6L, 3400L, 9999L)                                 // tail overhang
+    ).toDF("wid", "f", "t")
+    val got = graft.operators.Temporal.rangeJoin(
+        pts, col("ts"), ivs, col("f"), col("t"), bucketWidth = 100L)
+      .select(col("wid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val want = (for {
+      (ts, pid) <- (0L until 500L).map(t => (t * 7L, s"p$t"))
+      (wid, f, t) <- Seq((1L, 0L, 100L), (2L, 95L, 105L), (3L, 100L, 100L),
+        (4L, 0L, 3490L), (5L, 200L, 100L), (6L, 3400L, 9999L))
+      if f <= t && ts >= f && ts <= t
+    } yield (wid, pid)).sorted
+    assert(got === want)
+    // a duplicate match anywhere would break the === (exactly-once claim)
+  }
 }
