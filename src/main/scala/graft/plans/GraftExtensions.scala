@@ -14,10 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    functions via the FunctionRegistry).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.definitions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // inert unless spark.graft.rangejoin.bucketwidth > 0 (see the rule)
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object GraftFunctions {

@@ -378,6 +378,65 @@ object EventQueries extends QueryPack {
       FROM w JOIN p ON p.ts >= w.f AND p.ts <= w.f + 3600
       GROUP BY 1 ORDER BY incident_id"""))
 
+  /** q170's semantics written as the NAIVE inequality join and rescued by
+    * the engine's own optimizer rule (plans.RangeJoinRewrite, injected
+    * via SparkSessionExtensions): with `spark.graft.rangejoin.bucketwidth`
+    * set, the Catalyst fixed point rewrites the BroadcastNestedLoopJoin
+    * shape into the bucketed equi-join AUTOMATICALLY — the user writes
+    * `ts BETWEEN f AND t`, the rule adds the bucket projection, the
+    * interval explosion, and the bucket equi-conjunct (original
+    * predicates ride as residuals, so the join is exact). This grades the
+    * extension-point leg the manual operator (q170) cannot: the same
+    * query text that would be quadratic becomes linear because the
+    * SESSION, not the query author, knows the rewrite. Body require()s
+    * the executed plan carries the rule's Generate and NO nested-loop/
+    * cartesian node; the oracle is q170's inequality join verbatim, so
+    * the rewrite is hash-checked against the un-rewritten semantics. */
+  private val q171 = Q(
+    "q171_range_join_rewrite",
+    (s, dir) => {
+      val key = graft.plans.RangeJoinRewrite.WidthConf
+      val old = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "3600")
+        val ev = Tables(s, dir).events
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"),
+            col("ts").cast("long").as("w_from"),
+            (col("ts").cast("long") + 3600L).as("w_to"))
+        val points = ev.filter(col("event_type") === "purchase")
+          .select(col("ts").cast("long").as("p_ts"),
+            col("value").as("p_value"))
+        val j = points.join(windows,
+          col("p_ts") >= col("w_from") && col("p_ts") <= col("w_to"))
+        val p = j.queryExecution.executedPlan.toString
+        require(!p.contains("CartesianProduct")
+            && !p.contains("BroadcastNestedLoopJoin"),
+          s"rewrite did not fire — quadratic join:\n${p.take(1200)}")
+        require(p.contains("Generate"),
+          s"expected the rule's interval explosion:\n${p.take(1200)}")
+        j.groupBy(col("incident_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(col("p_value")), 2).as("purchase_value"))
+          .orderBy(col("incident_id"))
+          // materialize under the conf so the executed plan is the
+          // rewritten one (restored in finally)
+          .localCheckpoint(true)
+      } finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some("""WITH w AS (SELECT event_id AS incident_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS f
+        FROM events WHERE event_type = 'error'),
+      p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT incident_id, count(*) AS n_purchases,
+        round(sum(value), 2) AS purchase_value
+      FROM w JOIN p ON p.ts >= w.f AND p.ts <= w.f + 3600
+      GROUP BY 1 ORDER BY incident_id"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134, q155, q169, q170)
+    q134, q155, q169, q170, q171)
 }

@@ -493,4 +493,65 @@ class PlanSpec extends SparkSpec {
     // percentile_approx is a partial+final aggregate, never a Window
     assert(!p.contains("Window"), s"no window in the GK cut derivation:\n${p.take(1500)}")
   }
+
+  test("RangeJoinRewrite: naive inequality join becomes an equi-join; guards hold") {
+    import spark.implicits._
+    val pts = (0L until 300L).map(t => (t * 11L, s"p$t")).toDF("ts", "pid")
+    val ivs = Seq((1L, 0L, 120L), (2L, 100L, 101L), (3L, 500L, 400L),
+      (4L, 90L, 3000L)).toDF("wid", "f", "t")
+    def naive() = pts.join(ivs, col("ts") >= col("f") && col("ts") <= col("t"))
+    val want = (for {
+      (ts, pid) <- (0L until 300L).map(t => (t * 11L, s"p$t"))
+      (wid, f, t) <- Seq((1L, 0L, 120L), (2L, 100L, 101L), (3L, 500L, 400L),
+        (4L, 90L, 3000L))
+      if ts >= f && ts <= t
+    } yield (wid, pid)).sorted
+
+    // off by default: the quadratic plan
+    val off = naive().queryExecution.executedPlan.toString
+    assert(off.contains("BroadcastNestedLoopJoin") || off.contains("CartesianProduct"),
+      s"baseline should be the quadratic join:\n${off.take(600)}")
+
+    try {
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "64")
+      val on = naive()
+      val p = on.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"rewrite did not fire:\n${p.take(900)}")
+      val got = on.select(col("wid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got === want, "rewritten join changed the result")
+
+      // strict bounds: inclusive bucket cover, strict residual
+      val strict = pts.join(ivs, col("ts") > col("f") && col("ts") < col("t"))
+      val ps = strict.queryExecution.executedPlan.toString
+      assert(!ps.contains("BroadcastNestedLoopJoin"), "strict bounds must also rewrite")
+      val wantStrict = want.filter { case (wid, pid) =>
+        val ts = pid.drop(1).toLong * 11L
+        val (f, t) = Map(1L -> (0L, 120L), 2L -> (100L, 101L),
+          3L -> (500L, 400L), 4L -> (90L, 3000L))(wid)
+        ts > f && ts < t
+      }
+      val gotStrict = strict.select(col("wid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(gotStrict === wantStrict)
+
+      // guard: an equi-join (even with range residuals) is left alone —
+      // the plan keeps its hash join and gains no Generate
+      val keyedL = pts.withColumn("k", pmod(col("ts"), lit(7L)))
+      val keyedR = ivs.withColumn("k2", pmod(col("wid"), lit(7L)))
+      val eq = keyedL.join(keyedR,
+        col("k") === col("k2") && col("ts") >= col("f") && col("ts") <= col("t"))
+      val pe = eq.queryExecution.executedPlan.toString
+      assert(!pe.contains("Generate"),
+        s"rule must not touch equi-joins:\n${pe.take(600)}")
+
+      // guard: non-integral bounds are left alone
+      val dbl = pts.withColumn("tsd", col("ts").cast("double")).join(
+        ivs.withColumn("fd", col("f").cast("double")).withColumn("td", col("t").cast("double")),
+        col("tsd") >= col("fd") && col("tsd") <= col("td"))
+      assert(!dbl.queryExecution.executedPlan.toString.contains("Generate"),
+        "double-typed bounds must not rewrite (bucket math is long division)")
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+  }
 }
