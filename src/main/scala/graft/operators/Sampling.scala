@@ -224,4 +224,37 @@ object Sampling {
       .select(col("doc_id"), col("shard"),
         row_number().over(w).cast("long").as("pos"))
   }
+
+  /** Deterministic WEIGHTED fixed-size sample (without replacement) by
+    * integer-weight expansion bottom-k: each row is expanded into
+    * `weight` virtual copies keyed xxhash64(id, j), j < weight, and the
+    * k rows with the smallest per-row minimum key win — EXACTLY a
+    * uniform bottom-k over the weight-fold expanded corpus, so a
+    * weight-w row competes with w lottery tickets (P(min below any
+    * threshold u) = 1-(1-u)^w). The quality-weighted "pick k docs,
+    * favoring the good ones" step of a curation pipeline, with the same
+    * reproducibility contract as [[stratifiedSample]]: the sample is a
+    * pure function of (id, weight, k), stable across runs, partition
+    * layouts, and cluster sizes — and exactly re-derivable by an
+    * external oracle, which no RNG-based weighted sampler is.
+    *
+    * Scale shape: the expansion is map-only ×avg(weight) (integer
+    * weights are meant to be SMALL — quality buckets, not raw scores);
+    * the per-row min is a map-side-combining aggregate; the global
+    * bottom-k is TakeOrdered (per-partition heaps, never a full sort).
+    * Ties broken by id for a total deterministic order.
+    *
+    * Output: (doc_id, weight, priority), the k winners ascending. */
+  def weightedBottomK(docs: DataFrame, idCol: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    docs.select(idCol.cast("long").as("doc_id"),
+        weight.cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("__j", explode(sequence(lit(0L), col("weight") - 1)))
+      .groupBy(col("doc_id"), col("weight"))
+      .agg(min(xxhash64(col("doc_id"), col("__j"))).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+  }
 }

@@ -2388,6 +2388,45 @@ object TextQueries extends QueryPack {
       FROM ests"""
     })
 
+  /** Deterministic weighted fixed-size sampling
+    * (operators.Sampling.weightedBottomK) — the "pick k docs, favoring
+    * the good ones" curation step: quality weights (here a 1..8 bucket
+    * from n_chars) expand each doc into `weight` virtual lottery tickets
+    * keyed xxhash64(doc_id, j), and the k docs with the smallest
+    * per-doc minimum win — EXACTLY uniform bottom-k over the expanded
+    * corpus, so the sample is a pure function of (id, weight, k):
+    * reproducible across runs/layouts and — unlike any RNG-based
+    * weighted sampler — exactly re-derivable by an external oracle.
+    * FULL ORACLE: the two-stage XXH64 chain (multi-arg xxhash64 feeds
+    * each column's hash in as the next seed — the xxhashUnitOracleCore
+    * convention), j unnested per weight, min per doc, ORDER BY
+    * (priority, doc_id) LIMIT k on both engines. */
+  private val q172 = Q(
+    "q172_weighted_sample",
+    (s, dir) => Sampling.weightedBottomK(
+      Tables(s, dir).documents, col("doc_id"),
+      pmod(col("n_chars"), lit(8L)) + 1L, k = 100),
+    Some {
+      import XxhashSqlGen._
+      val base = "base AS (SELECT doc_id," +
+        " ((n_chars % 8) + 8) % 8 + 1 AS weight FROM documents)"
+      val ex = "ex AS (SELECT doc_id, weight," +
+        " unnest(range(0, weight)) AS j FROM base)"
+      val b2 = "b2 AS (SELECT doc_id, weight, CASE WHEN doc_id < 0" +
+        s" THEN doc_id + $big ELSE CAST(doc_id AS HUGEINT) END AS v," +
+        " CAST(j AS HUGEINT) AS vj FROM ex)"
+      val (c1, last1) = stages("p", "v", "42::HUGEINT", "b2")
+      val (c2, last2) = stages("q", "vj", "hp", last1)
+      (Seq(base, ex, b2) ++ c1 ++ c2).mkString("WITH ", ",\n", ",\n") + s"""
+      pri AS (SELECT doc_id, weight,
+          min(CASE WHEN hq >= 9223372036854775808::HUGEINT
+              THEN hq - $big ELSE hq END) AS priority
+        FROM $last2 GROUP BY doc_id, weight)
+      SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+        CAST(priority AS BIGINT) AS priority
+      FROM pri ORDER BY priority, doc_id LIMIT 100"""
+    })
+
   /** The q125 curation gate + decontamination stage as a STRUCTURED
     * STREAM (streaming.DocumentStreams.curationGateToParquet): the train
     * split arrives as file-source micro-batches under
@@ -2963,5 +3002,6 @@ object TextQueries extends QueryPack {
       q88, q90, q91, q92, q93, q94, q95, q98, q99, q100, q101, q102, q103,
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
-      q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167)
+      q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
+      q172)
 }

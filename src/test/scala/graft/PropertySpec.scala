@@ -269,4 +269,35 @@ class PropertySpec extends SparkSpec {
       b.getLong(4) === 0L)
     assert(a.getDouble(5) === 40.0 && b.getDouble(5) === 40.0)
   }
+
+  test("weightedBottomK: brute-force parity, weight bias, zero-weight exclusion") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0L until 2000L).map(id => (id, (id % 9).toInt)).toDF("id", "w")
+    val got = graft.operators.Sampling
+      .weightedBottomK(df, col("id"), col("w"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: min over j < w of xxhash64(id, j), bottom 50
+    val keyed = df.filter(col("w") > 0)
+      .withColumn("j", explode(sequence(lit(0L), col("w").cast("long") - 1)))
+      .select(col("id"), col("w").cast("long").as("w"),
+        xxhash64(col("id"), col("j")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((id, w), hs) =>
+        (id, w, hs.map(_._3).min) }
+      .toSeq.sortBy(t => (t._3, t._1)).take(50)
+    assert(got.toSeq === keyed)
+    // every id with w == 0 is excluded; determinism across re-runs
+    assert(got.forall(_._2 > 0))
+    val again = graft.operators.Sampling
+      .weightedBottomK(df.repartition(7), col("id"), col("w"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === got.toSeq, "sample must not depend on layout")
+    // bias: across many ids, mean weight of winners exceeds corpus mean
+    // (weight-8 ids hold 8 tickets to weight-1's one)
+    val meanW = got.map(_._2).sum.toDouble / got.length
+    val corpusMeanPositive = (1 to 8).sum.toDouble / 8 // weights 1..8 uniform
+    assert(meanW > corpusMeanPositive,
+      s"winners' mean weight $meanW should exceed corpus mean $corpusMeanPositive")
+  }
 }
