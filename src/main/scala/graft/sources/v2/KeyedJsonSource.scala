@@ -94,26 +94,62 @@ object KeyedJson {
 }
 
 class KeyedJsonScanBuilder(userSchema: StructType, path: String, keyCol: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = userSchema
+  private var keep: Option[Set[Int]] = None // None = all shards
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Shard-dir pruning — the partition-pruning leg of the source (the
+    * paged scan's page-range pushdown, applied to the key=value layout):
+    * equality/IN filters on the key column drop whole directories at
+    * PLANNING time; pruned shards are never listed as input partitions,
+    * so their files are never opened. Everything else stays a residual
+    * Spark evaluates post-scan. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def restrict(s: Set[Int]): Unit =
+      keep = Some(keep.fold(s)(_.intersect(s)))
+    val (accepted, residual) = filters.partition {
+      case EqualTo(c, _: Integer) if c == keyCol => true
+      case In(c, vs) if c == keyCol &&
+        vs.forall(_.isInstanceOf[Integer]) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v: Integer) => restrict(Set(v.intValue))
+      case In(_, vs) => restrict(vs.map(_.asInstanceOf[Integer].intValue).toSet)
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan =
-    new KeyedJsonScan(userSchema, required, path, keyCol)
+    new KeyedJsonScan(userSchema, required, path, keyCol, keep)
 }
 
 class KeyedJsonScan(
     userSchema: StructType,
     required: StructType,
     path: String,
-    keyCol: String) extends Scan with Batch with SupportsReportPartitioning {
+    keyCol: String,
+    keep: Option[Set[Int]] = None) extends Scan with Batch
+    with SupportsReportPartitioning {
 
-  private val shards: Seq[(Int, Seq[String])] = KeyedJson.listShards(path, keyCol)
+  private val shards: Seq[(Int, Seq[String])] =
+    KeyedJson.listShards(path, keyCol)
+      .filter { case (v, _) => keep.forall(_.contains(v)) }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-keyed shards=${shards.size} of $path"
+    s"graft-keyed shards=[${shards.map(_._1).mkString(",")}] of $path"
 
   /** The SPJ contract: clustering by identity(keyCol) with one reported
     * partition per shard directory. Catalyst resolves the reference

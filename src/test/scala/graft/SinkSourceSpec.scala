@@ -467,6 +467,20 @@ class SinkSourceSpec extends SparkSpec {
     val scan = new graft.sources.v2.KeyedJsonScan(lSchema, lSchema, s"$base/l", "shard")
     val parts = scan.planInputPartitions()
     assert(parts.length === 8)
+
+    // shard pushdown: equality/IN prune whole dirs at planning time
+    val pruned = new graft.sources.v2.KeyedJsonScan(
+      lSchema, lSchema, s"$base/l", "shard", keep = Some(Set(3)))
+    assert(pruned.planInputPartitions().length === 1)
+    val one = l.filter(col("shard") === 3)
+    assert(one.queryExecution.executedPlan.toString.contains("shards=[3]"),
+      "planned scan must list only the kept shard dir")
+    assert(one.count() ===
+      l.collect().count(_.getAs[Int]("shard") == 3).toLong)
+    val two = l.filter(col("shard").isin(2, 5))
+    assert(two.queryExecution.executedPlan.toString.contains("shards=[2,5]"))
+    assert(two.count() ===
+      l.collect().count(r => Set(2, 5)(r.getAs[Int]("shard"))).toLong)
     assert(parts.forall(_.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey]))
     val kgp = scan.outputPartitioning()
       .asInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
