@@ -267,6 +267,10 @@ object Sketches {
       .select(group.as("g"), xxhash64(value).as("h"))
       .groupBy(col("g"))
       .agg(graft.plans.Kmv.kmvMinima(col("h"), k).as("m"))
+      // materialize the G-row sketch table before the self-join: without
+      // this the pairing plan re-runs the CORPUS aggregation once per
+      // join side — two full scans instead of one at 100 TB
+      .localCheckpoint(true)
     val x = sk.select(col("g").as("grp_a"), col("m").as("ma"))
     val y = sk.select(col("g").as("grp_b"), col("m").as("mb"))
     val merged = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
