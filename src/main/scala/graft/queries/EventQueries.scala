@@ -437,6 +437,35 @@ object EventQueries extends QueryPack {
       FROM w JOIN p ON p.ts >= w.f AND p.ts <= w.f + 3600
       GROUP BY 1 ORDER BY incident_id"""))
 
+  /** GROUPED heavy hitters — q111's Misra-Gries summary with a group
+    * key: one ≤capacity MG map per event type ("top users per segment"),
+    * the same summary-sized-shuffle posture as grouped HLL (q155) and
+    * grouped KMV (q169): the ObjectHashAggregate partial stage ships one
+    * bounded map per (task, group), never the event stream. Capacity
+    * 2048 exceeds every group's distinct-user count at all fixture SFs,
+    * so each count is EXACT and merge-order-independent — the regime
+    * with a FULL oracle (plain SQL count + rank); the lossy-regime bound
+    * is HeavyHittersSpec's job. Top-10 per group via slice of the
+    * (est desc, item asc)-sorted summary — no window, no second shuffle. */
+  private val q173 = Q(
+    "q173_heavy_hitters_grouped",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(graft.plans.HeavyHitters.misraGries(
+        col("user_id").cast("string"), 2048).as("hh"))
+      .select(col("event_type"), explode(slice(col("hh"), 1, 10)).as("e"))
+      .select(col("event_type"), col("e.item").as("item"),
+        col("e.est").as("est_count"))
+      .orderBy(col("event_type"), col("est_count").desc, col("item")),
+    Some("""WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+          CAST(count(*) AS BIGINT) AS est_count
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, item, est_count,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY est_count DESC, item) AS rn FROM c)
+      SELECT event_type, item, est_count FROM r WHERE rn <= 10
+      ORDER BY event_type, est_count DESC, item"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134, q155, q169, q170, q171)
+    q134, q155, q169, q170, q171, q173)
 }
