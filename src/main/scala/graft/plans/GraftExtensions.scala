@@ -56,7 +56,16 @@ object GraftFunctions {
         WinnowFingerprintsExpr(es(0), intArg(es(1), "k"), intArg(es(2), "window"))),
     ("nfc_normalize",
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
-      (es: Seq[Expression]) => NfcNormalizeExpr(es.head)))
+      (es: Seq[Expression]) => NfcNormalizeExpr(es.head)),
+    // aggregates: the builder returns the bare AggregateFunction — the
+    // analyzer wraps it in an AggregateExpression when it appears in an
+    // aggregate context, same as the built-in SQL aggregates
+    ("kmv_minima",
+      new ExpressionInfo(classOf[KmvMinimaAgg].getName, "kmv_minima"),
+      (es: Seq[Expression]) => KmvMinimaAgg(es(0), intArg(es(1), "k"))),
+    ("misra_gries",
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (es: Seq[Expression]) => MisraGriesAgg(es(0), intArg(es(1), "capacity"))))
 
   /** Register all engine functions as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

@@ -207,4 +207,28 @@ class NativeExprsSpec extends SparkSpec {
     assert(spark.sql("SELECT nfc_normalize('cafe\u0301')").head().getString(0)
       === "caf\u00e9")
   }
+
+  test("sketch aggregates resolve from SQL text (kmv_minima, misra_gries)") {
+    import spark.implicits._
+    (0L until 100L).map(v => (v, s"i${v % 7}")).toDF("v", "s")
+      .createOrReplaceTempView("agg_sql_probe")
+    val kmv = spark.sql(
+      "SELECT kmv_minima(xxhash64(v), 8) FROM agg_sql_probe")
+      .head().getSeq[Long](0)
+    val api = (0L until 100L).map(v => Tuple1(v)).toDF("v")
+      .agg(graft.plans.Kmv.kmvMinima(xxhash64(col("v")), 8))
+      .head().getSeq[Long](0)
+    assert(kmv === api, "SQL and Column API must agree")
+    val mg = spark.sql(
+      "SELECT misra_gries(s, 16) FROM agg_sql_probe").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.length === 7)
+    assert(mg.map(_.getLong(1)).sum === 100L, "capacity > distinct \u21d2 exact")
+    // grouped from SQL, too
+    val grouped = spark.sql(
+      "SELECT s, kmv_minima(xxhash64(v), 4) AS m FROM agg_sql_probe GROUP BY s")
+      .collect()
+    assert(grouped.length === 7)
+    assert(grouped.forall(_.getSeq[Long](1).length === 4))
+  }
 }
