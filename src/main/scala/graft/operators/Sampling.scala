@@ -252,8 +252,14 @@ object Sampling {
         weight.cast("long").as("weight"))
       .filter(col("weight") > 0)
       .withColumn("__j", explode(sequence(lit(0L), col("weight") - 1)))
-      .groupBy(col("doc_id"), col("weight"))
-      .agg(min(xxhash64(col("doc_id"), col("__j"))).as("priority"))
+      // group by id ALONE: an id appearing with several weights (an
+      // upstream dedup miss, a weight recomputed across epochs) must
+      // still win at most ONE slot — the ticket sets j < w are nested,
+      // so min over the union of tickets ≡ the max-weight semantics,
+      // and max(weight) reports the weight that actually competed
+      .groupBy(col("doc_id"))
+      .agg(max(col("weight")).as("weight"),
+        min(xxhash64(col("doc_id"), col("__j"))).as("priority"))
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
   }

@@ -215,28 +215,28 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) / u), 6)
   }
 
-  def kmvOverlap(df: DataFrame, inA: Column, inB: Column, value: Column,
-      k: Int): DataFrame = {
-    require(k > 1, s"kmv overlap needs k > 1, got $k")
-    val h = xxhash64(value)
-    val sk = df.filter(value.isNotNull).agg(
-      graft.plans.Kmv.kmvMinima(when(inA, h), k).as("a"),
-      graft.plans.Kmv.kmvMinima(when(inB, h), k).as("b"))
-    def est(arr: Column): Column = kmvEst(arr, k)
+  /** The pair-estimate pipeline shared by [[kmvOverlap]] and
+    * [[kmvOverlapMatrix]] (SketchesSpec pins their agreement; ONE
+    * implementation keeps a future estimator tweak from silently
+    * diverging them): consumes sketch columns `a`/`b` plus `carry`
+    * passthrough columns, emits carry ++ the nine estimate columns. */
+  private def kmvPairStats(pairs: DataFrame, k: Int,
+      carry: Seq[String]): DataFrame = {
     val merged = slice(array_sort(array_union(col("a"), col("b"))), 1, k)
-    sk.select(col("a"), col("b"), merged.as("u"))
-      .select(
+    val cs = carry.map(col)
+    pairs.select(cs ++ Seq(col("a"), col("b"), merged.as("u")): _*)
+      .select(cs ++ Seq(
         size(col("a")).as("n_a"),
         size(col("b")).as("n_b"),
-        est(col("a")).as("est_a"),
-        est(col("b")).as("est_b"),
+        kmvEst(col("a"), k).as("est_a"),
+        kmvEst(col("b"), k).as("est_b"),
         size(col("u")).as("n_union"),
-        est(col("u")).as("est_union"),
+        kmvEst(col("u"), k).as("est_union"),
         size(filter(col("u"), x =>
           array_contains(col("a"), x) && array_contains(col("b"), x)))
           .as("shared"),
-        col("u"))
-      .select(
+        col("u")): _*)
+      .select(cs ++ Seq(
         col("n_a"), col("n_b"), col("est_a"), col("est_b"),
         col("n_union"), col("est_union"), col("shared"),
         round(col("shared").cast("double") / col("n_union"), 6)
@@ -245,7 +245,17 @@ object Sketches {
         // intersection must come out integer-exact, and a pre-rounded J
         // would turn 20/60·60 into 19.99998
         round(col("shared").cast("double") / col("n_union")
-          * col("est_union"), 6).as("est_intersect"))
+          * col("est_union"), 6).as("est_intersect")): _*)
+  }
+
+  def kmvOverlap(df: DataFrame, inA: Column, inB: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k > 1, s"kmv overlap needs k > 1, got $k")
+    val h = xxhash64(value)
+    val sk = df.filter(value.isNotNull).agg(
+      graft.plans.Kmv.kmvMinima(when(inA, h), k).as("a"),
+      graft.plans.Kmv.kmvMinima(when(inB, h), k).as("b"))
+    kmvPairStats(sk, k, carry = Nil)
   }
 
   /** [[kmvOverlap]] generalized to a GROUP: one KMV sketch per group
@@ -271,26 +281,10 @@ object Sketches {
       // this the pairing plan re-runs the CORPUS aggregation once per
       // join side — two full scans instead of one at 100 TB
       .localCheckpoint(true)
-    val x = sk.select(col("g").as("grp_a"), col("m").as("ma"))
-    val y = sk.select(col("g").as("grp_b"), col("m").as("mb"))
-    val merged = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
-    x.join(y, col("grp_a") < col("grp_b"))
-      .select(col("grp_a"), col("grp_b"), col("ma"), col("mb"),
-        merged.as("u"))
-      .select(col("grp_a"), col("grp_b"),
-        size(col("ma")).as("n_a"), size(col("mb")).as("n_b"),
-        kmvEst(col("ma"), k).as("est_a"), kmvEst(col("mb"), k).as("est_b"),
-        size(col("u")).as("n_union"), kmvEst(col("u"), k).as("est_union"),
-        size(filter(col("u"), h =>
-          array_contains(col("ma"), h) && array_contains(col("mb"), h)))
-          .as("shared"), col("u"))
-      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
-        col("est_a"), col("est_b"), col("n_union"), col("est_union"),
-        col("shared"),
-        round(col("shared").cast("double") / col("n_union"), 6)
-          .as("jaccard"),
-        round(col("shared").cast("double") / col("n_union")
-          * col("est_union"), 6).as("est_intersect"))
+    val x = sk.select(col("g").as("grp_a"), col("m").as("a"))
+    val y = sk.select(col("g").as("grp_b"), col("m").as("b"))
+    kmvPairStats(x.join(y, col("grp_a") < col("grp_b")), k,
+        carry = Seq("grp_a", "grp_b"))
       .orderBy(col("grp_a"), col("grp_b"))
   }
 }

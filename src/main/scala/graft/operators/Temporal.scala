@@ -21,14 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** Left as-of join: every left row, joined to the latest right row with
-    * `right.tsCol <= left.tsCol` and equal keys (ties include the right
-    * row). Right columns surface as `<name><suffix>`; left rows with no
-    * prior right row keep nulls.
-    *
-    * @param rightPayloadCols right columns to carry (right's ts column is
-    *                         always carried)
-    */
   /** Point-in-interval range join WITHOUT an equi-key — "which interval
     * windows cover this event" (incident attribution, campaign windows,
     * config validity). Spark plans a bare inequality join as
@@ -44,21 +36,32 @@ object Temporal {
     * stays ~2×). The join is now a plain shuffled equi-join — linear
     * shuffle, skew-safe under AQE, no nested loop.
     *
-    * Column contract: the two frames must have DISJOINT column names;
-    * output is left ++ right columns per match (inner join).
+    * Column contract: the two frames must have DISJOINT column names,
+    * none of them the reserved working names (__ts/__lb/__from/__to/
+    * __rb — a clashing input column would be silently overwritten and
+    * dropped); output is left ++ right columns per match (inner join).
     * `leftTs`/`from`/`to` are epoch-second LONG expressions over their
     * frames; the residual predicate is from <= ts <= to (inclusive).
     * Degenerate intervals with from > to are dropped (they can match
     * nothing, and sequence() would otherwise walk DESCENDING and build
-    * wrong buckets). */
+    * wrong buckets). Buckets use truncating INTEGER division (the same
+    * monotonic map RangeJoinRewrite injects): a double `floor(c / w)`
+    * would round for |values| > 2^53 and silently drop boundary matches. */
   def rangeJoin(
       left: DataFrame, leftTs: Column,
       right: DataFrame, from: Column, to: Column,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val reserved = Set("__ts", "__lb", "__from", "__to", "__rb")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"range join requires disjoint columns: $overlap")
-    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    val clash = (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
+    require(clash.isEmpty, s"range join reserves working columns: $clash")
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    def bucketOf(c: Column): Column = toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        toExpression(c), org.apache.spark.sql.catalyst.expressions.Literal(
+          bucketWidth)))
     val lb = left.withColumn("__ts", leftTs.cast("long"))
       .withColumn("__lb", bucketOf(col("__ts")))
     val rb = right
@@ -72,6 +75,14 @@ object Temporal {
       .drop("__ts", "__lb", "__from", "__to", "__rb")
   }
 
+  /** Left as-of join: every left row, joined to the latest right row with
+    * `right.tsCol <= left.tsCol` and equal keys (ties include the right
+    * row). Right columns surface as `<name><suffix>`; left rows with no
+    * prior right row keep nulls.
+    *
+    * @param rightPayloadCols right columns to carry (right's ts column is
+    *                         always carried)
+    */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTs: String, rightTs: String,

@@ -46,6 +46,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangejoin.bucketwidth"
 
+  /** Ceiling on buckets per interval (`spark.graft.rangejoin.maxbuckets`,
+    * default 65536): a runtime guard — the rewrite cannot know interval
+    * widths at plan time, and ONE open-ended interval (to = Long.MaxValue
+    * sentinel, a common validity-window encoding) would otherwise make
+    * sequence() attempt a ~2^50-element array and crash the task with an
+    * opaque array-size error. The guard turns that into an explicit
+    * per-row failure naming this conf, so the user either raises
+    * bucketwidth or excludes the sentinel rows — never silently wrong,
+    * never mysteriously dead. */
+  val MaxBucketsConf = "spark.graft.rangejoin.maxbuckets"
+
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
@@ -113,8 +124,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = SQLConf.get.getConfString(WidthConf, "0").toLong
+    // a malformed value must not fail EVERY query in the session from
+    // inside the optimizer — warn once per apply and stay inert
+    def confLong(key: String, dflt: Long): Option[Long] =
+      scala.util.Try(SQLConf.get.getConfString(key, dflt.toString).trim.toLong)
+        .toOption.orElse {
+          logWarning(s"$key is not a long; RangeJoinRewrite is inert")
+          None
+        }
+    val width = confLong(WidthConf, 0L).getOrElse(return plan)
     if (width <= 0) return plan
+    val maxBuckets = confLong(MaxBucketsConf, 65536L).getOrElse(return plan)
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if left.deterministic && right.deterministic =>
@@ -129,9 +149,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
               val lbAlias = Alias(bucket(ts), "__graft_range_lb")()
               val pointProj =
                 Project(point.output :+ lbAlias, point)
-              val guarded = Filter(
+              // span guard: NULL (filter-true via IsNull) under the cap,
+              // raise_error above it — a too-wide interval fails
+              // EXPLICITLY, naming the conf, instead of dying in
+              // sequence()'s array allocation. Built as AssertTrue's own
+              // replacement (If/Literal(null)/RaiseError) directly:
+              // AssertTrue itself is RuntimeReplaceable and
+              // ReplaceExpressions has already run by the time this rule
+              // fires, so the unreplaced form cannot codegen
+              val span = Subtract(bucket(hi), bucket(lo))
+              val spanGuard = IsNull(If(
+                LessThanOrEqual(span, Literal(maxBuckets)),
+                Literal(null),
+                new RaiseError(Literal.create(
+                  s"range-join rewrite: an interval spans more than " +
+                    s"$maxBuckets buckets of width $width — raise " +
+                    s"$WidthConf or $MaxBucketsConf, or exclude " +
+                    "open-ended sentinel intervals",
+                  org.apache.spark.sql.types.StringType))))
+              val guarded = Filter(And(
                 LessThanOrEqual(Cast(lo, LongType), Cast(hi, LongType)),
-                interval)
+                spanGuard), interval)
               val rbAttr =
                 AttributeReference("__graft_range_rb", LongType, nullable = false)()
               // Sequence is TimeZoneAwareExpression: without an explicit

@@ -2449,10 +2449,10 @@ object TextQueries extends QueryPack {
       val (c1, last1) = stages("p", "v", "42::HUGEINT", "b2")
       val (c2, last2) = stages("q", "vj", "hp", last1)
       (Seq(base, ex, b2) ++ c1 ++ c2).mkString("WITH ", ",\n", ",\n") + s"""
-      pri AS (SELECT doc_id, weight,
+      pri AS (SELECT doc_id, max(weight) AS weight,
           min(CASE WHEN hq >= 9223372036854775808::HUGEINT
               THEN hq - $big ELSE hq END) AS priority
-        FROM $last2 GROUP BY doc_id, weight)
+        FROM $last2 GROUP BY doc_id)
       SELECT doc_id, CAST(weight AS BIGINT) AS weight,
         CAST(priority AS BIGINT) AS priority
       FROM pri ORDER BY priority, doc_id LIMIT 100"""

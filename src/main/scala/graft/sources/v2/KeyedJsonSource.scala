@@ -76,9 +76,18 @@ class KeyedJsonTable(userSchema: StructType, path: String, keyCol: String)
 
 object KeyedJson {
   /** (keyValue, files) per shard directory, sorted by key — a stable
-    * partition order keeps two sides' reported partitionings comparable. */
+    * partition order keeps two sides' reported partitionings comparable.
+    * A missing/non-directory/URI-prefixed path is an ERROR, not an empty
+    * scan: java.io.File silently yields null for all of those, and a
+    * connector that answers a typo'd load() with zero rows is a
+    * correctness hazard (this source is local-filesystem-backed, like
+    * the paged fixture scan's file mode — s3://ish paths don't belong
+    * here). */
   def listShards(path: String, keyCol: String): Seq[(Int, Seq[String])] = {
     val dir = new java.io.File(path)
+    require(dir.isDirectory,
+      s"graft-keyed: '$path' is not a local directory (URI-prefixed or " +
+        "remote paths are not supported by this source)")
     val re = (java.util.regex.Pattern.quote(keyCol) + "=(-?\\d+)").r
     Option(dir.listFiles()).getOrElse(Array.empty).toSeq
       .flatMap(d => d.getName match {
@@ -197,30 +206,42 @@ class ShardPartitionReader(
     dataSchema, new JSONOptions(Map.empty[String, String], "UTC", ""),
     false, Seq.empty)
 
-  private lazy val rows: Iterator[InternalRow] =
-    partition.files.iterator.flatMap { f =>
-      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
-        .asScala.iterator.filter(_.trim.nonEmpty)
-    }.flatMap { line =>
-      parser.parse(line, CreateJacksonParser.string,
-        (s: String) => org.apache.spark.unsafe.types.UTF8String.fromString(s))
-    }.map { dataRow =>
-      if (keyIdx < 0) dataRow.copy()
-      else {
-        val out = new GenericInternalRow(required.length)
-        var i = 0; var j = 0
-        while (i < required.length) {
-          if (i == keyIdx) out.update(i, partition.key)
-          else { out.update(i, dataRow.get(j, dataFields(j).dataType)); j += 1 }
-          i += 1
-        }
-        out
-      }
+  // streaming line reader: a multi-GB part file must not be materialized
+  // as a whole java.util.List<String> before the first row is emitted —
+  // the reader holds one buffered file at a time, closed on exhaustion
+  // (or by close() if the scan stops early, e.g. under a LIMIT)
+  private var openReader: java.io.BufferedReader = _
+  private def linesOf(f: String): Iterator[String] = {
+    val br = java.nio.file.Files.newBufferedReader(java.nio.file.Paths.get(f))
+    openReader = br
+    Iterator.continually(br.readLine()).takeWhile { l =>
+      if (l == null) { br.close(); openReader = null; false } else true
     }
+  }
+
+  private lazy val rows: Iterator[InternalRow] =
+    partition.files.iterator.flatMap(linesOf).filter(_.trim.nonEmpty)
+      .flatMap { line =>
+        parser.parse(line, CreateJacksonParser.string,
+          (s: String) => org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      }.map { dataRow =>
+        if (keyIdx < 0) dataRow.copy()
+        else {
+          val out = new GenericInternalRow(required.length)
+          var i = 0; var j = 0
+          while (i < required.length) {
+            if (i == keyIdx) out.update(i, partition.key)
+            else { out.update(i, dataRow.get(j, dataFields(j).dataType)); j += 1 }
+            i += 1
+          }
+          out
+        }
+      }
 
   private var current: InternalRow = _
   override def next(): Boolean =
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (openReader != null) { openReader.close(); openReader = null }
 }

@@ -552,6 +552,24 @@ class PlanSpec extends SparkSpec {
         col("tsd") >= col("fd") && col("tsd") <= col("td"))
       assert(!dbl.queryExecution.executedPlan.toString.contains("Generate"),
         "double-typed bounds must not rewrite (bucket math is long division)")
+
+      // span guard: an open-ended sentinel interval fails EXPLICITLY,
+      // naming the conf — not an opaque array-size crash in sequence()
+      val sentinel = Seq((9L, 0L, Long.MaxValue - 1)).toDF("wid", "f", "t")
+      val wide = pts.join(sentinel,
+        col("ts") >= col("f") && col("ts") <= col("t"))
+      val e = intercept[Exception] { wide.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("rangejoin")),
+        s"wide-interval failure must name the conf: ${messages(e).take(2)}")
+
+      // malformed conf: rule goes inert (warn), queries keep working
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "1h")
+      val inert = naive()
+      assert(inert.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "malformed conf must mean inert")
+      assert(inert.count() === want.length.toLong)
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
   }
 }

@@ -299,5 +299,18 @@ class PropertySpec extends SparkSpec {
     val corpusMeanPositive = (1 to 8).sum.toDouble / 8 // weights 1..8 uniform
     assert(meanW > corpusMeanPositive,
       s"winners' mean weight $meanW should exceed corpus mean $corpusMeanPositive")
+    // an id appearing with SEVERAL weights wins at most one slot, at the
+    // max-weight semantics (ticket sets j < w are nested)
+    val dup = Seq((1L, 3), (1L, 5), (2L, 4)).toDF("id", "w")
+    val d = graft.operators.Sampling
+      .weightedBottomK(dup, col("id"), col("w"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(d.length === 2, "duplicate id must occupy one slot")
+    assert(d.find(_._1 == 1L).get._2 === 5L, "max weight competes")
+    val only5 = graft.operators.Sampling
+      .weightedBottomK(Seq((1L, 5), (2L, 4)).toDF("id", "w"),
+        col("id"), col("w"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(d.toSeq === only5.toSeq, "dup weights ≡ the max weight alone")
   }
 }

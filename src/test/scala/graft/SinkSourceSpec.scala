@@ -468,6 +468,14 @@ class SinkSourceSpec extends SparkSpec {
     val parts = scan.planInputPartitions()
     assert(parts.length === 8)
 
+    // a typo'd / URI-prefixed path is an ERROR, never an empty scan
+    val bad = intercept[Exception] {
+      rd(s"$base/nope", lSchema).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(bad).exists(_.contains("not a local directory")), msgs(bad).take(2))
+
     // shard pushdown: equality/IN prune whole dirs at planning time
     val pruned = new graft.sources.v2.KeyedJsonScan(
       lSchema, lSchema, s"$base/l", "shard", keep = Some(Set(3)))

@@ -92,5 +92,23 @@ class TemporalSpec extends SparkSpec {
     } yield (wid, pid)).sorted
     assert(got === want)
     // a duplicate match anywhere would break the === (exactly-once claim)
+
+    // reserved working names are rejected, not silently overwritten
+    val clash = intercept[IllegalArgumentException] {
+      graft.operators.Temporal.rangeJoin(
+        pts.withColumnRenamed("pid", "__ts"), col("ts"),
+        ivs, col("f"), col("t"), bucketWidth = 100L)
+    }
+    assert(clash.getMessage.contains("__ts"))
+
+    // bucketing is exact beyond 2^53 (integer division, not double floor):
+    // a boundary pair up at ~2^60 must still match
+    val bigT = (1L << 60) + 12345L
+    val bigPts = Seq((bigT, "bp")).toDF("ts", "pid")
+    val bigIvs = Seq((1L, bigT, bigT)).toDF("wid", "f", "t")
+    val bigGot = graft.operators.Temporal.rangeJoin(
+        bigPts, col("ts"), bigIvs, col("f"), col("t"), bucketWidth = 7L)
+      .count()
+    assert(bigGot === 1L, "2^60-scale boundary match must survive bucketing")
   }
 }
