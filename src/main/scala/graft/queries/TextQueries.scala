@@ -2306,27 +2306,54 @@ object TextQueries extends QueryPack {
     * bit-ops (hp is the UNSIGNED image of Spark's signed hash, so low-p
     * bits = `hp % 512` and shiftrightunsigned = `hp // 512`), and
     * DuckDB's minimal-width `bin` restates the rho bit-length trick. */
+  /** The q126 whole-corpus register oracle — shared verbatim by q175:
+    * the merge of per-split sketches must equal exactly this. */
+  private def q126OracleSql: String = {
+    import XxhashSqlGen._
+    val base = "base AS (SELECT CAST(((doc_id % 997) + 997) % 997" +
+      " AS HUGEINT) AS v FROM documents)"
+    val (c1, last1) = stages("p", "v", "42::HUGEINT", "base")
+    (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
+    reg AS (SELECT hp % 512 AS j,
+        CASE WHEN hp // 512 = 0 THEN 56
+             ELSE 56 - length(bin(hp // 512)) END AS rho
+      FROM $last1),
+    mx AS (SELECT j, max(rho) AS rho FROM reg GROUP BY j)
+    SELECT CAST(g.j AS INTEGER) AS j,
+      CAST(coalesce(mx.rho, 0) AS INTEGER) AS rho
+    FROM (SELECT unnest(range(0, 512)) AS j) g LEFT JOIN mx ON g.j = mx.j
+    ORDER BY j"""
+  }
+
   private val q126 = Q(
     "q126_hll_registers",
     (s, dir) => Sketches.hllRegisters(
         Tables(s, dir).documents, pmod(col("doc_id"), lit(997L)), p = 9)
       .orderBy(col("j")),
-    Some {
-      import XxhashSqlGen._
-      val base = "base AS (SELECT CAST(((doc_id % 997) + 997) % 997" +
-        " AS HUGEINT) AS v FROM documents)"
-      val (c1, last1) = stages("p", "v", "42::HUGEINT", "base")
-      (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
-      reg AS (SELECT hp % 512 AS j,
-          CASE WHEN hp // 512 = 0 THEN 56
-               ELSE 56 - length(bin(hp // 512)) END AS rho
-        FROM $last1),
-      mx AS (SELECT j, max(rho) AS rho FROM reg GROUP BY j)
-      SELECT CAST(g.j AS INTEGER) AS j,
-        CAST(coalesce(mx.rho, 0) AS INTEGER) AS rho
-      FROM (SELECT unnest(range(0, 512)) AS j) g LEFT JOIN mx ON g.j = mx.j
-      ORDER BY j"""
-    })
+    Some(q126OracleSql))
+
+  /** HLL MERGEABILITY graded (spec-pinned since round 7; now an oracle
+    * row): the corpus is partitioned by doc_id parity, each split
+    * sketched INDEPENDENTLY (two separate hllRegisters passes — the
+    * "sketch each shard where it lives, ship only registers" posture a
+    * 100 TB deployment runs), and the two register tables are merged
+    * relationally (union + re-max per register). The oracle is q126's
+    * WHOLE-CORPUS SQL verbatim — the merge must be bit-equal to
+    * sketching the corpus in one pass, which is exactly the mergeable-
+    * summaries contract (max is associative/commutative over splits). */
+  private val q175 = Q(
+    "q175_hll_merge",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val v = pmod(col("doc_id"), lit(997L))
+      val a = Sketches.hllRegisters(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0), v, p = 9)
+      val b = Sketches.hllRegisters(
+        docs.filter(pmod(col("doc_id"), lit(2L)) =!= 0), v, p = 9)
+      a.union(b).groupBy(col("j")).agg(max(col("rho")).as("rho"))
+        .orderBy(col("j"))
+    },
+    Some(q126OracleSql))
 
   /** Raw HLL estimate off the q126 register table
     * (operators.Sketches.hllEstimateRaw): αₘ·m²/Σ2^−rho, computed as
@@ -3034,5 +3061,5 @@ object TextQueries extends QueryPack {
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
-      q172, q174)
+      q172, q174, q175)
 }
