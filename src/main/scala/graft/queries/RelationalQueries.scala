@@ -1302,6 +1302,93 @@ object RelationalQueries extends QueryPack {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  /** q168's SPJ with the fixture produced by the CONNECTOR'S OWN WRITER
+    * (sources/v2 KeyedJsonWrite) instead of Spark's partitionBy: the
+    * write declares `RequiresDistributionAndOrdering(clustered(shard))`,
+    * so Spark shuffles ONCE at ingest and every shard directory is
+    * written whole under the temp-dir/driver-commit protocol; the read
+    * side then reports the layout via KeyGroupedPartitioning and the
+    * fact ⋈ dim join runs with ZERO Exchange. This is the lakehouse
+    * amortization graded end to end IN ONE CONNECTOR: the ingest
+    * exchange is the last shuffle these tables' join keys ever see.
+    * Same confs/oracle as q168. */
+  private val keyedWrittenDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def keyedWrittenPair(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    def build(): (String, String) = {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q176-keyed").toString
+      val t = Tables(s, dir)
+      val shards = graft.sources.Bucketing.derivedBuckets(
+        t.lineitem, clusterCores = s.sparkContext.defaultParallelism).toLong
+      t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+          pmod(xxhash64(col("l_orderkey")), lit(shards)).cast("int").as("shard"))
+        .write.format("graft-keyed").option("keycol", "shard")
+        .mode("append").save(s"$base/fact")
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+          pmod(xxhash64(col("o_orderkey")), lit(shards)).cast("int").as("shard"))
+        .write.format("graft-keyed").option("keycol", "shard")
+        .mode("append").save(s"$base/dim")
+      (s"$base/fact", s"$base/dim")
+    }
+    val (f, d) = keyedWrittenDirs.getOrElseUpdate(dir, build())
+    if (new java.io.File(f).isDirectory && new java.io.File(d).isDirectory)
+      (f, d)
+    else { keyedWrittenDirs.remove(dir); keyedWrittenDirs.getOrElseUpdate(dir, build()) }
+  }
+
+  private val q176 = Q(
+    "q176_keyed_write_spj",
+    (s, dir) => {
+      val (factDir, dimDir) = keyedWrittenPair(s, dir)
+      // the writer's commit protocol must leave no temp residue
+      for (d <- Seq(factDir, dimDir))
+        require(!new java.io.File(d).listFiles().exists(_.getName.startsWith("_tmp")),
+          s"uncommitted write residue under $d")
+      val keys = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.requireAllClusterKeysForCoPartition",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val old = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "false")
+        s.conf.set(keys(2), "-1")
+        val factSchema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_extendedprice", DoubleType),
+          StructField("shard", IntegerType)))
+        val dimSchema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderpriority", StringType),
+          StructField("shard", IntegerType)))
+        val fact = s.read.format("graft-keyed").schema(factSchema)
+          .option("keycol", "shard").load(factDir)
+        val dim = s.read.format("graft-keyed").schema(dimSchema)
+          .option("keycol", "shard").load(dimDir)
+        val j = fact.join(dim,
+          fact("shard") === dim("shard")
+            && col("l_orderkey") === col("o_orderkey"))
+        val p = j.queryExecution.executedPlan.toString
+        require(!p.contains("Exchange"),
+          s"writer-produced layout must SPJ shuffle-free:\n${p.take(1200)}")
+        j.groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some("""SELECT o_orderpriority,
+        round(sum(l_extendedprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority"""))
+
   /** GK approximate quantiles over the largest table's price column —
     * q29's exact-percentile surface at the 100 TB operating point: one
     * pass of mergeable summaries instead of per-group value buffering.
@@ -1442,5 +1529,5 @@ object RelationalQueries extends QueryPack {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
-    q160, q163, q164, q165, q166, q168)
+    q160, q163, q164, q165, q166, q168, q176)
 }

@@ -4,12 +4,14 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JacksonGenerator, JSONOptions, JacksonParser}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,13 +67,142 @@ class KeyedJsonSource extends TableProvider with DataSourceRegister {
 }
 
 class KeyedJsonTable(userSchema: StructType, path: String, keyCol: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-keyed:$path"
   override def schema(): StructType = userSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedJsonScanBuilder(userSchema, path, keyCol)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fieldNames.contains(keyCol),
+      s"graft-keyed write: input must carry key column '$keyCol'")
+    require(s(keyCol).dataType == IntegerType,
+      s"graft-keyed write: key column '$keyCol' must be INT")
+    new WriteBuilder {
+      override def build(): Write = new KeyedJsonWrite(s, path, keyCol)
+    }
+  }
+}
+
+/** The write side of the connector — the layout contract ENFORCED at
+  * write time, which is what makes the read side's reported partitioning
+  * trustworthy:
+  *
+  *  - `RequiresDistributionAndOrdering` demands clustering by the key
+  *    column, so Spark shuffles ONCE at write and every shard directory
+  *    is produced whole — the write pays the exchange the SPJ reads then
+  *    never pay again (the lakehouse amortization, end to end in one
+  *    connector);
+  *  - a temp-dir + driver-commit protocol: each task attempt writes
+  *    under `_tmp-<writeUUID>/attempt-<partition>-<task>/`, commit moves
+  *    ONLY committed attempts' files into `key=<v>/` (file names carry
+  *    (partitionId, taskId), so speculative/retried attempts can never
+  *    collide), abort deletes the attempt dirs — a failed or speculative
+  *    task leaves NOTHING visible;
+  *  - the key column is stripped from the JSON body (JacksonGenerator
+  *    over the non-key fields), symmetric with the read side's
+  *    inject-from-dir-name.
+  */
+class KeyedJsonWrite(schema: StructType, path: String, keyCol: String)
+    extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity(keyCol)))
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  override def toBatch: BatchWrite = new KeyedJsonBatchWrite(schema, path, keyCol)
+}
+
+case class KeyedFileCommit(files: Seq[(Int, String)]) extends WriterCommitMessage
+
+class KeyedJsonBatchWrite(schema: StructType, path: String, keyCol: String)
+    extends BatchWrite {
+  private val tmpRoot =
+    s"$path/_tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KeyedJsonWriterFactory(schema, keyCol, tmpRoot)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    messages.foreach {
+      case KeyedFileCommit(files) => files.foreach { case (key, tmp) =>
+        val src = java.nio.file.Paths.get(tmp)
+        val destDir = root.resolve(s"$keyCol=$key")
+        java.nio.file.Files.createDirectories(destDir)
+        java.nio.file.Files.move(src, destDir.resolve(src.getFileName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      case other => throw new IllegalStateException(s"unexpected commit $other")
+    }
+    deleteTmp()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteTmp()
+
+  private def deleteTmp(): Unit = {
+    val p = java.nio.file.Paths.get(tmpRoot)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
+
+class KeyedJsonWriterFactory(schema: StructType, keyCol: String, tmpRoot: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KeyedJsonDataWriter(schema, keyCol, tmpRoot, partitionId, taskId)
+}
+
+class KeyedJsonDataWriter(
+    schema: StructType, keyCol: String, tmpRoot: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val keyIdx = schema.fieldIndex(keyCol)
+  private val dataFields = schema.fields.zipWithIndex.filter(_._1.name != keyCol)
+  private val dataSchema = StructType(dataFields.map(_._1))
+  private val stripKey = UnsafeProjection.create(
+    dataFields.map { case (f, i) => BoundReference(i, f.dataType, f.nullable) })
+  private val attemptDir = java.nio.file.Paths.get(
+    s"$tmpRoot/attempt-$partitionId-$taskId")
+  // clustered distribution usually routes ONE key here, but several
+  // groups may share a partition — one open generator per key
+  private val open = scala.collection.mutable.Map.empty[
+    Int, (JacksonGenerator, java.io.Writer, java.nio.file.Path)]
+
+  override def write(row: InternalRow): Unit = {
+    val key = row.getInt(keyIdx)
+    val (gen, _, _) = open.getOrElseUpdate(key, {
+      val f = attemptDir.resolve(s"$keyCol=$key")
+        .resolve(s"part-$partitionId-$taskId.json")
+      java.nio.file.Files.createDirectories(f.getParent)
+      val w = java.nio.file.Files.newBufferedWriter(f)
+      (new JacksonGenerator(dataSchema, w,
+        new JSONOptions(Map.empty[String, String], "UTC", "")), w, f)
+    })
+    gen.write(stripKey(row))
+    gen.writeLineEnding()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach { case (g, w, _) => g.flush(); g.close(); w.close() }
+    KeyedFileCommit(open.toSeq.map { case (k, (_, _, f)) => (k, f.toString) })
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { case (g, w, _) =>
+      try { g.close(); w.close() } catch { case _: Exception => }
+    }
+    if (java.nio.file.Files.exists(attemptDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(attemptDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  override def close(): Unit = ()
 }
 
 object KeyedJson {

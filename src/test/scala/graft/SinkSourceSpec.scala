@@ -439,6 +439,62 @@ class SinkSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("DSv2 keyed WRITE: clustered shuffle, commit protocol, SPJ round-trip") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keyed-write").toString
+    val df = (0L until 500L).map(k => (k, k * 3.0)).toDF("k", "v")
+      .withColumn("shard", pmod(xxhash64(col("k")), lit(8L)).cast("int"))
+    df.write.format("graft-keyed").option("keycol", "shard")
+      .mode("append").save(s"$base/t")
+    // layout: shard dirs only — no _tmp residue, no stray files
+    val entries = new java.io.File(s"$base/t").listFiles().map(_.getName).sorted
+    assert(entries.length === 8 && entries.forall(_.startsWith("shard=")), entries.toSeq)
+    // round-trip through the read side (key injected from dir names)
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType), StructField("shard", IntegerType)))
+    val back = spark.read.format("graft-keyed").schema(sch)
+      .option("keycol", "shard").load(s"$base/t")
+    assert(back.count() === 500L)
+    assert(back.orderBy("k").collect().toSeq ===
+      df.orderBy("k").collect().toSeq, "write→read round-trip must be exact")
+    // the write plan carries the connector-REQUESTED clustering by shard
+    // (RequiresDistributionAndOrdering): each shard dir written whole by
+    // one task ⇒ exactly one part file per dir
+    for (d <- new java.io.File(s"$base/t").listFiles())
+      assert(d.listFiles().length === 1,
+        s"${d.getName}: clustered write must produce one file per shard")
+    // SPJ over two layouts produced by the WRITER: zero Exchange
+    val dim = (0L until 500L by 5).map(k => (k, s"g${k % 3}")).toDF("k2", "g")
+      .withColumn("shard", pmod(xxhash64(col("k2")), lit(8L)).cast("int"))
+    dim.write.format("graft-keyed").option("keycol", "shard")
+      .mode("append").save(s"$base/d")
+    val dsch = StructType(Seq(StructField("k2", LongType),
+      StructField("g", StringType), StructField("shard", IntegerType)))
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "false")
+      spark.conf.set(keys(2), "-1")
+      val l = spark.read.format("graft-keyed").schema(sch)
+        .option("keycol", "shard").load(s"$base/t")
+      val r = spark.read.format("graft-keyed").schema(dsch)
+        .option("keycol", "shard").load(s"$base/d")
+      val j = l.join(r, l("shard") === r("shard") && col("k") === col("k2"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"writer-produced layout must SPJ shuffle-free:\n${p.take(800)}")
+      assert(j.count() === 100L)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("DSv2 keyed source: shard injection from dir names, SPJ on/off control") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
