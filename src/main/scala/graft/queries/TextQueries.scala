@@ -2485,6 +2485,43 @@ object TextQueries extends QueryPack {
       FROM pri ORDER BY priority, doc_id LIMIT 100"""
     })
 
+  /** KMV MERGEABILITY graded (q175's device for the round's new
+    * sketch): the corpus is split by doc_id parity, each split sketched
+    * independently (one aggregation pass, null-gated — both summaries
+    * from one scan), and the two ≤k arrays merged relationally (k
+    * smallest of the sorted union). The oracle is the WHOLE-CORPUS k-min
+    * set (DISTINCT h ORDER BY h LIMIT k over the XXH64 chain): every
+    * global minimum lives in one split and within that split's k
+    * smallest, so the merge must be bit-equal to one-pass sketching —
+    * the property that lets shard-local sketches answer corpus-wide
+    * overlap questions. Output exploded to (rank, h) scalars. */
+  private val q177 = Q(
+    "q177_kmv_merge",
+    (s, dir) => {
+      val h = xxhash64(col("doc_id"))
+      val even = pmod(col("doc_id"), lit(2L)) === 0
+      Tables(s, dir).documents
+        .agg(
+          graft.plans.Kmv.kmvMinima(when(even, h), 128).as("a"),
+          graft.plans.Kmv.kmvMinima(when(!even, h), 128).as("b"))
+        .select(posexplode(
+          slice(array_sort(array_union(col("a"), col("b"))), 1, 128)))
+        .select((col("pos") + 1).cast("int").as("rank"), col("col").as("h"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      import XxhashSqlGen._
+      val base = "base AS (SELECT CASE WHEN doc_id < 0 THEN doc_id + " +
+        s"$big ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents)"
+      val (c1, last1) = stages("q", "v", "42::HUGEINT", "base")
+      (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
+      hh AS (SELECT DISTINCT CASE WHEN hq >= 9223372036854775808::HUGEINT
+          THEN hq - $big ELSE hq END AS h FROM $last1),
+      r AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM hh)
+      SELECT CAST(rank AS INTEGER) AS rank, CAST(h AS BIGINT) AS h
+      FROM r WHERE rank <= 128 ORDER BY rank"""
+    })
+
   /** The q125 curation gate + decontamination stage as a STRUCTURED
     * STREAM (streaming.DocumentStreams.curationGateToParquet): the train
     * split arrives as file-source micro-batches under
@@ -3061,5 +3098,5 @@ object TextQueries extends QueryPack {
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
-      q172, q174, q175)
+      q172, q174, q175, q177)
 }
