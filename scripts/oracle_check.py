@@ -44,10 +44,12 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     # optional filters for long sf0.1 sweeps: --only a,b / --skip a,b
     only = skip = None
+    fresh_conn = False
     args = sys.argv[3:]
     while args:
         if args[0] == "--only": only = set(args[1].split(",")); args = args[2:]
         elif args[0] == "--skip": skip = set(args[1].split(",")); args = args[2:]
+        elif args[0] == "--fresh-conn": fresh_conn = True; args = args[1:]
         else: raise SystemExit(f"unknown arg {args[0]}")
     con = duckdb.connect()
     # sf0.1 sweeps: a few generated-SQL oracles (PQ k-means unrolls, span
@@ -57,14 +59,17 @@ def main():
     # Defaults (unset) preserve the driver's sf0.01 behavior exactly.
     def esc(v):  # SQL string literal: double embedded single quotes
         return v.replace("'", "''")
-    if os.environ.get("ORACLE_TEMP_DIR"):
-        con.execute(f"SET temp_directory='{esc(os.environ['ORACLE_TEMP_DIR'])}'")
-    if os.environ.get("ORACLE_MEMORY_LIMIT"):
-        con.execute(f"SET memory_limit='{esc(os.environ['ORACLE_MEMORY_LIMIT'])}'")
-    if os.environ.get("ORACLE_THREADS"):
-        con.execute(f"SET threads={int(os.environ['ORACLE_THREADS'])}")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def configure(c):
+        if os.environ.get("ORACLE_TEMP_DIR"):
+            c.execute(f"SET temp_directory='{esc(os.environ['ORACLE_TEMP_DIR'])}'")
+        if os.environ.get("ORACLE_MEMORY_LIMIT"):
+            c.execute(f"SET memory_limit='{esc(os.environ['ORACLE_MEMORY_LIMIT'])}'")
+        if os.environ.get("ORACLE_THREADS"):
+            c.execute(f"SET threads={int(os.environ['ORACLE_THREADS'])}")
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+    configure(con)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d))
@@ -91,7 +96,17 @@ def main():
             print(f"{status} {name}: {len(got)} rows"); n_rowsonly += 1
             continue
         try:
-            want = con.execute(oracle[name]).fetchdf()
+            # --fresh-conn: one connection per oracle. A single long-lived
+            # connection accumulates buffer-pool fragmentation across a
+            # multi-hour sf0.1 sweep (after the q77 45-min signature
+            # re-derivation, unrelated small oracles start failing with
+            # tiny-block "bad allocation" OOMs; each passes alone). The
+            # driver's sf0.01 gate never runs long enough to hit this —
+            # the flag is for local full-scale sweeps.
+            qcon = configure(duckdb.connect()) if fresh_conn else con
+            want = qcon.execute(oracle[name]).fetchdf()
+            if fresh_conn:
+                qcon.close()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         # dtype parity warning: the driver may hash typed values, so an
