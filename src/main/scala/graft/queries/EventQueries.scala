@@ -466,6 +466,44 @@ object EventQueries extends QueryPack {
       SELECT event_type, item, est_count FROM r WHERE rn <= 10
       ORDER BY event_type, est_count DESC, item"""))
 
+  /** The SQL-surface SKETCH AGGREGATE graded as a registered query
+    * (q174's device for aggregates): the whole query is one
+    * `spark.sql(...)` text — `kmv_minima` resolved from SQL through
+    * GraftExtensions, grouped, the summary array exploded to scalar
+    * (rank, h) rows in SQL via posexplode. The per-group k-min sets are
+    * the same order-independent objects q169 grades, so the oracle is
+    * the q169 per-group DISTINCT/row_number re-derivation over the
+    * XXH64 chain; at sf0.001 each group holds fewer than k distinct
+    * users, so the under-k (complete-set) regime is oracle-covered too. */
+  private val q178 = Q(
+    "q178_kmv_sql_grouped",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("graft_events_q178")
+      s.sql("""
+        WITH sk AS (SELECT event_type, kmv_minima(xxhash64(user_id), 32) AS m
+                    FROM graft_events_q178
+                    WHERE user_id IS NOT NULL GROUP BY event_type),
+             ex AS (SELECT event_type, posexplode(m) AS (pos, h) FROM sk)
+        SELECT event_type, CAST(pos + 1 AS INT) AS rank, h
+        FROM ex ORDER BY event_type, rank""")
+    },
+    Some {
+      import TextQueries.XxhashSqlGen._
+      val base = "base AS (SELECT event_type, CASE WHEN user_id < 0" +
+        s" THEN user_id + $big ELSE CAST(user_id AS HUGEINT) END AS v" +
+        " FROM events WHERE user_id IS NOT NULL)"
+      val (c1, last1) = stages("q", "v", "42::HUGEINT", "base")
+      (Seq(base) ++ c1).mkString("WITH ", ",\n", ",\n") + s"""
+      hh AS (SELECT DISTINCT event_type,
+          CASE WHEN hq >= 9223372036854775808::HUGEINT
+               THEN hq - $big ELSE hq END AS h FROM $last1),
+      r AS (SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+        FROM hh)
+      SELECT event_type, CAST(rank AS INTEGER) AS rank, CAST(h AS BIGINT) AS h
+      FROM r WHERE rank <= 32 ORDER BY event_type, rank"""
+    })
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134, q155, q169, q170, q171, q173)
+    q134, q155, q169, q170, q171, q173, q178)
 }
