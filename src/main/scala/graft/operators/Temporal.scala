@@ -50,8 +50,10 @@ object Temporal {
   def rangeJoin(
       left: DataFrame, leftTs: Column,
       right: DataFrame, from: Column, to: Column,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 65536L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val reserved = Set("__ts", "__lb", "__from", "__to", "__rb")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"range join requires disjoint columns: $overlap")
@@ -64,10 +66,29 @@ object Temporal {
           bucketWidth)))
     val lb = left.withColumn("__ts", leftTs.cast("long"))
       .withColumn("__lb", bucketOf(col("__ts")))
+    // span guard (the optimizer twin's maxbuckets cap): one open-ended
+    // sentinel interval (to = Long.MaxValue) would make sequence()
+    // attempt a ~2^50-element array and kill the task with an opaque
+    // allocation error — fail EXPLICITLY, naming the parameter, instead.
+    // Null-safe even though it runs after the from<=to filter: Catalyst
+    // combines consecutive filters into one And, and And evaluates the
+    // right leg when the left is NULL (null bounds) — a NULL span must
+    // answer true (the And's NULL left then drops the row), never raise.
+    val span = bucketOf(col("__to")) - bucketOf(col("__from"))
+    val spanOk = when(
+      span.isNull || span <= lit(maxBucketsPerInterval), lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"Temporal.rangeJoin: an interval spans more than " +
+          s"$maxBucketsPerInterval buckets of width $bucketWidth " +
+          "(maxBucketsPerInterval) — raise bucketWidth or " +
+          "maxBucketsPerInterval, or exclude open-ended sentinel " +
+          "intervals; offending [from,to]=["),
+        col("__from"), lit(","), col("__to"), lit("]"))))
     val rb = right
       .withColumn("__from", from.cast("long"))
       .withColumn("__to", to.cast("long"))
       .filter(col("__from") <= col("__to"))
+      .filter(spanOk)
       .withColumn("__rb",
         explode(sequence(bucketOf(col("__from")), bucketOf(col("__to")))))
     lb.join(rb, col("__lb") === col("__rb")

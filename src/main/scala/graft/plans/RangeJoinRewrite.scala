@@ -158,8 +158,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
               // ReplaceExpressions has already run by the time this rule
               // fires, so the unreplaced form cannot codegen
               val span = Subtract(bucket(hi), bucket(lo))
+              // null-safe: a NULL bound makes span NULL, and If's NULL
+              // predicate would take the RaiseError branch — but the
+              // original join silently DROPS null-bound rows (condition
+              // evaluates NULL), so the rewrite must too, not crash
               val spanGuard = IsNull(If(
-                LessThanOrEqual(span, Literal(maxBuckets)),
+                Or(IsNull(span), LessThanOrEqual(span, Literal(maxBuckets))),
                 Literal(null),
                 new RaiseError(Literal.create(
                   s"range-join rewrite: an interval spans more than " +
@@ -167,9 +171,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
                     s"$WidthConf or $MaxBucketsConf, or exclude " +
                     "open-ended sentinel intervals",
                   org.apache.spark.sql.types.StringType))))
-              val guarded = Filter(And(
-                LessThanOrEqual(Cast(lo, LongType), Cast(hi, LongType)),
-                spanGuard), interval)
+              // IsNotNull leads the conjunction so And short-circuits to
+              // FALSE on a null bound before the guard ever evaluates
+              // (And skips the right leg only when the left is false —
+              // a NULL lo<=hi alone would not stop the guard)
+              val guarded = Filter(
+                And(IsNotNull(Cast(lo, LongType)),
+                  And(IsNotNull(Cast(hi, LongType)),
+                    And(
+                      LessThanOrEqual(Cast(lo, LongType), Cast(hi, LongType)),
+                      spanGuard))), interval)
               val rbAttr =
                 AttributeReference("__graft_range_rb", LongType, nullable = false)()
               // Sequence is TimeZoneAwareExpression: without an explicit

@@ -223,11 +223,23 @@ object KeyedJson {
     Option(dir.listFiles()).getOrElse(Array.empty).toSeq
       .flatMap(d => d.getName match {
         case re(v) if d.isDirectory =>
+          // parse as Long first: a stray `key=99999999999` directory is a
+          // LAYOUT error to surface by name, not a NumberFormatException
+          // that fails the scan opaquely (the regex already guarantees
+          // digits, so only the range can go wrong)
+          val asLong = scala.util.Try(v.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-keyed: shard directory '${d.getName}' under '$path' " +
+                s"has a key outside Long range"))
+          require(asLong >= Int.MinValue && asLong <= Int.MaxValue,
+            s"graft-keyed: shard directory '${d.getName}' under '$path' " +
+              s"has a key outside Int range (the shard key column is " +
+              "32-bit); fix the directory layout")
           val files = Option(d.listFiles()).getOrElse(Array.empty).toSeq
             .filter(f => f.isFile && !f.getName.startsWith("_")
               && !f.getName.startsWith("."))
             .map(_.getAbsolutePath).sorted
-          if (files.nonEmpty) Some(v.toInt -> files) else None
+          if (files.nonEmpty) Some(asLong.toInt -> files) else None
         case _ => None
       }).sortBy(_._1)
   }

@@ -564,6 +564,24 @@ class PlanSpec extends SparkSpec {
       assert(messages(e).exists(_.contains("rangejoin")),
         s"wide-interval failure must name the conf: ${messages(e).take(2)}")
 
+      // NULL bounds: the original join silently drops such rows (its
+      // condition evaluates NULL) — the rewrite must match, not raise
+      // the span guard (span is NULL, and And does not short-circuit a
+      // NULL left leg)
+      val withNulls = Seq(
+        (1L, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(120L)),
+        (7L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(50L)),
+        (8L, java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long]))
+        .toDF("wid", "f", "t")
+      val nj = pts.join(withNulls,
+        col("ts") >= col("f") && col("ts") <= col("t"))
+      assert(!nj.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        "null-bounds case must still rewrite")
+      val gotNull = nj.select(col("wid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(gotNull === want.filter(_._1 == 1L),
+        "NULL-bound intervals must be dropped exactly like the original join")
+
       // malformed conf: rule goes inert (warn), queries keep working
       spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "1h")
       val inert = naive()

@@ -532,6 +532,22 @@ class SinkSourceSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(bad).exists(_.contains("not a local directory")), msgs(bad).take(2))
 
+    // a stray shard dir whose numeric suffix exceeds Int range is a NAMED
+    // layout error (the key column is 32-bit), not a NumberFormatException
+    val strayBase = java.nio.file.Files
+      .createTempDirectory("graft-keyed-stray").toString
+    val stray = new java.io.File(s"$strayBase/shard=99999999999")
+    assert(stray.mkdirs())
+    java.nio.file.Files.write(
+      stray.toPath.resolve("part-0.json"),
+      """{"k":1,"v":2.0}""".getBytes("UTF-8"))
+    val strayErr = intercept[Exception] {
+      graft.sources.v2.KeyedJson.listShards(strayBase, "shard")
+    }
+    assert(msgs(strayErr).exists(m =>
+      m.contains("graft-keyed") && m.contains("outside Int range")),
+      msgs(strayErr).take(2))
+
     // shard pushdown: equality/IN prune whole dirs at planning time
     val pruned = new graft.sources.v2.KeyedJsonScan(
       lSchema, lSchema, s"$base/l", "shard", keep = Some(Set(3)))

@@ -110,5 +110,40 @@ class TemporalSpec extends SparkSpec {
         bigPts, col("ts"), bigIvs, col("f"), col("t"), bucketWidth = 7L)
       .count()
     assert(bigGot === 1L, "2^60-scale boundary match must survive bucketing")
+
+    // span guard: an open-ended sentinel interval fails EXPLICITLY,
+    // naming the parameter — not an opaque ~2^50-element array
+    // allocation inside sequence()
+    val sentinel = Seq((9L, 0L, Long.MaxValue - 1)).toDF("wid", "f", "t")
+    val wide = intercept[Exception] {
+      graft.operators.Temporal.rangeJoin(
+        pts, col("ts"), sentinel, col("f"), col("t"), bucketWidth = 100L)
+        .count()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(wide).exists(_.contains("maxBucketsPerInterval")),
+      s"wide-interval failure must name the parameter: ${msgs(wide).take(2)}")
+
+    // ...and a wide interval passes when the caller raises the cap
+    val wideOk = graft.operators.Temporal.rangeJoin(
+      pts, col("ts"), Seq((9L, 0L, 40_000_000L)).toDF("wid", "f", "t"),
+      col("f"), col("t"), bucketWidth = 100L,
+      maxBucketsPerInterval = 1_000_000L).count()
+    assert(wideOk === 500L)
+
+    // NULL bounds behave like the plain join (row silently dropped, no
+    // raise) — even though Catalyst collapses the from<=to filter and
+    // the guard into one And that evaluates the guard on a NULL left leg
+    val nulls = Seq(
+      (1L, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(100L)),
+      (7L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(50L)),
+      (8L, java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long]))
+      .toDF("wid", "f", "t")
+    val gotNulls = graft.operators.Temporal.rangeJoin(
+        pts, col("ts"), nulls, col("f"), col("t"), bucketWidth = 100L)
+      .select(col("wid")).distinct().collect().map(_.getLong(0)).toSet
+    assert(gotNulls === Set(1L),
+      "NULL-bound intervals must drop exactly like the plain join")
   }
 }
