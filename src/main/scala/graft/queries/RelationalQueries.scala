@@ -1525,9 +1525,163 @@ object RelationalQueries extends QueryPack {
       }.mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY \"column\"")
     })
 
+  /** Multi-level aggregation via ROLLUP (§2.9 analytic surface): one pass
+    * produces (year, priority), (year), and grand-total rows — on a
+    * cluster this is ONE shuffle with partial aggregation per grouping
+    * level (Catalyst's Expand feeds a single hash aggregate), not three
+    * separate scans+shuffles of a 100 TB fact table. `grouping()` flags
+    * disambiguate a real NULL group from a subtotal row; NULL group keys
+    * are additionally rendered as 'ALL' so the row set is total-orderable
+    * on both engines. */
+  private val q179 = Q(
+    "q179_rollup_agg",
+    (s, dir) => Tables(s, dir).orders
+      .select(year(col("o_orderdate")).as("yr_raw"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .rollup(col("yr_raw"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("yr_raw")).cast("int").as("g_yr"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"))
+      .select(
+        coalesce(col("yr_raw").cast("string"), lit("ALL")).as("yr"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_yr"), col("g_pri"), col("revenue"), col("n_orders"))
+      .orderBy(col("yr"), col("priority")),
+    Some("""SELECT coalesce(CAST(yr_raw AS VARCHAR), 'ALL') AS yr,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        CAST(GROUPING(yr_raw) AS INTEGER) AS g_yr,
+        CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+        round(sum(o_totalprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_orders
+      FROM (SELECT year(o_orderdate) AS yr_raw, o_orderpriority,
+              o_totalprice FROM orders)
+      GROUP BY ROLLUP (yr_raw, o_orderpriority)
+      ORDER BY yr, priority"""))
+
+  /** GROUPING SETS with disjoint sets — the general form ROLLUP/CUBE
+    * specialize: per-type totals, per-hour totals, and the grand total
+    * in ONE shuffle (Expand replicates each input row once per set, so
+    * the cost is #sets × scan, never #sets × shuffle). The hour axis and
+    * type axis never co-occur, which neither rollup nor cube can
+    * express. */
+  private val q180 = Q(
+    "q180_grouping_sets",
+    (s, dir) => Tables(s, dir).events
+      .select(col("event_type"), hour(col("ts")).as("hr_raw"), col("value"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("hr_raw")), Seq()),
+        col("event_type"), col("hr_raw"))
+      .agg(round(sum(col("value")), 4).as("total_value"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("hr_raw").cast("string"), lit("ALL")).as("hr"),
+        col("total_value"), col("n"))
+      .orderBy(col("etype"), col("hr")),
+    Some("""SELECT coalesce(event_type, 'ALL') AS etype,
+        coalesce(CAST(hr_raw AS VARCHAR), 'ALL') AS hr,
+        round(sum(value), 4) AS total_value,
+        CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT event_type, hour(ts) AS hr_raw, value FROM events)
+      GROUP BY GROUPING SETS ((event_type), (hr_raw), ())
+      ORDER BY etype, hr"""))
+
+  /** PIVOT: long→wide reshape with an EXPLICIT value list — the form
+    * that scales. Spark's values-less pivot runs a driver-side distinct
+    * first (a full extra job over the fact table at 100 TB); pinning the
+    * five priorities makes the reshape a single map-side conditional
+    * aggregation fused into the group-by shuffle. Oracle = the
+    * equivalent conditional aggregation (the portable expansion of
+    * PIVOT). */
+  private val q181 = Q(
+    "q181_pivot_priority",
+    (s, dir) => Tables(s, dir).orders
+      .select(
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("month"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .groupBy(col("month"))
+      .pivot(col("o_orderpriority"),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("month")),
+    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+        round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+        round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+        round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+        round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+      FROM orders GROUP BY 1 ORDER BY month"""))
+
+  /** UNPIVOT (melt): wide→long reshape of per-flag aggregates into
+    * (flag, measure, value) rows. Unpivot is a zero-shuffle map-side
+    * Expand — each input row emits one row per measure — so at scale it
+    * rides whatever partitioning the input already has; only the
+    * upstream aggregate shuffles. Oracle = the UNION ALL expansion. */
+  private val q182 = Q(
+    "q182_unpivot_measures",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure")),
+    Some("""WITH w AS (SELECT l_returnflag,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_price,
+        round(avg(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'avg_disc' AS measure, avg_disc AS value FROM w
+      ORDER BY l_returnflag, measure"""))
+
+  /** Triangle participation counts over the co-purchase graph (parts
+    * sharing an order). Triangle counting is the standard graph-quality
+    * probe next to CC-dedup ([[graft.operators.Dedup]]) and PageRank
+    * ([[graft.operators.Graph]]): clustering structure of a similarity
+    * graph. Edges derive from a self-join bounded per order (orders have
+    * ~4 lines, so the edge fan-out is constant); enumeration uses
+    * degree-ordered orientation — each edge points low→high (degree, id)
+    * — which bounds every node's out-degree by O(sqrt(|E|)) and keeps the
+    * wedge join from exploding on skewed hubs at 100 TB, where naive
+    * id-ordering dies on one high-degree low-id node. Per-node counts are
+    * orientation-invariant, so the oracle enumerates id-ordered. */
+  private val q184 = Q(
+    "q184_triangle_counts",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.operators.Graph.triangleCounts(edges, "u", "v")
+        .orderBy(col("node"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT unnest([a, b, c]) AS node FROM t)
+      GROUP BY node ORDER BY node"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
-    q160, q163, q164, q165, q166, q168, q176)
+    q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
+    q184)
 }

@@ -64,4 +64,42 @@ class GraphSpec extends SparkSpec {
     val b = ranks(edges)
     assert(a === b)
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts: known graph, vs brute force, canonical gate") {
+    // K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(triangles(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    // a path has no triangles → empty result (nodes in 0 triangles absent)
+    assert(triangles(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)) === Map.empty)
+
+    // skewed hub + brute-force cross-check: star core {1..30}→hub 99 plus
+    // a few chords closing triangles through and beside the hub
+    val star = (1L to 30L).map(i => (i, 99L))
+    val chords = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, (5L, 6L), (10L, 11L))
+    val es = star ++ chords
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val brute = (for {
+      a <- nodes; b <- adj(a) if b > a; c <- adj(b) if c > b
+      if adj(a)(c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(triangles(es) === brute)
+
+    // non-canonical edges (src >= dst) are rejected, not double-counted
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Graph.triangleCounts(
+        Seq((2L, 1L), (1L, 3L)).toDF("u", "v"), "u", "v").collect()
+    }
+    assert(e.getMessage.contains("canonical"))
+  }
 }
