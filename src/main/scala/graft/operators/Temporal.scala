@@ -133,4 +133,68 @@ object Temporal {
       payloadFields.map(f => col(s"__match.$f").as(s"$f$suffix"))
     matched.select(outCols: _*)
   }
+
+  /** Resample-to-grid + linear interpolation: per key, aggregate values
+    * onto a regular time grid (`truncUnit` buckets), then fill interior
+    * gaps by linear interpolation between the nearest observed neighbors.
+    * The time-series normalizer every metrics/feature pipeline needs
+    * before windowed models — Spark has no built-in for it.
+    *
+    * Scale shape: one aggregation shuffle onto (key, bucket); the grid is
+    * generated per key from its own [min, max] span (sequence + explode —
+    * grid size is span/step per key, never global); the fill is two
+    * running windows over (key, bucket) — the same partitioning the
+    * aggregate already produced, and AQE sees the narrow post-agg frame.
+    * No driver-side state, no per-key collects. Skew = hottest key's span
+    * / step, a deployment knob via `step`.
+    *
+    * Determinism: bucket means round to 4dp BEFORE interpolation and the
+    * interpolated value rounds to 4dp after, so a re-derivation from the
+    * same buckets is bit-stable; time arithmetic is exact (integral
+    * epoch seconds in doubles « 2^53).
+    *
+    * Output: (key, bucket_ts, v_filled, interpolated) — every grid slot
+    * in the key's observed span. Grid edges are always observed (the
+    * span's endpoints are observations), so every gap has both
+    * neighbors. */
+  def gapFillInterpolate(
+      df: DataFrame, key: Column, ts: Column, value: Column,
+      truncUnit: String = "hour",
+      step: Column = expr("interval 1 hour")): DataFrame = {
+    val agg = df
+      .groupBy(key.as("__key"), date_trunc(truncUnit, ts).as("__h"))
+      .agg(round(avg(value), 4).as("__v"))
+    val grid = agg
+      .groupBy(col("__key"))
+      .agg(min(col("__h")).as("__mn"), max(col("__h")).as("__mx"))
+      .select(col("__key"),
+        explode(sequence(col("__mn"), col("__mx"), step)).as("__h"))
+    val j = grid.join(agg, Seq("__key", "__h"), "left")
+    val wPrev = Window.partitionBy(col("__key")).orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("__key")).orderBy(col("__h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("__v").isNotNull, col("__h"))
+    val pv = last(col("__v"), ignoreNulls = true).over(wPrev)
+    val ph = last(obsH, ignoreNulls = true).over(wPrev)
+    val nv = first(col("__v"), ignoreNulls = true).over(wNext)
+    val nh = first(obsH, ignoreNulls = true).over(wNext)
+    // exact integral epochs in doubles; ph < h < nh inside a gap so the
+    // denominator is never zero where the branch is taken
+    val frac = (unix_timestamp(col("__h")) - unix_timestamp(ph))
+      .cast("double") /
+      (unix_timestamp(nh) - unix_timestamp(ph)).cast("double")
+    // floor-snap, not round(): the interpolated double can land exactly
+    // on a 4dp half-boundary, where Spark's round (shortest-decimal-repr
+    // BigDecimal) and numeric-rounding engines disagree by one final
+    // digit — plain IEEE floor(x·10⁴+0.5)/10⁴ is the same bits in any
+    // engine (see graft.operators.Graph's snap note)
+    val interp = floor((pv + (nv - pv) * frac) * lit(1e4) + lit(0.5)) / lit(1e4)
+    j.select(
+      col("__key").as("key"),
+      col("__h").as("bucket_ts"),
+      when(col("__v").isNotNull, col("__v"))
+        .otherwise(interp).as("v_filled"),
+      col("__v").isNull.as("interpolated"))
+  }
 }

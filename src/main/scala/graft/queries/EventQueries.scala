@@ -504,6 +504,52 @@ object EventQueries extends QueryPack {
       FROM r WHERE rank <= 32 ORDER BY event_type, rank"""
     })
 
+  /** Resample + linear interpolation onto the hourly grid, per event
+    * type ([[graft.operators.Temporal.gapFillInterpolate]]): the
+    * time-series normalizer in front of any windowed model. One agg
+    * shuffle + two running windows on the partitioning the agg already
+    * produced; grid generation is per key from its own span. Oracle =
+    * generate_series grid + IGNORE NULLS running neighbors + the same
+    * 4dp-before/4dp-after rounding. */
+  private val q183 = Q(
+    "q183_gapfill_interpolate",
+    (s, dir) => graft.operators.Temporal.gapFillInterpolate(
+        Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
+      .select(col("key").as("event_type"),
+        date_format(col("bucket_ts"), "yyyy-MM-dd HH:00").as("hour_s"),
+        col("v_filled"), col("interpolated"))
+      .orderBy(col("event_type"), col("hour_s")),
+    Some("""WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          round(avg(value), 4) AS v
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx
+        FROM agg GROUP BY 1),
+      grid AS (SELECT event_type,
+          unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM bounds),
+      j AS (SELECT g.event_type, g.h, a.v FROM grid g
+        LEFT JOIN agg a ON g.event_type = a.event_type AND g.h = a.h),
+      f AS (SELECT event_type, h, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM j)
+      SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour_s,
+        CASE WHEN v IS NOT NULL THEN v
+          ELSE floor((pv + (nv - pv) * ((epoch(h) - epoch(ph))
+            / (epoch(nh) - epoch(ph)))) * 10000.0 + 0.5) / 10000.0
+          END AS v_filled,
+        (v IS NULL) AS interpolated
+      FROM f ORDER BY event_type, hour_s"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134, q155, q169, q170, q171, q173, q178)
+    q134, q155, q169, q170, q171, q173, q178, q183)
 }

@@ -146,4 +146,29 @@ class TemporalSpec extends SparkSpec {
     assert(gotNulls === Set(1L),
       "NULL-bound intervals must drop exactly like the plain join")
   }
+
+  test("gapFillInterpolate: hand-computed fills, edges observed, multi-key") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // key A: hours 0,1 observed, 2-3 gap, 4 observed (two values in h0 →
+    // mean); key B: single observation (degenerate span, no gaps)
+    val df = Seq(
+      ("A", ts(0), 10.0), ("A", ts(0), 20.0), ("A", ts(1), 30.0),
+      ("A", ts(4), 90.0),
+      ("B", ts(7), 5.5)
+    ).toDF("k", "t", "v")
+    val got = graft.operators.Temporal.gapFillInterpolate(
+        df, col("k"), col("t"), col("v"))
+      .select(col("key"), date_format(col("bucket_ts"), "HH").as("h"),
+        col("v_filled"), col("interpolated"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getBoolean(3))).sortBy(x => (x._1, x._2)).toSeq
+    assert(got === Seq(
+      ("A", "00", 15.0, false), // mean of 10,20
+      ("A", "01", 30.0, false),
+      ("A", "02", 50.0, true),  // 30 + (90-30)*(1/3)
+      ("A", "03", 70.0, true),  // 30 + (90-30)*(2/3)
+      ("A", "04", 90.0, false),
+      ("B", "07", 5.5, false)))
+  }
 }
