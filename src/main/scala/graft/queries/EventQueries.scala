@@ -550,6 +550,25 @@ object EventQueries extends QueryPack {
         (v IS NULL) AS interpolated
       FROM f ORDER BY event_type, hour_s"""))
 
+  /** Streaming exactly-once under at-least-once delivery:
+    * dropDuplicatesWithinWatermark over a crawl that re-emits every 7th
+    * event once and every 21st twice
+    * ([[graft.streaming.EventStreams.dedupReplayToTable]]). State is
+    * bounded by the watermark horizon, not the stream length. Oracle =
+    * the duplicate-free events table (ids are unique in the fixture, so
+    * dedup-by-id recovers it exactly, payload and all). */
+  private val q185 = Q(
+    "q185_stream_dedup",
+    (s, dir) => EventStreams.dedupReplayToTable(s, dir, "q185_stream_out")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        user_id, event_type, round(value, 2) AS value
+      FROM events ORDER BY event_id"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134, q155, q169, q170, q171, q173, q178, q183)
+    q134, q155, q169, q170, q171, q173, q178, q183, q185)
 }

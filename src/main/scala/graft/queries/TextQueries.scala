@@ -3091,6 +3091,67 @@ object TextQueries extends QueryPack {
       FROM d JOIN ex e ON e.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Inverted index build: token → (df, cf, sorted postings). The other
+    * half of retrieval next to the ranked scorers (q137 BM25): postings
+    * are what a conjunctive/phrase query intersects. Plan: one explode +
+    * two-level aggregation — (token, doc) partial counts first (this is
+    * where map-side combine kills the stopword skew: a 100 TB corpus
+    * emits each (token, doc) pair once per partition, not once per
+    * occurrence), then token-level fold. Postings serialize as a
+    * comma-joined sorted string — portable across engines, and at scale
+    * the string is the storage format anyway (posting-list compression
+    * starts from delta-coded runs, not array<long>). */
+  private val q186 = Q(
+    "q186_inverted_postings",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+      .orderBy(col("token")),
+    Some("""WITH tok AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        FROM documents),
+      td AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+      SELECT token, CAST(count(*) AS BIGINT) AS df,
+        CAST(sum(tf) AS BIGINT) AS cf,
+        array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      FROM td GROUP BY token ORDER BY token"""))
+
+  /** Conjunctive (AND) boolean retrieval over the q186 index shape:
+    * docs containing ALL query terms, ranked by summed term frequency.
+    * The intersection is a semi-join-free aggregate — filter the
+    * exploded postings to the term set, then HAVING count(distinct
+    * term) = |terms| — one shuffle on doc_id, no per-term join chain
+    * (k-way posting-list zippers don't distribute; the count-distinct
+    * gate is the shuffle-native equivalent). */
+  private val q187 = Q(
+    "q187_conjunctive_search",
+    (s, dir) => {
+      val terms = Seq("merge", "stream", "filter")
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("token")).as("n_terms"),
+          count(lit(1)).as("total_tf"))
+        .filter(col("n_terms") === terms.size)
+        .select(col("doc_id"), col("total_tf"))
+        .orderBy(col("total_tf").desc, col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS total_tf
+      FROM tok WHERE token IN ('merge', 'stream', 'filter')
+      GROUP BY doc_id HAVING count(DISTINCT token) = 3
+      ORDER BY total_tf DESC, doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
@@ -3098,5 +3159,5 @@ object TextQueries extends QueryPack {
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
-      q172, q174, q175, q177)
+      q172, q174, q175, q177, q186, q187)
 }

@@ -150,6 +150,41 @@ object EventStreams {
     spark.table(tableName)
   }
 
+  /** End-to-end duplicate-arrival exercise of the watermark dedup, for
+    * the graded q185: renders a crawl file that re-emits every 7th event
+    * once and every 21st twice (the at-least-once-delivery shape), then
+    * streams it through [[dedupedEventStream]]. Output carries the full
+    * record so the oracle hash covers payloads, not just ids. State cost
+    * at scale: one (event_id → seen) entry per key inside the watermark
+    * horizon per state partition — the horizon, not the stream length,
+    * bounds memory, which is the entire point of the
+    * dropDuplicatesWithinWatermark contract vs a batch distinct. */
+  def dedupReplayToTable(spark: SparkSession, dir: String, tableName: String,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val ev = graft.sources.Tables(spark, dir).events
+    val dups = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+    val tmp = Files.createTempDirectory("graft-dedup-tmp").toString
+    ev.unionAll(dups)
+      .unionAll(dups.filter(pmod(col("event_id"), lit(21)) === 0))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val streamDir = Files.createTempDirectory("graft-dedup-stream").toString
+    val part = Option(new java.io.File(tmp).listFiles)
+      .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no dedup fixture part file"))
+    Files.move(part.toPath, Paths.get(streamDir, "events.parquet"))
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
+      val q = dedupedEventStream(spark, streamDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .writeStream.format("memory").queryName(tableName)
+        .outputMode("append").options(conf.options)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(tableName)
+  }
+
   /** Event-time sessionization with custom state: flatMapGroupsWithState +
     * EventTimeTimeout. Sessions extend while the next event arrives < gap
     * after the last (the session_window rule); a session closed by an
