@@ -41,4 +41,49 @@ object Snapshot {
           .otherwise("unchanged").as("change"))
       .filter(col("change") =!= "unchanged")
   }
+
+  /** CDC merge-apply: fold a change stream into a base snapshot — the
+    * MERGE INTO of lakehouse table formats, as a pure two-shuffle plan.
+    * `changes` carries (id, seq, op, payload columns); per id the
+    * HIGHEST `seq` wins (a change log is at-least-once and out-of-order
+    * at scale — last-writer-wins needs an explicit sequence, never
+    * arrival order). Result = base rows whose id has no change, plus the
+    * winning payload for ids whose last op is an upsert; ids whose last
+    * op is `D` disappear.
+    *
+    * Plan shape: one window (or max-struct aggregate) shuffle on id over
+    * the CHANGES (the small side), one anti-join shuffle against the
+    * base, one zero-shuffle union — the base is never rewritten in
+    * place, which is exactly how MERGE compiles on a copy-on-write
+    * table. Ops other than 'U'/'D' fail loudly (a silent skip would
+    * drop writes).
+    *
+    * @param payloadCols change columns replacing the base row's values;
+    *                    must be the base's non-id columns, same names. */
+  def applyCdc(
+      base: DataFrame, changes: DataFrame, idCol: String, seqCol: String,
+      opCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "applyCdc needs payload columns")
+    val opOk = when(col(opCol).isin("U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"applyCdc: unknown op in '$opCol' (want U or D): "),
+        coalesce(col(opCol), lit("NULL")))))
+    // last-writer-wins via a max-struct aggregate: one shuffle on id,
+    // partial map-side max — cheaper than a row_number window, which
+    // must SORT every partition. struct comparison is lexicographic
+    // (seq first, then op, then payload), so even a seq TIE resolves
+    // deterministically instead of picking by arrival order.
+    val latest = changes
+      .select(col(idCol),
+        struct(col(seqCol).as("seq"), opOk.as("op"),
+          struct(payloadCols.map(col): _*).as("payload")).as("w"))
+      .groupBy(col(idCol))
+      .agg(max(col("w")).as("w"))
+    val survivors = base.join(latest.select(col(idCol)), Seq(idCol),
+      "left_anti")
+    val upserts = latest.filter(col("w.op") === "U")
+      .select(col(idCol) +: payloadCols.map(c => col(s"w.payload.$c").as(c)): _*)
+    survivors.select((idCol +: payloadCols).map(col): _*)
+      .unionByName(upserts)
+  }
 }

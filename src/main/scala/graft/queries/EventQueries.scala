@@ -569,6 +569,62 @@ object EventQueries extends QueryPack {
         user_id, event_type, round(value, 2) AS value
       FROM events ORDER BY event_id"""))
 
+  /** Feature-adoption retention matrix: the cohort entity is (user,
+    * event_type) keyed by the user's first week USING that type — per
+    * type, distinct-user counts at each weeks-elapsed offset plus the
+    * retention ratio against the cohort's size. (Plain first-activity
+    * cohorts degenerate on the fixture: every user's first event is
+    * week 0; per-type first-touch actually staggers.) Two shuffles:
+    * the first-touch aggregate on (user, type), then the (type, cohort,
+    * offset) count-distinct — the cohort map joins back to events on
+    * the key the first aggregate already partitioned by. Week offsets
+    * divide exact day diffs of week-truncated dates; the ratio is exact
+    * integer division, shipped raw. */
+  private val q190 = Q(
+    "q190_retention_cohorts",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"),
+          date_trunc("week", col("ts")).as("w"))
+      val cohorts = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("w")).as("cohort_w"))
+      val sized = cohorts.groupBy(col("event_type"), col("cohort_w"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      ev.join(cohorts, Seq("user_id", "event_type"))
+        .groupBy(col("event_type"), col("cohort_w"),
+          (datediff(col("w"), col("cohort_w")) / 7).cast("int")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .join(sized, Seq("event_type", "cohort_w"))
+        .select(col("event_type"),
+          date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort"),
+          col("week_offset"), col("active_users"), col("cohort_size"),
+          (col("active_users").cast("double") /
+            col("cohort_size").cast("double")).as("retention"))
+        .orderBy(col("event_type"), col("cohort"), col("week_offset"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+          date_trunc('week', ts) AS w FROM events),
+      cohorts AS (SELECT user_id, event_type, min(w) AS cohort_w
+        FROM ev GROUP BY 1, 2),
+      sized AS (SELECT event_type, cohort_w,
+          count(DISTINCT user_id) AS cohort_size
+        FROM cohorts GROUP BY 1, 2),
+      act AS (SELECT c.event_type, c.cohort_w,
+          CAST(datediff('day', c.cohort_w, e.w) / 7 AS INTEGER)
+            AS week_offset,
+          count(DISTINCT e.user_id) AS active_users
+        FROM ev e JOIN cohorts c USING (user_id, event_type)
+        GROUP BY 1, 2, 3)
+      SELECT a.event_type, strftime(a.cohort_w, '%Y-%m-%d') AS cohort,
+        a.week_offset,
+        CAST(a.active_users AS BIGINT) AS active_users,
+        CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        CAST(a.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+          AS retention
+      FROM act a JOIN sized s USING (event_type, cohort_w)
+      ORDER BY a.event_type, cohort, week_offset"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134, q155, q169, q170, q171, q173, q178, q183, q185)
+    q134, q155, q169, q170, q171, q173, q178, q183, q185, q190)
 }

@@ -1678,10 +1678,43 @@ object RelationalQueries extends QueryPack {
       FROM (SELECT unnest([a, b, c]) AS node FROM t)
       GROUP BY node ORDER BY node"""))
 
+  /** Distribution-rank window suite: ntile / percent_rank / cume_dist
+    * per priority partition — the §2.9 window surface beyond rank and
+    * running sums (q12-q15). All four functions share ONE window
+    * (partition, order) so Catalyst evaluates them in a single sort +
+    * Window node — no extra shuffle per function. The ratios are exact
+    * integer divisions computed identically by any engine, so they ship
+    * raw (no rounding, no repr half-boundary risk). Ordering includes
+    * the unique key: distribution functions are tie-SENSITIVE, and a
+    * non-total order would make the whole result nondeterministic. */
+  private val q189 = Q(
+    "q189_window_suite",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+        CAST(row_number() OVER w AS INTEGER) AS rn,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, rn"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
-    q184)
+    q184, q189)
 }

@@ -3152,6 +3152,52 @@ object TextQueries extends QueryPack {
       GROUP BY doc_id HAVING count(DISTINCT token) = 3
       ORDER BY total_tf DESC, doc_id"""))
 
+  /** CDC merge-apply ([[graft.operators.Snapshot.applyCdc]]): fold an
+    * out-of-order, overlapping change log (updates, deletes, inserts;
+    * one id carries BOTH a delete and a later update, so last-writer-
+    * wins is actually exercised) into the documents snapshot — MERGE
+    * INTO as a two-shuffle plan: max-struct LWW aggregate on the change
+    * log, anti-join + union against the base. Oracle = the QUALIFY
+    * row_number equivalent. */
+  private val q188 = Q(
+    "q188_cdc_merge_apply",
+    (s, dir) => {
+      val base = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), col("lang"))
+      val updates = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+          concat(col("text"), lit(" [v2]")).as("text"), col("lang"))
+      val deletes = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("lang"))
+      val inserts = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), lit(1L).as("seq"),
+          lit("U").as("op"),
+          concat(lit("inserted near "), col("doc_id")).as("text"),
+          lit("en").as("lang"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      graft.operators.Snapshot.applyCdc(
+          base, changes, "doc_id", "seq", "op", Seq("text", "lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (SELECT doc_id, text, lang FROM documents),
+      ch AS (
+        SELECT doc_id, 2 AS seq, 'U' AS op, text || ' [v2]' AS text, lang
+        FROM base WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, 1, 'D', NULL, NULL FROM base WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, 1, 'U', 'inserted near ' || doc_id, 'en'
+        FROM base WHERE doc_id % 13 = 0),
+      last AS (SELECT doc_id, op, text, lang FROM ch
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+      SELECT b.doc_id, b.text, b.lang FROM base b
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM last)
+      UNION ALL
+      SELECT doc_id, text, lang FROM last WHERE op = 'U'
+      ORDER BY doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
@@ -3159,5 +3205,5 @@ object TextQueries extends QueryPack {
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
-      q172, q174, q175, q177, q186, q187)
+      q172, q174, q175, q177, q186, q187, q188)
 }

@@ -51,4 +51,32 @@ class SnapshotSpec extends SparkSpec {
     // an all-null column: 0 distinct, no min/max, vacuously-true verdict
     assert(got("dead") === ((4L, 4L, 0L, None, None, true)))
   }
+
+  test("applyCdc: last-writer-wins, delete+update overlap, unknown op raises") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "s")
+    // id 2: update; id 3: delete; id 4: delete seq1 THEN update seq2
+    // (update wins); id 4 also shows out-of-order arrival (seq2 listed
+    // first); id 5: insert; id 1: untouched
+    val ch = Seq(
+      (4L, 2L, "U", "d2"),
+      (2L, 1L, "U", "b2"),
+      (3L, 1L, "D", null.asInstanceOf[String]),
+      (4L, 1L, "D", null.asInstanceOf[String]),
+      (5L, 1L, "U", "e")
+    ).toDF("id", "seq", "op", "s")
+    val got = Snapshot.applyCdc(base, ch, "id", "seq", "op", Seq("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "b2", 4L -> "d2", 5L -> "e"))
+
+    // a bad op fails loudly instead of silently dropping the write
+    val bad = Seq((1L, 1L, "X", "boom")).toDF("id", "seq", "op", "s")
+    val e = intercept[Exception] {
+      Snapshot.applyCdc(base, bad, "id", "seq", "op", Seq("s")).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("applyCdc")), msgs(e).take(2))
+  }
 }
