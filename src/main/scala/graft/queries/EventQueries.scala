@@ -508,20 +508,26 @@ object EventQueries extends QueryPack {
     * type ([[graft.operators.Temporal.gapFillInterpolate]]): the
     * time-series normalizer in front of any windowed model. One agg
     * shuffle + two running windows on the partitioning the agg already
-    * produced; grid generation is per key from its own span. Oracle =
-    * generate_series grid + IGNORE NULLS running neighbors + the same
-    * 4dp-before/4dp-after rounding. */
+    * produced; grid generation is per key from its own span. The
+    * fixture's value column is a 2dp decimal, so the bucket mean rides
+    * the exact integer-cents path (valueScale=100) — order-independent
+    * where a float sum's 4dp half-boundary ties broke differently per
+    * engine (3/3600 cells at sf0.1). Oracle = generate_series grid +
+    * IGNORE NULLS running neighbors + the same integer mean and
+    * interpolation snap, term-for-term. */
   private val q183 = Q(
     "q183_gapfill_interpolate",
     (s, dir) => graft.operators.Temporal.gapFillInterpolate(
-        Tables(s, dir).events, col("event_type"), col("ts"), col("value"))
+        Tables(s, dir).events, col("event_type"), col("ts"), col("value"),
+        valueScale = 100)
       .select(col("key").as("event_type"),
         date_format(col("bucket_ts"), "yyyy-MM-dd HH:00").as("hour_s"),
         col("v_filled"), col("interpolated"))
       .orderBy(col("event_type"), col("hour_s")),
     Some("""WITH agg AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-          round(avg(value), 4) AS v
+          floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+            * 100.0 / CAST(count(*) AS DOUBLE) + 0.5) / 10000.0 AS v
         FROM events GROUP BY 1, 2),
       bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx
         FROM agg GROUP BY 1),
