@@ -96,6 +96,63 @@ object Temporal {
       .drop("__ts", "__lb", "__from", "__to", "__rb")
   }
 
+  /** Interval×interval OVERLAP join — the second classic temporal join
+    * shape next to point-in-interval [[rangeJoin]]: pairs whose spans
+    * intersect (incident windows × maintenance windows, session ×
+    * campaign). Spark plans the bare `lf <= rt AND rf <= lt` as a
+    * nested-loop; here BOTH sides explode into covered epoch buckets,
+    * equi-join on the bucket, then keep the exact overlap as a residual.
+    * A pair sharing k buckets would match k times — the OWNERSHIP rule
+    * dedups without a distinct pass: a pair counts only in the FIRST
+    * bucket both cover, `bucket == greatest(bucket(lf), bucket(rf))`,
+    * which exists for every overlapping pair (any shared instant's
+    * bucket is shared) and is unique by construction. Same null-safe
+    * span cap as rangeJoin on each side; same disjoint/reserved column
+    * contract. */
+  def intervalOverlapJoin(
+      left: DataFrame, lFrom: Column, lTo: Column,
+      right: DataFrame, rFrom: Column, rTo: Column,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 65536L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    val reserved = Set("__lf", "__lt", "__rf", "__rt", "__lb", "__rb")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"overlap join requires disjoint columns: $overlap")
+    val clash = (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
+    require(clash.isEmpty, s"overlap join reserves working columns: $clash")
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    def bucketOf(c: Column): Column = toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        toExpression(c), org.apache.spark.sql.catalyst.expressions.Literal(
+          bucketWidth)))
+    def prep(df: DataFrame, from: Column, to: Column,
+        fc: String, tc: String, bc: String): DataFrame = {
+      val side = df.withColumn(fc, from.cast("long"))
+        .withColumn(tc, to.cast("long"))
+        .filter(col(fc) <= col(tc))
+      val span = bucketOf(col(tc)) - bucketOf(col(fc))
+      val spanOk = when(
+        span.isNull || span <= lit(maxBucketsPerInterval), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"Temporal.intervalOverlapJoin: an interval spans more " +
+            s"than $maxBucketsPerInterval buckets of width $bucketWidth " +
+            "(maxBucketsPerInterval) — raise bucketWidth or the cap, or " +
+            "exclude open-ended sentinel intervals; offending [from,to]=["),
+          col(fc), lit(","), col(tc), lit("]"))))
+      side.filter(spanOk)
+        .withColumn(bc, explode(sequence(bucketOf(col(fc)), bucketOf(col(tc)))))
+    }
+    val lb = prep(left, lFrom, lTo, "__lf", "__lt", "__lb")
+    val rb = prep(right, rFrom, rTo, "__rf", "__rt", "__rb")
+    lb.join(rb, col("__lb") === col("__rb")
+        && col("__lf") <= col("__rt") && col("__rf") <= col("__lt")
+        && col("__lb") === greatest(
+          bucketOf(col("__lf")), bucketOf(col("__rf"))))
+      .drop("__lf", "__lt", "__rf", "__rt", "__lb", "__rb")
+  }
+
   /** Left as-of join: every left row, joined to the latest right row with
     * `right.tsCol <= left.tsCol` and equal keys (ties include the right
     * row). Right columns surface as `<name><suffix>`; left rows with no

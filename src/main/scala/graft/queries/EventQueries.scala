@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -631,6 +632,90 @@ object EventQueries extends QueryPack {
       FROM act a JOIN sized s USING (event_type, cohort_w)
       ORDER BY a.event_type, cohort, week_offset"""))
 
+  /** Hourly anomaly detection with EXACT integer moments: per type, the
+    * z-score of each hour's total (in cents) against the type's
+    * mean/sample-variance — where mean, variance, and z all derive from
+    * exact integer sums (Σcents, Σcents² — both fit long comfortably at
+    * any per-hour volume), so every double is the same bits under any
+    * summation order or partitioning. A float stddev_samp here would be
+    * run-to-run unstable exactly like q183's float means were. One
+    * aggregation shuffle to hours, one tiny per-type moment aggregate
+    * joined back (broadcastable at any scale: one row per type). */
+  private val q192 = Q(
+    "q192_hourly_anomalies",
+    (s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val nD = count(lit(1)).cast("double")
+      val sumD = sum(col("cents")).cast("double")
+      val moments = hourly.groupBy(col("event_type"))
+        .agg((sumD / nD).as("mu"),
+          ((sum(col("cents") * col("cents")).cast("double")
+            - nD * (sumD / nD) * (sumD / nD)) / (nD - lit(1.0))).as("vr"))
+      val z = (col("cents").cast("double") - col("mu")) / sqrt(col("vr"))
+      hourly.join(moments, Seq("event_type"))
+        .filter(abs(z) > 2.5)
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:00").as("hour_s"),
+          col("cents"),
+          (floor(z * lit(1e4) + lit(0.5)) / lit(1e4)).as("z"))
+        .orderBy(col("event_type"), col("hour_s"))
+    },
+    Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+          sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type,
+          CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+          (CAST(sum(cents * cents) AS DOUBLE)
+            - CAST(count(*) AS DOUBLE)
+              * (CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              * (CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+            / (CAST(count(*) AS DOUBLE) - 1.0) AS vr
+        FROM hourly GROUP BY 1)
+      SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H:00') AS hour_s,
+        CAST(h.cents AS BIGINT) AS cents,
+        floor((CAST(h.cents AS DOUBLE) - m.mu) / sqrt(m.vr) * 10000.0
+          + 0.5) / 10000.0 AS z
+      FROM hourly h JOIN m USING (event_type)
+      WHERE abs((CAST(h.cents AS DOUBLE) - m.mu) / sqrt(m.vr)) > 2.5
+      ORDER BY h.event_type, hour_s"""))
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * lag window on (user, ts, id), then (prev → curr) counts and the
+    * row-conditional probability — exact integer division, shipped raw.
+    * One sort-window shuffle on user_id + one pair aggregate; the
+    * transition matrix output is |types|² regardless of corpus size. */
+  private val q193 = Q(
+    "q193_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("n"))
+      val totals = Window.partitionBy(col("prev"))
+      pairs
+        .select(col("prev"), col("curr"), col("n"),
+          (col("n").cast("double") /
+            sum(col("n")).over(totals).cast("double")).as("p"))
+        .orderBy(col("prev"), col("curr"))
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      pairs AS (SELECT prev, event_type AS curr, count(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT prev, curr, CAST(n AS BIGINT) AS n,
+        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE)
+          AS p
+      FROM pairs ORDER BY prev, curr"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
-    q134, q155, q169, q170, q171, q173, q178, q183, q185, q190)
+    q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
+    q193)
 }

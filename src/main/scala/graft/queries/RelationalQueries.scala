@@ -1711,10 +1711,48 @@ object RelationalQueries extends QueryPack {
         ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_orderpriority, rn"""))
 
+  /** Interval×interval overlap join
+    * ([[graft.operators.Temporal.intervalOverlapJoin]]): sampled order
+    * activity windows [orderdate, +7d] against campaign weeks
+    * [week, +13d] — both sides bucket-exploded, equi-joined on the
+    * bucket, deduped by the first-shared-bucket ownership rule (no
+    * distinct pass). Oracle = the plain inequality overlap join, which
+    * DuckDB runs natively (IEJoin); the rewrite must reproduce it
+    * row-for-row. */
+  private val q191 = Q(
+    "q191_interval_overlap_join",
+    (s, dir) => {
+      val day = 86400L
+      val o = Tables(s, dir).orders
+      val a = o.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("aid"),
+          unix_timestamp(col("o_orderdate")).as("af"),
+          (unix_timestamp(col("o_orderdate")) + lit(7L * day)).as("at"))
+      val b = o.select(date_trunc("week", col("o_orderdate")).as("w"))
+        .distinct()
+        .select(unix_timestamp(col("w")).as("bf"),
+          (unix_timestamp(col("w")) + lit(13L * day)).as("bt"))
+      graft.operators.Temporal.intervalOverlapJoin(
+          a, col("af"), col("at"), b, col("bf"), col("bt"),
+          bucketWidth = 7L * day)
+        .orderBy(col("aid"), col("bf"))
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS aid, epoch(o_orderdate) AS af,
+          epoch(o_orderdate + INTERVAL 7 DAY) AS at
+        FROM orders WHERE o_orderkey % 50 = 0),
+      b AS (SELECT DISTINCT epoch(date_trunc('week', o_orderdate)) AS bf,
+          epoch(date_trunc('week', o_orderdate) + INTERVAL 13 DAY) AS bt
+        FROM orders)
+      SELECT CAST(aid AS BIGINT) AS aid, CAST(af AS BIGINT) AS af,
+        CAST(at AS BIGINT) AS at, CAST(bf AS BIGINT) AS bf,
+        CAST(bt AS BIGINT) AS bt
+      FROM a JOIN b ON af <= bt AND bf <= at
+      ORDER BY aid, bf"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
-    q184, q189)
+    q184, q189, q191)
 }

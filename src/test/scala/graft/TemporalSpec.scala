@@ -147,6 +147,60 @@ class TemporalSpec extends SparkSpec {
       "NULL-bound intervals must drop exactly like the plain join")
   }
 
+  test("intervalOverlapJoin: exactly-once vs brute force, guards hold") {
+    import spark.implicits._
+    // spans of wildly different lengths so pairs share MANY buckets (the
+    // ownership rule must still count each pair once), touching cases
+    // (lt == rf), degenerate (from > to, dropped), disjoint
+    val as = Seq(
+      (1L, 0L, 100L), (2L, 950L, 1050L), (3L, 0L, 5000L),
+      (4L, 700L, 600L),          // degenerate: drops
+      (5L, 4999L, 4999L))        // point interval
+      .toDF("aid", "af", "at")
+    val bs = Seq(
+      (10L, 50L, 60L), (11L, 100L, 100L),   // touches a1 at the boundary
+      (12L, 0L, 9999L),                      // covers everything
+      (13L, 5001L, 6000L),                   // disjoint from a3/a5
+      (14L, 2000L, 1000L))                   // degenerate: drops
+      .toDF("bid", "bf", "bt")
+    val got = graft.operators.Temporal.intervalOverlapJoin(
+        as, col("af"), col("at"), bs, col("bf"), col("bt"),
+        bucketWidth = 100L)
+      .select(col("aid"), col("bid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (for {
+      (aid, af, at) <- Seq((1L, 0L, 100L), (2L, 950L, 1050L),
+        (3L, 0L, 5000L), (4L, 700L, 600L), (5L, 4999L, 4999L))
+      (bid, bf, bt) <- Seq((10L, 50L, 60L), (11L, 100L, 100L),
+        (12L, 0L, 9999L), (13L, 5001L, 6000L), (14L, 2000L, 1000L))
+      if af <= at && bf <= bt && af <= bt && bf <= at
+    } yield (aid, bid)).sorted
+    assert(got === want)
+    // duplicates anywhere would break === (the exactly-once claim)
+
+    // sentinel interval fails by name, not by array allocation
+    val wide = intercept[Exception] {
+      graft.operators.Temporal.intervalOverlapJoin(
+        as, col("af"), col("at"),
+        Seq((9L, 0L, Long.MaxValue - 1)).toDF("bid", "bf", "bt"),
+        col("bf"), col("bt"), bucketWidth = 100L).count()
+    }
+    def ms(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ ms(x.getCause)
+    assert(ms(wide).exists(_.contains("maxBucketsPerInterval")))
+
+    // NULL bounds drop like the plain join, never raise
+    val nulls = Seq(
+      (20L, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(100L)),
+      (21L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(50L)))
+      .toDF("bid", "bf", "bt")
+    val gotN = graft.operators.Temporal.intervalOverlapJoin(
+        as, col("af"), col("at"), nulls, col("bf"), col("bt"),
+        bucketWidth = 100L)
+      .select(col("bid")).distinct().collect().map(_.getLong(0)).toSet
+    assert(gotN === Set(20L))
+  }
+
   test("gapFillInterpolate: hand-computed fills, edges observed, multi-key") {
     import spark.implicits._
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
