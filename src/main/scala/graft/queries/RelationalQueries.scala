@@ -1749,10 +1749,47 @@ object RelationalQueries extends QueryPack {
       FROM a JOIN b ON af <= bt AND bf <= at
       ORDER BY aid, bf"""))
 
+  /** Array higher-order functions (§2.9's nested-data surface):
+    * per-order price lists folded with aggregate(), reshaped with
+    * transform(), gated with filter()/exists() — the lambda expressions
+    * stay inside codegen, no UDF. Float determinism: the list is
+    * sort_array()ed FIRST, so the left fold's IEEE addition order is
+    * pinned on both engines (DuckDB's list_sum/list_transform walk the
+    * same sorted list left-to-right) — an unordered collect_list fold
+    * would be partitioning-dependent. */
+  private val q195 = Q(
+    "q195_array_hof",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("prices"))
+      .select(col("l_orderkey"),
+        size(col("prices")).as("n_items"),
+        aggregate(col("prices"), lit(0.0), (acc, x) => acc + x)
+          .as("total"),
+        element_at(col("prices"), -1).as("max_price"),
+        size(filter(col("prices"), _ > 40000.0)).as("n_over_40k"),
+        exists(col("prices"), _ > 50000.0).as("any_over_50k"),
+        aggregate(transform(col("prices"), x => x * 0.9), lit(0.0),
+          (acc, x) => acc + x).as("discounted_total"))
+      .orderBy(col("l_orderkey")),
+    Some("""WITH p AS (SELECT l_orderkey,
+          list_sort(list(l_extendedprice)) AS prices
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey,
+        CAST(len(prices) AS INTEGER) AS n_items,
+        list_sum(prices) AS total,
+        prices[-1] AS max_price,
+        CAST(len(list_filter(prices, x -> x > 40000.0)) AS INTEGER)
+          AS n_over_40k,
+        len(list_filter(prices, x -> x > 50000.0)) > 0 AS any_over_50k,
+        list_sum(list_transform(prices, x -> x * 0.9))
+          AS discounted_total
+      FROM p ORDER BY l_orderkey"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
-    q184, q189, q191)
+    q184, q189, q191, q195)
 }

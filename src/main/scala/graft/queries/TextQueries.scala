@@ -3198,6 +3198,51 @@ object TextQueries extends QueryPack {
       SELECT doc_id, text, lang FROM last WHERE op = 'U'
       ORDER BY doc_id"""))
 
+  /** CSV ingest with malformed-row quarantine — the ingest-side
+    * counterpart of the K4 CSV error sink: PERMISSIVE mode +
+    * columnNameOfCorruptRecord keeps the 100 TB crawl job ALIVE through
+    * dirty rows (FAILFAST kills it on row one; DROPMALFORMED silently
+    * loses data — the one unacceptable option) while quarantining each
+    * bad line verbatim for replay. Spark keeps partial results: columns
+    * that parsed survive, the unparseable one nulls, the raw line rides
+    * the corrupt column — all pinned by the oracle. Fixture: a CSV
+    * rendered from documents where every 11th row carries an unparseable
+    * numeric field. */
+  private val q194 = Q(
+    "q194_csv_quarantine",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val base = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val lines = base.select(
+        when(col("doc_id") % 11 === 0,
+          concat_ws(",", col("doc_id"), col("lang"), lit("oops")))
+          .otherwise(concat_ws(",", col("doc_id"), col("lang"),
+            col("n_chars"))).as("value"))
+      val csvDir = java.nio.file.Files
+        .createTempDirectory("graft-q194-csv").toString
+      lines.coalesce(1).write.mode("overwrite").text(csvDir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("corrupt_line", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_line")
+        .csv(csvDir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("corrupt_line").isNotNull.as("quarantined"),
+          col("corrupt_line"))
+        .orderBy(col("quarantined"), col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang,
+        CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS n_chars,
+        (doc_id % 11 = 0) AS quarantined,
+        CASE WHEN doc_id % 11 = 0
+          THEN doc_id || ',' || lang || ',oops' ELSE NULL
+        END AS corrupt_line
+      FROM documents ORDER BY quarantined, doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
@@ -3205,5 +3250,5 @@ object TextQueries extends QueryPack {
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
-      q172, q174, q175, q177, q186, q187, q188)
+      q172, q174, q175, q177, q186, q187, q188, q194)
 }
