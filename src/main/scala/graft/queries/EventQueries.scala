@@ -715,7 +715,24 @@ object EventQueries extends QueryPack {
           AS p
       FROM pairs ORDER BY prev, curr"""))
 
+  /** Stream-static enrichment join
+    * ([[graft.streaming.EventStreams.enrichToTable]]): streaming facts ⋈
+    * broadcast batch dimension (re-read per micro-batch — dim updates
+    * reach later batches, unlike a broadcast variable) + grouped
+    * aggregate. Oracle = the same join/agg in batch SQL; the sum's
+    * addition order differs from batch, so 2dp rounding over 2dp inputs
+    * keeps it exact (the q50/q54 device). */
+  private val q197 = Q(
+    "q197_stream_static_enrich",
+    (s, dir) => EventStreams.enrichToTable(s, dir, "q197_stream_out"),
+    Some("""WITH dim AS (SELECT DISTINCT user_id,
+          'seg' || CAST(user_id % 3 AS VARCHAR) AS segment FROM events)
+      SELECT d.segment, e.event_type, count(*) AS n,
+        round(sum(e.value), 2) AS total
+      FROM events e JOIN dim d USING (user_id)
+      GROUP BY 1, 2 ORDER BY segment, event_type"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
     q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
-    q193)
+    q193, q197)
 }

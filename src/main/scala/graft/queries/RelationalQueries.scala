@@ -1786,10 +1786,37 @@ object RelationalQueries extends QueryPack {
           AS discounted_total
       FROM p ORDER BY l_orderkey"""))
 
+  /** Schema-evolution read (mergeSchema): a corpus written across two
+    * schema epochs — v1 lacks a column v2 added — reads back as ONE
+    * frame with the union schema, v1 rows null-filled. The ingestion
+    * reality of any years-old 100 TB lake: schemas drift, history is
+    * never rewritten. mergeSchema reconciles footers at planning time
+    * (one extra metadata pass, no data rewrite); pruning/pushdown still
+    * apply per file. */
+  private val q196 = Q(
+    "q196_schema_evolution",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q196-epochs").toString
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/epoch1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/epoch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/epoch1", s"$base/epoch2")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang,
+        CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
+      FROM documents ORDER BY doc_id"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
-    q184, q189, q191, q195)
+    q184, q189, q191, q195, q196)
 }

@@ -185,6 +185,34 @@ object EventStreams {
     spark.table(tableName)
   }
 
+  /** Stream-static enrichment: the streaming fact joined to a batch
+    * dimension (re-read per micro-batch by the engine — a dim UPDATE is
+    * visible to later batches, the property a broadcast variable lacks),
+    * then a grouped aggregate over the enriched stream. The static side
+    * here derives deterministically from the same fixture (user →
+    * segment); at scale this is the canonical "stream ⋈ broadcast dim"
+    * shape: the dim is broadcast per batch, the stream never shuffles
+    * before the aggregate. */
+  def enrichToTable(spark: SparkSession, dir: String, tableName: String,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
+    val dim = graft.sources.Tables(spark, dir).events
+      .select(col("user_id")).distinct()
+      .select(col("user_id"),
+        concat(lit("seg"), pmod(col("user_id"), lit(3L))).as("segment"))
+    val enriched = readEventStream(spark, dir)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
+      val q = enriched.writeStream
+        .format("memory").queryName(tableName)
+        .outputMode("complete").options(conf.options)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(tableName).orderBy(col("segment"), col("event_type"))
+  }
+
   /** Event-time sessionization with custom state: flatMapGroupsWithState +
     * EventTimeTimeout. Sessions extend while the next event arrives < gap
     * after the last (the session_window rule); a session closed by an
