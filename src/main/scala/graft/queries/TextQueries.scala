@@ -3243,6 +3243,87 @@ object TextQueries extends QueryPack {
         END AS corrupt_line
       FROM documents ORDER BY quarantined, doc_id"""))
 
+  /** Golden-record survivorship over dedup clusters — the merge step an
+    * entity-resolution pipeline runs AFTER q56's clustering: per
+    * cluster (singletons included as their own cluster), pick the
+    * surviving record by the most-complete rule (max n_chars, tie →
+    * min doc_id) and the surviving lang by per-attribute majority vote
+    * (tie → alphabetical). Composes the q56 blocking+CC pass with two
+    * rank windows over the CLUSTER-sized frame — cluster cardinality,
+    * never corpus², bounds every step. Oracle = the recursive-CTE
+    * closure + the same QUALIFY ranks. */
+  private val q198 = Q(
+    "q198_golden_record",
+    (s, dir) => {
+      val Window = org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir).documents
+      val cc = Dedup.connectedComponents(blockingPairs(docs))
+      val membered = docs
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val wBest = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val golden = membered
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("golden_doc_id"),
+          col("n_chars").as("golden_n_chars"))
+      val wLang = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n").desc, col("lang"))
+      val majLang = membered
+        .groupBy(col("cluster_id"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wLang))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("lang").as("golden_lang"))
+      val sizes = membered.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("n_chars")).as("total_chars"))
+      golden.join(majLang, Seq("cluster_id"))
+        .join(sizes, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_members"), col("golden_doc_id"),
+          col("golden_n_chars"), col("golden_lang"), col("total_chars"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""WITH RECURSIVE
+      pk AS (SELECT doc_id, substr(text, 1, 120) AS k FROM documents
+        WHERE length(text) >= 120),
+      sk AS (SELECT doc_id, substr(text, length(text) - 99, 100) AS k
+        FROM documents WHERE length(text) >= 100),
+      e AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb FROM pk a JOIN pk b
+          ON a.k = b.k AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS ida, b.doc_id AS idb FROM sk a JOIN sk b
+          ON a.k = b.k AND a.doc_id < b.doc_id),
+      ee AS (SELECT ida AS src, idb AS dst FROM e
+        UNION SELECT idb, ida FROM e),
+      cc AS (
+        SELECT src AS id, src AS label FROM ee
+        UNION
+        SELECT ee.dst AS id, cc.label FROM cc JOIN ee ON cc.id = ee.src),
+      lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM cc
+        GROUP BY id),
+      m AS (SELECT d.doc_id, d.lang, d.n_chars,
+          coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lab l USING (doc_id)),
+      golden AS (SELECT cluster_id, doc_id AS golden_doc_id,
+          n_chars AS golden_n_chars FROM m
+        QUALIFY row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n_chars DESC, doc_id) = 1),
+      maj AS (SELECT cluster_id, lang AS golden_lang
+        FROM (SELECT cluster_id, lang, count(*) AS n FROM m GROUP BY 1, 2)
+        QUALIFY row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n DESC, lang) = 1),
+      sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars FROM m GROUP BY 1)
+      SELECT g.cluster_id, s.n_members, g.golden_doc_id,
+        g.golden_n_chars, j.golden_lang, s.total_chars
+      FROM golden g JOIN maj j USING (cluster_id)
+      JOIN sizes s USING (cluster_id)
+      ORDER BY cluster_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
@@ -3250,5 +3331,5 @@ object TextQueries extends QueryPack {
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
-      q172, q174, q175, q177, q186, q187, q188, q194)
+      q172, q174, q175, q177, q186, q187, q188, q194, q198)
 }
