@@ -96,6 +96,44 @@ object Graph {
     ranks
   }
 
+  /** Bounded-hop BFS reachability from a seed set over an UNDIRECTED
+    * edge list: (node, hops) with the MINIMUM hop distance for every
+    * node within `maxHops` of a seed (seeds at 0). The transitive-
+    * contamination device: a doc near-duplicate to a doc near-duplicate
+    * to a benchmark doc is still contaminated, and the dup graph's
+    * transitivity is exactly k-hop reachability.
+    *
+    * Scale shape: one join + anti-join + dedup per ROUND, maxHops
+    * rounds total — frontier-sized frames, never corpus², and the
+    * visited set is a checkpointed DataFrame, no driver-side state.
+    * BFS order guarantees the first arrival IS the minimum distance, so
+    * no min-aggregation pass is needed at the end. */
+  def kHopReachability(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val ee = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint(true)
+    try {
+      var visited = seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("hops", lit(0)).localCheckpoint(true)
+      var frontier = visited
+      var h = 0
+      while (h < maxHops && !frontier.isEmpty) {
+        h += 1
+        val next = ee.join(frontier.select(col("node").as("s")), Seq("s"))
+          .select(col("d").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("hops", lit(h))
+          .localCheckpoint(true)
+        visited = visited.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+      visited
+    } finally { ee.unpersist(); () }
+  }
+
   /** Per-node triangle participation counts over an UNDIRECTED simple
     * graph given as canonical edges (`srcCol` < `dstCol`, deduplicated —
     * require()d below, because a duplicate or both-direction edge would

@@ -3324,6 +3324,126 @@ object TextQueries extends QueryPack {
       JOIN sizes s USING (cluster_id)
       ORDER BY cluster_id"""))
 
+  /** Transitive contamination: docs within 3 near-dup hops of a seeded
+    * benchmark set ([[graft.operators.Graph.kHopReachability]] over the
+    * q56 blocking graph) — a doc near-dup to a doc near-dup to a
+    * benchmark doc is still contaminated, and single-hop decon scans
+    * (q110/q76) miss it. BFS first-arrival = minimum hops, so no
+    * min-aggregate pass; frontier-sized joins per round. Oracle = the
+    * hop-bounded recursive closure with min(hops). */
+  private val q199 = Q(
+    "q199_contamination_hops",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val seeds = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"))
+      graft.operators.Graph.kHopReachability(
+          blockingPairs(docs), "id_a", "id_b", seeds, "doc_id", maxHops = 3)
+        .select(col("node").as("doc_id"), col("hops"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      pk AS (SELECT doc_id, substr(text, 1, 120) AS k FROM documents
+        WHERE length(text) >= 120),
+      sk AS (SELECT doc_id, substr(text, length(text) - 99, 100) AS k
+        FROM documents WHERE length(text) >= 100),
+      e AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb FROM pk a JOIN pk b
+          ON a.k = b.k AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS ida, b.doc_id AS idb FROM sk a JOIN sk b
+          ON a.k = b.k AND a.doc_id < b.doc_id),
+      ee AS (SELECT ida AS src, idb AS dst FROM e
+        UNION SELECT idb, ida FROM e),
+      r AS (
+        SELECT doc_id AS id, 0 AS hops FROM documents WHERE doc_id % 7 = 0
+        UNION
+        SELECT ee.dst, r.hops + 1 FROM r JOIN ee ON r.id = ee.src
+        WHERE r.hops < 3)
+      SELECT id AS doc_id, CAST(min(hops) AS INTEGER) AS hops
+      FROM r GROUP BY id ORDER BY doc_id"""))
+
+  /** CMS join-size estimation — the planner-side device: |A ⋈ B on k| =
+    * Σ_k fA(k)·fB(k), estimated as min over sketch rows d of the
+    * row-wise inner product Σ_w cmsA[d][w]·cmsB[d][w] (Cormode &
+    * Muthukrishnan §4.2) from two FIXED 4×512 tables — no per-key
+    * counts join, no shuffle proportional to key cardinality; at 100 TB
+    * this is what decides broadcast-vs-shuffle-vs-skew-device BEFORE
+    * paying for the join. All counters are integers, so estimate and
+    * exact are order-independent and hash-exact; the estimate is
+    * provably an UPPER bound (hash collisions only add), require()d in
+    * the body against the exact value. */
+  private val q200 = Q(
+    "q200_join_size_estimate",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"))
+      def cells(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .agg(graft.plans.CountMin.sketch(col("user_id"), 4, 512).as("cells"))
+        .select(explode(col("cells")).as("e"))
+        .select(col("e.row").as("row"), col("e.col").as("col"),
+          col("e.cnt").as(s"cnt_$tag"))
+      val dots = cells(side("purchase"), "a")
+        .join(cells(side("click"), "b"), Seq("row", "col"))
+        .groupBy(col("row"))
+        .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+      val est = dots.agg(min(col("dot")).as("est"))
+      val exact = side("purchase").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("na"))
+        .join(side("click").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("nb")), Seq("user_id"))
+        .agg(sum(col("na") * col("nb")).as("exact"))
+      val out = dots.crossJoin(est).crossJoin(exact)
+        .select(col("row").cast("int").as("d"), col("dot"), col("est"),
+          col("exact"))
+        .orderBy(col("d"))
+      val r = out.limit(1).collect()(0)
+      require(r.getLong(2) >= r.getLong(3),
+        "CMS inner-product estimate must upper-bound the exact join size")
+      out
+    },
+    Some {
+      import XxhashSqlGen._
+      def sideCells(tag: String, etype: String): (String, String) = {
+        val base = s"base$tag AS (SELECT CAST(user_id AS HUGEINT) AS v" +
+          s" FROM events WHERE event_type = '$etype')"
+        val (c1, last1) = stages(s"${tag}s", "v", "42::HUGEINT", s"base$tag")
+        var ctes = Seq(base) ++ c1
+        var last = last1
+        val bucketCols = (0 until 4).map { j =>
+          val (cj, lastj) = stages(s"$tag$j", s"$j::HUGEINT", s"h${tag}s", last)
+          ctes ++= cj
+          last = lastj
+          s"""(((CASE WHEN h$tag$j >= 9223372036854775808::HUGEINT
+              THEN h$tag$j - $big ELSE h$tag$j END % 512) + 512) % 512) AS b$j"""
+        }
+        ctes :+= s"buckets$tag AS (SELECT ${bucketCols.mkString(", ")} FROM $last)"
+        ctes :+= (s"cells$tag AS (SELECT j.row, j.col, count(*) AS cnt FROM (" +
+          s" SELECT 0 AS row, b0 AS col FROM buckets$tag" +
+          s" UNION ALL SELECT 1, b1 FROM buckets$tag" +
+          s" UNION ALL SELECT 2, b2 FROM buckets$tag" +
+          s" UNION ALL SELECT 3, b3 FROM buckets$tag) j GROUP BY j.row, j.col)")
+        (ctes.mkString(",\n"), s"cells$tag")
+      }
+      val (ca, _) = sideCells("pa", "purchase")
+      val (cb, _) = sideCells("pb", "click")
+      s"""WITH $ca,
+      $cb,
+      dots AS (SELECT a.row, sum(a.cnt * b.cnt) AS dot
+        FROM cellspa a JOIN cellspb b ON a.row = b.row AND a.col = b.col
+        GROUP BY a.row),
+      est AS (SELECT min(dot) AS est FROM dots),
+      exact AS (SELECT sum(na * nb) AS exact FROM
+        (SELECT user_id, count(*) AS na FROM events
+          WHERE event_type = 'purchase' GROUP BY 1) a
+        JOIN (SELECT user_id, count(*) AS nb FROM events
+          WHERE event_type = 'click' GROUP BY 1) b USING (user_id))
+      SELECT CAST(d.row AS INTEGER) AS d, CAST(d.dot AS BIGINT) AS dot,
+        CAST(e.est AS BIGINT) AS est, CAST(x.exact AS BIGINT) AS exact
+      FROM dots d, est e, exact x ORDER BY d"""
+    })
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
@@ -3331,5 +3451,6 @@ object TextQueries extends QueryPack {
       q104, q107, q108, q110, q111, q112, q113, q114, q115, q119, q122,
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
-      q172, q174, q175, q177, q186, q187, q188, q194, q198)
+      q172, q174, q175, q177, q186, q187, q188, q194, q198, q199,
+      q200)
 }

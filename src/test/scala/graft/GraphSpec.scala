@@ -102,4 +102,27 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("canonical"))
   }
+
+  test("kHopReachability: min hops, bound respected, two-route min, isolation") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a shortcut 1-4: node 4 is reachable in 3 hops
+    // via the path but 1 via the shortcut — min wins; node 5 is 2 via
+    // the shortcut; 10-11 is a disconnected island (never reached)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (10L, 11L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.kHopReachability(edges, "u", "v", seeds, "id", 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+
+    // hop bound: maxHops = 1 stops the frontier
+    val one = Graph.kHopReachability(edges, "u", "v", seeds, "id", 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one === Map(1L -> 0, 2L -> 1, 4L -> 1))
+
+    // maxHops = 0: seeds only
+    val zero = Graph.kHopReachability(edges, "u", "v", seeds, "id", 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(zero === Map(1L -> 0))
+  }
 }
