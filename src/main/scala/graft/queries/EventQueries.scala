@@ -732,7 +732,53 @@ object EventQueries extends QueryPack {
       FROM events e JOIN dim d USING (user_id)
       GROUP BY 1, 2 ORDER BY segment, event_type"""))
 
+  /** Time-weighted average per user — the ops metric where a value
+    * holds until the next observation, so the mean weights each reading
+    * by its holding duration: Σ vᵢ·(tᵢ₊₁−tᵢ) / (tₙ−t₀). All
+    * accumulation is EXACT integers (cents × seconds products summed as
+    * longs — the q192 device for first moments applied to a weighted
+    * one); the single final division is the only float op, identical
+    * bits under any order. Users with one event (zero total duration)
+    * are excluded — TWA is undefined over a zero-length span. One lead
+    * window + one aggregate shuffle, both on user_id. */
+  private val q202 = Q(
+    "q202_time_weighted_avg",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      // microsecond epochs: fractional seconds are real in the fixture,
+      // and second-truncation loses them asymmetrically vs the oracle —
+      // micros keep every duration an exact long (Σ cents·µs telescopes
+      // to ≤ max_cents·span ≈ 2.6e17, well inside long)
+      val stepped = Tables(s, dir).events
+        .select(col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          unix_micros(col("ts")).as("t"),
+          lead(unix_micros(col("ts")), 1).over(w).as("t_next"))
+        .filter(col("t_next").isNotNull)
+      stepped.groupBy(col("user_id"))
+        .agg(sum(col("cents") * (col("t_next") - col("t"))).as("wsum"),
+          sum(col("t_next") - col("t")).as("dur"))
+        .filter(col("dur") > 0)
+        .select(col("user_id"), col("dur"),
+          (col("wsum").cast("double") /
+            (col("dur").cast("double") * lit(100.0))).as("twa"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH stepped AS (SELECT user_id,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          epoch_us(ts) AS t,
+          lead(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS t_next
+        FROM events)
+      SELECT user_id, CAST(sum(t_next - t) AS BIGINT) AS dur,
+        CAST(sum(cents * (t_next - t)) AS DOUBLE)
+          / (CAST(sum(t_next - t) AS DOUBLE) * 100.0) AS twa
+      FROM stepped WHERE t_next IS NOT NULL
+      GROUP BY user_id HAVING sum(t_next - t) > 0
+      ORDER BY user_id"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
     q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
-    q193, q197)
+    q193, q197, q202)
 }

@@ -1813,10 +1813,41 @@ object RelationalQueries extends QueryPack {
         CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
       FROM documents ORDER BY doc_id"""))
 
+  /** RANGE-frame time window (vs q13's ROWS frame): trailing 7-day
+    * revenue per customer — the frame is defined by the ORDER-BY
+    * VALUE's distance, not row position, so same-day peers all join the
+    * frame and gaps in the calendar shrink it. Spark's rangeBetween
+    * needs a numeric order key (epoch seconds); DuckDB's RANGE …
+    * INTERVAL over the timestamp is the same window contents, peers
+    * included, on both engines. One sort shuffle, exactly q13's scale
+    * shape. */
+  private val q201 = Q(
+    "q201_range_frame_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-7L * 86400L, 0L)
+      Tables(s, dir).orders
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          round(sum(col("o_totalprice")).over(w), 2).as("rev_7d"),
+          count(lit(1)).over(w).as("n_7d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS day,
+        round(sum(o_totalprice) OVER w, 2) AS rev_7d,
+        count(*) OVER w AS n_7d
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
-    q184, q189, q191, q195, q196)
+    q184, q189, q191, q195, q196, q201)
 }
