@@ -1844,10 +1844,65 @@ object RelationalQueries extends QueryPack {
         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** Referential-integrity audit — the data-quality gate a warehouse
+    * runs before trusting a snapshot: orphan counts per FK edge
+    * (lineitem→orders, orders→customer, customer→nation,
+    * lineitem→part/supplier), each an anti-join COUNT (no payload
+    * shuffle — only keys move), plus the parent row count for rate
+    * context. One row per FK edge regardless of corpus size. */
+  private val q203 = Q(
+    "q203_fk_audit",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def audit(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String) = {
+        val orphans = child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+          .count()
+        val rows = child.count()
+        (name, rows, orphans)
+      }
+      val rows = Seq(
+        audit("lineitem->orders", t.lineitem, "l_orderkey",
+          t.orders, "o_orderkey"),
+        audit("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        audit("lineitem->supplier", t.lineitem, "l_suppkey",
+          t.supplier, "s_suppkey"),
+        audit("orders->customer", t.orders, "o_custkey",
+          t.customer, "c_custkey"),
+        audit("customer->nation", t.customer, "c_nationkey",
+          t.nation, "n_nationkey"))
+      import s.implicits._
+      rows.toDF("fk_edge", "child_rows", "orphans")
+        .orderBy(col("fk_edge"))
+    },
+    Some("""SELECT 'customer->nation' AS fk_edge,
+        CAST((SELECT count(*) FROM customer) AS BIGINT) AS child_rows,
+        CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+          AS BIGINT) AS orphans
+      UNION ALL SELECT 'lineitem->orders',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL SELECT 'lineitem->part',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      UNION ALL SELECT 'lineitem->supplier',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL SELECT 'orders->customer',
+        (SELECT count(*) FROM orders),
+        (SELECT count(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      ORDER BY fk_edge"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
-    q184, q189, q191, q195, q196, q201)
+    q184, q189, q191, q195, q196, q201, q203)
 }
