@@ -778,7 +778,48 @@ object EventQueries extends QueryPack {
       GROUP BY user_id HAVING sum(t_next - t) > 0
       ORDER BY user_id"""))
 
+  /** Sliding-window DISTINCT users per type (batch twin of q51's
+    * streaming sliding windows, which can only count/sum): distinct
+    * can't ride a window FRAME, so each hour joins its trailing 3-hour
+    * bucket range (bucket h joins observations from h-2..h via a
+    * 3-bucket explode — bounded fan-out, the range-join device) and
+    * count-distincts per (type, hour). Shuffle volume = 3× the hourly
+    * observation table, never the raw event stream. */
+  private val q205 = Q(
+    "q205_sliding_distinct_users",
+    (s, dir) => {
+      val obs = Tables(s, dir).events
+        .select(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("hb"),
+          col("user_id")).distinct()
+      val contributed = obs.select(col("event_type"), col("user_id"),
+        explode(sequence(col("hb"), col("hb") + 2)).as("win"))
+      val present = obs.select(col("event_type"), col("hb").as("win"))
+        .distinct()
+      contributed.join(present, Seq("event_type", "win"))
+        .groupBy(col("event_type"), col("win"))
+        .agg(countDistinct(col("user_id")).as("u3h"))
+        .select(col("event_type"),
+          date_format(to_timestamp(col("win") * 3600L), "yyyy-MM-dd HH:00")
+            .as("hour_s"),
+          col("u3h"))
+        .orderBy(col("event_type"), col("hour_s"))
+    },
+    Some("""WITH obs AS (SELECT DISTINCT event_type,
+          CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hb,
+          user_id FROM events),
+      contributed AS (SELECT event_type, user_id,
+          unnest([hb, hb + 1, hb + 2]) AS win FROM obs),
+      present AS (SELECT DISTINCT event_type, hb AS win FROM obs)
+      SELECT c.event_type,
+        strftime(to_timestamp(c.win * 3600), '%Y-%m-%d %H:00') AS hour_s,
+        CAST(count(DISTINCT c.user_id) AS BIGINT) AS u3h
+      FROM contributed c JOIN present p
+        ON c.event_type = p.event_type AND c.win = p.win
+      GROUP BY c.event_type, c.win ORDER BY c.event_type, hour_s"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
     q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
-    q193, q197, q202)
+    q193, q197, q202, q205)
 }

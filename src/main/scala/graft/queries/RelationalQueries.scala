@@ -1899,10 +1899,36 @@ object RelationalQueries extends QueryPack {
           (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
       ORDER BY fk_edge"""))
 
+  /** CUBE — completes the multi-level-agg trio (ROLLUP q179, GROUPING
+    * SETS q180): ALL 2² combinations of (status, priority) in one
+    * Expand+partial-agg shuffle. The grouping_id() bitmask disambiguates
+    * every level in one integer — the column a BI layer keys its
+    * drill-down cache on. */
+  private val q204 = Q(
+    "q204_cube_agg",
+    (s, dir) => Tables(s, dir).orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("revenue"), col("n_orders"))
+      .orderBy(col("status"), col("priority")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+          AS INTEGER) AS gid,
+        round(sum(o_totalprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
   override val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
-    q184, q189, q191, q195, q196, q201, q203)
+    q184, q189, q191, q195, q196, q201, q203, q204)
 }
