@@ -76,7 +76,11 @@ object GraftSession {
       saltBuckets: Int,
       /** ingest-time bucket count for bucketed fact tables (the q158
         * co-located-join layout): see [[defaultBuckets]]. */
-      factTableBuckets: Int)
+      factTableBuckets: Int,
+      /** driver/broadcast cap on ANN query-batch rows (the FromIndex
+        * search paths collect or broadcast the query frame): see
+        * [[graft.operators.Similarity.DefaultMaxQueryRows]]. */
+      annMaxQueryRows: Int)
 
   /** Compute the 100 TB operating point from catalog corpus size and
     * total cluster cores. `nearDupThreshold` picks the minhash banding
@@ -104,7 +108,8 @@ object GraftSession {
       cmsDepth = 4,
       cmsWidth = 1 << 18,
       saltBuckets = math.min(1024, math.max(64, clusterCores / 4)),
-      factTableBuckets = defaultBuckets(corpusRows, clusterCores))
+      factTableBuckets = defaultBuckets(corpusRows, clusterCores),
+      annMaxQueryRows = graft.operators.Similarity.DefaultMaxQueryRows)
   }
 
   /** Bucket count for an ingest-time bucketed fact table — q158's layout

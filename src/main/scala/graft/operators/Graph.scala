@@ -127,9 +127,19 @@ object Graph {
           .join(visited.select(col("node")), Seq("node"), "left_anti")
           .withColumn("hops", lit(h))
           .localCheckpoint(true)
-        visited = visited.unionAll(next).localCheckpoint(true)
+        val merged = visited.unionAll(next).localCheckpoint(true)
+        // the merged checkpoint has materialized (eager), so the
+        // superseded round's blocks are dead weight — release them to
+        // keep storage O(|V|), not O(maxHops · |V|); the initial round
+        // has frontier eq visited, so guard the double-unpersist
+        if (!(frontier eq visited)) frontier.unpersist()
+        visited.unpersist()
+        visited = merged
         frontier = next
       }
+      // the last frontier's blocks are folded into the final visited
+      // checkpoint already; only the returned frame needs to stay live
+      if (!(frontier eq visited)) frontier.unpersist()
       visited
     } finally { ee.unpersist(); () }
   }
@@ -174,6 +184,13 @@ object Graph {
     val bad = e.filter(col("a") >= col("b")).limit(1).count()
     require(bad == 0L,
       "triangleCounts expects canonical edges (src < dst); found src >= dst")
+    // dedup gate: an exact duplicate canonical edge passes the src<dst
+    // check but double-counts every triangle its oriented edge touches —
+    // two aggregate jobs over the already-checkpointed edge frame, cheap
+    // relative to the joins below
+    val dups = e.count() - e.distinct().count()
+    require(dups == 0L,
+      s"triangleCounts expects deduplicated canonical edges; found $dups duplicate edge(s)")
     // degree over the undirected graph = appearances on either side;
     // checkpointed for EXACT size stats — a V-row two-long table usually
     // fits the broadcast threshold, turning both orientation joins into

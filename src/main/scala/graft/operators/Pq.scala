@@ -185,10 +185,21 @@ object Pq {
     * queries are dropped (nothing to search with — they return no rows
     * rather than NPE-ing the LUT build for the whole batch). */
   private def collectQueries(
-      queries: DataFrame, idCol: String, embCol: String): Seq[(Long, Seq[Double])] =
-    queries.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      queries: DataFrame, idCol: String, embCol: String): Seq[(Long, Seq[Double])] = {
+    // the limit bounds the collect itself; the length check then turns an
+    // over-cap query frame into a named error instead of a driver OOM —
+    // same guard as Similarity.lshTopKFromIndex
+    val cap = graft.operators.Similarity.DefaultMaxQueryRows
+    val rows = queries
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
       .filter(col(embCol).isNotNull)
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"Pq search: query frame exceeds $cap rows — the ANN contract is " +
+        "queries << corpus (per-query LUTs are built driver-side); " +
+        "split the batch")
+    rows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+  }
 
   /** 9dp-snapped L2² between a[aOff, aOff+n) and b[0, n) — the ONE
     * driver-side distance used for both LUT entries and probe selection,

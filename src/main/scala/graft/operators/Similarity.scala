@@ -20,6 +20,16 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Default cap on driver-collected ANN query rows. The ANN contract is
+    * queries ≪ corpus; the FromIndex search paths collect the query frame
+    * (probe signatures / LUTs are driver-side math) and then fan each
+    * query out ×(1+nbits)×tables probe rows, so a corpus-sized query
+    * frame would OOM the driver instead of erroring by name. 100k queries
+    * × 64-dim doubles ≈ 50 MB of driver heap — comfortably model-sized;
+    * callers with a genuinely bigger batch split it or raise the cap
+    * explicitly. Exposed via [[graft.GraftSession.scaleDefaults]]. */
+  val DefaultMaxQueryRows: Int = 100000
+
   /** Deterministic unit-less hyperplanes for LSH signatures. */
   def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -561,7 +571,16 @@ object Similarity {
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 3,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxQueryRows: Int = DefaultMaxQueryRows): DataFrame = {
+    require(maxQueryRows > 0, "maxQueryRows must be positive")
+    // the probe frame ((q_id, q_emb, cid) × nprobe) is broadcast below —
+    // a corpus-sized query frame would OOM every executor, not just the
+    // driver; limit+count early-stops, so the gate is cheap
+    require(queries.limit(maxQueryRows + 1).count() <= maxQueryRows,
+      s"ivfTopKFromIndex: query frame exceeds maxQueryRows=$maxQueryRows " +
+        "— the ANN contract is queries << corpus (the probe frame is " +
+        "broadcast x nprobe); split the batch or raise maxQueryRows")
     // the index says what it is: meta is required (a path without one is
     // not a writeIvfIndex layout) and must AGREE with the centroid table —
     // a mixed or partially-overwritten index throws instead of silently
@@ -697,8 +716,10 @@ object Similarity {
   def lshTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxQueryRows: Int = DefaultMaxQueryRows): DataFrame = {
     import spark.implicits._
+    require(maxQueryRows > 0, "maxQueryRows must be positive")
     val meta =
       try spark.read.parquet(s"$path/meta").select("nbits", "tables", "dim").head()
       catch {
@@ -709,8 +730,18 @@ object Similarity {
       }
     val (nbits, tables, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val planeSets = tablePlaneSets(nbits, tables, dim)
+    // the limit BOUNDS the collect itself (never cap+1 rows on the
+    // driver), then the length check turns an over-cap frame into a
+    // named error instead of a driver OOM — the probe fan-out below is
+    // ×(1+nbits)×tables per query, so the query frame must be small
     val qRows = queries
-      .select(col(idCol).cast("long"), col(embCol).cast("array<double>")).collect()
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .limit(maxQueryRows + 1).collect()
+    require(qRows.length <= maxQueryRows,
+      s"lshTopKFromIndex: query frame exceeds maxQueryRows=$maxQueryRows " +
+        "— the ANN contract is queries << corpus (probe fan-out is " +
+        s"(1+$nbits)x$tables rows per query on the driver); split the " +
+        "batch or raise maxQueryRows")
     val probeRows: Seq[(Long, Int, Int, Seq[Double])] = (for {
       r <- qRows.toSeq
       emb = r.getSeq[Double](1)

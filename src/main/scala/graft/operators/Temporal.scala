@@ -74,9 +74,11 @@ object Temporal {
     // combines consecutive filters into one And, and And evaluates the
     // right leg when the left is NULL (null bounds) — a NULL span must
     // answer true (the And's NULL left then drops the row), never raise.
+    // span = bucket count - 1, so the strict < makes the enforced cap
+    // agree with the parameter name and message (≤ admitted max+1)
     val span = bucketOf(col("__to")) - bucketOf(col("__from"))
     val spanOk = when(
-      span.isNull || span <= lit(maxBucketsPerInterval), lit(true))
+      span.isNull || span < lit(maxBucketsPerInterval), lit(true))
       .otherwise(raise_error(concat(
         lit(s"Temporal.rangeJoin: an interval spans more than " +
           s"$maxBucketsPerInterval buckets of width $bucketWidth " +
@@ -132,9 +134,10 @@ object Temporal {
       val side = df.withColumn(fc, from.cast("long"))
         .withColumn(tc, to.cast("long"))
         .filter(col(fc) <= col(tc))
+      // strict <: span is bucket count - 1 (see rangeJoin)
       val span = bucketOf(col(tc)) - bucketOf(col(fc))
       val spanOk = when(
-        span.isNull || span <= lit(maxBucketsPerInterval), lit(true))
+        span.isNull || span < lit(maxBucketsPerInterval), lit(true))
         .otherwise(raise_error(concat(
           lit(s"Temporal.intervalOverlapJoin: an interval spans more " +
             s"than $maxBucketsPerInterval buckets of width $bucketWidth " +

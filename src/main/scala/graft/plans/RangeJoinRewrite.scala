@@ -162,8 +162,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
               // predicate would take the RaiseError branch — but the
               // original join silently DROPS null-bound rows (condition
               // evaluates NULL), so the rewrite must too, not crash
+              // strict <: span is bucket count - 1, so < keeps the
+              // enforced cap in agreement with the conf name/message
+              // (and with Temporal.rangeJoin's twin guard)
               val spanGuard = IsNull(If(
-                Or(IsNull(span), LessThanOrEqual(span, Literal(maxBuckets))),
+                Or(IsNull(span), LessThan(span, Literal(maxBuckets))),
                 Literal(null),
                 new RaiseError(Literal.create(
                   s"range-join rewrite: an interval spans more than " +

@@ -3171,9 +3171,16 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), lit(1L).as("seq"), lit("D").as("op"),
           lit(null).cast("string").as("text"),
           lit(null).cast("string").as("lang"))
+      // insert ids provably OUTSIDE the fixture's id domain (max+1
+      // offset, computed identically in the oracle) — a fixed literal
+      // offset could collide with a real doc_id at a large enough
+      // scale factor, creating a (doc_id, seq) tie whose oracle-side
+      // row_number resolution is nondeterministic
       val inserts = base.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), lit(1L).as("seq"),
-          lit("U").as("op"),
+        .crossJoin(broadcast(
+          base.agg(max(col("doc_id")).as("__max_id"))))
+        .select((col("doc_id") + col("__max_id") + 1L).as("doc_id"),
+          lit(1L).as("seq"), lit("U").as("op"),
           concat(lit("inserted near "), col("doc_id")).as("text"),
           lit("en").as("lang"))
       val changes = updates.unionByName(deletes).unionByName(inserts)
@@ -3188,7 +3195,8 @@ object TextQueries extends QueryPack {
         UNION ALL
         SELECT doc_id, 1, 'D', NULL, NULL FROM base WHERE doc_id % 7 = 0
         UNION ALL
-        SELECT doc_id + 2000000, 1, 'U', 'inserted near ' || doc_id, 'en'
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM base), 1, 'U',
+          'inserted near ' || doc_id, 'en'
         FROM base WHERE doc_id % 13 = 0),
       last AS (SELECT doc_id, op, text, lang FROM ch
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)

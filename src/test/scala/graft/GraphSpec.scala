@@ -101,6 +101,16 @@ class GraphSpec extends SparkSpec {
         Seq((2L, 1L), (1L, 3L)).toDF("u", "v"), "u", "v").collect()
     }
     assert(e.getMessage.contains("canonical"))
+
+    // an exact duplicate canonical edge passes src<dst but would silently
+    // double-count every triangle its oriented edge touches — the dedup
+    // gate rejects it by name
+    val d = intercept[IllegalArgumentException] {
+      Graph.triangleCounts(
+        Seq((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v"),
+        "u", "v").collect()
+    }
+    assert(d.getMessage.contains("duplicate"), d.getMessage)
   }
 
   test("kHopReachability: min hops, bound respected, two-route min, isolation") {

@@ -183,6 +183,16 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalStateException] {
       Similarity.lshTopKFromIndex(spark, bare, queries, k = 5)
     }
+    // an over-cap query frame fails BY NAME before the driver collect
+    // (the collect itself is limit-bounded, so the gate never OOMs)
+    val big = intercept[IllegalArgumentException] {
+      Similarity.lshTopKFromIndex(spark, dir, emb, k = 5, maxQueryRows = 3)
+    }
+    assert(big.getMessage.contains("maxQueryRows"), big.getMessage)
+    // ...and a frame exactly at the cap passes
+    assert(Similarity.lshTopKFromIndex(
+      spark, dir, queries, k = 5,
+      maxQueryRows = queries.count().toInt).count() > 0L)
   }
 
   test("persisted IVF index: pruned-scan ANN matches in-memory ivfTopK") {
@@ -200,6 +210,11 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalStateException] {
       Similarity.ivfTopKFromIndex(spark, bare, queries, k = 5, nprobe = 3)
     }
+    // over-cap query frame fails by name before the probe broadcast
+    val big = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(spark, dir, emb, k = 5, maxQueryRows = 3)
+    }
+    assert(big.getMessage.contains("maxQueryRows"), big.getMessage)
   }
 
   test("embedding dedup survivors drop exactly the dominated ids") {

@@ -132,6 +132,21 @@ class TemporalSpec extends SparkSpec {
       maxBucketsPerInterval = 1_000_000L).count()
     assert(wideOk === 500L)
 
+    // boundary: the cap counts BUCKETS, not span — an interval covering
+    // exactly maxBucketsPerInterval buckets passes, one more fails
+    val atCap = graft.operators.Temporal.rangeJoin(
+      pts, col("ts"), Seq((9L, 0L, 900L)).toDF("wid", "f", "t"),
+      col("f"), col("t"), bucketWidth = 100L,
+      maxBucketsPerInterval = 10L).count()   // buckets 0..9 = exactly 10
+    assert(atCap > 0L, "interval covering exactly the cap must pass")
+    val overCap = intercept[Exception] {
+      graft.operators.Temporal.rangeJoin(
+        pts, col("ts"), Seq((9L, 0L, 1000L)).toDF("wid", "f", "t"),
+        col("f"), col("t"), bucketWidth = 100L,
+        maxBucketsPerInterval = 10L).count() // buckets 0..10 = 11
+    }
+    assert(msgs(overCap).exists(_.contains("maxBucketsPerInterval")))
+
     // NULL bounds behave like the plain join (row silently dropped, no
     // raise) — even though Catalyst collapses the from<=to filter and
     // the guard into one And that evaluates the guard on a NULL left leg
