@@ -163,4 +163,18 @@ object GraftSession {
     * parameter). */
   def builderFor(defaults: ScaleDefaults): SparkSession.Builder =
     builder(shufflePartitions = defaults.shufflePartitions)
+
+  /** Pre-join planning advisory: broadcast / shuffle / salt + estimated
+    * output rows, from one bounded-state sketch pass per side (CMS
+    * inner-product join-size upper bound + Misra-Gries hot-key probe) —
+    * see [[graft.plans.JoinAdvisor]] for the decision rule and the
+    * full-control overload. At 100 TB the strategy decision costs two
+    * map-only scans here vs a failed join discovered an hour in. */
+  def joinAdvice(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      key: String): graft.plans.JoinAdvisor.JoinAdvice =
+    graft.plans.JoinAdvisor.advise(
+      left, org.apache.spark.sql.functions.col(key),
+      right, org.apache.spark.sql.functions.col(key))
 }
