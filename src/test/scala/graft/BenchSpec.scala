@@ -35,6 +35,40 @@ class BenchSpec extends AnyFunSuite {
     assert(e === Map("q1" -> 5.0))
   }
 
+  test("cost-scaled tolerance: top decile gets the hard 1.3x gate, " +
+    "cheap queries keep jitter headroom") {
+    val cutoff = 8.0 // top-decile boundary in a hypothetical envelope
+    // the BENCH_r12 escape: q159 at 14.09s vs 8.66s prior (1.63x) MUST
+    // now trip the guard for a top-decile query
+    val limitHeavy = Bench.spreadLimitFor(prior = 8.66, topDecileCutoff = cutoff)
+    assert(limitHeavy === 1.3)
+    assert(Bench.exceedsPrior(best = 14.09, prior = 8.66, limitHeavy),
+      "the r12 q159 slip (1.63x on the heaviest query) must flag")
+    // a mid-cost query: tolerance scales as 1 + 1.5/sqrt(prior)
+    val limitMid = Bench.spreadLimitFor(prior = 4.0, topDecileCutoff = cutoff)
+    assert(math.abs(limitMid - 1.75) < 1e-9)
+    assert(Bench.exceedsPrior(best = 8.0, prior = 4.0, limitMid))
+    assert(!Bench.exceedsPrior(best = 6.0, prior = 4.0, limitMid))
+    // a sub-second query keeps the full jitter headroom (clamped at base)
+    assert(Bench.spreadLimitFor(prior = 0.1, topDecileCutoff = cutoff) === 3.0)
+    // monotone: tolerance never loosens as cost grows
+    val grid = Seq(0.05, 0.2, 0.5, 1.0, 2.0, 4.0, 7.9, 8.0, 20.0)
+    val limits = grid.map(Bench.spreadLimitFor(_, cutoff))
+    assert(limits === limits.sorted.reverse, s"non-monotone: $limits")
+    // no envelope -> no decile, sqrt rule alone (1 + 1.5/sqrt(10))
+    assert(math.abs(
+      Bench.spreadLimitFor(prior = 10.0, topDecileCutoff = 0.0)
+        - (1.0 + 1.5 / math.sqrt(10.0))) < 1e-9)
+  }
+
+  test("crash-injection lifecycle is excluded from the timed sweep but " +
+    "stays registered for the correctness gate") {
+    assert(Bench.benchExcluded.contains("q159_crash_consistent_curation"))
+    Bench.benchExcluded.foreach(n =>
+      assert(SparkEntry.queries.contains(n),
+        s"excluded query $n must still be Verify-graded"))
+  }
+
   test("regression trigger needs BOTH the ratio and the absolute delta") {
     // ratio alone: 0.05 -> 0.3 is 6x but only +0.25s — codegen jitter
     assert(!Bench.exceedsPrior(best = 0.3, prior = 0.05, spreadLimit = 3.0))
