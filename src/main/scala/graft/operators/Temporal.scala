@@ -156,6 +156,65 @@ object Temporal {
       .drop("__lf", "__lt", "__rf", "__rt", "__lb", "__rb")
   }
 
+  /** Data-derived default `bucketWidth` for [[rangeJoin]] /
+    * [[intervalOverlapJoin]] — the nlist/winnowMaxDf pattern applied to
+    * the time axis, so a 100 TB caller cannot hand-pick a width that
+    * explodes the interval fan-out. One GK-quantile pass
+    * ([[Sketches.gkQuantiles]]'s approxQuantile machinery, bounded
+    * summary state) over the interval spans `to - from` yields:
+    *
+    *  - the MEDIAN span: a width near the typical interval length keeps
+    *    the per-interval explosion at ~2 rows (the operator doc's
+    *    guidance, now derived instead of trusted);
+    *  - the MAX span (GK retains extremes, so p=1.0 is exact): the
+    *    width floor `maxSpan/(cap-2) + 1` guarantees even the widest
+    *    interval clears the strict `span < maxBucketsPerInterval` guard
+    *    (bucket span ≤ floor(len/w) + 1), so the derived width can
+    *    never trip the cap it is paired with.
+    *
+    * The result is `max(median, floor)` — wide data pushes the width up
+    * via the median, a heavy tail pushes it up via the cap floor.
+    * Degenerate spans (null bounds, from > to) are excluded, matching
+    * both joins' drop semantics; an empty interval side returns 1 (any
+    * width is correct for zero intervals). */
+  def deriveBucketWidth(
+      intervals: DataFrame, from: Column, to: Column,
+      maxBucketsPerInterval: Long = 65536L,
+      relErr: Double = 0.01): Long =
+    deriveFromSpans(
+      intervals.select((to.cast("long") - from.cast("long")).as("__span")),
+      maxBucketsPerInterval, relErr)
+
+  /** [[deriveBucketWidth]] over BOTH sides of an interval×interval
+    * overlap join (both sides explode, so both spans matter): the union
+    * of the two span distributions feeds one derivation. */
+  def deriveBucketWidth2(
+      left: DataFrame, lFrom: Column, lTo: Column,
+      right: DataFrame, rFrom: Column, rTo: Column,
+      maxBucketsPerInterval: Long = 65536L): Long =
+    deriveFromSpans(
+      left.select((lTo.cast("long") - lFrom.cast("long")).as("__span"))
+        .unionByName(right.select(
+          (rTo.cast("long") - rFrom.cast("long")).as("__span"))),
+      maxBucketsPerInterval, relErr = 0.01)
+
+  private def deriveFromSpans(
+      spans: DataFrame, maxBucketsPerInterval: Long, relErr: Double): Long = {
+    require(maxBucketsPerInterval > 2,
+      "maxBucketsPerInterval must be > 2 (a width satisfying the span " +
+        "guard must leave room for the +1 boundary bucket)")
+    require(relErr > 0 && relErr < 1, "relErr must be in (0, 1)")
+    val valid = spans.filter(col("__span").isNotNull && col("__span") >= 0)
+    val cuts = valid.stat.approxQuantile("__span", Array(0.5, 1.0), relErr)
+    if (cuts.isEmpty) 1L
+    else {
+      val median = math.max(1L, math.round(cuts(0)))
+      val maxSpan = math.max(0L, math.round(cuts(1)))
+      val floor = maxSpan / (maxBucketsPerInterval - 2) + 1L
+      math.max(median, floor)
+    }
+  }
+
   /** Left as-of join: every left row, joined to the latest right row with
     * `right.tsCol <= left.tsCol` and equal keys (ties include the right
     * row). Right columns surface as `<name><suffix>`; left rows with no

@@ -357,9 +357,17 @@ object EventQueries extends QueryPack {
           (col("ts").cast("long") + 3600L).as("w_to"))
       val points = ev.filter(col("event_type") === "purchase")
         .select(col("ts").as("p_ts"), col("value").as("p_value"))
+      // width DERIVED from the interval-span distribution (GK quantile
+      // pass, Temporal.deriveBucketWidth) instead of hand-picked; the
+      // fixture's windows are uniformly 1 h, so the derivation must land
+      // exactly on the width a careful operator would have chosen
+      val width = graft.operators.Temporal.deriveBucketWidth(
+        windows, col("w_from"), col("w_to"))
+      require(width == 3600L,
+        s"derived bucket width $width != the uniform 3600s interval span")
       val j = graft.operators.Temporal.rangeJoin(
         points, col("p_ts").cast("long"),
-        windows, col("w_from"), col("w_to"), bucketWidth = 3600L)
+        windows, col("w_from"), col("w_to"), bucketWidth = width)
       val p = j.queryExecution.executedPlan.toString
       require(!p.contains("CartesianProduct")
           && !p.contains("BroadcastNestedLoopJoin"),

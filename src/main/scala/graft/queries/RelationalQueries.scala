@@ -1732,9 +1732,18 @@ object RelationalQueries extends QueryPack {
         .distinct()
         .select(unix_timestamp(col("w")).as("bf"),
           (unix_timestamp(col("w")) + lit(13L * day)).as("bt"))
+      // width derived from BOTH sides' span distributions (7d activity
+      // windows, 13d campaign weeks) — deriveBucketWidth2's GK pass
+      // replaces the hand-picked constant; any derived width is exact
+      // (the residual predicate decides matches), the derivation just
+      // bounds the explosion
+      val width = graft.operators.Temporal.deriveBucketWidth2(
+        a, col("af"), col("at"), b, col("bf"), col("bt"))
+      require(width >= 7L * day && width <= 13L * day + 1,
+        s"derived width $width outside the two span modes [7d, 13d]")
       graft.operators.Temporal.intervalOverlapJoin(
           a, col("af"), col("at"), b, col("bf"), col("bt"),
-          bucketWidth = 7L * day)
+          bucketWidth = width)
         .orderBy(col("aid"), col("bf"))
     },
     Some("""WITH a AS (SELECT o_orderkey AS aid, epoch(o_orderdate) AS af,

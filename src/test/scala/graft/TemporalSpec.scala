@@ -216,6 +216,45 @@ class TemporalSpec extends SparkSpec {
     assert(gotN === Set(20L))
   }
 
+  test("deriveBucketWidth: median span, cap floor dominates heavy tails, " +
+    "derived width always clears the guard it pairs with") {
+    import spark.implicits._
+    // uniform spans: width = the span (the hand-pick a careful operator
+    // makes); derivation replaces trust with data
+    val uniform = (1 to 50).map(i => (i.toLong, i * 1000L, i * 1000L + 3600L))
+      .toDF("id", "f", "t")
+    assert(Temporal.deriveBucketWidth(uniform, col("f"), col("t")) === 3600L)
+
+    // heavy tail + tight cap: the floor term must lift the width so the
+    // widest interval clears the STRICT span guard
+    val tailed = ((1 to 40).map(i => (i.toLong, 0L, 10L)) :+ (99L, 0L, 1000L))
+      .toDF("id", "f", "t")
+    val w = Temporal.deriveBucketWidth(tailed, col("f"), col("t"),
+      maxBucketsPerInterval = 5L)
+    assert(w >= 1000L / 3 + 1, s"cap floor must dominate the 10s median: $w")
+    // the pairing holds end-to-end: rangeJoin with (w, cap) must not raise
+    // and must match the brute-force inequality join
+    val pts = (0L to 1000L by 50L).map(ts => (ts, s"p$ts")).toDF("ts", "pid")
+    val got = Temporal.rangeJoin(pts, col("ts"), tailed, col("f"), col("t"),
+      bucketWidth = w, maxBucketsPerInterval = 5L).count()
+    val brute = pts.join(tailed,
+      col("ts") >= col("f") && col("ts") <= col("t")).count()
+    assert(got === brute)
+
+    // degenerate spans excluded; empty side defaults to 1
+    val junk = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 10L, 5L), (2L, null, 5L)).toDF("id", "f", "t")
+    assert(Temporal.deriveBucketWidth(
+      junk, col("f").cast("long"), col("t").cast("long")) === 1L)
+
+    // two-sided derivation covers both exploding sides
+    val a = (1 to 30).map(i => (i.toLong, 0L, 100L)).toDF("aid", "af", "at")
+    val b = (1 to 5).map(i => (i.toLong, 0L, 900L)).toDF("bid", "bf", "bt")
+    val w2 = Temporal.deriveBucketWidth2(
+      a, col("af"), col("at"), b, col("bf"), col("bt"))
+    assert(w2 === 100L, s"median of the pooled spans: $w2")
+  }
+
   test("gapFillInterpolate: hand-computed fills, edges observed, multi-key") {
     import spark.implicits._
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
