@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import graft.sources.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{Bpe, Classifier, Dedup, Dsir, LangModel, Metrics, Sampling, Sketches}
@@ -3452,6 +3453,74 @@ object TextQueries extends QueryPack {
       FROM dots d, est e, exact x ORDER BY d"""
     })
 
+  /** Exactly-once streaming ingestion through the DSv2 keyed connector
+    * ([[graft.sources.v2.KeyedJsonStream]]): the crawl side of the
+    * documents table rendered as 3 mtime-ordered micro-batch files,
+    * streamed via foreachBatch into the `graft-keyed` layout with
+    * batch-id idempotence (marker + residue-scrub protocol in
+    * KeyedJsonBatchWrite.commit — the q176 write path made replay-safe,
+    * so the connector story matches the q142/q159 manifest story). The
+    * graded path then REPLAYS batch 1 (the crash window between sink
+    * commit and checkpoint commit): the marker must turn it into a
+    * skip, or every lang count doubles for a third of the corpus and
+    * the oracle reds. Final read goes back through the connector's SPJ
+    * scan; the full crash matrix (mid-commit partial, rollback restart)
+    * is pinned in SinkSourceSpec. */
+  private val q206 = Q(
+    "q206_stream_keyed_exactly_once",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import graft.sources.v2.KeyedJsonStream
+      val crawl = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("lang"))
+      // one partitioned write renders all 3 batch files (q142's device)
+      val tmp = Files.createTempDirectory("graft-q206-part").toString
+      val streamDir = Files.createTempDirectory("graft-q206-src").toString
+      crawl.withColumn("bat", pmod(col("doc_id"), lit(3)))
+        .coalesce(1).write.partitionBy("bat").mode("overwrite").json(tmp)
+      (0 until 3).foreach { b =>
+        val part = Option(new java.io.File(tmp, s"bat=$b").listFiles)
+          .getOrElse(Array.empty).find(_.getName.endsWith(".json"))
+          .getOrElse(throw new IllegalStateException(s"no file for batch $b"))
+        val dest = Paths.get(streamDir, f"batch$b%02d.json")
+        Files.move(part.toPath, dest)
+        require(dest.toFile.setLastModified((b + 1) * 60000L),
+          s"could not stamp batch $b's replay order")
+      }
+      val outDir = Files.createTempDirectory("graft-q206-out").toString
+      val ck = Files.createTempDirectory("graft-q206-ck").toString
+      val inSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType)))
+      val incoming = s.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1).json(streamDir)
+        .withColumn("shard",
+          pmod(xxhash64(col("doc_id")), lit(8L)).cast("int"))
+      val q = KeyedJsonStream.writer(incoming, outDir, "shard", ck).start()
+      q.awaitTermination()
+      require((0L to 2L).forall(KeyedJsonStream.isCommitted(outDir, _)),
+        "all 3 micro-batches must leave commit markers")
+      // the at-least-once replay window, in the graded path: batch 1
+      // again with the same id — the ledger must skip it whole
+      val replay = crawl.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .withColumn("shard",
+          pmod(xxhash64(col("doc_id")), lit(8L)).cast("int"))
+      require(!KeyedJsonStream.appendBatch(replay, outDir, "shard", 1L),
+        "replayed batch id must be skipped by the commit ledger")
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("shard", IntegerType)))
+      s.read.format("graft-keyed").schema(outSchema)
+        .option("keycol", "shard").load(outDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+        CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM documents WHERE doc_id % 10 <> 0
+      GROUP BY lang ORDER BY lang"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
@@ -3460,5 +3529,5 @@ object TextQueries extends QueryPack {
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
       q172, q174, q175, q177, q186, q187, q188, q194, q198, q199,
-      q200)
+      q200, q206)
 }

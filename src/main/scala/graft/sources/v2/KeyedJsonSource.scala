@@ -80,8 +80,12 @@ class KeyedJsonTable(userSchema: StructType, path: String, keyCol: String)
       s"graft-keyed write: input must carry key column '$keyCol'")
     require(s(keyCol).dataType == IntegerType,
       s"graft-keyed write: key column '$keyCol' must be INT")
+    // streaming exactly-once leg: a foreachBatch caller passes the
+    // micro-batch id and the write's commit becomes idempotent (marker
+    // check + residue scrub keyed on the id) — see KeyedJsonStream
+    val batchId = Option(info.options.get("batchid")).map(_.toLong)
     new WriteBuilder {
-      override def build(): Write = new KeyedJsonWrite(s, path, keyCol)
+      override def build(): Write = new KeyedJsonWrite(s, path, keyCol, batchId)
     }
   }
 }
@@ -105,17 +109,22 @@ class KeyedJsonTable(userSchema: StructType, path: String, keyCol: String)
   *    over the non-key fields), symmetric with the read side's
   *    inject-from-dir-name.
   */
-class KeyedJsonWrite(schema: StructType, path: String, keyCol: String)
+class KeyedJsonWrite(
+    schema: StructType, path: String, keyCol: String,
+    batchId: Option[Long] = None)
     extends Write with RequiresDistributionAndOrdering {
   override def requiredDistribution(): Distribution =
     Distributions.clustered(Array(Expressions.identity(keyCol)))
   override def requiredOrdering(): Array[SortOrder] = Array.empty
-  override def toBatch: BatchWrite = new KeyedJsonBatchWrite(schema, path, keyCol)
+  override def toBatch: BatchWrite =
+    new KeyedJsonBatchWrite(schema, path, keyCol, batchId)
 }
 
 case class KeyedFileCommit(files: Seq[(Int, String)]) extends WriterCommitMessage
 
-class KeyedJsonBatchWrite(schema: StructType, path: String, keyCol: String)
+class KeyedJsonBatchWrite(
+    schema: StructType, path: String, keyCol: String,
+    batchId: Option[Long] = None)
     extends BatchWrite {
   private val tmpRoot =
     s"$path/_tmp-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -123,19 +132,68 @@ class KeyedJsonBatchWrite(schema: StructType, path: String, keyCol: String)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KeyedJsonWriterFactory(schema, keyCol, tmpRoot)
 
+  /** Batch-id exactly-once protocol (streaming foreachBatch leg; batch
+    * writes without a batchid are untouched). Ordered so every crash
+    * window replays clean:
+    *  1. marker present → the batch already committed whole; a replayed
+    *     commit is a no-op (crash after step 4);
+    *  2. scrub `batch-<id>-*` residue from the shard dirs — a previous
+    *     attempt that crashed mid-move (step 3) left a visible PARTIAL
+    *     batch; the replay deletes it before re-moving, so the batch's
+    *     files are never seen twice;
+    *  3. move this attempt's files in, names prefixed `batch-<id>-` (the
+    *     scrub key);
+    *  4. write the marker, temp + ATOMIC_MOVE (the commit point).
+    * Readers tolerate every window: shard files are the only data, the
+    * marker flips atomically, and pre-marker partials are exactly what
+    * step 2 scrubs on replay. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (batchId.exists(markerExists)) { deleteTmp(); return }
+    batchId.foreach(scrubResidue)
+    val prefix = batchId.map(id => s"batch-$id-").getOrElse("")
     val root = java.nio.file.Paths.get(path)
     messages.foreach {
       case KeyedFileCommit(files) => files.foreach { case (key, tmp) =>
         val src = java.nio.file.Paths.get(tmp)
         val destDir = root.resolve(s"$keyCol=$key")
         java.nio.file.Files.createDirectories(destDir)
-        java.nio.file.Files.move(src, destDir.resolve(src.getFileName),
+        java.nio.file.Files.move(src,
+          destDir.resolve(prefix + src.getFileName.toString),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       case other => throw new IllegalStateException(s"unexpected commit $other")
     }
     deleteTmp()
+    batchId.foreach(writeMarker)
+  }
+
+  private def markerPath(id: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "_batches", s"batch-$id.committed")
+
+  private def markerExists(id: Long): Boolean =
+    java.nio.file.Files.exists(markerPath(id))
+
+  private def writeMarker(id: Long): Unit = {
+    val marker = markerPath(id)
+    java.nio.file.Files.createDirectories(marker.getParent)
+    val tmp = java.nio.file.Files.createTempFile(
+      marker.getParent, s"batch-$id", ".tmp")
+    java.nio.file.Files.write(tmp,
+      java.util.Arrays.asList(s"batch $id committed"))
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def scrubResidue(id: Long): Unit = {
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$keyCol="))
+      .foreach { shard =>
+        Option(shard.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(s"batch-$id-"))
+          .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+      }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = deleteTmp()

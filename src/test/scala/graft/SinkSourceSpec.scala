@@ -600,4 +600,86 @@ class SinkSourceSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("DSv2 keyed STREAM: exactly-once under replay-after-commit, " +
+    "partial-residue crash, and a REAL checkpoint-rollback restart") {
+    import org.apache.spark.sql.types._
+    import graft.sources.v2.KeyedJsonStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-keyed-stream").toString
+    val srcDir = new java.io.File(s"$base/src"); srcDir.mkdirs()
+    val outDir = s"$base/out"
+    val ck = s"$base/ck"
+    // 3 one-file micro-batches (mtime-forced order, the q142 device)
+    for (b <- 0 until 3) {
+      val f = new java.io.File(srcDir, f"f$b%02d.json")
+      val rows = (0 until 20).map(i => s"""{"k":${b * 100 + i},"v":${i * 2.0}}""")
+      java.nio.file.Files.write(f.toPath, rows.asJava)
+      assert(f.setLastModified((b + 1) * 60000L))
+    }
+    val inSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    def stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", 1).json(srcDir.toString)
+      .withColumn("shard", pmod(xxhash64(col("k")), lit(4L)).cast("int"))
+    val q = KeyedJsonStream.writer(stream, outDir, "shard", ck).start()
+    q.awaitTermination()
+    assert((0L to 2L).forall(KeyedJsonStream.isCommitted(outDir, _)),
+      "every micro-batch must leave its commit marker")
+    val outSchema = StructType(inSchema.fields :+
+      StructField("shard", IntegerType))
+    def readBack() = spark.read.format("graft-keyed").schema(outSchema)
+      .option("keycol", "shard").load(outDir)
+    assert(readBack().count() === 60L)
+
+    // replay after commit (the crash window between sink commit and
+    // checkpoint commit): same batch id again -> skipped whole
+    import spark.implicits._
+    val replayDf = Seq((100L, 0.0)).toDF("k", "v")
+      .withColumn("shard", pmod(xxhash64(col("k")), lit(4L)).cast("int"))
+    assert(!KeyedJsonStream.appendBatch(replayDf, outDir, "shard", 1L))
+    assert(readBack().count() === 60L, "replayed batch must change nothing")
+
+    // crash mid-commit: a previous attempt of batch 3 moved SOME files
+    // in (visible partial) but died before its marker — the replay must
+    // scrub the residue and land the batch exactly once
+    val orphan = new java.io.File(s"$outDir/shard=0/batch-3-part-orphan.json")
+    java.nio.file.Files.write(orphan.toPath,
+      Seq("""{"k":999,"v":99.0}""").asJava)
+    assert(readBack().count() === 61L, "planted partial is visible pre-replay")
+    val b3 = (300L until 320L).map(k => (k, 1.0)).toDF("k", "v")
+      .withColumn("shard", pmod(xxhash64(col("k")), lit(4L)).cast("int"))
+    assert(KeyedJsonStream.appendBatch(b3, outDir, "shard", 3L))
+    assert(!orphan.exists, "replay must scrub the crashed attempt's residue")
+    assert(readBack().count() === 80L)
+    assert(readBack().filter(col("k") === 999L).count() === 0L)
+    // double-apply of the same id after ITS commit: no-op
+    assert(!KeyedJsonStream.appendBatch(b3, outDir, "shard", 3L))
+    assert(readBack().count() === 80L)
+
+    // REAL at-least-once replay: roll the checkpoint back (delete the
+    // last batch's commit record) and restart — Structured Streaming
+    // re-executes batch 2 with the same id; the marker makes it a skip
+    val commit2 = new java.io.File(s"$ck/commits/2")
+    assert(commit2.isFile, "checkpoint layout changed? expected commits/2")
+    assert(commit2.delete())
+    // Spark 4's checkpoint manager writes a checksum sidecar next to
+    // each log file; a stale .2.crc would make the replayed commit's
+    // rename fail as a phantom concurrent writer
+    new java.io.File(s"$ck/commits/.2.crc").delete()
+    // the terminated query deregisters from the active-checkpoint map
+    // asynchronously after awaitTermination — wait it out before the
+    // restart claims the same checkpoint
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.streams.active.nonEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val q2 = KeyedJsonStream.writer(stream, outDir, "shard", ck).start()
+    q2.awaitTermination()
+    assert(readBack().count() === 80L,
+      "checkpoint-rollback replay must not duplicate batch 2")
+    // content exactness: every (k, v) pair exactly once
+    val ks = readBack().select("k").as[Long].collect().sorted
+    assert(ks.toSeq === ((0L until 20L) ++ (100L until 120L) ++
+      (200L until 220L) ++ (300L until 320L)).map(identity))
+  }
 }
