@@ -176,15 +176,19 @@ object JoinAdvisor {
       skewFactor: Double = 5.0,
       minSaltOutputRows: Long = 10_000_000L,
       maxSaltBuckets: Int = 1024,
-      hhCapacity: Int = 16): JoinAdvice = {
+      hhCapacity: Int = 16,
+      targetPartitions: Option[Int] = None): JoinAdvice = {
     require(broadcastMaxRows >= 0, "broadcastMaxRows must be >= 0")
     require(skewFactor > 0, "skewFactor must be positive")
     require(maxSaltBuckets >= 2, "maxSaltBuckets must be >= 2")
     val a = sideStats(left, leftKey, hhCapacity)
     val b = sideStats(right, rightKey, hhCapacity)
     val est = innerProduct(a.cells, b.cells)
-    val parts = math.max(1,
-      left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // advise for the cluster the join will RUN on — the planning session
+    // is often a notebook with a different shuffle width than the target
+    // deployment; None falls back to this session's conf
+    val parts = math.max(1, targetPartitions.getOrElse(
+      left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
     val fair = math.max(1L, est / parts)
     // hottest key's output upper bound: candidates from EITHER side's MG
     // (a key hot in the join output must be hot on at least one side);

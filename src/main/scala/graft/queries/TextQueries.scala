@@ -3453,6 +3453,118 @@ object TextQueries extends QueryPack {
       FROM dots d, est e, exact x ORDER BY d"""
     })
 
+  /** The pre-join planning advisory ([[graft.plans.JoinAdvisor]], the
+    * q200 estimator with a CONSUMER) graded end to end: purchases with
+    * half the users folded onto one hot key joined against clicks — the
+    * decision must come out `salt`, with every number on the row
+    * (est-output upper bound, hottest-key output, fair share, the
+    * power-of-two salt bucket count) re-derived by DuckDB from scratch.
+    * The Misra-Gries candidate pass runs at capacity 4096 ≥ the
+    * fixture's key cardinality, where MG is EXACT and merge-order
+    * independent (the documented regime), so the oracle's candidate set
+    * (all distinct keys of either side) provably equals the engine's;
+    * the CMS point estimates and inner product are restated with the
+    * closed-formula XXH64 chain (three chained hashes per key: the
+    * sideStats pre-hash, the sketch seed, the row-bucket), cells
+    * re-derived as Σ_k freq(k)·[bucket(k)=cell] over the distinct-key
+    * relation. `targetPartitions` pins the fair-share divisor to the
+    * deployment width (32) so the advisory is session-independent —
+    * exactly how a notebook advises for the cluster the join will run
+    * on. */
+  private val q207 = Q(
+    "q207_join_advisory",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(when(col("user_id") % 10 < 5, lit(7L))
+          .otherwise(col("user_id")).as("k"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"))
+      val advice = graft.plans.JoinAdvisor.advise(
+        purchases, col("k"), clicks, col("k"),
+        broadcastMaxRows = 100L, skewFactor = 3.0,
+        minSaltOutputRows = 1000L, maxSaltBuckets = 1024,
+        hhCapacity = 4096, targetPartitions = Some(32))
+      import s.implicits._
+      Seq((advice.strategy, advice.leftRows, advice.rightRows,
+        advice.estOutputRows, advice.hotKeyOutputRows,
+        advice.fairShareRows, advice.saltBuckets.toLong))
+        .toDF("strategy", "left_rows", "right_rows", "est_output",
+          "hot_output", "fair_share", "salt_buckets")
+    },
+    Some {
+      import XxhashSqlGen._
+      // per-key CMS buckets: three chained XXH64 lanes (pre-hash h1 =
+      // XXH64(k, 42) — sideStats' xxhash64(col); sketch seed h2 =
+      // XXH64(h1, 42) — CountMinAgg's update; row bucket = XXH64(j, h2)
+      // % 512), over the DISTINCT-key relation (cells are then
+      // Σ_k freq·[bucket=cell], identical to the per-row aggregate)
+      val kv = "kv AS (SELECT k, CASE WHEN k < 0 THEN k + " + big +
+        " ELSE CAST(k AS HUGEINT) END AS vk FROM keys)"
+      val (c1, l1) = stages("jx", "vk", "42::HUGEINT", "kv")
+      val (c2, l2) = stages("jy", "hjx", "42::HUGEINT", l1)
+      var ctes = Seq(kv) ++ c1 ++ c2
+      var last = l2
+      val bucketCols = (0 until 4).map { j =>
+        val (cj, lj) = stages(s"jb$j", s"$j::HUGEINT", "hjy", last)
+        ctes ++= cj
+        last = lj
+        s"""(((CASE WHEN hjb$j >= 9223372036854775808::HUGEINT
+            THEN hjb$j - $big ELSE hjb$j END % 512) + 512) % 512) AS b$j"""
+      }
+      ctes :+= s"kb AS (SELECT k, ${bucketCols.mkString(", ")} FROM $last)"
+      val chains = ctes.mkString(",\n")
+      s"""WITH pk AS (SELECT CASE WHEN user_id % 10 < 5 THEN 7
+            ELSE user_id END AS k
+          FROM events WHERE event_type = 'purchase'),
+        ck AS (SELECT user_id AS k FROM events WHERE event_type = 'click'),
+        keys AS (SELECT DISTINCT k FROM
+          (SELECT k FROM pk UNION ALL SELECT k FROM ck)),
+        $chains,
+        kbl AS (SELECT k, u.row, u.col FROM kb, LATERAL (
+          SELECT 0 AS row, b0 AS col UNION ALL SELECT 1, b1
+          UNION ALL SELECT 2, b2 UNION ALL SELECT 3, b3) u),
+        fa AS (SELECT k, count(*) AS n FROM pk GROUP BY k),
+        fb AS (SELECT k, count(*) AS n FROM ck GROUP BY k),
+        cellsa AS (SELECT row, col, CAST(sum(n) AS BIGINT) AS cnt
+          FROM kbl JOIN fa USING (k) GROUP BY row, col),
+        cellsb AS (SELECT row, col, CAST(sum(n) AS BIGINT) AS cnt
+          FROM kbl JOIN fb USING (k) GROUP BY row, col),
+        esta AS (SELECT k, CAST(min(coalesce(ca.cnt, 0)) AS BIGINT) AS est
+          FROM kbl LEFT JOIN cellsa ca USING (row, col) GROUP BY k),
+        estb AS (SELECT k, CAST(min(coalesce(cb.cnt, 0)) AS BIGINT) AS est
+          FROM kbl LEFT JOIN cellsb cb USING (row, col) GROUP BY k),
+        hot AS (SELECT CAST(max(ea.est * eb.est) AS BIGINT) AS hot
+          FROM esta ea JOIN estb eb USING (k)),
+        dots AS (SELECT r.row,
+            CAST(coalesce(sum(ca.cnt * cb.cnt), 0) AS BIGINT) AS dot
+          FROM (VALUES (0), (1), (2), (3)) r(row)
+          LEFT JOIN cellsa ca ON ca.row = r.row
+          LEFT JOIN cellsb cb ON cb.row = ca.row AND cb.col = ca.col
+          GROUP BY r.row),
+        est AS (SELECT CAST(min(dot) AS BIGINT) AS est FROM dots),
+        calc AS (SELECT
+            (SELECT count(*) FROM pk) AS na,
+            (SELECT count(*) FROM ck) AS nb,
+            e.est, h.hot,
+            greatest(1, e.est // 32) AS fair
+          FROM est e, hot h),
+        pow AS (SELECT coalesce(min(p), 1024) AS buckets
+          FROM (VALUES (2), (4), (8), (16), (32), (64), (128), (256),
+            (512), (1024)) t(p), calc
+          WHERE p >= greatest(2, hot // fair))
+      SELECT
+        CASE WHEN least(na, nb) <= 100 THEN 'broadcast'
+          WHEN hot > 3.0 * fair AND hot >= 1000 THEN 'salt'
+          ELSE 'shuffle' END AS strategy,
+        CAST(na AS BIGINT) AS left_rows, CAST(nb AS BIGINT) AS right_rows,
+        est AS est_output, hot AS hot_output, fair AS fair_share,
+        CAST(CASE WHEN least(na, nb) > 100
+            AND hot > 3.0 * fair AND hot >= 1000
+          THEN p.buckets ELSE 0 END AS BIGINT) AS salt_buckets
+      FROM calc, pow p"""
+    })
+
   /** Exactly-once streaming ingestion through the DSv2 keyed connector
     * ([[graft.sources.v2.KeyedJsonStream]]): the crawl side of the
     * documents table rendered as 3 mtime-ordered micro-batch files,
@@ -3529,5 +3641,5 @@ object TextQueries extends QueryPack {
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
       q172, q174, q175, q177, q186, q187, q188, q194, q198, q199,
-      q200, q206)
+      q200, q206, q207)
 }
