@@ -245,4 +245,61 @@ object Graph {
         .agg(count(lit(1)).as("n_triangles"))
     } finally { oriented.unpersist(); e.unpersist(); () }
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected edge list — the cheap community detector next to
+    * [[Dedup]]'s connected components: CC merges everything reachable,
+    * LPA splits a connected similarity graph into DENSE regions (topic
+    * clusters in a kNN/co-occurrence graph), the curation question CC
+    * cannot answer.
+    *
+    * Determinism (the property the classic async formulation lacks):
+    * updates are SYNCHRONOUS (round t+1 reads only round t's labels) and
+    * the per-node vote resolves ties by (max count, then MIN label) via
+    * one `max(struct(cnt, -lab))` aggregate — no RNG, no visit order, so
+    * replays and cross-engine restatements are exact. Labels start as
+    * node ids; each round every node adopts the majority label of its
+    * NEIGHBORS (self-vote excluded, the standard formulation). A fixed
+    * `rounds` bounds the cost; LPA's useful signal saturates in a few
+    * rounds and the fixed count keeps the result restatable (convergence
+    * detection would make the output depend on a count-distinct probe).
+    *
+    * Scale shape (the Pregel plan, same as [[pageRank]]): the symmetric
+    * edge closure is checkpointed ONCE and reused every round; a round
+    * is one edges ⋈ labels shuffle join plus two key-partitioned
+    * aggregations — O(|E|) work per round, labels frame O(|V|), driver
+    * state O(1). Superseded label checkpoints are released as soon as
+    * the next round's materializes (the [[kHopReachability]] rule).
+    *
+    * Returns `(node, label)` for every non-isolated node (an isolated
+    * node has no neighbors to vote — and no edge row to arrive on). */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(
+      col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    try {
+      var labels = und.select(col("a").as("node")).distinct()
+        .withColumn("lab", col("node")).localCheckpoint(true)
+      for (_ <- 0 until rounds) {
+        val votes = und
+          .join(labels.select(col("node").as("b"), col("lab")), Seq("b"))
+          .groupBy(col("a").as("node"), col("lab"))
+          .agg(count(lit(1)).as("cnt"))
+        // (max cnt, then min label): negate inside the struct so ONE
+        // max aggregate carries both tie-break levels
+        val next = votes
+          .groupBy(col("node"))
+          .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("w"))
+          .select(col("node"), (-col("w.neg")).as("lab"))
+          .localCheckpoint(true)
+        labels.unpersist()
+        labels = next
+      }
+      labels.select(col("node"), col("lab").as("label"))
+    } finally { und.unpersist(); () }
+  }
 }

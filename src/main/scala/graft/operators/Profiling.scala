@@ -55,4 +55,47 @@ object Profiling {
       "column", "n_rows", "n_nulls", "n_distinct",
       "min_value", "max_value", "approx_ok")
   }
+
+  /** 2-D Pareto frontier (skyline): the rows not DOMINATED by any other
+    * — s dominates r when s.x ≤ r.x ∧ s.y ≥ r.y with at least one
+    * strict (x minimized, y maximized; flip a sign to change direction).
+    * The curation read: "best quality for its cost" rows of a corpus
+    * (shortest docs above each quality level, cheapest parts per size,
+    * fastest shards per accuracy) — the trade-off set a threshold filter
+    * cannot express.
+    *
+    * Plan (the reason a naive NOT EXISTS self-join — quadratic, the
+    * oracle's restatement — is never executed here): in 2-D, dominance
+    * only flows along the sorted x axis, so
+    *  1. groupBy(x) → max(y): a map-side-combining aggregation collapses
+    *     the frame to one row per distinct x (dominated-within-x rows
+    *     can never be frontier rows unless they tie the group max);
+    *  2. one running-max window over the DISTINCT-X frame, sorted by x:
+    *     an x-group survives iff its ymax strictly beats every
+    *     smaller-x group's (prev running max);
+    *  3. semi-join survivors back: frontier rows are those matching
+    *     their surviving group's ymax (ties kept — equal points do not
+    *     dominate each other).
+    * The single-partition window runs over the distinct-x frame only —
+    * |distinct x| rows after a partial combine, the same model-sized
+    * contract as the GK/profile passes; at 100 TB with a genuinely
+    * huge x-domain, pre-bucket x and run step 2 per bucket with a
+    * carried running max. Null x or y rows are dropped (dominance is
+    * undefined on them, matching SQL comparison semantics). */
+  def paretoFrontier(
+      df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__x", x).withColumn("__y", y)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val byX = base.groupBy(col("__x")).agg(max(col("__y")).as("__ymax"))
+    val w = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = byX
+      .withColumn("__prev", max(col("__ymax")).over(w))
+      .filter(col("__prev").isNull || col("__ymax") > col("__prev"))
+      .select(col("__x"), col("__ymax"))
+    base.join(kept, Seq("__x"))
+      .filter(col("__y") === col("__ymax"))
+      .drop("__x", "__y", "__ymax")
+  }
 }

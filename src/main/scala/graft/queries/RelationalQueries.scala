@@ -1678,6 +1678,75 @@ object RelationalQueries extends QueryPack {
       FROM (SELECT unnest([a, b, c]) AS node FROM t)
       GROUP BY node ORDER BY node"""))
 
+  /** Synchronous label propagation over the co-purchase graph
+    * ([[graft.operators.Graph.labelPropagation]], 2 rounds): the
+    * community detector next to q184's triangles and q56/q73's connected
+    * components — CC merges everything reachable, LPA splits the
+    * connected graph into dense regions. The operator's determinism
+    * contract (sync rounds, ties to the MINIMUM label, no RNG) is what
+    * makes a full oracle possible at all: DuckDB re-derives both rounds
+    * by unrolling vote → count → row_number-tie-break per round — an
+    * async or RNG-seeded LPA has no restatable answer. Per-round cost is
+    * one edges ⋈ labels shuffle + two keyed aggregations (Pregel plan);
+    * the symmetric edge closure is checkpointed once. */
+  private val q208 = Q(
+    "q208_label_propagation",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.operators.Graph.labelPropagation(edges, "u", "v", rounds = 2)
+        .orderBy(col("node"))
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      und AS (SELECT u AS a, v AS b FROM e0
+        UNION SELECT v AS a, u AS b FROM e0),
+      l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und),
+      c1 AS (SELECT und.a AS node, l.lab, count(*) AS cnt
+        FROM und JOIN l0 l ON l.node = und.b GROUP BY 1, 2),
+      l1 AS (SELECT node, lab FROM (SELECT node, lab, row_number()
+          OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+        FROM c1) WHERE rn = 1),
+      c2 AS (SELECT und.a AS node, l.lab, count(*) AS cnt
+        FROM und JOIN l1 l ON l.node = und.b GROUP BY 1, 2),
+      l2 AS (SELECT node, lab FROM (SELECT node, lab, row_number()
+          OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+        FROM c2) WHERE rn = 1)
+      SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label
+      FROM l2 ORDER BY node"""))
+
+  /** 2-D Pareto frontier ([[graft.operators.Profiling.paretoFrontier]]):
+    * the parts of one brand that are cheapest for their size — no other
+    * part has (price ≤, size ≥) with one strict. The oracle restates
+    * dominance as the NAIVE quadratic NOT EXISTS self-join (exactly what
+    * the operator must never execute); the engine's plan is
+    * groupBy(price) partial-combine → one running-max window over the
+    * distinct-price frame → semi-join back, linear in rows with the
+    * single-partition pass bounded by |distinct prices|. */
+  private val q209 = Q(
+    "q209_pareto_frontier",
+    (s, dir) => {
+      val parts = Tables(s, dir).part
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      graft.operators.Profiling
+        .paretoFrontier(parts, col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""WITH b AS (SELECT p_partkey, p_retailprice, p_size
+        FROM part WHERE p_brand = 'Brand#23')
+      SELECT p_partkey, p_retailprice, p_size FROM b r
+      WHERE NOT EXISTS (SELECT 1 FROM b s
+        WHERE s.p_retailprice <= r.p_retailprice AND s.p_size >= r.p_size
+          AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size))
+      ORDER BY p_partkey"""))
+
   /** Distribution-rank window suite: ntile / percent_rank / cume_dist
     * per priority partition — the §2.9 window surface beyond rank and
     * running sums (q12-q15). All four functions share ONE window
@@ -1939,5 +2008,5 @@ object RelationalQueries extends QueryPack {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
-    q184, q189, q191, q195, q196, q201, q203, q204)
+    q184, q189, q191, q195, q196, q201, q203, q204, q208, q209)
 }

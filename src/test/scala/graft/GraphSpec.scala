@@ -135,4 +135,37 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(zero === Map(1L -> 0))
   }
+
+  test("labelPropagation: hand-traced sync rounds, tie-break to min " +
+    "label, communities split across a bridge") {
+    import spark.implicits._
+    // two triangles bridged at 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
+    def lp(r: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges, "u", "v", r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 0: identity labels
+    assert(lp(0) === (1L to 6L).map(n => n -> n).toMap)
+    // round 1, hand-traced with sync updates + min-label ties:
+    // 1 sees {2,3} -> 2; 2 sees {1,3} -> 1; 3 sees {1,2,4} -> 1;
+    // 4 sees {3,5,6} -> 3; 5 sees {4,6} -> 4; 6 sees {4,5} -> 4
+    assert(lp(1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // round 3: the two triangles settle into distinct communities
+    val l3 = lp(3)
+    assert(l3(1L) === l3(2L) && l3(2L) === l3(3L))
+    assert(l3(4L) === l3(5L) && l3(5L) === l3(6L))
+    assert(l3(1L) !== l3(4L), s"bridge must not merge the triangles: $l3")
+
+    // star: all leaves adopt the hub's label; the hub ties across leaf
+    // labels and takes the MINIMUM — determinism is the contract
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val s1 = Graph.labelPropagation(star, "u", "v", 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(s1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+
+    // repeated runs are identical (no RNG, no visit order)
+    assert(lp(3) === lp(3))
+  }
 }

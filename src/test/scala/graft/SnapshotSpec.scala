@@ -52,6 +52,41 @@ class SnapshotSpec extends SparkSpec {
     assert(got("dead") === ((4L, 4L, 0L, None, None, true)))
   }
 
+  test("paretoFrontier: dominance vs brute force, ties kept, nulls " +
+    "dropped, within-x dominance") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    // minimize x, maximize y. Hand-set: (1,5) frontier; (2,5) dominated
+    // by (1,5) (same y, larger x); (2,7) frontier; (3,7) dominated;
+    // (3,9) frontier; (3,2) dominated within its x group; duplicate
+    // (3,9) kept (equal points don't dominate each other)
+    val df = Seq((1.0, 5, "a"), (2.0, 5, "b"), (2.0, 7, "c"),
+      (3.0, 7, "d"), (3.0, 9, "e"), (3.0, 2, "f"), (3.0, 9, "g"))
+      .toDF("x", "y", "id")
+    val got = Profiling.paretoFrontier(df, col("x"), col("y"))
+      .select("id").as[String].collect().sorted.toSeq
+    assert(got === Seq("a", "c", "e", "g"))
+    // brute-force dominance agrees on a bigger deterministic frame
+    val big = (1 to 200)
+      .map(i => ((i * 37 % 97).toDouble, (i * 53) % 89, s"r$i"))
+      .toDF("x", "y", "id")
+    val rows = big.collect().map(r =>
+      (r.getDouble(0), r.getInt(1), r.getString(2)))
+    val brute = rows.filter { case (x, y, _) =>
+      !rows.exists { case (x2, y2, _) =>
+        x2 <= x && y2 >= y && (x2 < x || y2 > y) }
+    }.map(_._3).sorted.toSeq
+    val fast = Profiling.paretoFrontier(big, col("x"), col("y"))
+      .select("id").as[String].collect().sorted.toSeq
+    assert(fast === brute)
+    // null coordinates are dropped, not frontier'd
+    val withNulls = df.unionByName(
+      Seq((null.asInstanceOf[java.lang.Double], 99, "n")).toDF("x", "y", "id")
+        .select(col("x").cast("double"), col("y").cast("int"), col("id")))
+    assert(!Profiling.paretoFrontier(withNulls, col("x"), col("y"))
+      .select("id").as[String].collect().contains("n"))
+  }
+
   test("applyCdc: last-writer-wins, delete+update overlap, unknown op raises") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
