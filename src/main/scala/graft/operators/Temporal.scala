@@ -215,10 +215,21 @@ object Temporal {
     }
   }
 
-  /** Left as-of join: every left row, joined to the latest right row with
-    * `right.tsCol <= left.tsCol` and equal keys (ties include the right
-    * row). Right columns surface as `<name><suffix>`; left rows with no
-    * prior right row keep nulls.
+  /** Left as-of join: every left row, joined to the nearest right row at
+    * or before its timestamp (`direction = "backward"`, the default:
+    * latest right with `right.ts <= left.ts`) or at or after it
+    * (`direction = "forward"`: earliest right with `right.ts >=
+    * left.ts` — the "time to next event" shape: next purchase after a
+    * signup, next deploy after an alert). Equal keys required; ties
+    * (equal timestamps) match in both directions. Right columns surface
+    * as `<name><suffix>`; left rows with no match keep nulls.
+    *
+    * Both directions are ONE plan: union the sides, sort within each key
+    * along the direction of time, and carry the last-seen right payload
+    * — forward is backward scanned from the other end (descending ts),
+    * so no second implementation exists to drift. If several right rows
+    * share (key, ts), which payload wins is partitioning-dependent —
+    * dedup the right side first when that pair is not unique.
     *
     * @param rightPayloadCols right columns to carry (right's ts column is
     *                         always carried)
@@ -226,7 +237,10 @@ object Temporal {
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTs: String, rightTs: String,
-      rightPayloadCols: Seq[String] = Nil, suffix: String = "_asof"): DataFrame = {
+      rightPayloadCols: Seq[String] = Nil, suffix: String = "_asof",
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward").contains(direction),
+      s"asofJoin direction must be backward|forward, got '$direction'")
     val payloadFields = (rightTs +: rightPayloadCols).distinct
     val l = left
       .withColumn("__ts", col(leftTs))
@@ -241,9 +255,13 @@ object Temporal {
           col(rightTs).as("__ts"), lit(0).as("__side"),
           struct(payloadFields.map(col): _*).as("__payload")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right rows order before left rows at equal ts, so ties match
+    // right rows order before left rows at equal ts, so ties match;
+    // forward scans time DESCENDING (preceding rows have later ts, and
+    // the last-seen right is the earliest at-or-after)
+    val tsOrder =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))

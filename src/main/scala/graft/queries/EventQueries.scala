@@ -827,7 +827,48 @@ object EventQueries extends QueryPack {
         ON c.event_type = p.event_type AND c.win = p.win
       GROUP BY c.event_type, c.win ORDER BY c.event_type, hour_s"""))
 
+  /** FORWARD as-of join ([[graft.operators.Temporal.asofJoin]] with
+    * `direction = "forward"`): per signup, the next purchase at or after
+    * it for the same user — the time-to-conversion shape q53's funnel
+    * window cannot express (the funnel gates on "within N days"; this
+    * returns the actual next event and its gap, unbounded). Same
+    * union-sort-carry plan as the backward q58, scanned from the other
+    * end; the purchase side is pre-deduped to one row per (user, ts)
+    * (max value) because the at-or-after tie would otherwise pick a
+    * partitioning-dependent payload. Oracle: correlated min-ts join. */
+  private val q211 = Q(
+    "q211_forward_asof",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").cast("long").as("s_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").cast("long").as("p_ts"))
+        .agg(max(col("value")).as("p_value"))
+      graft.operators.Temporal.asofJoin(
+          signups, purchases, Seq("user_id"), "s_ts", "p_ts",
+          Seq("p_value"), direction = "forward")
+        .select(col("user_id"), col("s_ts"),
+          col("p_ts_asof").as("p_ts"),
+          (col("p_ts_asof") - col("s_ts")).as("delta_sec"),
+          col("p_value_asof").as("p_value"))
+        .orderBy(col("user_id"), col("s_ts"))
+    },
+    Some("""WITH s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s_ts
+        FROM events WHERE event_type = 'signup'),
+      p0 AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_ts,
+          max(value) AS p_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      m AS (SELECT s.user_id, s.s_ts, min(p.p_ts) AS p_ts
+        FROM s LEFT JOIN p0 p
+        ON p.user_id = s.user_id AND p.p_ts >= s.s_ts
+        GROUP BY 1, 2)
+      SELECT m.user_id, m.s_ts, m.p_ts, m.p_ts - m.s_ts AS delta_sec,
+        p.p_value
+      FROM m LEFT JOIN p0 p ON p.user_id = m.user_id AND p.p_ts = m.p_ts
+      ORDER BY m.user_id, m.s_ts"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
     q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
-    q193, q197, q202, q205)
+    q193, q197, q202, q205, q211)
 }

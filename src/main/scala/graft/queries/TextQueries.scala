@@ -3453,6 +3453,75 @@ object TextQueries extends QueryPack {
       FROM dots d, est e, exact x ORDER BY d"""
     })
 
+  /** Per-source Spearman rank correlation between document length and
+    * token count — the monotone-association probe of the corpus-stats
+    * family (q35): "does this source's char count track its token count,
+    * or does it hide outlier structure" (a low ρ flags sources whose
+    * length signal is unreliable for curriculum/quality gating).
+    * Numerics are EXACT until the last three ops: fractional tie-ranks
+    * are carried DOUBLED (2·rank() + tiecount − 1, an integer — Spearman
+    * is affine-invariant so ρ is unchanged), every moment is an exact
+    * integer sum, and only the final (num / √(d1·d2), round 6) touches
+    * doubles — multiply, sqrt (IEEE correctly-rounded), divide evaluate
+    * identically in both engines on identical integer inputs, with no
+    * order-dependent float accumulation anywhere. One shuffle per rank
+    * window + one keyed aggregation; degenerate (constant) variables
+    * yield NULL, not a division blow-up. */
+  private val q210 = Q(
+    "q210_spearman_corr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).documents
+        .select(col("source"), col("n_chars").as("x"),
+          tokenCount(col("text")).as("y"))
+      val r = d.select(col("source"),
+        (lit(2L) * rank().over(
+          Window.partitionBy(col("source")).orderBy(col("x"))) +
+          count(lit(1)).over(
+            Window.partitionBy(col("source"), col("x"))) - 1L).as("rx"),
+        (lit(2L) * rank().over(
+          Window.partitionBy(col("source")).orderBy(col("y"))) +
+          count(lit(1)).over(
+            Window.partitionBy(col("source"), col("y"))) - 1L).as("ry"))
+      val a = r.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+      val d2 = col("n") * col("syy") - col("sy") * col("sy")
+      a.select(col("source"), col("n").as("n_docs"),
+        when(d1 > 0 && d2 > 0,
+          round(num.cast("double") /
+            sqrt(d1.cast("double") * d2.cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("spearman"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+        FROM documents),
+      r AS (SELECT source,
+          2 * rank() OVER (PARTITION BY source ORDER BY x)
+            + count(*) OVER (PARTITION BY source, x) - 1 AS rx,
+          2 * rank() OVER (PARTITION BY source ORDER BY y)
+            + count(*) OVER (PARTITION BY source, y) - 1 AS ry
+        FROM d),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+          CAST(sum(rx * rx) AS BIGINT) AS sxx,
+          CAST(sum(ry * ry) AS BIGINT) AS syy,
+          CAST(sum(rx * ry) AS BIGINT) AS sxy
+        FROM r GROUP BY source)
+      SELECT source, n AS n_docs,
+        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+          THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+          ELSE NULL END AS spearman
+      FROM a ORDER BY source"""))
+
   /** The pre-join planning advisory ([[graft.plans.JoinAdvisor]], the
     * q200 estimator with a CONSUMER) graded end to end: purchases with
     * half the users folded onto one hot key joined against clicks — the
@@ -3641,5 +3710,5 @@ object TextQueries extends QueryPack {
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
       q172, q174, q175, q177, q186, q187, q188, q194, q198, q199,
-      q200, q206, q207)
+      q200, q206, q207, q210)
 }

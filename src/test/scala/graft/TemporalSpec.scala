@@ -29,6 +29,25 @@ class TemporalSpec extends SparkSpec {
     assert(out("p2") === ((50L, "a")))
     assert(out("p3") === ((-1L, null)))
     assert(out("p4") === ((-1L, null)))
+
+    // forward: earliest at-or-after — p1 ties r@100; p2's next is r@100;
+    // p3's next is r@50; p4 still matchless
+    val fwd = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts",
+        Seq("r_tag"), direction = "forward")
+      .select(col("tag"), col("ts_asof").cast("long"), col("r_tag_asof"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))).toMap
+    assert(fwd("p1") === ((100L, "b")))
+    assert(fwd("p2") === ((100L, "b")))
+    assert(fwd("p3") === ((50L, "a")))
+    assert(fwd("p4") === ((-1L, null)))
+
+    // unknown direction fails by name
+    val bad = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, Seq("k"), "ts", "ts",
+        direction = "sideways")
+    }
+    assert(bad.getMessage.contains("direction"))
   }
 
   test("asof join ignores right rows with null ts or null key (SQL semantics)") {
