@@ -86,4 +86,52 @@ object Snapshot {
     survivors.select((idCol +: payloadCols).map(col): _*)
       .unionByName(upserts)
   }
+
+  /** SCD Type-2 history build: turn a change log into per-key validity
+    * intervals — the dimension-table twin of [[applyCdc]] (which keeps
+    * only the LAST state; SCD2 keeps them ALL, the shape every
+    * warehouse dimension and every "what did the corpus metadata say at
+    * training time" audit needs). Three window steps over one
+    * (key)-partitioned sort:
+    *  1. collapse runs — a change row opens a version only when its
+    *     state DIFFERS from the previous row's (lag), so idempotent
+    *     re-emissions of the same state never fragment the history;
+    *  2. `valid_from` = the opening change's ts, `valid_to` = the next
+    *     version's ts (lead; null = still current), half-open
+    *     [from, to) so versions tile the timeline without overlap;
+    *  3. `version` = row_number per key, `is_current` = no successor.
+    *
+    * Ordering must be TOTAL: `orderCols` breaks ts ties (pass the
+    * change's unique id); with ties left unbroken, which duplicate-ts
+    * state wins is partitioning-dependent and the history is not
+    * restatable. One shuffle on the key; all three steps share the sort.
+    */
+  def scd2History(
+      df: DataFrame, key: Column, state: Column, ts: Column,
+      orderCols: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tie-breakers are carried as columns so BOTH windows (the collapse
+    // lag and the validity lead/row_number) resolve the same total order
+    val ties = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val base = df.select(
+      Seq(key.as("key"), state.as("state"), ts.as("ts")) ++ ties: _*)
+    val ord = col("ts").asc +:
+      orderCols.indices.map(i => col(s"__o$i").asc)
+    val w = Window.partitionBy(col("key")).orderBy(ord: _*)
+    // NULL-safe change test. The first row is detected by row_number,
+    // NOT by lag() returning null — lag is null both at the partition
+    // head and after a genuinely-null previous STATE, and conflating
+    // the two would re-open a version inside a null-state run
+    val opens = base
+      .withColumn("__prev", lag(col("state"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("state") <=> col("__prev")))
+    opens
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("key"), col("state"), col("valid_from"),
+        col("valid_to"), col("version"), col("is_current"))
+  }
 }

@@ -868,7 +868,103 @@ object EventQueries extends QueryPack {
       FROM m LEFT JOIN p0 p ON p.user_id = m.user_id AND p.p_ts = m.p_ts
       ORDER BY m.user_id, m.s_ts"""))
 
+  /** SCD Type-2 history ([[graft.operators.Snapshot.scd2History]]): the
+    * per-user event-type change log as half-open validity intervals —
+    * the dimension-history twin of q188's applyCdc (last state only).
+    * Runs of the same state collapse (idempotent re-emissions never
+    * fragment history), [from, to) tiles each key's timeline, and the
+    * (ts, event_id) total order makes equal-ts changes restatable. One
+    * key-partitioned sort carries all three window steps. */
+  private val q212 = Q(
+    "q212_scd2_history",
+    (s, dir) => graft.operators.Snapshot.scd2History(
+        Tables(s, dir).events,
+        col("user_id"), col("event_type"), col("ts").cast("long"),
+        Seq(col("event_id")))
+      .orderBy(col("key"), col("version")),
+    Some("""WITH b AS (SELECT user_id AS key, event_type AS state,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_id
+        FROM events),
+      o AS (SELECT *,
+          lag(state) OVER (PARTITION BY key ORDER BY ts, event_id) AS prev,
+          row_number()
+            OVER (PARTITION BY key ORDER BY ts, event_id) AS rn FROM b),
+      op AS (SELECT key, state, ts, event_id FROM o
+        WHERE rn = 1 OR state IS DISTINCT FROM prev)
+      SELECT key, state, ts AS valid_from,
+        lead(ts) OVER w AS valid_to,
+        CAST(row_number() OVER w AS INTEGER) AS version,
+        (lead(ts) OVER w IS NULL) AS is_current
+      FROM op WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
+      ORDER BY key, version"""))
+
+  /** Group-wise OLS (slope/intercept/R² of spend-cents on hour-of-day,
+    * per event type) — the q210 exact-moments discipline applied to
+    * regression: inputs are integerized first (hour as a long; value as
+    * cents via the IEEE-deterministic `floor(v·100 + 0.5)`, NOT round()
+    * whose shortest-decimal path differs across engines), every moment
+    * is an exact integer sum (order-free, long-safe: n·Σy² ≈ 1.3e18 at
+    * sf0.1 with 7× headroom), and doubles appear only in the final
+    * slope/intercept/R² expressions — identical literal-by-literal in
+    * the oracle so both engines execute the same IEEE op sequence.
+    * Degenerate groups (constant x or y) yield NULLs. One
+    * map-side-combining aggregation; output is group-count-sized. */
+  private val q213 = Q(
+    "q213_ols_by_group",
+    (s, dir) => {
+      val d = Tables(s, dir).events.select(col("event_type"),
+        hour(col("ts")).cast("long").as("x"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("y"))
+      val a = d.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val den2 = col("n") * col("syy") - col("sy") * col("sy")
+      val slope = num.cast("double") / den.cast("double")
+      a.select(col("event_type"), col("n").as("n_events"),
+        when(den > 0, round(slope, 6))
+          .otherwise(lit(null).cast("double")).as("slope_cents_per_hour"),
+        when(den > 0, round((col("sy").cast("double") -
+            slope * col("sx").cast("double")) / col("n").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("intercept_cents"),
+        when(den > 0 && den2 > 0, round(
+            num.cast("double") * num.cast("double") /
+              (den.cast("double") * den2.cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("r2"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH d AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y FROM events),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM d GROUP BY 1)
+      SELECT event_type, n AS n_events,
+        CASE WHEN (n * sxx - sx * sx) > 0 THEN
+          round(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        ELSE NULL END AS slope_cents_per_hour,
+        CASE WHEN (n * sxx - sx * sx) > 0 THEN
+          round((CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE), 6)
+        ELSE NULL END AS intercept_cents,
+        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+          round(CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE)
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        ELSE NULL END AS r2
+      FROM a ORDER BY event_type"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
     q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
-    q193, q197, q202, q205, q211)
+    q193, q197, q202, q205, q211, q212, q213)
 }

@@ -87,6 +87,45 @@ class SnapshotSpec extends SparkSpec {
       .select("id").as[String].collect().contains("n"))
   }
 
+  test("scd2History: run collapse, half-open tiling, null states, " +
+    "tie-broken total order") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val log = Seq(
+      ("A", "x", 1L, 1L), ("A", "x", 2L, 2L),   // duplicate state: collapse
+      ("A", "y", 3L, 3L), ("A", "y", 4L, 4L),
+      ("A", "x", 5L, 5L),                       // state can recur
+      ("B", "z", 10L, 6L)).toDF("k", "st", "t", "id")
+    val got = Snapshot.scd2History(log, col("k"), col("st"), col("t"),
+        Seq(col("id")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4),
+        r.getBoolean(5))).toSet
+    assert(got === Set(
+      ("A", "x", 1L, 3L, 1, false),
+      ("A", "y", 3L, 5L, 2, false),
+      ("A", "x", 5L, -1L, 3, true),
+      ("B", "z", 10L, -1L, 1, true)))
+
+    // null states are states (null-safe change test): x, null, null, x
+    val nl = Seq(("A", Some("x"), 1L, 1L), ("A", None, 2L, 2L),
+      ("A", None, 3L, 3L), ("A", Some("x"), 4L, 4L))
+      .toDF("k", "st", "t", "id")
+    val gotN = Snapshot.scd2History(nl, col("k"), col("st"), col("t"),
+        Seq(col("id")))
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2),
+        r.getInt(4))).toSet
+    assert(gotN === Set((Some("x"), 1L, 1), (None, 2L, 2), (Some("x"), 4L, 3)))
+
+    // equal-ts changes: the tie column decides which opens first
+    val tie = Seq(("A", "p", 1L, 2L), ("A", "q", 1L, 1L))
+      .toDF("k", "st", "t", "id")
+    val gotT = Snapshot.scd2History(tie, col("k"), col("st"), col("t"),
+        Seq(col("id")))
+      .collect().map(r => (r.getString(1), r.getInt(4))).toSet
+    assert(gotT === Set(("q", 1), ("p", 2)))
+  }
+
   test("applyCdc: last-writer-wins, delete+update overlap, unknown op raises") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
