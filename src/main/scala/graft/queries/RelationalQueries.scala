@@ -1747,6 +1747,84 @@ object RelationalQueries extends QueryPack {
           AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size))
       ORDER BY p_partkey"""))
 
+  /** Value-window suite: first_value / last_value / nth_value /
+    * lag-with-default / lead over one (priority, price) window — the
+    * §2.9 navigation surface q189's rank suite doesn't touch. The
+    * classic last_value trap is the POINT of the query: with the
+    * default RANGE UNBOUNDED PRECEDING..CURRENT ROW frame, last_value
+    * is just the current row — the window must be widened to
+    * UNBOUNDED FOLLOWING explicitly (done identically in both
+    * engines). All five functions share one sort; ordering includes
+    * the unique key so navigation is tie-deterministic. */
+  private val q214 = Q(
+    "q214_window_value_suite",
+    (s, dir) => {
+      val sorted = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = sorted.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir).orders
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          first(col("o_orderkey")).over(full).as("cheapest_key"),
+          last(col("o_orderkey")).over(full).as("priciest_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+          lag(col("o_totalprice"), 1, -1.0).over(sorted).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(sorted).as("next_price"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+        first_value(o_orderkey) OVER wf AS cheapest_key,
+        last_value(o_orderkey) OVER wf AS priciest_key,
+        nth_value(o_orderkey, 2) OVER wf AS second_key,
+        lag(o_totalprice, 1, -1.0) OVER ws AS prev_price,
+        lead(o_totalprice, 1) OVER ws AS next_price
+      FROM orders
+      WINDOW ws AS (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice, o_orderkey),
+        wf AS (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderpriority, o_totalprice, o_orderkey"""))
+
+  /** Exact distinct-count at scale via BITMAPS (the roaring-bitmap
+    * idea in pure SQL): users map to (word = id/64, bit = id%64),
+    * per-(event_type, word) partial `bit_or` folds every occurrence
+    * into one long — map-side combining, merge-order-free — and
+    * popcounts sum to the EXACT distinct count. The 100 TB contrast
+    * to q40's HLL: same two-level mergeable-aggregation plan, but the
+    * state is domain/8 bytes per group instead of 2^p registers, and
+    * the answer is exact, not ±1%/√m — the right tool when the id
+    * domain is dense and bounded (user tables, doc shards). The raw
+    * stream never shuffles: only (type, word) partials cross the
+    * exchange. */
+  private val q215 = Q(
+    "q215_bitmap_distinct",
+    (s, dir) => {
+      val ev = graft.sources.Tables(s, dir).events
+      ev.select(col("event_type"),
+          (col("user_id") / 64L).cast("long").as("w"),
+          // the Scala shiftleft() helper takes a literal shift only;
+          // the SQL form shifts by a column
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))")
+            .as("m"))
+        .groupBy(col("event_type"), col("w"))
+        .agg(bit_or(col("m")).as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(bit_count(col("bm")).cast("long")).as("n_users"),
+          count(lit(1)).as("n_words"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH b AS (SELECT event_type, user_id // 64 AS w,
+          CAST(1::UBIGINT << CAST(user_id % 64 AS INTEGER) AS UBIGINT) AS m
+        FROM events),
+      bm AS (SELECT event_type, w, bit_or(m) AS bm
+        FROM b GROUP BY 1, 2)
+      SELECT event_type, CAST(sum(bit_count(bm)) AS BIGINT) AS n_users,
+        CAST(count(*) AS BIGINT) AS n_words
+      FROM bm GROUP BY event_type ORDER BY event_type"""))
+
   /** Distribution-rank window suite: ntile / percent_rank / cume_dist
     * per priority partition — the §2.9 window surface beyond rank and
     * running sums (q12-q15). All four functions share ONE window
@@ -2008,5 +2086,6 @@ object RelationalQueries extends QueryPack {
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
-    q184, q189, q191, q195, q196, q201, q203, q204, q208, q209)
+    q184, q189, q191, q195, q196, q201, q203, q204, q208, q209, q214,
+    q215)
 }
