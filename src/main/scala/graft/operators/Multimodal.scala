@@ -428,6 +428,131 @@ object Multimodal {
     g
   }
 
+  /** Quantized DCT-II basis for [[phash16]]: rint(1024·cos(π(2x+1)u/16))
+    * for u ∈ 0..3 — INTEGER literals (shared verbatim with the q216
+    * oracle) so the whole transform is exact integer arithmetic, no
+    * cross-engine libm. The table is negation-symmetric, so every AC
+    * row sums to EXACTLY 0 — a uniform brightness shift moves only the
+    * (0,0) coefficient and the hash is brightness-invariant by exact
+    * arithmetic, not approximation (pinned in MultimodalSpec). */
+  private[graft] val CosQ: Array[Array[Long]] = Array(
+    Array(1024L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L),
+    Array(1004L, 851L, 569L, 200L, -200L, -569L, -851L, -1004L),
+    Array(946L, 392L, -392L, -946L, -946L, -392L, 392L, 946L),
+    Array(851L, -200L, -1004L, -569L, 569L, 1004L, 200L, -851L))
+
+  /** 15-bit DCT perceptual hash — the classic pHash recipe (block-mean
+    * grid → 2-D DCT → low-frequency block thresholded on its median)
+    * with every step INTEGER: 8×8 luma grid (real path block-average,
+    * stub path byte wrap — the [[dhash64]] convention), exact integer
+    * DCT via [[CosQ]] (|F| ≤ 64·255·1024² ≈ 1.7e13, long-safe), the
+    * 15 AC coefficients of the low 4×4 block compared strictly against
+    * their exact median (8th-smallest of 15 — odd count, no averaging).
+    * Bit v·4+u set when F(u,v) > median; bit 0 (DC) unused. Where
+    * [[dhash64]] reads local gradients, the DCT bits read the GLOBAL
+    * shape of the image at the 4 lowest frequencies — the pair is the
+    * standard perceptual-dedup ensemble. */
+  def phash16(payload: Array[Byte]): Int = {
+    if (payload == null || payload.length == 0) return 0
+    val g: Array[Int] =
+      if (looksDecodableImage(payload)) imageGrid8(payload).getOrElse(stubGrid8(payload))
+      else stubGrid8(payload)
+    val f = new Array[Long](16)
+    var v = 0
+    while (v < 4) {
+      var u = 0
+      while (u < 4) {
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += g(y * 8 + x).toLong * CosQ(u)(x) * CosQ(v)(y)
+            x += 1
+          }
+          y += 1
+        }
+        f(v * 4 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = new Array[Long](15)
+    System.arraycopy(f, 1, ac, 0, 15)
+    java.util.Arrays.sort(ac)
+    val med = ac(7)
+    var h = 0
+    var b = 1
+    while (b < 16) {
+      if (f(b) > med) h |= 1 << b
+      b += 1
+    }
+    h
+  }
+
+  private def stubGrid8(p: Array[Byte]): Array[Int] = {
+    val g = new Array[Int](64)
+    var i = 0
+    while (i < 64) { g(i) = p(i % p.length) & 0xFF; i += 1 }
+    g
+  }
+
+  /** [[imageGrid]]'s 8×8 twin (pHash wants a square block for the
+    * square DCT basis): integer block-average luma, every step exact. */
+  private def imageGrid8(payload: Array[Byte]): Option[Array[Int]] = try {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val img = try javax.imageio.ImageIO.read(iis)
+      finally scala.util.Try(iis.close())
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val (wd, ht) = (img.getWidth, img.getHeight)
+      val g = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        val y0 = y * ht / 8
+        val y1 = math.min(ht, math.max((y + 1) * ht / 8, y0 + 1))
+        var x = 0
+        while (x < 8) {
+          val x0 = x * wd / 8
+          val x1 = math.min(wd, math.max((x + 1) * wd / 8, x0 + 1))
+          var sum = 0L
+          var n = 0L
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) {
+              val rgb = img.getRGB(xx, yy)
+              sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                114 * (rgb & 0xFF)) / 1000
+              n += 1
+              xx += 1
+            }
+            yy += 1
+          }
+          g(y * 8 + x) = (sum / n).toInt
+          x += 1
+        }
+        y += 1
+      }
+      Some(g)
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-media pHash table — map-only, batched like [[dhashTable]]. */
+  def phashTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) => (id, phash16(payload)) }
+        }
+      }
+      .toDF("media_id", "phash")
+      .join(media.drop("payload"), Seq("media_id"))
+  }
+
   /** Integer block-average luma grid: cell (y,x) averages the pixel
     * block [x·W/9,(x+1)·W/9) × [y·H/8,(y+1)·H/8) (floor bounds, ≥1 px),
     * luma = (299R+587G+114B)/1000 per pixel, block mean by integer

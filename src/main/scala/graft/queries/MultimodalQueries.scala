@@ -258,6 +258,56 @@ object MultimodalQueries extends QueryPack {
       WHERE bit_count(xor(a.uh, b.uh)) <= 3
       ORDER BY a.kind, id_a, id_b"""))
 
+  /** DCT perceptual hash per media blob ([[Multimodal.phash16]]) —
+    * q116's dHash reads local gradients; the pHash bits read the GLOBAL
+    * low-frequency shape, the second leg of the standard perceptual-
+    * dedup ensemble. Everything is exact integer arithmetic (quantized
+    * cosine table shared verbatim with this oracle), so the DuckDB
+    * restatement is relational: the 8×8 stub grid unnests to cells, two
+    * joins against the 32-row cosine VALUES table and one GROUP BY
+    * compute all 16 DCT coefficients, the median is the 8th-smallest AC
+    * value (odd count — a pure multiset position, tie-proof), and the
+    * bits pack with integer shifts. Real-image payloads take the
+    * block-average-luma grid (hand-pinned in MultimodalSpec along with
+    * the EXACT brightness invariance the zero-sum AC rows buy). */
+  private val q216 = Q(
+    "q216_media_phash",
+    (s, dir) => Multimodal.phashTable(
+        Multimodal.ingestFromDocuments(Tables(s, dir).documents))
+      .select(col("media_id"), col("kind"), col("phash"))
+      .orderBy(col("media_id")),
+    Some {
+      val cosRows = (for (u <- 0 until 4; x <- 0 until 8)
+        yield s"($u, $x, ${graft.operators.Multimodal.CosQ(u)(x)})")
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, 'media/' || lang AS kind, text,
+            length(text) AS len FROM documents),
+        cells AS (SELECT d.doc_id, d.kind, u.i AS i,
+            CASE WHEN d.len = 0 THEN 0
+              ELSE unicode(substr(d.text,
+                CAST(u.i % d.len AS INTEGER) + 1, 1)) END AS pix
+          FROM d CROSS JOIN (SELECT unnest(range(0, 64)) AS i) u),
+        cosq AS (SELECT * FROM (VALUES $cosRows) t(u, x, c)),
+        f AS (SELECT c.doc_id, c.kind, cu.u AS u, cv.u AS v,
+            CAST(sum(CAST(c.pix AS BIGINT) * cu.c * cv.c) AS BIGINT) AS f
+          FROM cells c
+          JOIN cosq cu ON cu.x = c.i % 8
+          JOIN cosq cv ON cv.x = c.i // 8
+          GROUP BY 1, 2, 3, 4),
+        ac AS (SELECT doc_id, kind, u, v, f FROM f
+          WHERE NOT (u = 0 AND v = 0)),
+        med AS (SELECT doc_id, kind, f AS med FROM (
+            SELECT doc_id, kind, f, row_number()
+              OVER (PARTITION BY doc_id, kind ORDER BY f) AS rn
+            FROM ac) WHERE rn = 8),
+        h AS (SELECT a.doc_id, a.kind,
+            sum(CASE WHEN a.f > m.med
+              THEN 1 << (a.v * 4 + a.u) ELSE 0 END) AS phash
+          FROM ac a JOIN med m USING (doc_id, kind) GROUP BY 1, 2)
+        SELECT doc_id AS media_id, kind, CAST(phash AS INTEGER) AS phash
+        FROM h ORDER BY media_id"""
+    })
+
   override val all: Seq[Q] =
-    Seq(q70, q71, q72, q116, q117, q118, q149, q150)
+    Seq(q70, q71, q72, q116, q117, q118, q149, q150, q216)
 }

@@ -219,6 +219,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dhash64(null) === 0L)
   }
 
+  test("phash16: reference parity on stub path, real decode, EXACT " +
+    "brightness invariance, DC-only flatness") {
+    // independent reference: same integer math, written from the recipe
+    def ref(grid: Array[Int]): Int = {
+      val cq = graft.operators.Multimodal.CosQ
+      val f = Array.tabulate(16) { i =>
+        val (u, v) = (i % 4, i / 4)
+        (for (y <- 0 until 8; x <- 0 until 8)
+          yield grid(y * 8 + x).toLong * cq(u)(x) * cq(v)(y)).sum
+      }
+      val med = f.drop(1).sorted.apply(7)
+      (1 until 16).filter(b => f(b) > med).map(1 << _).sum
+    }
+    val textBytes = "a deterministic stub payload for the dct".getBytes("UTF-8")
+    val stubG = Array.tabulate(64)(i => textBytes(i % textBytes.length) & 0xFF)
+    assert(Multimodal.phash16(textBytes) === ref(stubG))
+    assert(Multimodal.phash16(Array.emptyByteArray) === 0)
+    assert(Multimodal.phash16(null) === 0)
+
+    // real 8x8 PNG: one pixel per grid cell, gray (v,v,v) has luma v.
+    // A CURVED pattern — a pure linear gradient is degenerate for a
+    // median-thresholded DCT (all AC mass on the axis frequencies, the
+    // median lands on the zero plateau and no bit sets)
+    def px(f: (Int, Int) => Int) = grayPng(f, w = 8, h = 8)
+    def curved(x: Int, y: Int): Int = (3 * x * x + 5 * y + x * y) % 180
+    val h0 = Multimodal.phash16(px(curved))
+    assert(h0 === ref(Array.tabulate(64)(i => curved(i % 8, i / 8))))
+    assert(h0 !== 0, "curved pattern must produce a non-trivial hash")
+    // EXACT brightness invariance: every AC row of CosQ sums to 0, so a
+    // uniform +40 shift moves only the DC coefficient — hash unchanged
+    assert(Multimodal.phash16(px((x, y) => curved(x, y) + 40)) === h0)
+    // a flat image has every AC coefficient 0 = median -> no bits
+    assert(Multimodal.phash16(px((_, _) => 77)) === 0)
+    // the zero-sum property itself, pinned
+    for (u <- 1 until 4)
+      assert(graft.operators.Multimodal.CosQ(u).sum === 0L,
+        s"AC row $u of the quantized cosine table must sum to 0")
+    // global-shape sensitivity: transposing the pattern flips the hash
+    assert(Multimodal.phash16(px((x, y) => curved(y, x))) !== h0)
+  }
+
   test("dhash near-dup pairs: identical images collide, banding recall is exhaustive under 4 bits") {
     import spark.implicits._
     val a = grayPng((x, _) => x * 10)
