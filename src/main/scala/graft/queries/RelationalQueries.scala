@@ -777,6 +777,33 @@ object RelationalQueries extends QueryPack {
       FROM orders WHERE CAST(floor(o_orderkey / 50) AS BIGINT) BETWEEN 2 AND 5
       GROUP BY 1 ORDER BY page"""))
 
+  /** COMPLETE COUNT(*) pushdown into the DSv2 paged source: the
+    * reference's count-first planning call (A1, SyncCustomers.php:44-49)
+    * promoted from a statistics estimate to the ANSWER — the scan
+    * builder implements SupportsPushDownAggregates, a bare COUNT(*)
+    * over the unpruned table builds a one-row manifest-count scan, and
+    * ZERO pages are listed, opened, or fetched (SinkSourceSpec proves
+    * the no-requests claim over live HTTP; page-pruned or grouped
+    * counts refuse and scan normally). The body require()s the pushed
+    * scan shape off the executed plan. At 100 TB-of-API this is the
+    * difference between one meta round-trip and paging the entire
+    * remote corpus to count it. */
+  private val q217 = Q(
+    "q217_count_pushdown",
+    (s, dir) => {
+      val pages = pagedOrdersDir(s, dir)
+      val schema = StructType(Seq(StructField("o_orderkey", LongType)))
+      s.read.format("graft-pages").schema(schema).load(pages)
+        .createOrReplaceTempView("graft_pages_q217")
+      val out = s.sql("SELECT count(*) AS n_rows FROM graft_pages_q217")
+      val p = out.queryExecution.executedPlan.toString
+      require(p.contains("from manifest"),
+        s"COUNT(*) was not pushed into the paged scan:\n${p.take(1200)}")
+      out
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders WHERE o_orderkey < 500"""))
+
   /** Per-dataset memo of the bucketed fact tables (lineitem/orders
     * bucketed + sorted on their join keys): a deployment buckets at
     * ingest ONCE and every later join rides the layout, so the graded
@@ -2087,5 +2114,5 @@ object RelationalQueries extends QueryPack {
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
     q184, q189, q191, q195, q196, q201, q203, q204, q208, q209, q214,
-    q215)
+    q215, q217)
 }

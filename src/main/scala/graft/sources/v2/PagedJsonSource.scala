@@ -208,12 +208,43 @@ object HttpFetch {
 
 class PagedJsonScanBuilder(userSchema: StructType, path: String, rate: RateLimitConf)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var minPage: Int = Int.MinValue
   private var maxPage: Int = Int.MaxValue
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedJson.fullSchema(userSchema)
+  private var countPushed = false
+
+  /** A1 count-first planning ANSWERED, not just estimated: a bare
+    * COUNT(*) over the whole table IS the manifest's total_count — the
+    * reference's "ask the API how many, then plan" call
+    * (SyncCustomers.php:44-49) as a complete DSv2 aggregate pushdown.
+    * Zero pages are fetched (one meta.json round-trip); the pruned-page
+    * case refuses — a page-range COUNT must come from the pages
+    * themselves (the manifest cannot apportion rows exactly) — and so
+    * does a missing manifest. Spark only attempts aggregate pushdown
+    * when every filter was already pushed, so a residual predicate can
+    * never silently ride over the manifest count. */
+  private def completeCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      minPage == Int.MinValue && maxPage == Int.MaxValue &&
+      PagedJson.readManifest(path).isDefined
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    completeCountStar(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countPushed = completeCountStar(agg)
+    countPushed
+  }
 
   /** Accept page-range filters; everything else stays a residual Spark
     * evaluates post-scan. */
@@ -244,7 +275,39 @@ class PagedJsonScanBuilder(userSchema: StructType, path: String, rate: RateLimit
     required = requiredSchema
 
   override def build(): Scan =
-    new PagedJsonScan(userSchema, required, path, minPage, maxPage, rate)
+    if (countPushed) new PagedCountScan(path)
+    else new PagedJsonScan(userSchema, required, path, minPage, maxPage, rate)
+}
+
+/** The pushed-COUNT(*) scan: one partition, one row, the manifest count
+  * — no page is ever listed, opened, or fetched. */
+class PagedCountScan(path: String) extends Scan with Batch {
+  private val count: Long = PagedJson.readManifest(path).map(_._1)
+    .getOrElse(throw new IllegalStateException(
+      s"graft-pages: manifest for $path vanished between pushdown and build"))
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-pages COUNT(*)=$count from manifest of $path (0 pages fetched)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagedCountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedCountReaderFactory
+}
+
+case class PagedCountPartition(count: Long) extends InputPartition
+
+class PagedCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        Array[Any](p.asInstanceOf[PagedCountPartition].count))
+      override def close(): Unit = ()
+    }
 }
 
 class PagedJsonScan(

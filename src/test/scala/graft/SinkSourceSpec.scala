@@ -182,12 +182,23 @@ class SinkSourceSpec extends SparkSpec {
         .option("ratelimit", "2").option("ratelimitWindowMs", "300")
         .load(base)
 
+      // count(email) is NOT pushable (only bare COUNT(*) is), so this
+      // pass genuinely fetches every page — the throttle/retry vehicle
       val t0 = System.nanoTime()
-      assert(df.count() === Fixtures.customers.size)
+      assert(df.agg(count(col("email"))).head().getLong(0)
+        === Fixtures.customers.size.toLong)
       val elapsedMs = (System.nanoTime() - t0) / 1e6
       // 3 pages at 2 req / 300 ms -> at least one full-window sleep
       assert(elapsedMs >= 250, s"rate limiter never throttled ($elapsedMs ms)")
       assert(requested.asScala.count(_.endsWith("page-1.json")) === 2) // 503 + retry
+
+      // bare COUNT(*) is a COMPLETE aggregate pushdown answered from the
+      // manifest: zero requests of any kind (meta rides the plan-time
+      // cache) — the reference's count-first call with no page scan
+      requested.clear()
+      assert(df.count() === Fixtures.customers.size.toLong)
+      assert(requested.asScala.isEmpty,
+        s"pushed COUNT(*) still fetched: ${requested.asScala.toSeq}")
 
       // page-range pushdown: pruned pages are never requested over the wire
       requested.clear()
