@@ -308,6 +308,56 @@ object MultimodalQueries extends QueryPack {
         FROM h ORDER BY media_id"""
     })
 
+  /** Perceptual-dedup ENSEMBLE: a near-dup pair must agree under both
+    * hashes — q117's banded dHash candidates (local gradients, Hamming
+    * ≤ 3) intersected with pHash agreement (global DCT shape, Hamming
+    * ≤ 2 over 15 bits). The standard production discipline: either
+    * hash alone false-positives on its blind spot (dHash on smooth
+    * gradients, pHash on texture), the conjunction keeps only pairs
+    * alike in BOTH senses. Plan shape: the banded dHash self-join does
+    * the candidate generation (only colliding blobs meet); the pHash
+    * check is two model-sized hash-table joins + one codegen'd
+    * bit_count — no second pair-generation pass. Oracle: the q117 pair
+    * SQL re-derived from both fixture hash tables. */
+  private val q218 = Q(
+    "q218_phash_ensemble",
+    (s, dir) => {
+      val media = Multimodal.ingestFromDocuments(Tables(s, dir).documents)
+      val pairs = Multimodal.dhashNearDupPairs(Multimodal.dhashTable(media))
+      val ph = Multimodal.phashTable(media)
+        .select(col("media_id"), col("phash"))
+      pairs
+        .join(ph.select(col("media_id").as("id_a"), col("phash").as("ph_a")),
+          Seq("id_a"))
+        .join(ph.select(col("media_id").as("id_b"), col("phash").as("ph_b")),
+          Seq("id_b"))
+        .withColumn("phash_hamming",
+          bit_count(expr("ph_a ^ ph_b")).cast("int"))
+        .filter(col("phash_hamming") <= 2)
+        .select(col("kind"), col("id_a"), col("id_b"), col("hamming"),
+          col("phash_hamming"))
+        .orderBy(col("kind"), col("id_a"), col("id_b"))
+    },
+    Some("""WITH h AS (SELECT media_id, kind, dhash
+        FROM read_parquet('__VERIFY_OUT__/q116_media_dhash/*.parquet')),
+      p AS (SELECT media_id, phash
+        FROM read_parquet('__VERIFY_OUT__/q216_media_phash/*.parquet')),
+      u AS (SELECT media_id, kind,
+          CAST(CASE WHEN dhash < 0 THEN dhash + 18446744073709551616::HUGEINT
+            ELSE CAST(dhash AS HUGEINT) END AS UBIGINT) AS uh
+        FROM h)
+      SELECT a.kind, a.media_id AS id_a, b.media_id AS id_b,
+        CAST(bit_count(xor(a.uh, b.uh)) AS INTEGER) AS hamming,
+        CAST(bit_count(xor(CAST(pa.phash AS UBIGINT),
+          CAST(pb.phash AS UBIGINT))) AS INTEGER) AS phash_hamming
+      FROM u a JOIN u b ON a.kind = b.kind AND a.media_id < b.media_id
+      JOIN p pa ON pa.media_id = a.media_id
+      JOIN p pb ON pb.media_id = b.media_id
+      WHERE bit_count(xor(a.uh, b.uh)) <= 3
+        AND bit_count(xor(CAST(pa.phash AS UBIGINT),
+          CAST(pb.phash AS UBIGINT))) <= 2
+      ORDER BY a.kind, id_a, id_b"""))
+
   override val all: Seq[Q] =
-    Seq(q70, q71, q72, q116, q117, q118, q149, q150, q216)
+    Seq(q70, q71, q72, q116, q117, q118, q149, q150, q216, q218)
 }
