@@ -964,7 +964,36 @@ object EventQueries extends QueryPack {
         ELSE NULL END AS r2
       FROM a ORDER BY event_type"""))
 
+  /** LEFT OUTER stream-stream interval join
+    * ([[graft.streaming.EventStreams.leftOuterIntervalJoinStreams]]) —
+    * the streaming join shape q59's inner join cannot express: EVERY
+    * view surfaces, converted ones with each purchase that followed
+    * within the hour, unconverted ones exactly once with nulls — and
+    * the null is only emitted once the watermark PROVES no purchase can
+    * still arrive. The bounded-replay subtlety this grades: a drained
+    * source stops advancing the watermark, so the tail's outer rows
+    * would be withheld forever — the runner appends a sentinel batch
+    * past max(ts)+2·delay on both sides (the global watermark is the
+    * min across inputs) and the final no-data batch evicts and emits
+    * every real outer row. Oracle: the plain micros-exact left join. */
+  private val q219 = Q(
+    "q219_stream_left_outer_join",
+    (s, dir) => graft.streaming.EventStreams
+      .viewConversionsToTable(s, dir, "graft_q219_vconv")
+      .orderBy(col("view_id"), col("purchase_id")),
+    Some("""WITH v AS (SELECT event_id AS view_id, user_id,
+          epoch_us(ts) AS view_us
+        FROM events WHERE event_type = 'view'),
+      p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase')
+      SELECT v.user_id, v.view_id, v.view_us, p.purchase_id,
+        p.p_us AS purchase_us
+      FROM v LEFT JOIN p ON p.user_id = v.user_id
+        AND p.p_us >= v.view_us
+        AND p.p_us <= v.view_us + 3600000000
+      ORDER BY view_id, purchase_id"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
     q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
-    q193, q197, q202, q205, q211, q212, q213)
+    q193, q197, q202, q205, q211, q212, q213, q219)
 }

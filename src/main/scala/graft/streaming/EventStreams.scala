@@ -447,6 +447,110 @@ object EventStreams {
         col(s"l_$ts") <= col(s"r_$ts") + expr(s"INTERVAL $maxDelayMinutes MINUTES"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the join shape
+    * [[intervalJoinStreams]] cannot express: every left row surfaces,
+    * matched rows carry the right payload, and a left row with NO right
+    * match within the interval emits once with nulls — but only after
+    * the watermark proves no match can still arrive (Spark withholds
+    * the null until `wm > l.ts + maxDelay`, so outer results are
+    * late-data-safe, not guesses). State stays bounded exactly as in
+    * the inner case.
+    *
+    * The operational catch this operator documents: outer rows for the
+    * stream's TAIL only emit once the watermark passes them, and a
+    * drained source stops advancing the watermark — a bounded replay
+    * (Trigger.AvailableNow) must append a SENTINEL event beyond
+    * `max(ts) + maxDelay` on BOTH sides (the global watermark is the
+    * min across inputs), then filter the sentinel key from the output.
+    * The final no-data batch then evicts and emits every real outer
+    * row (the q55 timer-flush discipline applied to join state). */
+  def leftOuterIntervalJoinStreams(
+      left: DataFrame, right: DataFrame, key: String, ts: String,
+      maxDelayMinutes: Int, watermarkDelay: String = "0 seconds"): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+    val l = prefixed(left, "l_").withWatermark(s"l_$ts", watermarkDelay)
+    val r = prefixed(right, "r_").withWatermark(s"r_$ts", watermarkDelay)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$ts") >= col(s"l_$ts") &&
+        col(s"r_$ts") <= col(s"l_$ts") + expr(s"INTERVAL $maxDelayMinutes MINUTES"),
+      "left_outer")
+  }
+
+  /** Drive [[leftOuterIntervalJoinStreams]] end-to-end over the events
+    * table: views left-outer-joined to the purchases that followed
+    * within `maxDelayMinutes` — every view surfaces, converted ones
+    * with each matching purchase, unconverted ones exactly once with
+    * nulls. The crawl renders as TWO mtime-ordered parquet files (real
+    * events, then the sentinel batch 2×maxDelay past the real maximum
+    * on both sides) so the bounded replay drains every outer row; the
+    * sentinel key (-1) is filtered from the result. Timestamps surface
+    * as epoch MICROS (unix_micros) — the join matched at micros
+    * precision, and a seconds-truncated output would let a boundary
+    * match diverge from a micros-exact oracle. */
+  def viewConversionsToTable(
+      spark: SparkSession, dir: String, tableName: String,
+      maxDelayMinutes: Int = 60,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.sources.Tables(spark, dir).events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    val streamDir = Files.createTempDirectory("graft-vconv-src").toString
+    val tmp = Files.createTempDirectory("graft-vconv-tmp").toString
+    base.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part0 = Option(new java.io.File(tmp).listFiles).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no rendered events file"))
+    Files.move(part0.toPath, Paths.get(streamDir, "batch00.parquet"))
+    require(new java.io.File(streamDir, "batch00.parquet")
+      .setLastModified(60000L), "could not stamp batch 0")
+    val maxTs = base.agg(org.apache.spark.sql.functions.max(col("ts")))
+      .head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(
+      maxTs.getTime + 2L * maxDelayMinutes * 60000L)
+    import spark.implicits._
+    val sentinel = Seq(
+      (-1L, -1L, "view", sentinelTs),
+      (-2L, -1L, "purchase", sentinelTs))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val tmp2 = Files.createTempDirectory("graft-vconv-tmp2").toString
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val part1 = Option(new java.io.File(tmp2).listFiles).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no sentinel file"))
+    Files.move(part1.toPath, Paths.get(streamDir, "batch01.parquet"))
+    require(new java.io.File(streamDir, "batch01.parquet")
+      .setLastModified(120000L), "could not stamp the sentinel batch")
+    val incoming = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val views = incoming.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val purchases = incoming.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
+      val q = leftOuterIntervalJoinStreams(
+          views, purchases, "user_id", "ts", maxDelayMinutes)
+        .select(col("l_user_id").as("user_id"),
+          col("l_view_id").as("view_id"),
+          col("l_ts").as("view_ts"),
+          col("r_purchase_id").as("purchase_id"),
+          col("r_ts").as("purchase_ts"))
+        .writeStream.format("memory").queryName(tableName)
+        .outputMode("append").options(conf.options)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(tableName)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("view_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        col("purchase_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+  }
+
   /** Run the purchases-within-N-minutes-of-signup interval join over the
     * events table as a stream-stream join and return the sink table. */
   def purchasesAfterSignupToTable(

@@ -404,6 +404,49 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("left-outer stream-stream join: matches emit immediately, outer " +
+    "nulls emit ONLY once the watermark proves no match can arrive") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Long)] // (view_id, user, sec)
+    val rIn = MemoryStream[(Long, Long, Long)] // (purchase_id, user, sec)
+    val views = lIn.toDF().select(col("_1").as("view_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"))
+    val purchases = rIn.toDF().select(col("_1").as("purchase_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"))
+    val q = EventStreams.leftOuterIntervalJoinStreams(
+        views, purchases, "user_id", "ts", maxDelayMinutes = 60)
+      .select(col("l_view_id").as("view_id"),
+        col("r_purchase_id").as("purchase_id"))
+      .writeStream.format("memory").queryName("spec_louter_mem")
+      .outputMode("append").start()
+    def rows(): Set[(Long, Option[Long])] =
+      spark.table("spec_louter_mem").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    try {
+      // view 1 converts at +10 min; view 2 never converts
+      lIn.addData((1L, 7L, 1000L), (2L, 7L, 2000L))
+      rIn.addData((100L, 7L, 1600L))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, Some(100L))),
+        "the match emits; view 2's null MUST be withheld — a purchase " +
+          "could still arrive inside its hour")
+      // advance the watermark past view 2's window on BOTH sides (the
+      // global watermark is the min across inputs) with NON-matching
+      // drivers (different users): view 2's null now emits
+      lIn.addData((9L, 8L, 100000L))
+      rIn.addData((900L, 99L, 100000L))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, Some(100L)), (2L, None)),
+        "view 2's outer null must emit once the watermark passes; the " +
+          "unmatched tail view 9 must NOT (its hour is still open)")
+      // ...that withheld tail row is the drained-source failure mode the
+      // sentinel discipline in viewConversionsToTable exists to close
+    } finally q.stop()
+  }
+
   test("salted equi-join returns exactly the plain join's rows") {
     val t = Tables(spark, sfDir)
     val (li, pt) = (t.lineitem, t.part)
