@@ -51,4 +51,34 @@ object Layout {
       .repartitionByRange(numPartitions, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * placement rule with MINIMAL disruption under membership change
+    * (Thaler & Ravishankar 1998; what Ceph/Riak-style placement and
+    * cache routing use where modulo hashing reshuffles almost every
+    * key): each key's owner is `argmax over nodes of XXH64(nodeId,
+    * seed = XXH64(key, 42))`. Because per-node scores are independent
+    * of the member SET, removing a node reassigns EXACTLY that node's
+    * keys and adding one steals only the keys it now wins — ~1/n of
+    * them (pinned in LayoutSpec); `pmod(hash, n)` would move (n−1)/n
+    * of the corpus. Node ids are the caller's STABLE identities (never
+    * renumber survivors — the identity IS the score stream).
+    *
+    * Map-only codegen'd column algebra (one chained-hash + one
+    * array_max per row, no shuffle); the argmax tie-breaks to the
+    * LOWEST node id via the negated-id struct max (ties are
+    * 2⁻⁶⁴-improbable but the rule must still be total for
+    * restatability — the hash chain is the q200/q207 closed-formula
+    * XXH64, so a SQL oracle re-derives every assignment). */
+  def rendezvousAssign(
+      df: DataFrame, key: Column, nodeIds: Seq[Long],
+      ownerCol: String = "owner"): DataFrame = {
+    require(nodeIds.nonEmpty, "rendezvousAssign needs at least one node")
+    require(nodeIds.distinct.size == nodeIds.size,
+      s"duplicate node ids: $nodeIds")
+    val scored = array(nodeIds.map(n =>
+      struct(xxhash64(key, lit(n)).as("h"), lit(-n).as("negId"))): _*)
+    df.withColumn(ownerCol,
+      (-array_max(scored).getField("negId")).cast("long"))
+  }
 }

@@ -3453,6 +3453,53 @@ object TextQueries extends QueryPack {
       FROM dots d, est e, exact x ORDER BY d"""
     })
 
+  /** Rendezvous-hashing shard assignment
+    * ([[graft.operators.Layout.rendezvousAssign]]): every document's
+    * owner among 5 stable shard ids, plus the per-shard census — the
+    * placement table a 100 TB corpus ships to its readers (minimal
+    * disruption on membership change pinned in LayoutSpec; `pmod`
+    * placement would reshuffle (n−1)/n of the corpus per change). The
+    * oracle re-derives every argmax from the closed-formula XXH64
+    * chain (per-node score = XXH64(nodeId, seed = XXH64(doc_id, 42)),
+    * compared SIGNED like Spark's longs, ties to the lowest id). */
+  private val q220 = Q(
+    "q220_rendezvous_shards",
+    (s, dir) => graft.operators.Layout.rendezvousAssign(
+        Tables(s, dir).documents.select(col("doc_id")),
+        col("doc_id"), Seq(0L, 1L, 2L, 3L, 4L))
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy(col("owner")),
+    Some {
+      import XxhashSqlGen._
+      val base = "base AS (SELECT doc_id, CASE WHEN doc_id < 0 THEN " +
+        s"doc_id + $big ELSE CAST(doc_id AS HUGEINT) END AS v FROM documents)"
+      val (c1, l1) = stages("rv", "v", "42::HUGEINT", "base")
+      var ctes = Seq(base) ++ c1
+      var last = l1
+      val scoreCols = (0 until 5).map { n =>
+        val (cn, ln) = stages(s"rs$n", s"$n::HUGEINT", "hrv", last)
+        ctes ++= cn
+        last = ln
+        s"""CASE WHEN hrs$n >= 9223372036854775808::HUGEINT
+            THEN hrs$n - $big ELSE hrs$n END AS s$n"""
+      }
+      ctes :+= s"sc AS (SELECT doc_id, ${scoreCols.mkString(", ")} FROM $last)"
+      ctes :+= ("own AS (SELECT doc_id, owner FROM (SELECT doc_id, " +
+        "u.owner, u.s, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY u.s DESC, u.owner ASC) AS rn FROM sc, LATERAL (" +
+        (0 until 5).map(n => s"SELECT $n AS owner, s$n AS s")
+          .mkString(" UNION ALL ") +
+        ") u) WHERE rn = 1)")
+      s"""WITH ${ctes.mkString(",\n")}
+        SELECT CAST(owner AS BIGINT) AS owner,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          CAST(min(doc_id) AS BIGINT) AS min_id
+        FROM own GROUP BY owner ORDER BY owner"""
+    })
+
   /** Per-source Spearman rank correlation between document length and
     * token count — the monotone-association probe of the corpus-stats
     * family (q35): "does this source's char count track its token count,
@@ -3710,5 +3757,5 @@ object TextQueries extends QueryPack {
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
       q172, q174, q175, q177, q186, q187, q188, q194, q198, q199,
-      q200, q206, q207, q210)
+      q200, q206, q207, q210, q220)
 }

@@ -24,6 +24,51 @@ class LayoutSpec extends SparkSpec {
     assert(n === 4096L)
   }
 
+  test("rendezvousAssign: minimal disruption on node removal and " +
+    "addition, balanced spread, argmax parity with a reference") {
+    import spark.implicits._
+    val keys = (1L to 4000L).toDF("k")
+    def owners(nodes: Seq[Long]): Map[Long, Long] =
+      Layout.rendezvousAssign(keys, col("k"), nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val five = owners(Seq(0L, 1L, 2L, 3L, 4L))
+    // balance: each node owns roughly 1/5 (loose 2x band)
+    val byNode = five.values.groupBy(identity).view.mapValues(_.size)
+    assert(byNode.size === 5)
+    byNode.foreach { case (n, c) =>
+      assert(c > 400 && c < 1600, s"node $n owns $c of 4000") }
+    // REMOVAL: only node 2's keys move; everyone else keeps its owner
+    val four = owners(Seq(0L, 1L, 3L, 4L))
+    five.foreach { case (k, o) =>
+      if (o != 2L) assert(four(k) === o, s"key $k moved $o -> ${four(k)}")
+      else assert(four(k) !== 2L)
+    }
+    // ADDITION: node 9 only steals; nobody else's keys move
+    val six = owners(Seq(0L, 1L, 2L, 3L, 4L, 9L))
+    six.foreach { case (k, o) =>
+      if (o != 9L) assert(o === five(k), s"key $k moved ${five(k)} -> $o")
+    }
+    assert(six.values.count(_ == 9L) > 400, "the new node must win ~1/6")
+    // modulo hashing, for contrast, moves most keys on the same change
+    // (documented, not asserted — the operator's reason to exist)
+
+    // argmax parity with an independent driver-side reference
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    def ref(k: Long, nodes: Seq[Long]): Long = {
+      val seed = XxHash64Function.hash(k, LongType, 42L)
+      nodes.map(n => (XxHash64Function.hash(n, LongType, seed), -n))
+        .max match { case (_, negId) => -negId }
+    }
+    (1L to 50L).foreach(k =>
+      assert(five(k) === ref(k, Seq(0L, 1L, 2L, 3L, 4L))))
+    // guards
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousAssign(keys, col("k"), Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousAssign(keys, col("k"), Seq(1L, 1L)) }
+  }
+
   test("z-order layout bounds BOTH dimensions per partition; x-sort does not") {
     import spark.implicits._
     val grid = spark.range(0, 4096)
