@@ -87,6 +87,30 @@ object Snapshot {
       .unionByName(upserts)
   }
 
+  /** Column-level diff — [[snapshotDiff]]'s row verdict sharpened to
+    * WHICH columns moved: for ids present in both snapshots, the
+    * null-safe per-column comparison emits the changed column names as
+    * one comma-joined string in declaration order (a string, not an
+    * array — the engine's driver-sortability contract). Unchanged rows
+    * drop; added/removed ids are [[snapshotDiff]]'s jurisdiction. One
+    * equi-join on the id; every comparison is codegen'd column algebra.
+    * The audit answer "the re-crawl touched 2% of langs but 40% of
+    * texts" is this frame aggregated — schema-drift triage a row-level
+    * diff cannot see. */
+  def columnDiff(
+      old: DataFrame, newDf: DataFrame, id: Column,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "columnDiff needs at least one column")
+    val o = old.select(id.as("id") +: contentCols.map(c => col(c).as(s"o_$c")): _*)
+    val n = newDf.select(id.as("id") +: contentCols.map(c => col(c).as(s"n_$c")): _*)
+    o.join(n, Seq("id"))
+      .withColumn("changed_cols", concat_ws(",",
+        contentCols.map(c =>
+          when(!(col(s"o_$c") <=> col(s"n_$c")), lit(c))): _*))
+      .filter(col("changed_cols") =!= "")
+      .select(col("id"), col("changed_cols"))
+  }
+
   /** SCD Type-2 history build: turn a change log into per-key validity
     * intervals — the dimension-table twin of [[applyCdc]] (which keeps
     * only the LAST state; SCD2 keeps them ALL, the shape every

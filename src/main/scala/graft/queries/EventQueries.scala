@@ -993,7 +993,67 @@ object EventQueries extends QueryPack {
         AND p.p_us <= v.view_us + 3600000000
       ORDER BY view_id, purchase_id"""))
 
+  /** Exact mode and exact median per group with TOTAL tie rules — the
+    * two order statistics engines habitually leave nondeterministic
+    * (DuckDB's mode() picks an arbitrary tie winner; a float median
+    * averages two doubles). Mode = (max count, then MIN hour) via
+    * row_number; median carried as the SUM of the two middle cents
+    * (positions ⌈n/2⌉ and ⌊n/2⌋+1 of the sorted multiset — pure
+    * integer, no /2, and for odd n the same position twice), so every
+    * output cell is an exact integer both engines must reproduce
+    * bit-for-bit. One sort per window family; the mode side is a
+    * two-level count aggregation (map-side combining). */
+  private val q221 = Q(
+    "q221_mode_median",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).events.select(col("event_type"),
+        hour(col("ts")).cast("long").as("hr"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      val mode = d.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("cnt").desc, col("hr").asc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("hr").as("modal_hour"),
+          col("cnt").as("modal_n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      val med = d
+        .withColumn("pos", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        // Column `/` is FLOAT division — (n+1)/2 at even n is x.5 and
+        // matches nothing; integer-div via floor-cast (n, pos positive)
+        .filter(col("pos") === ((col("n") + 1) / 2).cast("long") ||
+          col("pos") === (col("n") / 2).cast("long") + 1)
+        .groupBy(col("event_type"))
+        // odd n: both predicates hit the SAME row — double it
+        .agg((when(count(lit(1)) === 1, min(col("cents")) * 2)
+          .otherwise(sum(col("cents")))
+          .cast("long")).as("median_cents_x2"))
+      mode.join(med, Seq("event_type")).orderBy(col("event_type"))
+    },
+    Some("""WITH d AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+      m AS (SELECT event_type, hr AS modal_hour,
+          CAST(cnt AS BIGINT) AS modal_n
+        FROM (SELECT event_type, hr, count(*) AS cnt, row_number()
+            OVER (PARTITION BY event_type ORDER BY count(*) DESC, hr ASC)
+            AS rn
+          FROM d GROUP BY event_type, hr) WHERE rn = 1),
+      r AS (SELECT event_type, cents,
+          row_number() OVER (PARTITION BY event_type ORDER BY cents) AS pos,
+          count(*) OVER (PARTITION BY event_type) AS n FROM d),
+      md AS (SELECT event_type,
+          CAST(CASE WHEN count(*) = 1 THEN min(cents) * 2
+            ELSE sum(cents) END AS BIGINT) AS median_cents_x2
+        FROM r WHERE pos = (n + 1) // 2 OR pos = n // 2 + 1
+        GROUP BY event_type)
+      SELECT m.event_type, m.modal_hour, m.modal_n, md.median_cents_x2
+      FROM m JOIN md USING (event_type) ORDER BY event_type"""))
+
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
     q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
-    q193, q197, q202, q205, q211, q212, q213, q219)
+    q193, q197, q202, q205, q211, q212, q213, q219, q221)
 }

@@ -2861,6 +2861,33 @@ object TextQueries extends QueryPack {
       SELECT id, change FROM j WHERE change <> 'unchanged'
       ORDER BY change, id"""))
 
+  /** Column-level snapshot diff ([[graft.operators.Snapshot.columnDiff]],
+    * q147's row verdict sharpened to WHICH columns moved): a synthetic
+    * re-crawl touches lang for id%7, n_chars for id%11 (both at %77 by
+    * arithmetic), and the diff must name exactly the touched columns
+    * per id, comma-joined in declaration order. Null-safe comparisons;
+    * one equi-join; every check codegen'd. */
+  private val q222 = Q(
+    "q222_column_diff",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v2 = docs
+        .withColumn("lang",
+          when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 11 === 0, col("n_chars") + 1L)
+            .otherwise(col("n_chars")))
+      graft.operators.Snapshot.columnDiff(
+          docs, v2, col("doc_id"), Seq("lang", "n_chars"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT doc_id AS id, concat_ws(',',
+        CASE WHEN doc_id % 7 = 0 THEN 'lang' END,
+        CASE WHEN doc_id % 11 = 0 THEN 'n_chars' END) AS changed_cols
+      FROM documents WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+      ORDER BY id"""))
+
   /** Winsorized (outlier-clamped) per-language token statistics — the
     * robust-mean report a curation pipeline uses where raw means are
     * wrecked by boilerplate giants and empty stubs: clamp every count to
@@ -3757,5 +3784,5 @@ object TextQueries extends QueryPack {
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
       q172, q174, q175, q177, q186, q187, q188, q194, q198, q199,
-      q200, q206, q207, q210, q220)
+      q200, q206, q207, q210, q220, q222)
 }
