@@ -151,6 +151,24 @@ object Main {
     }
   }
 
+  /** Resolved default mailbox: the flag, else the lexicographically first
+    * HS mailbox. An EMPTY hs_mailboxes table is a named usage error (exit
+    * code 2), not a bare NoSuchElementException — the CLI's error
+    * convention everywhere else. */
+  private def defaultMailboxOf(
+      hsMailboxes: DataFrame, cli: Cli): Either[String, String] =
+    cli.defaultMailbox.toRight(()).left.flatMap { _ =>
+      hsMailboxes.select("email").orderBy("email").take(1).headOption
+        .map(_.getString(0))
+        .toRight("hs_mailboxes is empty — pass --defaultMailbox=EMAIL")
+    }
+
+  /** Driver-side bound on the validation-failure report (the repo's
+    * named-bound discipline for every collect): the frame is
+    * dimension-sized by construction, but a pathological dim input must
+    * cap at the report, not OOM the driver. */
+  private[graft] val MaxErrorReportRows = 1000
+
   private def errorCsvTarget(cli: Cli): Option[(String, String)] =
     cli.errorCsv.map(dir => (dir,
       java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
@@ -177,37 +195,51 @@ object Main {
             0
           case "sync-tickets" =>
             val hsMailboxes = t("hs_mailboxes")
-            val defaultMailbox = cli.defaultMailbox.getOrElse {
-              // deterministic fallback: lexicographically first HS mailbox
-              hsMailboxes.select("email").orderBy("email").head().getString(0)
-            }
-            Pipelines.syncTickets(
-              t("tickets"), t("messages"), t("attachments"),
-              t("groove_mailboxes"), t("groove_agents"),
-              hsMailboxes, t("hs_users"), t("hs_customers"),
-              t("existing_conversations"), defaultMailbox, cli.opts,
-              cli.ratePerMinute, math.max(1, cli.batchSize),
-              cli.parallelism, errorCsvTarget(cli))(
-              publisher(spark, cli)) match {
-              case Left(bad) =>
-                System.err.println("validation gate failed " +
-                  "(--bypassValidation to override):")
-                bad.collect().foreach(r => System.err.println(s"  ${r.json}"))
-                1
-              case Right(report) =>
-                println(s"published=${report.published} " +
-                  s"errors=${report.errors} batches=${report.batches}")
-                0
+            defaultMailboxOf(hsMailboxes, cli) match {
+              case Left(err) =>
+                System.err.println(s"error: $err\n$usage")
+                2
+              case Right(defaultMailbox) =>
+                Pipelines.syncTickets(
+                  t("tickets"), t("messages"), t("attachments"),
+                  t("groove_mailboxes"), t("groove_agents"),
+                  hsMailboxes, t("hs_users"), t("hs_customers"),
+                  t("existing_conversations"), defaultMailbox, cli.opts,
+                  cli.ratePerMinute, math.max(1, cli.batchSize),
+                  cli.parallelism, errorCsvTarget(cli))(
+                  publisher(spark, cli)) match {
+                  case Left(bad) =>
+                    System.err.println("validation gate failed " +
+                      "(--bypassValidation to override):")
+                    // capped collect (MaxErrorReportRows): the +1 row only
+                    // decides whether the "and more" line prints, without a
+                    // second count() action over the frame
+                    val shown = bad.limit(MaxErrorReportRows + 1).collect()
+                    shown.take(MaxErrorReportRows)
+                      .foreach(r => System.err.println(s"  ${r.json}"))
+                    if (shown.length > MaxErrorReportRows)
+                      System.err.println(
+                        s"  ... and more (showing first $MaxErrorReportRows)")
+                    1
+                  case Right(report) =>
+                    println(s"published=${report.published} " +
+                      s"errors=${report.errors} batches=${report.batches}")
+                    0
+                }
             }
           case "view-ticket" =>
             val hsMailboxes = t("hs_mailboxes")
-            val defaultMailbox = cli.defaultMailbox.getOrElse(
-              hsMailboxes.select("email").orderBy("email").head().getString(0))
-            println(Pipelines.viewTicket(
-              t("tickets"), t("messages"), t("attachments"),
-              hsMailboxes, t("hs_users"), t("hs_customers"),
-              defaultMailbox, cli.ticket.get, cli.opts))
-            0
+            defaultMailboxOf(hsMailboxes, cli) match {
+              case Left(err) =>
+                System.err.println(s"error: $err\n$usage")
+                2
+              case Right(defaultMailbox) =>
+                println(Pipelines.viewTicket(
+                  t("tickets"), t("messages"), t("attachments"),
+                  hsMailboxes, t("hs_users"), t("hs_customers"),
+                  defaultMailbox, cli.ticket.get, cli.opts))
+                0
+            }
         }
     }
 
@@ -230,7 +262,11 @@ final class JsonLinesPublisher(outDir: String)
     val dir = new File(outDir)
     dir.mkdirs()
     val f = new File(dir, s"part-${java.util.UUID.randomUUID()}.jsonl")
-    val w = new java.io.PrintWriter(new java.io.FileWriter(f))
+    // explicit UTF-8: FileWriter(f) uses the platform default charset, and
+    // on a non-UTF-8 JVM non-ASCII customer/ticket content would no longer
+    // round-trip through spark.read.json
+    val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(f), java.nio.charset.StandardCharsets.UTF_8))
     try batch.foreach(r => w.println(r.json)) finally w.close()
   }
 }

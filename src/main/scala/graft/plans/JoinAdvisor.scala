@@ -145,15 +145,32 @@ object JoinAdvisor {
     if (best == Long.MaxValue) 0L else best
   }
 
+  /** Saturating Long product/sum: the advisory's estimates are counts of
+    * join OUTPUT rows, and at its declared 100 TB operating point
+    * (~1e10 rows per side) a hot key's f_A·f_B product exceeds
+    * Long.MaxValue and plain `*` wraps NEGATIVE — the skew test
+    * `hotOut > skewFactor·fair` then silently fails and a must-salt join
+    * ships as plain shuffle. Saturation keeps the estimates one-sided
+    * (over-count only), which is the advisory's whole contract: an
+    * estimate pinned at Long.MaxValue still trips every threshold. */
+  private[graft] def satMul(a: Long, b: Long): Long =
+    try Math.multiplyExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+  private[graft] def satAdd(a: Long, b: Long): Long =
+    try Math.addExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
   /** CMS inner-product join-size estimate: min over rows of
     * Σ_col cntA·cntB — upper-bounds Σ_k f_A(k)·f_B(k) (Cormode &
-    * Muthukrishnan §4.2), i.e. the inner equi-join's output rows. */
+    * Muthukrishnan §4.2), i.e. the inner equi-join's output rows.
+    * Products and the running sum saturate at Long.MaxValue (see
+    * [[satMul]]) — at 1e10-row sides the true value overflows Long. */
   def innerProduct(
       a: Map[(Int, Int), Long], b: Map[(Int, Int), Long]): Long =
     (0 until Depth).map { j =>
       a.iterator.collect { case ((`j`, c), ca) =>
-        ca * b.getOrElse((j, c), 0L)
-      }.sum
+        satMul(ca, b.getOrElse((j, c), 0L))
+      }.foldLeft(0L)(satAdd)
     }.min
 
   /** The advisory. See object doc for the decision rule.
@@ -197,7 +214,9 @@ object JoinAdvisor {
     val (hotKey, hotOut) =
       (a.heavy ++ b.heavy).foldLeft(Option.empty[String] -> 0L) {
         case ((bk, bo), (h, display, _)) =>
-          val out = cmsEstimate(a.cells, h) * cmsEstimate(b.cells, h)
+          // saturating: per-side frequencies near 2^32 would wrap the
+          // product negative and un-flag the hottest key (see satMul)
+          val out = satMul(cmsEstimate(a.cells, h), cmsEstimate(b.cells, h))
           if (out > bo) (Some(display), out) else (bk, bo)
       }
     if (math.min(a.rows, b.rows) <= broadcastMaxRows) {

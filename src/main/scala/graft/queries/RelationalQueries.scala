@@ -1830,11 +1830,19 @@ object RelationalQueries extends QueryPack {
     "q215_bitmap_distinct",
     (s, dir) => {
       val ev = graft.sources.Tables(s, dir).events
+      // arithmetic shift + pmod, NOT `/` + `%`: Column `/` is double
+      // division (truncates toward zero, loses exactness past 2^53) and
+      // `%` follows the sign — both diverge from floor semantics on
+      // negative ids. `id >> 6` IS exact floor division by 64 over the
+      // whole long domain (both engines' >> is the arithmetic shift),
+      // and pmod keeps the bit index in [0, 64) — (w, bit) stays a
+      // total bijection over ANY id domain, not just the fixture's
+      // non-negative one.
       ev.select(col("event_type"),
-          (col("user_id") / 64L).cast("long").as("w"),
+          shiftright(col("user_id"), 6).as("w"),
           // the Scala shiftleft() helper takes a literal shift only;
           // the SQL form shifts by a column
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))")
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))")
             .as("m"))
         .groupBy(col("event_type"), col("w"))
         .agg(bit_or(col("m")).as("bm"))
@@ -1843,8 +1851,9 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n_words"))
         .orderBy(col("event_type"))
     },
-    Some("""WITH b AS (SELECT event_type, user_id // 64 AS w,
-          CAST(1::UBIGINT << CAST(user_id % 64 AS INTEGER) AS UBIGINT) AS m
+    Some("""WITH b AS (SELECT event_type, user_id >> 6 AS w,
+          CAST(1::UBIGINT << CAST(((user_id % 64) + 64) % 64 AS INTEGER)
+            AS UBIGINT) AS m
         FROM events),
       bm AS (SELECT event_type, w, bit_or(m) AS bm
         FROM b GROUP BY 1, 2)

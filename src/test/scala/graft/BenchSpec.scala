@@ -69,6 +69,60 @@ class BenchSpec extends AnyFunSuite {
         s"excluded query $n must still be Verify-graded"))
   }
 
+  test("excluded queries keep their envelope anchor (seconds + bytes rows)") {
+    // the r13 ADVICE finding: rollingEnvelope iterates current keys only,
+    // so an excluded query's prior entry was erased after one run and a
+    // later re-inclusion would re-baseline from scratch
+    val prior = Map("q159" -> 8.66, "q159#b" -> 1.0e8, "q1" -> 0.5)
+    val carried = Bench.carriedExcludedEntries(prior, Set("q159"))
+    assert(carried === Map("q159" -> 8.66, "q159#b" -> 1.0e8),
+      "both the seconds row and the #b bytes row must ride")
+    val env = Bench.rollingEnvelope(
+      prior, Map("q1" -> 0.4), rebase = false) ++ carried
+    assert(env("q159") === 8.66 && env("q159#b") === 1.0e8 &&
+      env("q1") === 0.4)
+  }
+
+  test("canary health gate: degraded only past 1.5x a committed reference," +
+    " fails open without one") {
+    assert(Bench.canaryDegraded(canary = 0.58, healthyRef = 0.27),
+      "the r13 driver window (0.58 vs 0.27) must read degraded")
+    assert(!Bench.canaryDegraded(canary = 0.31, healthyRef = 0.27),
+      "the end-of-sweep window (0.31 vs 0.27) is healthy")
+    // no committed reference (first run, lost file) -> NOT degraded:
+    // the gate must fall back to today's behavior, not mark everything
+    // noisy
+    assert(!Bench.canaryDegraded(canary = 9.9, healthyRef = -1.0))
+    assert(!Bench.canaryDegraded(canary = 9.9, healthyRef = 0.0))
+    // a failed canary measurement (-1) never reads as degraded
+    assert(!Bench.canaryDegraded(canary = -1.0, healthyRef = 0.27))
+  }
+
+  test("degraded-canary adjudication: flags confirm only under a healthy " +
+    "window; a degraded-throughout run ships them as noisy") {
+    val flagged = Seq("q184" -> 4.8, "q208" -> 3.9)
+    // healthy start: flags stand as confirmed (pre-r14 semantics)
+    assert(Bench.classifyRegressed(flagged, startDegraded = false,
+      adjDegraded = false) === ((flagged, Seq.empty)))
+    // degraded start, healthy adjudication window: survivors confirmed
+    assert(Bench.classifyRegressed(flagged, startDegraded = true,
+      adjDegraded = false) === ((flagged, Seq.empty)))
+    // degraded throughout (the BENCH_r13 shape): every surviving flag is
+    // noise-dominated and must ship under regressed_noisy
+    assert(Bench.classifyRegressed(flagged, startDegraded = true,
+      adjDegraded = true) === ((Seq.empty, flagged)))
+    // empty flag set classifies trivially both ways
+    assert(Bench.classifyRegressed(Seq.empty[(String, Double)],
+      startDegraded = true, adjDegraded = true) ===
+      ((Seq.empty, Seq.empty)))
+  }
+
+  test("canary reference key can never collide with a query shortKey") {
+    assert(Bench.CanaryRefKey.startsWith("__"))
+    assert(SparkEntry.queries.keys.forall(n =>
+      !n.startsWith("_") && n.takeWhile(_ != '_') != Bench.CanaryRefKey))
+  }
+
   test("regression trigger needs BOTH the ratio and the absolute delta") {
     // ratio alone: 0.05 -> 0.3 is 6x but only +0.25s — codegen jitter
     assert(!Bench.exceedsPrior(best = 0.3, prior = 0.05, spreadLimit = 3.0))

@@ -103,6 +103,25 @@ class JoinAdvisorSpec extends SparkSpec {
     assert(advice.estOutputRows >= a.join(b, "k").count())
   }
 
+  test("100 TB-point arithmetic saturates instead of wrapping negative") {
+    // the r13 ADVICE finding: at ~1e10 rows per side the hot key's
+    // f_A·f_B product exceeds Long.MaxValue and plain `*` wraps
+    // NEGATIVE — the skew test then silently fails and a must-salt join
+    // ships as plain shuffle. Saturation keeps the estimate one-sided.
+    val big = 4_000_000_000L // 4e9 occurrences of one hot key per side
+    assert(big * big < 0, "the raw product really does wrap on Long")
+    assert(JoinAdvisor.satMul(big, big) === Long.MaxValue)
+    assert(JoinAdvisor.satAdd(Long.MaxValue, 1L) === Long.MaxValue)
+    assert(JoinAdvisor.satMul(3L, 4L) === 12L, "in-range products are exact")
+    assert(JoinAdvisor.satAdd(3L, 4L) === 7L)
+    // innerProduct over synthetic CMS cells with 1e10-scale counters must
+    // come back saturated-positive, never negative
+    val cells = (0 until JoinAdvisor.Depth)
+      .map(j => (j, 0) -> 10_000_000_000L).toMap
+    val est = JoinAdvisor.innerProduct(cells, cells)
+    assert(est === Long.MaxValue, s"expected saturation, got $est")
+  }
+
   test("GraftSession.joinAdvice: same-named key shorthand") {
     val dim = (1 to 50).map(i => (i.toLong, s"n$i")).toDF("id", "name")
     val fact = (1 to 5000).map(i => (i % 50 + 1).toLong).toDF("id")

@@ -110,6 +110,73 @@ class MainSpec extends SparkSpec {
     assert(dump.contains("\"groove_ticket_number\":1001"))
   }
 
+  /** A data dir cloned from the fixture layout with one table replaced —
+    * the synthetic-dim device for the gate-report and empty-dim cases. */
+  private def dataDirWith(
+      name: String, df: org.apache.spark.sql.DataFrame): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-cli-alt").toString
+    val tables = Seq(
+      "customers" -> Fixtures.customersDf(spark),
+      "tickets" -> Fixtures.ticketsDf(spark),
+      "messages" -> Fixtures.messagesDf(spark),
+      "attachments" -> Fixtures.attachmentsDf(spark),
+      "groove_mailboxes" -> Fixtures.grooveMailboxesDf(spark),
+      "groove_agents" -> Fixtures.grooveAgentsDf(spark),
+      "hs_mailboxes" -> Fixtures.hsMailboxesDf(spark),
+      "hs_users" -> Fixtures.hsUsersDf(spark),
+      "hs_customers" -> Fixtures.hsCustomersDf(spark),
+      "existing_conversations" -> Fixtures.existingConversationsDf(spark))
+    tables.foreach { case (t, fdf) =>
+      (if (t == name) df else fdf).write.parquet(s"$d/$t")
+    }
+    d
+  }
+
+  private def capturedErr(body: => Int): (Int, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    val rc = try body finally System.setErr(prev)
+    (rc, buf.toString("UTF-8"))
+  }
+
+  test("validation-gate report is capped at MaxErrorReportRows with an " +
+    "'and more' line — an oversized dim cannot OOM the driver") {
+    import spark.implicits._
+    val n = Main.MaxErrorReportRows + 200
+    val bigDim = (1 to n).map(i => f"Ghost Box $i%05d").toDF("name")
+    val d = dataDirWith("groove_mailboxes", bigDim)
+    val (rc, err) = capturedErr(
+      Main.run(Array("sync-tickets", s"--data=$d", s"--out=${freshOut()}",
+        s"--defaultMailbox=${Fixtures.defaultMailboxEmail}"), spark))
+    assert(rc === 1, "gate failure still exits 1")
+    val reported = err.linesIterator.count(l =>
+      l.contains("unmatched_mailbox") || l.contains("unmatched_agent"))
+    assert(reported === Main.MaxErrorReportRows,
+      s"report must cap at ${Main.MaxErrorReportRows}, printed $reported")
+    assert(err.contains("... and more"),
+      "the cap must be announced, not silent truncation")
+  }
+
+  test("empty hs_mailboxes without --defaultMailbox is a named usage " +
+    "error (exit 2), not a bare NoSuchElementException") {
+    val empty = Fixtures.hsMailboxesDf(spark).limit(0)
+    val d = dataDirWith("hs_mailboxes", empty)
+    for (cmd <- Seq(
+        Array("sync-tickets", s"--data=$d", s"--out=${freshOut()}"),
+        Array("view-ticket", s"--data=$d", "--ticket=1001"))) {
+      val (rc, err) = capturedErr(Main.run(cmd, spark))
+      assert(rc === 2, s"${cmd.head} must exit 2 on an empty mailbox dim")
+      assert(err.contains("--defaultMailbox"),
+        "the error must name the flag that fixes it")
+    }
+    // the explicit flag still works against the empty dim
+    val rcOk = Main.run(Array("sync-tickets", s"--data=$d",
+      s"--out=${freshOut()}", "--bypassValidation",
+      s"--defaultMailbox=${Fixtures.defaultMailboxEmail}"), spark)
+    assert(rcOk === 0)
+  }
+
   test("flag parsing maps 1:1 onto SyncOptions") {
     val cli = Main.parse(Seq("sync-tickets", "--data=/d",
       "--startPage=2", "--stopPage=5", "--tickets=1001,1002",
