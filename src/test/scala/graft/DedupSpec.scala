@@ -544,4 +544,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 5L, 7L, 8L))
   }
+
+  test("advisor-steered fuzzy join: every strategy verdict returns the " +
+    "static path's exact pairs; the conf flag gates the default entry") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, f"Entity#$i%06d")).toDF("id", "s")
+    val want = Dedup.editDistancePairs(df, col("s"), col("id"), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty)
+    // broadcast verdict (dimension-sized variants, default thresholds)
+    val (ab, pb) = Dedup.editDistancePairsAdvised(df, col("s"), col("id"))
+    assert(ab.strategy === "broadcast", ab.toString)
+    assert(pb.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === want)
+    // salt verdict (broadcast disallowed, deployment-width fair share):
+    // the zero-padded ids make deletion-variant blocks genuinely hot
+    val (as, ps) = Dedup.editDistancePairsAdvised(df, col("s"), col("id"),
+      k = 1, broadcastMaxRows = 0L, skewFactor = 1.5,
+      minSaltOutputRows = 10L, maxSaltBuckets = 4,
+      targetPartitions = Some(200000))
+    assert(as.strategy === "salt" && as.saltBuckets >= 2, as.toString)
+    assert(ps.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === want,
+      "salting must move shuffle placement, never semantics")
+    // the conf flag routes the PLAIN operator through the advisory
+    spark.conf.set("spark.graft.advisor.fuzzyJoin", "true")
+    try {
+      val gated = Dedup.editDistancePairs(df, col("s"), col("id"), k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(gated === want)
+    } finally spark.conf.unset("spark.graft.advisor.fuzzyJoin")
+  }
 }
