@@ -804,6 +804,112 @@ object RelationalQueries extends QueryPack {
     Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows
       FROM orders WHERE o_orderkey < 500"""))
 
+  /** Per-dataset memo of the FIXED-page-size rendering of `orders` —
+    * q131's layout with the reference API's actual invariant added: rows
+    * are chunked in request order into pages of exactly `per_page` (the
+    * reference pins per_page=50/10 on every list call,
+    * SyncCustomers.php:60, SyncTickets.php:172), numbered 1..P, with the
+    * manifest carrying per_page — the shape that licenses exact pruned
+    * COUNT apportionment with zero page fetches. Page size 23 is chosen
+    * to not divide the row count, so the short-last-page correction is
+    * genuinely exercised. Fixture-side only (same O(1)-in-corpus caveat
+    * as pagedOrdersDir). Memo value: (dir, total rows). */
+  private val pagedOrdersFixedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private val FixedPageSize = 23
+  private def pagedOrdersFixedDir(
+      s: SparkSession, dir: String): (String, Long) =
+    pagedOrdersFixedDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-q226-pages").toString
+      val keys = Tables(s, dir).orders.select(col("o_orderkey"))
+        .filter(col("o_orderkey") < 500L)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q226-part").toString
+      keys.withColumn("pg",
+          (floor((row_number().over(w) - 1) / FixedPageSize) + 1).cast("int"))
+        .coalesce(1).write.partitionBy("pg").mode("overwrite").json(tmp)
+      val pgRe = "pg=(\\d+)".r
+      val pageDirs = Option(new java.io.File(tmp).listFiles)
+        .getOrElse(Array.empty).flatMap(d => d.getName match {
+          case pgRe(n) => Some(n.toInt -> d)
+          case _ => None
+        })
+      pageDirs.foreach { case (p, d) =>
+        val part = Option(d.listFiles).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".json"))
+          .getOrElse(throw new IllegalStateException(s"no json part for page $p"))
+        java.nio.file.Files.move(
+          part.toPath, java.nio.file.Paths.get(s"$out/page-$p.json"))
+      }
+      val total = keys.count()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/meta.json"),
+        s"""{"pagination":{"total_count":$total,"total_pages":${pageDirs.length},"per_page":$FixedPageSize}}"""
+          .getBytes("UTF-8"))
+      (out, total)
+    })
+
+  /** PAGE-PRUNED COUNT answered from the manifest alone — q217's
+    * pushdown extended to the `--startPage/--stopPage` shape
+    * ([[graft.sources.v2.PagedJson.apportionedCount]]): under the
+    * fixed-page-size layout a pruned `[start, stop]` count is exactly
+    * `full_pages·per_page + short-last-page rows`, computable from
+    * total_count/total_pages/per_page with ZERO page fetches. Graded
+    * over LIVE HTTP with the pruned range including the short last page
+    * (the correction term is exercised, not just the easy full-pages
+    * product), and the no-fetch claim require()d against the server's
+    * request log — meta.json may be requested, page bodies never. At
+    * 100 TB-of-API: one meta round-trip instead of paging the pruned
+    * remainder of the corpus to count it. */
+  private val q226 = Q(
+    "q226_count_pushdown_pruned",
+    (s, dir) => {
+      import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+      val (fixture, _) = pagedOrdersFixedDir(s, dir)
+      val requested = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val server = HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/api", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val p = ex.getRequestURI.getPath
+          requested.add(p)
+          val f = new java.io.File(fixture, p.split("/").last)
+          if (f.exists()) {
+            val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+          } else ex.sendResponseHeaders(404, -1)
+          ex.close()
+        }
+      })
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+        val schema = StructType(Seq(StructField("o_orderkey", LongType)))
+        s.read.format("graft-pages").schema(schema).load(base)
+          .createOrReplaceTempView("graft_pages_q226")
+        // pages >= 2: drops exactly one full first page, keeps the short
+        // last page inside the range — the apportionment's both terms
+        val q = s.sql(
+          "SELECT count(*) AS n_rows FROM graft_pages_q226 WHERE page >= 2")
+        val p = q.queryExecution.executedPlan.toString
+        require(p.contains("from manifest"),
+          s"pruned COUNT was not answered by the manifest:\n${p.take(1200)}")
+        // eager materialization so the returned frame is wire-independent
+        // (the plan pin above reads the PRE-checkpoint plan — a
+        // localCheckpoint replaces it with a LogicalRDD)
+        val out = q.localCheckpoint(true)
+        val pagesHit = scala.jdk.CollectionConverters
+          .ListHasAsScala(requested).asScala.filter(_.contains("page-")).toSeq
+        require(pagesHit.isEmpty,
+          s"a manifest-answered count fetched pages: $pagesHit")
+        out
+      } finally server.stop(0)
+    },
+    Some(s"""SELECT CAST(CASE WHEN count(*) > 23 THEN count(*) - 23
+        ELSE 0 END AS BIGINT) AS n_rows
+      FROM orders WHERE o_orderkey < 500"""))
+
   /** Per-dataset memo of the bucketed fact tables (lineitem/orders
     * bucketed + sorted on their join keys): a deployment buckets at
     * ingest ONCE and every later join rides the layout, so the graded
@@ -2191,5 +2297,5 @@ object RelationalQueries extends QueryPack {
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
     q184, q189, q191, q195, q196, q201, q203, q204, q208, q209, q214,
-    q215, q217, q223, q224)
+    q215, q217, q223, q224, q226)
 }

@@ -101,18 +101,26 @@ object PagedJson {
         }).sortBy(_._1)
     }
 
+  /** The parsed manifest. `perPage` is the OPTIONAL fixed page size
+    * (the reference's `per_page` request parameter, SyncCustomers.php:60
+    * 50/page, SyncTickets.php:172 10/page): when present and consistent
+    * it licenses exact page-range COUNT apportionment with zero page
+    * fetches — see [[apportionedCount]]. */
+  final case class Manifest(totalCount: Long, totalPages: Long,
+      perPage: Option[Long])
+
   // short-TTL manifest cache: one planning pass calls readManifest from
   // both listPages and estimateStatistics — over HTTP that was two remote
   // round-trips per query plan. The TTL keeps a long-lived session from
   // planning against a stale page count forever.
   private val ManifestTtlMs = 30000L
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[(Long, Long)])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Manifest])]()
 
-  /** (total_count, total_pages) from the manifest, file or HTTP (cached).
-    * Only SUCCESSFUL fetches are cached — caching a transient failure
-    * would poison planning on the path for the whole TTL. */
-  def readManifest(path: String): Option[(Long, Long)] = {
+  /** Full manifest, file or HTTP (cached). Only SUCCESSFUL fetches are
+    * cached — caching a transient failure would poison planning on the
+    * path for the whole TTL. */
+  def readManifestFull(path: String): Option[Manifest] = {
     val now = System.currentTimeMillis()
     val cached = manifestCache.get(path)
     if (cached != null && now - cached._1 < ManifestTtlMs) cached._2
@@ -123,15 +131,50 @@ object PagedJson {
     }
   }
 
-  private def fetchManifest(path: String): Option[(Long, Long)] = try {
+  /** (total_count, total_pages) — the pre-r14 two-field view. */
+  def readManifest(path: String): Option[(Long, Long)] =
+    readManifestFull(path).map(m => (m.totalCount, m.totalPages))
+
+  private def fetchManifest(path: String): Option[Manifest] = try {
     val txt =
       if (isHttp(path)) HttpFetch.get(s"$path/meta.json", RateLimitConf(0, 0)).mkString("\n")
       else new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$path/meta.json")), "UTF-8")
     val count = "\"total_count\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
     val pagesTotal = "\"total_pages\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-    for (c <- count; p <- pagesTotal) yield (c, p)
+    val perPage = "\"per_page\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    for (c <- count; p <- pagesTotal) yield Manifest(c, p, perPage)
   } catch { case _: Exception => None }
+
+  /** Exact row count of the pruned page range [minPage, maxPage] from
+    * the manifest ALONE — zero pages listed, opened, or fetched. Defined
+    * only when the manifest carries the fixed-page-size invariants:
+    * `per_page` present and every page full except a possibly-short last
+    * (`(P-1)·s < total ≤ P·s` — the shape a `per_page`-driven API
+    * necessarily produces under 1-based numbering). Refuses (None)
+    * otherwise, falling back to the normal per-page scan.
+    *
+    * The arithmetic: pages [lo, hi] clamped to [1, P]; full pages
+    * contribute `per_page` each, the last page `total − (P−1)·per_page`.
+    * At 100 TB-of-API this turns a pruned `--startPage/--stopPage` count
+    * from paging the remote corpus into one meta round-trip. */
+  def apportionedCount(m: Manifest, minPage: Int, maxPage: Int): Option[Long] =
+    m.perPage match {
+      case _ if m.totalPages == 0 =>
+        if (m.totalCount == 0) Some(0L) else None
+      case Some(s) if s > 0 && m.totalPages > 0 &&
+          (m.totalPages - 1) * s < m.totalCount &&
+          m.totalCount <= m.totalPages * s =>
+        val lo = math.max(minPage.toLong, 1L)
+        val hi = math.min(maxPage.toLong, m.totalPages)
+        if (lo > hi) Some(0L)
+        else {
+          val lastRows = m.totalCount - (m.totalPages - 1) * s
+          val fulls = math.max(0L, math.min(hi, m.totalPages - 1) - lo + 1)
+          Some(fulls * s + (if (hi == m.totalPages) lastRows else 0L))
+        }
+      case _ => None
+    }
 
   /** Page body as lines, throttled + retried when remote. */
   def fetchLines(location: String, rate: RateLimitConf): Iterator[String] =
@@ -215,35 +258,52 @@ class PagedJsonScanBuilder(userSchema: StructType, path: String, rate: RateLimit
   private var maxPage: Int = Int.MaxValue
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedJson.fullSchema(userSchema)
-  private var countPushed = false
+  private var pushedCount: Option[Long] = None
+
+  private def isCountStarShape(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
 
   /** A1 count-first planning ANSWERED, not just estimated: a bare
     * COUNT(*) over the whole table IS the manifest's total_count — the
     * reference's "ask the API how many, then plan" call
     * (SyncCustomers.php:44-49) as a complete DSv2 aggregate pushdown.
-    * Zero pages are fetched (one meta.json round-trip); the pruned-page
-    * case refuses — a page-range COUNT must come from the pages
-    * themselves (the manifest cannot apportion rows exactly) — and so
-    * does a missing manifest. Spark only attempts aggregate pushdown
-    * when every filter was already pushed, so a residual predicate can
-    * never silently ride over the manifest count. */
-  private def completeCountStar(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      minPage == Int.MinValue && maxPage == Int.MaxValue &&
-      PagedJson.readManifest(path).isDefined
+    * Zero pages are fetched (one meta.json round-trip). A PAGE-PRUNED
+    * count additionally answers from the manifest when it carries the
+    * fixed-page-size invariants (`per_page` + consistent totals,
+    * [[PagedJson.apportionedCount]]) AND page numbering is provably the
+    * dense 1..P the apportionment assumes — true by construction over
+    * HTTP (listPages generates 1..P), verified against the (local, cheap,
+    * no-page-opened) directory listing for file layouts. Grouped counts,
+    * manifests without page-size invariants, and non-1-based file
+    * layouts refuse and scan normally. Spark only attempts aggregate
+    * pushdown when every filter was already pushed, so a residual
+    * predicate can never silently ride over the manifest count. */
+  private def manifestCount(): Option[Long] =
+    PagedJson.readManifestFull(path).flatMap { m =>
+      if (minPage == Int.MinValue && maxPage == Int.MaxValue)
+        Some(m.totalCount)
+      else if (pageNumberingDense(m))
+        PagedJson.apportionedCount(m, minPage, maxPage)
+      else None
+    }
+
+  private def pageNumberingDense(m: PagedJson.Manifest): Boolean =
+    PagedJson.isHttp(path) ||
+      (m.totalPages <= Int.MaxValue &&
+        PagedJson.listPages(path).map(_._1) == (1 to m.totalPages.toInt))
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    completeCountStar(agg)
+    isCountStarShape(agg) && manifestCount().isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    countPushed = completeCountStar(agg)
-    countPushed
+    pushedCount = if (isCountStarShape(agg)) manifestCount() else None
+    pushedCount.isDefined
   }
 
   /** Accept page-range filters; everything else stays a residual Spark
@@ -274,22 +334,28 @@ class PagedJsonScanBuilder(userSchema: StructType, path: String, rate: RateLimit
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    if (countPushed) new PagedCountScan(path)
-    else new PagedJsonScan(userSchema, required, path, minPage, maxPage, rate)
+  override def build(): Scan = pushedCount match {
+    case Some(c) =>
+      val range =
+        if (minPage == Int.MinValue && maxPage == Int.MaxValue) "all pages"
+        else s"pages [${if (minPage == Int.MinValue) 1 else minPage}," +
+          s"${if (maxPage == Int.MaxValue) "last" else maxPage}]"
+      new PagedCountScan(c, s"$range of $path")
+    case None =>
+      new PagedJsonScan(userSchema, required, path, minPage, maxPage, rate)
+  }
 }
 
-/** The pushed-COUNT(*) scan: one partition, one row, the manifest count
-  * — no page is ever listed, opened, or fetched. */
-class PagedCountScan(path: String) extends Scan with Batch {
-  private val count: Long = PagedJson.readManifest(path).map(_._1)
-    .getOrElse(throw new IllegalStateException(
-      s"graft-pages: manifest for $path vanished between pushdown and build"))
+/** The pushed-COUNT(*) scan: one partition, one row, the count computed
+  * from the manifest at pushdown time (full total_count, or the
+  * page-range apportionment) — no page is ever listed, opened, or
+  * fetched. */
+class PagedCountScan(count: Long, source: String) extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-pages COUNT(*)=$count from manifest of $path (0 pages fetched)"
+    s"graft-pages COUNT(*)=$count from manifest of $source (0 pages fetched)"
   override def planInputPartitions(): Array[InputPartition] =
     Array(PagedCountPartition(count))
   override def createReaderFactory(): PartitionReaderFactory =

@@ -113,6 +113,73 @@ class SinkSourceSpec extends SparkSpec {
       stats.sizeInBytes > 0) // rowCount surfaces when CBO reads v2 stats
   }
 
+  test("pruned COUNT apportionment: exact manifest-only answers, refusals") {
+    import graft.sources.v2.PagedJson
+    // 125 rows in pages of 23: five full pages + a short last of 10
+    val m = PagedJson.Manifest(125, 6, Some(23))
+    assert(PagedJson.apportionedCount(m, Int.MinValue, Int.MaxValue) === Some(125L))
+    assert(PagedJson.apportionedCount(m, 2, Int.MaxValue) === Some(102L))
+    assert(PagedJson.apportionedCount(m, 2, 5) === Some(92L), "full pages only")
+    assert(PagedJson.apportionedCount(m, 6, 6) === Some(10L), "short last alone")
+    assert(PagedJson.apportionedCount(m, 7, 9) === Some(0L), "past the end")
+    assert(PagedJson.apportionedCount(m, -3, 0) === Some(0L), "before the start")
+    // refusals: the manifest must carry CONSISTENT page-size invariants —
+    // a missing per_page, an implied empty page, or an overfull layout all
+    // fall back to the normal per-page scan
+    assert(PagedJson.apportionedCount(
+      PagedJson.Manifest(125, 6, None), 2, 5) === None)
+    assert(PagedJson.apportionedCount(
+      PagedJson.Manifest(125, 7, Some(23)), 2, 5) === None,
+      "(P-1)*s >= total implies an empty page — inconsistent")
+    assert(PagedJson.apportionedCount(
+      PagedJson.Manifest(200, 6, Some(23)), 2, 5) === None,
+      "total > P*s — inconsistent")
+    assert(PagedJson.apportionedCount(
+      PagedJson.Manifest(0, 0, Some(23)), 1, 5) === Some(0L), "empty corpus")
+  }
+
+  test("pruned COUNT pushdown over file layouts: answered for dense " +
+    "1-based numbering, refused for 0-based (the apportionment's " +
+    "page-identity assumption must hold, not be hoped)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "v", org.apache.spark.sql.types.LongType)))
+    def mkDir(firstPage: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-prcount").toString
+      // 10 rows in pages of 3: sizes 3,3,3,1
+      (0 until 4).foreach { i =>
+        val rows = (i * 3 until math.min(10, i * 3 + 3))
+          .map(v => s"""{"v":$v}""")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/page-${i + firstPage}.json"),
+          rows.mkString("\n").getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/meta.json"),
+        s"""{"pagination":{"total_count":10,"total_pages":4,"per_page":3}}"""
+          .getBytes("UTF-8"))
+      dir
+    }
+    def prunedCount(dir: String): (Long, String) = {
+      val q = spark.read.format("graft-pages").schema(schema).load(dir)
+        .where(col("page") >= 2).agg(count(lit(1)).as("n"))
+      (q.head().getLong(0), q.queryExecution.executedPlan.toString)
+    }
+    val (n1, p1) = prunedCount(mkDir(firstPage = 1))
+    assert(n1 === 7, "pages 2..4 of the 1-based layout hold 3+3+1 rows")
+    assert(p1.contains("from manifest"),
+      s"dense 1-based file layout must answer from the manifest:\n$p1")
+    val zeroDir = mkDir(firstPage = 0)
+    val (n0, p0) = prunedCount(zeroDir)
+    assert(n0 === 4, "file pages 2..3 of the 0-based layout hold 3+1 rows")
+    assert(!p0.contains("from manifest"),
+      s"0-based numbering must refuse apportionment and scan:\n$p0")
+    // the FULL count still answers from the manifest on any numbering
+    val full = spark.read.format("graft-pages").schema(schema).load(zeroDir)
+      .agg(count(lit(1)).as("n"))
+    assert(full.head().getLong(0) === 10)
+    assert(full.queryExecution.executedPlan.toString.contains("from manifest"))
+  }
+
   test("progress/ETA listener tracks tasks and formats HH:MM:SS (K6/A5/X17)") {
     import graft.sources.ProgressEtaListener
     var now = 0L
