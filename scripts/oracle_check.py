@@ -28,6 +28,15 @@ except Exception:
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Generated-SQL giants whose oracles deterministically OOM a LONG-LIVED
+# DuckDB connection late in a multi-hour sf0.1 sweep (buffer-pool
+# fragmentation: each passes alone / on a fresh connection — the r12/r13
+# sweeps both hit this, re-passed --fresh-conn). Give them a fresh
+# connection FROM THE START so a one-pass sweep has zero intermediate
+# FAILs; negligible cost at sf0.01 (a connect + 10 view DDLs).
+FRESH_CONN_DEFAULT = {"q83_pq_residual_model", "q90_duplicate_spans",
+                      "q94_doc_ce", "q98_bpe_merges"}
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify everything so float64-vs-float32 / int32-vs-int64 don't
@@ -103,9 +112,10 @@ def main():
             # tiny-block "bad allocation" OOMs; each passes alone). The
             # driver's sf0.01 gate never runs long enough to hit this —
             # the flag is for local full-scale sweeps.
-            qcon = configure(duckdb.connect()) if fresh_conn else con
+            fresh = fresh_conn or name in FRESH_CONN_DEFAULT
+            qcon = configure(duckdb.connect()) if fresh else con
             want = qcon.execute(oracle[name]).fetchdf()
-            if fresh_conn:
+            if fresh:
                 qcon.close()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue

@@ -261,8 +261,11 @@ object Graph {
     * node ids; each round every node adopts the majority label of its
     * NEIGHBORS (self-vote excluded, the standard formulation). A fixed
     * `rounds` bounds the cost; LPA's useful signal saturates in a few
-    * rounds and the fixed count keeps the result restatable (convergence
-    * detection would make the output depend on a count-distinct probe).
+    * rounds and the fixed count keeps the result restatable. Rounds
+    * additionally stop EARLY at a zero-change fixed point — under
+    * synchronous updates that is output-identical to running the
+    * remaining rounds (each would be the identity), so converged graphs
+    * stop paying O(|E|) per round with no restatability loss.
     *
     * Scale shape (the Pregel plan, same as [[pageRank]]): the symmetric
     * edge closure is checkpointed ONCE and reused every round; a round
@@ -293,7 +296,9 @@ object Graph {
       // partial-aggregated (node, lab) vote exchange; past the gate,
       // fall back to the shuffled join (both sides genuinely big).
       val nNodes = labels.count()
-      for (_ <- 0 until rounds) {
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
         val labSide = labels.select(col("node").as("b"), col("lab"))
         val votes = und
           .join(
@@ -308,8 +313,26 @@ object Graph {
           .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("w"))
           .select(col("node"), (-col("w.neg")).as("lab"))
           .localCheckpoint(true)
+        // EARLY STOP without losing determinism: synchronous updates make
+        // a zero-change round a fixed point — every later round is the
+        // identity, so stopping returns EXACTLY the fixed-round result on
+        // converged graphs (GraphSpec pins the equivalence; oscillating
+        // graphs never trigger and keep the fixed-round bound). The probe
+        // is one O(|V|)-vs-O(|V|) join over two already-checkpointed
+        // frames (broadcast under the same gate as the round join) —
+        // cents against the O(|E|) vote rounds it cancels. Skipped after
+        // the FINAL round, where convergence buys nothing.
+        if (r + 1 < rounds) {
+          val prev = labels.select(col("node"), col("lab").as("prev"))
+          converged = next
+            .join(if (nNodes <= maxBroadcastNodes) broadcast(prev) else prev,
+              Seq("node"))
+            .filter(col("lab") =!= col("prev"))
+            .limit(1).count() == 0L
+        }
         labels.unpersist()
         labels = next
+        r += 1
       }
       labels.select(col("node"), col("lab").as("label"))
     } finally { und.unpersist(); () }

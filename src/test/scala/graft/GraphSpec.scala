@@ -168,4 +168,24 @@ class GraphSpec extends SparkSpec {
     // repeated runs are identical (no RNG, no visit order)
     assert(lp(3) === lp(3))
   }
+
+  test("labelPropagation: early stop at the zero-change fixed point is " +
+    "output-identical to the fixed-round run") {
+    import spark.implicits._
+    // two DISJOINT triangles: converge to their min labels in 2 rounds
+    // and stay there — a genuinely converging fixture (the bridged
+    // fixture above oscillates at the hub and never triggers the stop)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("u", "v")
+    def lp(r: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges, "u", "v", r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val settled = lp(3)
+    assert(settled === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // 50 requested rounds return the identical labeling (and, with the
+    // early stop, without paying for the 47 identity rounds — wall time
+    // is not asserted, equality is the contract)
+    assert(lp(50) === settled)
+  }
 }
