@@ -993,6 +993,32 @@ object EventQueries extends QueryPack {
         AND p.p_us <= v.view_us + 3600000000
       ORDER BY view_id, purchase_id"""))
 
+  /** FULL-OUTER stream-stream interval join
+    * ([[graft.streaming.EventStreams.viewConversionsFullOuterToTable]]):
+    * q219's attribution plus the orphaned-conversions side — every view
+    * AND every purchase surfaces exactly once or per match, outer nulls
+    * emitted only when the watermark proves them (left nulls at
+    * `wm > view_ts + delay`, right nulls at `wm > purchase_ts`), the
+    * sentinel batch draining BOTH tails under the bounded replay. The
+    * oracle is the micros-exact batch FULL JOIN restatement — state
+    * eviction must lose nothing and guess nothing on either side. */
+  private val q228 = Q(
+    "q228_stream_full_outer_join",
+    (s, dir) => graft.streaming.EventStreams
+      .viewConversionsFullOuterToTable(s, dir, "graft_q228_vconv")
+      .orderBy(col("view_id"), col("purchase_id")),
+    Some("""WITH v AS (SELECT event_id AS view_id, user_id,
+          epoch_us(ts) AS view_us
+        FROM events WHERE event_type = 'view'),
+      p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase')
+      SELECT coalesce(v.user_id, p.user_id) AS user_id, v.view_id,
+        v.view_us, p.purchase_id, p.p_us AS purchase_us
+      FROM v FULL JOIN p ON p.user_id = v.user_id
+        AND p.p_us >= v.view_us
+        AND p.p_us <= v.view_us + 3600000000
+      ORDER BY view_id, purchase_id"""))
+
   /** Exact mode and exact median per group with TOTAL tie rules — the
     * two order statistics engines habitually leave nondeterministic
     * (DuckDB's mode() picks an arbitrary tie winner; a float median
@@ -1055,5 +1081,5 @@ object EventQueries extends QueryPack {
 
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
     q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
-    q193, q197, q202, q205, q211, q212, q213, q219, q221)
+    q193, q197, q202, q205, q211, q212, q213, q219, q221, q228)
 }

@@ -466,7 +466,43 @@ object EventStreams {
     * row (the q55 timer-flush discipline applied to join state). */
   def leftOuterIntervalJoinStreams(
       left: DataFrame, right: DataFrame, key: String, ts: String,
-      maxDelayMinutes: Int, watermarkDelay: String = "0 seconds"): DataFrame = {
+      maxDelayMinutes: Int, watermarkDelay: String = "0 seconds"): DataFrame =
+    outerIntervalJoinStreams(left, right, key, ts, maxDelayMinutes,
+      watermarkDelay, "left_outer")
+
+  /** RIGHT-OUTER twin of [[leftOuterIntervalJoinStreams]]: every RIGHT
+    * row surfaces — matched with the left payload, unmatched exactly
+    * once with left-side nulls after the watermark proves no left row
+    * can still open an interval containing it (a right row at `t` can
+    * match any left in `[t − maxDelay, t]`, so its null is withheld
+    * until `wm > t`). Same bounded state, same drained-source sentinel
+    * discipline on BOTH sides. */
+  def rightOuterIntervalJoinStreams(
+      left: DataFrame, right: DataFrame, key: String, ts: String,
+      maxDelayMinutes: Int, watermarkDelay: String = "0 seconds"): DataFrame =
+    outerIntervalJoinStreams(left, right, key, ts, maxDelayMinutes,
+      watermarkDelay, "right_outer")
+
+  /** FULL-OUTER stream-stream interval join — the last join shape of
+    * the §2.10 surface: every row of BOTH streams surfaces exactly once,
+    * matched pairs together, unmatched rows with the other side's nulls
+    * once the watermark proves no match can arrive (left nulls at
+    * `wm > l.ts + maxDelay`, right nulls at `wm > r.ts`). The audit
+    * shape: attribution (left-outer) plus the orphaned-conversions side
+    * (purchases no view explains) in one pass. Both sentinel rules of
+    * the one-sided joins apply simultaneously — a bounded replay must
+    * push the watermark past max(ts) + 2·maxDelay on both inputs or the
+    * TAIL of both streams withholds forever. */
+  def fullOuterIntervalJoinStreams(
+      left: DataFrame, right: DataFrame, key: String, ts: String,
+      maxDelayMinutes: Int, watermarkDelay: String = "0 seconds"): DataFrame =
+    outerIntervalJoinStreams(left, right, key, ts, maxDelayMinutes,
+      watermarkDelay, "full_outer")
+
+  private def outerIntervalJoinStreams(
+      left: DataFrame, right: DataFrame, key: String, ts: String,
+      maxDelayMinutes: Int, watermarkDelay: String,
+      joinType: String): DataFrame = {
     def prefixed(df: DataFrame, p: String): DataFrame =
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
     val l = prefixed(left, "l_").withWatermark(s"l_$ts", watermarkDelay)
@@ -475,7 +511,7 @@ object EventStreams {
       col(s"l_$key") === col(s"r_$key") &&
         col(s"r_$ts") >= col(s"l_$ts") &&
         col(s"r_$ts") <= col(s"l_$ts") + expr(s"INTERVAL $maxDelayMinutes MINUTES"),
-      "left_outer")
+      joinType)
   }
 
   /** Drive [[leftOuterIntervalJoinStreams]] end-to-end over the events
@@ -489,10 +525,15 @@ object EventStreams {
     * as epoch MICROS (unix_micros) — the join matched at micros
     * precision, and a seconds-truncated output would let a boundary
     * match diverge from a micros-exact oracle. */
-  def viewConversionsToTable(
-      spark: SparkSession, dir: String, tableName: String,
-      maxDelayMinutes: Int = 60,
-      conf: StreamRunConf = StreamRunConf()): DataFrame = {
+  /** The view/purchase slice of `events` rendered as TWO mtime-ordered
+    * parquet batch files (real events, then the sentinel pair 2×maxDelay
+    * past the real maximum on BOTH sides — the global watermark is the
+    * min across inputs) and opened as a throttled file stream: the
+    * bounded-replay drain device every outer interval-join driver needs,
+    * extracted once. Sentinel rows carry user_id = −1; drivers filter
+    * them from the output. */
+  private def viewPurchaseStream(
+      spark: SparkSession, dir: String, maxDelayMinutes: Int): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = graft.sources.Tables(spark, dir).events
       .filter(col("event_type").isin("view", "purchase"))
@@ -524,8 +565,15 @@ object EventStreams {
     Files.move(part1.toPath, Paths.get(streamDir, "batch01.parquet"))
     require(new java.io.File(streamDir, "batch01.parquet")
       .setLastModified(120000L), "could not stamp the sentinel batch")
-    val incoming = spark.readStream.schema(base.schema)
+    spark.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
+  }
+
+  def viewConversionsToTable(
+      spark: SparkSession, dir: String, tableName: String,
+      maxDelayMinutes: Int = 60,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
+    val incoming = viewPurchaseStream(spark, dir, maxDelayMinutes)
     val views = incoming.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
     val purchases = incoming.filter(col("event_type") === "purchase")
@@ -534,6 +582,44 @@ object EventStreams {
       val q = leftOuterIntervalJoinStreams(
           views, purchases, "user_id", "ts", maxDelayMinutes)
         .select(col("l_user_id").as("user_id"),
+          col("l_view_id").as("view_id"),
+          col("l_ts").as("view_ts"),
+          col("r_purchase_id").as("purchase_id"),
+          col("r_ts").as("purchase_ts"))
+        .writeStream.format("memory").queryName(tableName)
+        .outputMode("append").options(conf.options)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(tableName)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("view_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        col("purchase_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+  }
+
+  /** Drive [[fullOuterIntervalJoinStreams]] end-to-end over the events
+    * table: [[viewConversionsToTable]]'s attribution PLUS the orphaned
+    * side — purchases no view precedes within the window surface once
+    * with view-side nulls. Same sentinel drain (both sides), same
+    * micros-exact output discipline; the sentinel key is filtered on the
+    * COALESCED user id (an unmatched sentinel row carries it on either
+    * side). */
+  def viewConversionsFullOuterToTable(
+      spark: SparkSession, dir: String, tableName: String,
+      maxDelayMinutes: Int = 60,
+      conf: StreamRunConf = StreamRunConf()): DataFrame = {
+    val incoming = viewPurchaseStream(spark, dir, maxDelayMinutes)
+    val views = incoming.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val purchases = incoming.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
+      val q = fullOuterIntervalJoinStreams(
+          views, purchases, "user_id", "ts", maxDelayMinutes)
+        .select(
+          coalesce(col("l_user_id"), col("r_user_id")).as("user_id"),
           col("l_view_id").as("view_id"),
           col("l_ts").as("view_ts"),
           col("r_purchase_id").as("purchase_id"),

@@ -447,6 +447,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join: BOTH sides' outer nulls are " +
+    "watermark-gated — left at ts+delay, right at ts — and both tails " +
+    "are withheld on a drained source") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Long)] // (view_id, user, sec)
+    val rIn = MemoryStream[(Long, Long, Long)] // (purchase_id, user, sec)
+    val views = lIn.toDF().select(col("_1").as("view_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"))
+    val purchases = rIn.toDF().select(col("_1").as("purchase_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"))
+    val q = EventStreams.fullOuterIntervalJoinStreams(
+        views, purchases, "user_id", "ts", maxDelayMinutes = 60)
+      .select(col("l_view_id").as("view_id"),
+        col("r_purchase_id").as("purchase_id"))
+      .writeStream.format("memory").queryName("spec_fouter_mem")
+      .outputMode("append").start()
+    def rows(): Set[(Option[Long], Option[Long])] =
+      spark.table("spec_fouter_mem").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    try {
+      // view 1 converts; view 2 never converts; purchase 200 (user 9,
+      // t=1700 > this batch's global wm 1600) is orphaned — no view
+      lIn.addData((1L, 7L, 1000L), (2L, 7L, 2000L))
+      rIn.addData((100L, 7L, 1600L), (200L, 9L, 1700L))
+      q.processAllAvailable()
+      assert(rows() === Set((Some(1L), Some(100L))),
+        "only the match may emit: view 2's null needs wm past its hour, " +
+          "purchase 200's null needs wm past its own ts")
+      // push the watermark past everything with NON-matching drivers:
+      // both withheld nulls emit, the new tail rows withhold in turn
+      lIn.addData((9L, 8L, 100000L))
+      rIn.addData((900L, 99L, 100000L))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        (Some(1L), Some(100L)), (Some(2L), None), (None, Some(200L))),
+        "view 2's left-null and purchase 200's right-null must both " +
+          "emit; the drained tail (view 9 / purchase 900) must NOT — " +
+          "the failure mode the sentinel discipline closes")
+    } finally q.stop()
+  }
+
+  test("right-outer stream-stream join: unmatched purchases surface " +
+    "with view nulls, unmatched views never do") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long)]
+    val views = lIn.toDF().select(col("_1").as("view_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"))
+    val purchases = rIn.toDF().select(col("_1").as("purchase_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"))
+    val q = EventStreams.rightOuterIntervalJoinStreams(
+        views, purchases, "user_id", "ts", maxDelayMinutes = 60)
+      .select(col("l_view_id").as("view_id"),
+        col("r_purchase_id").as("purchase_id"))
+      .writeStream.format("memory").queryName("spec_router_mem")
+      .outputMode("append").start()
+    def rows(): Set[(Option[Long], Long)] =
+      spark.table("spec_router_mem").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1))).toSet
+    try {
+      lIn.addData((1L, 7L, 1000L), (2L, 7L, 2000L)) // view 2 unmatched
+      rIn.addData((100L, 7L, 1600L), (200L, 9L, 1700L)) // 200 orphaned
+      q.processAllAvailable()
+      lIn.addData((9L, 8L, 100000L))
+      rIn.addData((900L, 99L, 100000L))
+      q.processAllAvailable()
+      assert(rows() === Set((Some(1L), 100L), (None, 200L)),
+        "every settled purchase surfaces exactly once; unmatched views " +
+          "(2, 9) must not appear in a right outer join")
+    } finally q.stop()
+  }
+
   test("salted equi-join returns exactly the plain join's rows") {
     val t = Tables(spark, sfDir)
     val (li, pt) = (t.lineitem, t.part)
