@@ -3776,6 +3776,87 @@ object TextQueries extends QueryPack {
       FROM documents WHERE doc_id % 10 <> 0
       GROUP BY lang ORDER BY lang"""))
 
+  /** Incremental near-dup dedup with the curated corpus in the KEYED
+    * CONNECTOR ([[graft.streaming.DocumentStreams.incrementalDedupToKeyed]])
+    * — the single most common real 100 TB pipeline loop (a continuously
+    * crawled corpus), composed from pieces graded separately: q38's
+    * banded MinHash/LSH algebra probing a PERSISTED index (q142's
+    * manifest store), novel docs appending through q206's exactly-once
+    * keyed write path, the result read back through the connector's SPJ
+    * scan. The graded path then REPLAYS batch 1 with the same id through
+    * BOTH stores — the keyed ledger must skip it whole (require()d) and
+    * the manifest must no-op, or a third of the corpus double-appends /
+    * double-signs and the oracle reds. FULL ORACLE: q142's sequential
+    * 3-batch NOT-EXISTS unroll over the q77 signature fixture, WITHOUT
+    * the quality gate (this lifecycle dedups only — gating is q142's
+    * composition). The crash-in-the-middle window (keyed committed,
+    * manifest not yet swapped) is StreamingSpec's territory. */
+  private val q227 = Q(
+    "q227_stream_keyed_incremental_dedup",
+    (s, dir) => {
+      import graft.streaming.DocumentStreams
+      val docs = Tables(s, dir).documents
+      val seedIdx = Dedup.signatureTable(
+        docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+        numHashes = 64, bands = 4)
+      val idxPath =
+        java.nio.file.Files.createTempDirectory("graft-q227-idx").toString
+      val outPath =
+        java.nio.file.Files.createTempDirectory("graft-q227-out").toString
+      val res = DocumentStreams.incrementalDedupToKeyed(
+        s, dir, seedIdx, outPath, idxPath, batchFiles = 3,
+        shards = 8, numHashes = 64, bands = 4, threshold = 0.95)
+      // the at-least-once replay window, in the graded path (the q206
+      // matrix): batch 1 again with the same id, through both stores
+      val replay = docs.filter(col("doc_id") % 10 =!= 0)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+      DocumentStreams.processKeyedDedupBatch(
+        s, replay, 1L, idxPath, outPath, shards = 8,
+        numHashes = 64, bands = 4, threshold = 0.95)
+      require(!graft.sources.v2.KeyedJsonStream.appendBatch(
+          replay.select(col("doc_id"), col("lang"),
+            pmod(xxhash64(col("doc_id")), lit(8L)).cast("int").as("shard")),
+          outPath, "shard", 1L),
+        "replayed batch id must be skipped by the keyed commit ledger")
+      // res re-reads the connector AFTER the replays — any duplication
+      // or re-signing would surface as extra rows against the oracle
+      res
+    },
+    Some("""WITH raw AS (SELECT doc_id, kind, idx, value
+        FROM read_parquet('__VERIFY_OUT__/q77_signature_table/*.parquet')),
+      s AS (SELECT doc_id, list(value ORDER BY idx) AS wh
+        FROM raw WHERE kind = 'wh' GROUP BY doc_id),
+      b AS (SELECT doc_id, value AS bh, idx AS band
+        FROM raw WHERE kind = 'band'),
+      cand AS (SELECT DISTINCT a1.doc_id AS id_new, a2.doc_id AS id_old
+        FROM b a1 JOIN b a2 ON a1.band = a2.band AND a1.bh = a2.bh
+        WHERE a1.doc_id <> a2.doc_id),
+      near AS (SELECT DISTINCT id_new, id_old FROM cand
+        JOIN s sa ON sa.doc_id = cand.id_new
+        JOIN s sb ON sb.doc_id = cand.id_old
+        WHERE round(CAST(len(list_intersect(sa.wh, sb.wh)) AS DOUBLE)
+          / (len(sa.wh) + len(sb.wh) - len(list_intersect(sa.wh, sb.wh))),
+          4) >= 0.95),
+      inc AS (SELECT doc_id, lang, doc_id % 3 AS bat FROM documents
+        WHERE doc_id % 10 <> 0),
+      seed AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+      s0 AS (SELECT doc_id, lang FROM inc i WHERE bat = 0 AND NOT EXISTS (
+        SELECT 1 FROM near n JOIN seed sd ON sd.doc_id = n.id_old
+        WHERE n.id_new = i.doc_id)),
+      s1 AS (SELECT doc_id, lang FROM inc i WHERE bat = 1 AND NOT EXISTS (
+        SELECT 1 FROM near n WHERE n.id_new = i.doc_id AND (
+          n.id_old IN (SELECT doc_id FROM seed)
+          OR n.id_old IN (SELECT doc_id FROM s0)))),
+      s2 AS (SELECT doc_id, lang FROM inc i WHERE bat = 2 AND NOT EXISTS (
+        SELECT 1 FROM near n WHERE n.id_new = i.doc_id AND (
+          n.id_old IN (SELECT doc_id FROM seed)
+          OR n.id_old IN (SELECT doc_id FROM s0)
+          OR n.id_old IN (SELECT doc_id FROM s1))))
+      SELECT doc_id, lang FROM s0
+      UNION ALL SELECT doc_id, lang FROM s1
+      UNION ALL SELECT doc_id, lang FROM s2
+      ORDER BY doc_id"""))
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
@@ -3784,5 +3865,5 @@ object TextQueries extends QueryPack {
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
       q172, q174, q175, q177, q186, q187, q188, q194, q198, q199,
-      q200, q206, q207, q210, q220, q222)
+      q200, q206, q207, q210, q220, q222, q227)
 }

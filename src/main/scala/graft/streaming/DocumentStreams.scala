@@ -287,11 +287,14 @@ object DocumentStreams {
   }
 
   /** Seed the curation store: prepared seed index under token `seed` in
-    * both index bases, an empty (schema-bearing) survivor dir, and the
-    * initial manifest. */
+    * both index bases, an empty (schema-bearing) survivor dir (skipped
+    * when the survivor store is NOT manifest-resolved parquet — the
+    * keyed-connector variant owns its own layout), and the initial
+    * manifest. */
   private[graft] def initCurationStore(
       spark: SparkSession, seedIndex: DataFrame,
-      indexPath: String, outPath: String): Unit = {
+      indexPath: String, outPath: String,
+      seedSurvivors: Boolean = true): Unit = {
     // the persisted dedup store keeps the PROBE-READY layout (band rows +
     // pre-grouped wh arrays): re-deriving wh arrays from the long format
     // would be an O(index) groupBy on EVERY micro-batch
@@ -300,11 +303,12 @@ object DocumentStreams {
     seedWh.write.mode("overwrite").parquet(s"$indexPath/wh/seed")
     // empty survivor seed so the read-back has a schema even if every
     // batch dedups away
-    spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("lang", StringType))))
-      .write.mode("overwrite").parquet(s"$outPath/seed")
+    if (seedSurvivors)
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("lang", StringType))))
+        .write.mode("overwrite").parquet(s"$outPath/seed")
     commitCommits(spark, indexPath, CommitState(Seq("seed"), -1L))
   }
 
@@ -425,32 +429,13 @@ object DocumentStreams {
       streamSplit: Column = col("doc_id") % 10 =!= 0,
       compactEvery: Int = 2,
       compactTargetBytes: Long = 128L << 20): DataFrame = {
-    import java.nio.file.{Files, Paths}
     require(batchFiles >= 1, "need at least one batch file")
-    // render the crawl: one file per batch, mtimes force replay order
-    val streamDir = Files.createTempDirectory("graft-crawl").toString
     // streamSplit selects the crawl side (default: the 10%-eval split is
     // the seed corpus and never streams); both the predicate and the
     // source relation are parameters so a deployment can point the stream
     // at its own crawl table without editing the operator
     val docs = spark.read.parquet(s"$dir/$docsPath").filter(streamSplit)
-    // ONE partitioned write renders every batch file (partitionBy drops
-    // the bat column from the data files, so the stream schema is
-    // untouched); a per-batch filter+write loop would re-scan the corpus
-    // batchFiles times
-    val tmp = Files.createTempDirectory("graft-crawl-part").toString
-    docs.withColumn("bat", pmod(col("doc_id"), lit(batchFiles)))
-      .coalesce(1).write.partitionBy("bat").mode("overwrite").parquet(tmp)
-    (0 until batchFiles).foreach { b =>
-      val partDir = new java.io.File(tmp, s"bat=$b")
-      val part = Option(partDir.listFiles).getOrElse(Array.empty)
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file for batch $b"))
-      val dest = Paths.get(streamDir, f"batch$b%02d.parquet")
-      Files.move(part.toPath, dest)
-      require(dest.toFile.setLastModified((b + 1) * 60000L),
-        s"could not stamp batch $b's replay order")
-    }
+    val streamDir = renderCrawlBatches(docs, batchFiles)
     initCurationStore(spark, seedIndex, indexPath, outPath)
     val incoming = spark.readStream
       .schema(documentSchema)
@@ -483,5 +468,162 @@ object DocumentStreams {
         "incremental curation stream must be stateless (index IS the state)")
     }
     readCurated(spark, indexPath, outPath).orderBy(col("doc_id"))
+  }
+
+  /** Render a crawl relation as one parquet file per micro-batch
+    * (`batch b` = pmod(doc_id, batchFiles)) with strictly increasing
+    * mtimes — FileStreamSource orders by (mtime, path), so throttled
+    * replays process batches in a fixed order and every downstream
+    * cascade is a pure function of the corpus. ONE partitioned write
+    * renders every file (partitionBy drops the bat column, so the stream
+    * schema is untouched); a per-batch filter+write loop would re-scan
+    * the corpus batchFiles times. */
+  private def renderCrawlBatches(docs: DataFrame, batchFiles: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Files.createTempDirectory("graft-crawl").toString
+    val tmp = Files.createTempDirectory("graft-crawl-part").toString
+    docs.withColumn("bat", pmod(col("doc_id"), lit(batchFiles)))
+      .coalesce(1).write.partitionBy("bat").mode("overwrite").parquet(tmp)
+    (0 until batchFiles).foreach { b =>
+      val partDir = new java.io.File(tmp, s"bat=$b")
+      val part = Option(partDir.listFiles).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file for batch $b"))
+      val dest = Paths.get(streamDir, f"batch$b%02d.parquet")
+      Files.move(part.toPath, dest)
+      require(dest.toFile.setLastModified((b + 1) * 60000L),
+        s"could not stamp batch $b's replay order")
+    }
+    streamDir
+  }
+
+  /** One micro-batch of the KEYED-CONNECTOR incremental dedup lifecycle
+    * ([[incrementalDedupToKeyed]]): dedup the batch against the manifest
+    * view of the signature index, append the NOVEL docs into the
+    * `graft-keyed` layout through [[graft.sources.v2.KeyedJsonStream
+    * .appendBatch]] (the connector's own batch-id marker + residue-scrub
+    * idempotence), then append the novel docs' signatures to the index
+    * under the manifest protocol.
+    *
+    * Two stores, each idempotent per batch id, COMMITTED IN A FIXED
+    * ORDER (keyed first, manifest second) — that ordering is what makes
+    * every crash window safe:
+    *  - crash before the keyed append commits → nothing durable anywhere;
+    *    the replay recomputes the identical survivor set from the
+    *    UNCHANGED manifest view (dedup is deterministic) and redoes both;
+    *  - crash between keyed commit and manifest swap → the replay
+    *    recomputes the same survivors (manifest still unchanged — this is
+    *    why the index must commit LAST), the keyed append skips on its
+    *    marker, the index writes overwrite the orphan token and swap;
+    *  - crash after the swap → `batchId <= maxBatch` skips the batch
+    *    whole; the keyed marker agrees by the ordering invariant.
+    * `failBeforeCommit` injects the middle window for the crash spec. */
+  private[graft] def processKeyedDedupBatch(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String, shards: Int,
+      numHashes: Int, bands: Int, threshold: Double,
+      failBeforeCommit: Boolean = false): Unit = {
+    val st = readCommits(spark, indexPath)
+    if (batchId <= st.maxBatch) return
+    val exBands =
+      spark.read.parquet(st.entries.map(e => s"$indexPath/bands/$e"): _*)
+    val exWh =
+      spark.read.parquet(st.entries.map(e => s"$indexPath/wh/$e"): _*)
+    val survIds = graft.operators.Dedup.dedupAgainstPreparedIndex(
+      batch, exBands, exWh, col("text"), col("doc_id"),
+      numHashes, bands, threshold)
+    val kept = batch
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .join(survIds, Seq("doc_id"))
+      .withColumn("wh_new",
+        array_sort(array_distinct(elementHashes(tokens(col("text"))))))
+      .select(col("doc_id"), col("lang"), col("wh_new"))
+      .localCheckpoint(true)
+    try {
+      // 1) novel docs into the keyed store (its ledger makes a replay of
+      // a committed id a whole-batch skip)
+      graft.sources.v2.KeyedJsonStream.appendBatch(
+        kept.select(col("doc_id"), col("lang"),
+          pmod(xxhash64(col("doc_id")), lit(shards.toLong))
+            .cast("int").as("shard")),
+        outPath, "shard", batchId)
+      // 2) their signatures into the index (manifest swap LAST)
+      val rows = numHashes / bands
+      val token = f"batch$batchId%05d"
+      kept.select(col("doc_id").as("old_id"),
+          posexplode(graft.functions.TextFunctions.lshBandHashes(
+            graft.functions.TextFunctions.minhashFromHashes(
+              col("wh_new"), numHashes), bands, rows))
+            .as(Seq("band", "bh")))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/bands/$token")
+      kept.select(col("doc_id").as("old_id"), col("wh_new").as("wh_old"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/wh/$token")
+      if (failBeforeCommit)
+        throw new IllegalStateException(
+          "injected crash between keyed commit and manifest swap")
+      commitCommits(spark, indexPath,
+        CommitState(st.entries :+ token, math.max(st.maxBatch, batchId)))
+    } finally kept.unpersist()
+  }
+
+  /** Incremental near-dup dedup with the curated corpus living in the
+    * DSv2 KEYED CONNECTOR — the continuously-crawled-corpus loop
+    * composed from pieces the engine already grades separately: new
+    * documents arrive as throttled micro-batches, each batch probes the
+    * PERSISTED MinHash/LSH band index (q38's banded algebra through
+    * [[graft.operators.Dedup.dedupAgainstPreparedIndex]] — seed corpus ∪
+    * every earlier batch's survivors, never re-signed), and ONLY NOVEL
+    * docs append — into the `graft-keyed` layout (so the curated corpus
+    * is immediately SPJ-joinable shuffle-free, q176's read side) and
+    * into the index. Exactly-once across BOTH stores via the connector's
+    * batch ledger + the index manifest, committed in the fixed order
+    * [[processKeyedDedupBatch]] documents; the streaming plan itself is
+    * stateless (require()-asserted — ALL cross-batch state is on disk,
+    * bounded by curated-corpus size, not stream volume).
+    *
+    * Returns the curated corpus read back THROUGH the connector's scan.
+    * Within-batch new-new duplicates are out of scope, exactly as in
+    * [[incrementalCurationToParquet]] (dedupAgainstSignatureIndex's
+    * documented contract). */
+  def incrementalDedupToKeyed(
+      spark: SparkSession, dir: String, seedIndex: DataFrame,
+      outPath: String, indexPath: String, batchFiles: Int = 3,
+      shards: Int = 8, numHashes: Int = 64, bands: Int = 4,
+      threshold: Double = 0.95,
+      conf: EventStreams.StreamRunConf = EventStreams.StreamRunConf(),
+      docsPath: String = "documents.parquet",
+      streamSplit: Column = col("doc_id") % 10 =!= 0): DataFrame = {
+    require(batchFiles >= 1, "need at least one batch file")
+    val docs = spark.read.parquet(s"$dir/$docsPath").filter(streamSplit)
+    val streamDir = renderCrawlBatches(docs, batchFiles)
+    initCurationStore(spark, seedIndex, indexPath, outPath,
+      seedSurvivors = false)
+    val incoming = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+    withStreamingShufflePartitions(spark, conf.shufflePartitions) {
+      val q = incoming.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processKeyedDedupBatch(spark, batch, batchId, indexPath, outPath,
+            shards, numHashes, bands, threshold)
+          ()
+        }
+        .options(conf.options)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+        "keyed incremental dedup stream must be stateless (both stores " +
+          "live on disk)")
+    }
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("shard", IntegerType)))
+    spark.read.format("graft-keyed").schema(outSchema)
+      .option("keycol", "shard").load(outPath)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
   }
 }

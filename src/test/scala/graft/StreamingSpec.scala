@@ -320,6 +320,84 @@ class StreamingSpec extends SparkSpec {
     assert(DocumentStreams.readCommits(spark, idxPath) === idxBefore)
   }
 
+  test("keyed incremental dedup: the two-store commit is crash-safe in " +
+    "every window and replay is exactly-once across BOTH stores") {
+    // the q206 crash matrix applied to the TWO-store lifecycle
+    // (DocumentStreams.processKeyedDedupBatch): keyed ledger commits
+    // first, index manifest second — drive each window directly.
+    import graft.operators.Dedup
+    import graft.streaming.DocumentStreams
+    import graft.sources.v2.{KeyedJsonStream => KJS}
+    val docs = Tables(spark, sfDir).documents
+    val seedIdx = Dedup.signatureTable(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+      numHashes = 64, bands = 4)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-spec-kcrash-idx").toString
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-spec-kcrash-out").toString
+    DocumentStreams.initCurationStore(spark, seedIdx, idxPath, outPath,
+      seedSurvivors = false)
+    val crawl = docs.filter(col("doc_id") % 10 =!= 0)
+    def batch(b: Int) = crawl.filter(pmod(col("doc_id"), lit(3)) === b)
+    def process(b: Int, fail: Boolean = false): Unit =
+      DocumentStreams.processKeyedDedupBatch(spark, batch(b), b.toLong,
+        idxPath, outPath, shards = 8, numHashes = 64, bands = 4,
+        threshold = 0.95, failBeforeCommit = fail)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType)))
+    def curated(): Seq[Long] =
+      spark.read.format("graft-keyed").schema(outSchema)
+        .option("keycol", "shard").load(outPath)
+        .collect().map(_.getLong(0)).toSeq.sorted
+    // batch 0 commits clean
+    process(0)
+    val after0 = curated()
+    assert(after0.nonEmpty && KJS.isCommitted(outPath, 0L))
+    // batch 1 crashes in the one non-atomic window: keyed store has
+    // committed, the index manifest has NOT
+    intercept[IllegalStateException] { process(1, fail = true) }
+    assert(KJS.isCommitted(outPath, 1L),
+      "the crash window under test is AFTER the keyed commit")
+    assert(DocumentStreams.readCommits(spark, idxPath).maxBatch === 0L,
+      "...and BEFORE the manifest swap")
+    val afterCrash = curated()
+    // replay heals: keyed append skips on its marker, the index token is
+    // overwritten and swapped — and the curated rows are UNCHANGED (the
+    // replay recomputed the same survivors from the unchanged manifest)
+    process(1)
+    assert(DocumentStreams.readCommits(spark, idxPath).maxBatch === 1L)
+    assert(curated() === afterCrash,
+      "replay after the mid-window crash must not change the keyed store")
+    // batch 2 sees batch 1's signatures (the index healed, not just the
+    // corpus); then a post-commit replay of every batch is a full no-op
+    process(2)
+    val settled = curated()
+    (0 to 2).foreach(b => process(b))
+    assert(curated() === settled, "post-commit replays must be no-ops")
+    // the whole cascade equals the crash-free sequential unroll
+    val cleanIdx = java.nio.file.Files
+      .createTempDirectory("graft-spec-kclean-idx").toString
+    val cleanOut = java.nio.file.Files
+      .createTempDirectory("graft-spec-kclean-out").toString
+    DocumentStreams.initCurationStore(spark, seedIdx, cleanIdx, cleanOut,
+      seedSurvivors = false)
+    (0 to 2).foreach(b =>
+      DocumentStreams.processKeyedDedupBatch(spark, batch(b), b.toLong,
+        cleanIdx, cleanOut, shards = 8, numHashes = 64, bands = 4,
+        threshold = 0.95))
+    val clean = spark.read.format("graft-keyed").schema(outSchema)
+      .option("keycol", "shard").load(cleanOut)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(settled === clean,
+      "crash+replay cascade must equal the crash-free cascade")
+  }
+
   test("streaming heavy hitters: MisraGriesAgg matches batch in the exact regime") {
     // the typed imperative aggregate composes under Structured Streaming
     // (complete-mode global aggregation) — frequent-items over a live
