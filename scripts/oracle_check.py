@@ -28,13 +28,22 @@ except Exception:
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Generated-SQL giants whose oracles deterministically OOM a LONG-LIVED
-# DuckDB connection late in a multi-hour sf0.1 sweep (buffer-pool
-# fragmentation: each passes alone / on a fresh connection — the r12/r13
-# sweeps both hit this, re-passed --fresh-conn). Give them a fresh
-# connection FROM THE START so a one-pass sweep has zero intermediate
-# FAILs; negligible cost at sf0.01 (a connect + 10 view DDLs).
-FRESH_CONN_DEFAULT = {"q83_pq_residual_model", "q90_duplicate_spans",
+# Generated-SQL giants whose oracles hit DuckDB's tiny-block
+# "bad allocation" OOM mode at sf0.1. Root cause pinned in round 14: the
+# failure is THREAD-SCALED allocator pressure, not memory — q83 fails at
+# the default 32 threads with >100 GB free (even solo, in a fresh
+# process, no pandas read anywhere) and passes at 4 threads with a
+# 4.4 GB peak RSS. Late-sweep heap fragmentation (the r12/r13 "long
+# connection" theory) only LOWERS the threshold; the thread count is the
+# lever. Giants therefore get a fresh connection AND a capped thread
+# count from the start (ORACLE_GIANT_THREADS, default 4); negligible
+# cost at sf0.01 (a connect + view DDLs; the driver's gate semantics for
+# non-giants are untouched). Membership = every query observed in the
+# mode across the r12-r14 sweeps; the set drifts with host state, so a
+# chunked sweep (scripts/sf01_sweep.sh) is the belt to this suspender.
+FRESH_CONN_DEFAULT = {"q83_pq_residual_model", "q89_sq8_error",
+                      "q90_duplicate_spans", "q91_span_scrub",
+                      "q92_gopher_quality", "q93_bigram_lm",
                       "q94_doc_ce", "q98_bpe_merges"}
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -114,6 +123,9 @@ def main():
             # the flag is for local full-scale sweeps.
             fresh = fresh_conn or name in FRESH_CONN_DEFAULT
             qcon = configure(duckdb.connect()) if fresh else con
+            if name in FRESH_CONN_DEFAULT and not os.environ.get("ORACLE_THREADS"):
+                qcon.execute(
+                    f"SET threads={int(os.environ.get('ORACLE_GIANT_THREADS', '4'))}")
             want = qcon.execute(oracle[name]).fetchdf()
             if fresh:
                 qcon.close()
