@@ -858,6 +858,8 @@ object Dedup {
           conf.get("spark.graft.advisor.minSaltOutputRows", "10000000").toLong,
         maxSaltBuckets =
           conf.get("spark.graft.advisor.maxSaltBuckets", "1024").toInt,
+        hhCapacity =
+          conf.get("spark.graft.advisor.hhCapacity", "1024").toInt,
         targetPartitions =
           conf.getOption("spark.graft.advisor.targetPartitions").map(_.toInt)
       )._2
@@ -888,16 +890,23 @@ object Dedup {
       skewFactor: Double = 5.0,
       minSaltOutputRows: Long = 10_000_000L,
       maxSaltBuckets: Int = 1024,
+      hhCapacity: Int = 1024,
       targetPartitions: Option[Int] = None)
       : (graft.plans.JoinAdvisor.JoinAdvice, DataFrame) = {
     require(k >= 1 && k <= 2, s"k=$k: deletion-neighborhood size is C(|s|,k)")
     val base = df
       .select(idCol.cast("long").as("eid"), strCol.as("s"))
       .filter(col("s").isNotNull)
+    // hhCapacity defaults HIGHER here than the advisory's raw 16: a hot
+    // key is only DETECTABLE at f > N/(hhCapacity+1), and the variant
+    // frame's N is |corpus|·|N_k| — at cap 16 an entity cluster must
+    // exceed ~N/17 rows to surface at all (the AdvisedJoinProbe finding).
+    // 1024 summary entries per map task is still trivial state and pulls
+    // the detection floor down 64×.
     val advice = graft.plans.JoinAdvisor.adviseSelf(
       variantKeys(base, k), col("v"),
       broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
-      targetPartitions = targetPartitions)
+      hhCapacity = hhCapacity, targetPartitions = targetPartitions)
     (advice, editDistancePairsImpl(df, strCol, idCol, k, Some(advice)))
   }
 

@@ -38,20 +38,32 @@ import org.apache.spark.sql.types.LongType
   *
   * Decision rule (all thresholds overridable, defaults documented):
   *  1. `min(|A|, |B|) ≤ broadcastMaxRows` → BROADCAST the smaller side.
-  *  2. else if the hottest key's estimated output exceeds `skewFactor ×`
-  *     the fair per-reducer share (AQE's skewedPartitionFactor default 5)
-  *     AND the absolute floor `minSaltOutputRows` → SALT, with the bucket
-  *     count sized so the hot key's output spreads back to ≈ fair share
-  *     (power of two, clamped to maxSaltBuckets), executed via
+  *  2. else if the hottest key's CORRECTED output exceeds `skewFactor ×`
+  *     the CORRECTED fair per-reducer share (AQE's
+  *     skewedPartitionFactor default 5) AND the absolute floor
+  *     `minSaltOutputRows` → SALT, with the bucket count sized so the
+  *     hot key's output spreads back to ≈ fair share (power of two,
+  *     clamped to maxSaltBuckets), executed via
   *     [[graft.operators.Skew.saltedEquiJoin]].
   *  3. else → plain SHUFFLE (sort-merge / shuffled-hash; Catalyst's pick).
   *
-  * Estimates are deliberately one-sided (over-counts only): the advisory
-  * may occasionally salt a join that would have survived, never the
-  * reverse. JoinAdvisorSpec pins the recommendation against Spark's
-  * actually-executed strategy at both operating points (broadcast point:
-  * BroadcastHashJoinExec in the executed plan; skew point: exact hot-key
-  * share over the exact fair share).
+  * REPORTED size estimates stay one-sided (over-counts only) — a
+  * capacity decision made on `estOutputRows` never under-provisions.
+  * The SKEW DECISION, however, cannot ride upper bounds: when distinct
+  * keys ≫ depth·width, per-cell collision mass inflates the inner
+  * product quadratically but each point estimate only linearly, so the
+  * upper-bound ratio hot/fair goes to ZERO as cardinality grows — the
+  * uncorrected rule silently under-salted (AdvisedJoinProbe: est 1500×
+  * over truth hid a 99%-one-reducer hot block). The decision therefore
+  * uses count-mean-min corrected frequencies floored by the MG lower
+  * bounds ([[cmmEstimate]]) against a collision-corrected inner product
+  * ([[innerProductCorrected]]) — approximately unbiased on both sides
+  * of the ratio, with a hard MG floor keeping dominant keys visible.
+  * JoinAdvisorSpec pins the recommendation against Spark's
+  * actually-executed strategy at both operating points (broadcast
+  * point: BroadcastHashJoinExec in the executed plan; skew point: exact
+  * hot-key share over the exact fair share), and q207's oracle restates
+  * the full corrected algebra in exact integer SQL.
   */
 object JoinAdvisor {
 
@@ -69,11 +81,17 @@ object JoinAdvisor {
       heavy: Seq[(Long, String, Long)])
 
   /** The advisory verdict. `strategy` ∈ broadcast | shuffle | salt.
-    * `estOutputRows` is the CMS inner-product upper bound on the inner
-    * equi-join's cardinality; `hotKeyOutputRows` the upper bound on the
-    * hottest single key's contribution; `fairShareRows` the per-reducer
-    * fair share `estOutputRows / shufflePartitions` the skew test
-    * compares against. `saltBuckets` is 0 unless strategy == salt. */
+    * `estOutputRows` is the CMS inner-product UPPER BOUND on the inner
+    * equi-join's cardinality (never undercounts — the reporting
+    * contract); `hotKeyOutputRows` the upper bound on the hottest
+    * single key's contribution; `fairShareRows` the per-reducer share
+    * `estOutputRows / shufflePartitions`. The DECISION, however, rides
+    * the collision-CORRECTED twins `hotKeyOutputCorrected` /
+    * `fairShareCorrected` (see [[cmmEstimate]] /
+    * [[innerProductCorrected]]): upper bounds inflate the fair share
+    * quadratically in key cardinality but the hot key only linearly,
+    * so a ratio of upper bounds goes blind exactly where salting
+    * matters. `saltBuckets` is 0 unless strategy == salt. */
   final case class JoinAdvice(
       strategy: String,
       broadcastSide: Option[String],
@@ -83,19 +101,22 @@ object JoinAdvisor {
       hotKey: Option[String],
       hotKeyOutputRows: Long,
       fairShareRows: Long,
-      saltBuckets: Int) {
+      saltBuckets: Int,
+      hotKeyOutputCorrected: Long = 0L,
+      fairShareCorrected: Long = 1L) {
     override def toString: String = strategy match {
       case "broadcast" =>
         s"broadcast(${broadcastSide.get}): rows L=$leftRows R=$rightRows, " +
           s"est output <= $estOutputRows"
       case "salt" =>
         s"salt($saltBuckets buckets): hot key ${hotKey.getOrElse("?")} " +
-          s"<= $hotKeyOutputRows output rows vs fair share $fairShareRows; " +
+          s"~$hotKeyOutputCorrected output rows (<= $hotKeyOutputRows) " +
+          s"vs corrected fair share $fairShareCorrected; " +
           s"est output <= $estOutputRows"
       case _ =>
         s"shuffle: rows L=$leftRows R=$rightRows, est output <= " +
-          s"$estOutputRows, hottest key <= $hotKeyOutputRows " +
-          s"(fair share $fairShareRows)"
+          s"$estOutputRows, hottest key ~$hotKeyOutputCorrected " +
+          s"(corrected fair share $fairShareCorrected)"
     }
   }
 
@@ -143,6 +164,49 @@ object JoinAdvisor {
       j += 1
     }
     if (best == Long.MaxValue) 0L else best
+  }
+
+  /** Count-MEAN-min point estimate (Deng & Rafiei 2007): each row's
+    * counter minus its EXPECTED collision mass `(rows − cell)/(W−1)`,
+    * min over rows, floored at 0 — integer algebra throughout (Long
+    * division on non-negatives is the floor both engines compute), so
+    * the q207 oracle restates it exactly. This is the estimator the
+    * SKEW DECISION needs when distinct keys ≫ depth·width: the plain
+    * min-counter estimate inflates every key by the same per-cell
+    * collision mean, which cancels out of a ratio only if BOTH sides
+    * of the ratio carry it — and the fair share (inner product /
+    * partitions) inflates quadratically while the hot key inflates
+    * linearly, so the uncorrected test goes blind exactly where
+    * salting matters (AdvisedJoinProbe measured est 1500× over truth
+    * at 3.4M keys, hiding a 99%-single-reducer hot block). */
+  def cmmEstimate(
+      cells: Map[(Int, Int), Long], rows: Long, hashedKey: Long): Long = {
+    val seed = XxHash64Function.hash(hashedKey, LongType, 42L)
+    var best = Long.MaxValue
+    var j = 0
+    while (j < Depth) {
+      val b = java.lang.Math.floorMod(
+        XxHash64Function.hash(j.toLong, LongType, seed), Width.toLong).toInt
+      val cell = cells.getOrElse((j, b), 0L)
+      best = math.min(best, cell - (rows - cell) / (Width - 1))
+      j += 1
+    }
+    math.max(0L, best)
+  }
+
+  /** Collision-corrected inner-product estimate: the plain CMS inner
+    * product's expectation is `IP_true + (Na·Nb − IP_true)/W`, so
+    * `(IP·W − Na·Nb)/(W−1)` recovers an approximately unbiased IP_true
+    * (exact integer algebra via BigInt — Na·Nb overflows Long at the
+    * advisory's own operating point; truncating division matches
+    * DuckDB's `//` on HUGEINT). Clamped below at `floor` (the corrected
+    * hot key's own output — the join emits at least its hottest key)
+    * and 0. */
+  private[graft] def innerProductCorrected(
+      ipUpper: Long, aRows: Long, bRows: Long, floor: Long): Long = {
+    val corr = (BigInt(ipUpper) * Width - BigInt(aRows) * bRows) / (Width - 1)
+    val clamped = corr.max(BigInt(math.max(floor, 0L)))
+    if (clamped > Long.MaxValue) Long.MaxValue else clamped.toLong
   }
 
   /** Saturating Long product/sum: the advisory's estimates are counts of
@@ -237,32 +301,46 @@ object JoinAdvisor {
     require(maxSaltBuckets >= 2, "maxSaltBuckets must be >= 2")
     val est = innerProduct(a.cells, b.cells)
     val fair = math.max(1L, est / parts)
-    // hottest key's output upper bound: candidates from EITHER side's MG
-    // (a key hot in the join output must be hot on at least one side);
-    // per-side frequencies from the CMS point estimate (over-count only —
-    // MG's own est may undercount by N/(capacity+1))
-    val (hotKey, hotOut) =
-      (a.heavy ++ b.heavy).foldLeft(Option.empty[String] -> 0L) {
-        case ((bk, bo), (h, display, _)) =>
-          // saturating: per-side frequencies near 2^32 would wrap the
-          // product negative and un-flag the hottest key (see satMul)
-          val out = satMul(cmsEstimate(a.cells, h), cmsEstimate(b.cells, h))
-          if (out > bo) (Some(display), out) else (bk, bo)
-      }
+    // hottest key: candidates from EITHER side's MG (a key hot in the
+    // join output must be hot on at least one side). Two estimates per
+    // candidate: the plain min-counter UPPER bound (reporting), and the
+    // corrected per-side frequency max(count-mean-min, MG estimate) —
+    // the MG estimate is a guaranteed LOWER bound on the true count
+    // (f − N/(cap+1) ≤ mg ≤ f), so a genuinely dominant key keeps a
+    // hard floor under the noise-subtracted value. All products
+    // saturate (see satMul).
+    def mgLow(side: SideStats, h: Long): Long =
+      side.heavy.collectFirst { case (`h`, _, m) => m }.getOrElse(0L)
+    val cand = (a.heavy ++ b.heavy).map { case (h, display, _) =>
+      val out = satMul(cmsEstimate(a.cells, h), cmsEstimate(b.cells, h))
+      val corr = satMul(
+        math.max(cmmEstimate(a.cells, a.rows, h), mgLow(a, h)),
+        math.max(cmmEstimate(b.cells, b.rows, h), mgLow(b, h)))
+      (display, out, corr)
+    }
+    // both maxima are global over the candidate set (each exactly
+    // restatable in SQL); the named key follows the DECISION's value
+    val hotOut = if (cand.isEmpty) 0L else cand.map(_._2).max
+    val hotCorr = if (cand.isEmpty) 0L else cand.map(_._3).max
+    val hotKey =
+      cand.sortBy(c => (-c._3, -c._2, c._1)).headOption.map(_._1)
+    val estCorr = innerProductCorrected(est, a.rows, b.rows, hotCorr)
+    val fairCorr = math.max(1L, estCorr / parts)
     if (math.min(a.rows, b.rows) <= broadcastMaxRows) {
       JoinAdvice("broadcast",
         Some(if (a.rows <= b.rows) "left" else "right"),
-        est, a.rows, b.rows, hotKey, hotOut, fair, 0)
-    } else if (hotOut > skewFactor * fair && hotOut >= minSaltOutputRows) {
+        est, a.rows, b.rows, hotKey, hotOut, fair, 0, hotCorr, fairCorr)
+    } else if (hotCorr > skewFactor * fairCorr &&
+        hotCorr >= minSaltOutputRows) {
       // buckets sized to spread the hot key's output back to fair share
-      val needed = math.max(2L, hotOut / fair)
+      val needed = math.max(2L, hotCorr / fairCorr)
       var buckets = 2
       while (buckets < needed && buckets < maxSaltBuckets) buckets <<= 1
       JoinAdvice("salt", None, est, a.rows, b.rows, hotKey, hotOut, fair,
-        math.min(buckets, maxSaltBuckets))
+        math.min(buckets, maxSaltBuckets), hotCorr, fairCorr)
     } else {
       JoinAdvice("shuffle", None, est, a.rows, b.rows, hotKey, hotOut,
-        fair, 0)
+        fair, 0, hotCorr, fairCorr)
     }
   }
 }

@@ -3631,9 +3631,11 @@ object TextQueries extends QueryPack {
       import s.implicits._
       Seq((advice.strategy, advice.leftRows, advice.rightRows,
         advice.estOutputRows, advice.hotKeyOutputRows,
-        advice.fairShareRows, advice.saltBuckets.toLong))
+        advice.fairShareRows, advice.hotKeyOutputCorrected,
+        advice.fairShareCorrected, advice.saltBuckets.toLong))
         .toDF("strategy", "left_rows", "right_rows", "est_output",
-          "hot_output", "fair_share", "salt_buckets")
+          "hot_output", "fair_share", "hot_corr", "fair_corr",
+          "salt_buckets")
     },
     Some {
       import XxhashSqlGen._
@@ -3679,6 +3681,23 @@ object TextQueries extends QueryPack {
           FROM kbl LEFT JOIN cellsb cb USING (row, col) GROUP BY k),
         hot AS (SELECT CAST(max(ea.est * eb.est) AS BIGINT) AS hot
           FROM esta ea JOIN estb eb USING (k)),
+        -- count-MEAN-min per key per side (cmmEstimate: each row's cell
+        -- minus its expected collision mass, min over rows, floored 0),
+        -- and fHat = greatest(cmm, exact MG count) — MG at capacity >=
+        -- cardinality is EXACT, so the per-key frequency floor is fa/fb
+        cmma AS (SELECT kbl.k, greatest(0, CAST(min(coalesce(ca.cnt, 0)
+              - ((SELECT count(*) FROM pk) - coalesce(ca.cnt, 0)) // 511)
+            AS BIGINT)) AS cmm
+          FROM kbl LEFT JOIN cellsa ca USING (row, col) GROUP BY kbl.k),
+        cmmb AS (SELECT kbl.k, greatest(0, CAST(min(coalesce(cb.cnt, 0)
+              - ((SELECT count(*) FROM ck) - coalesce(cb.cnt, 0)) // 511)
+            AS BIGINT)) AS cmm
+          FROM kbl LEFT JOIN cellsb cb USING (row, col) GROUP BY kbl.k),
+        hotc AS (SELECT CAST(max(
+            greatest(ma.cmm, coalesce(fa.n, 0))
+              * greatest(mb.cmm, coalesce(fb.n, 0))) AS BIGINT) AS hotcorr
+          FROM cmma ma JOIN cmmb mb USING (k)
+          LEFT JOIN fa USING (k) LEFT JOIN fb USING (k)),
         dots AS (SELECT r.row,
             CAST(coalesce(sum(ca.cnt * cb.cnt), 0) AS BIGINT) AS dot
           FROM (VALUES (0), (1), (2), (3)) r(row)
@@ -3689,21 +3708,30 @@ object TextQueries extends QueryPack {
         calc AS (SELECT
             (SELECT count(*) FROM pk) AS na,
             (SELECT count(*) FROM ck) AS nb,
-            e.est, h.hot,
-            greatest(1, e.est // 32) AS fair
-          FROM est e, hot h),
+            e.est, h.hot, hc.hotcorr,
+            greatest(1, e.est // 32) AS fair,
+            -- collision-corrected inner product (innerProductCorrected):
+            -- (IP*W - Na*Nb) // (W-1), clamped at hotcorr and 0, then
+            -- the corrected fair share
+            greatest(1, greatest(
+              (CAST(e.est AS HUGEINT) * 512
+                - CAST((SELECT count(*) FROM pk) AS HUGEINT)
+                  * (SELECT count(*) FROM ck)) // 511,
+              CAST(hc.hotcorr AS HUGEINT), 0::HUGEINT) // 32) AS faircorr
+          FROM est e, hot h, hotc hc),
         pow AS (SELECT coalesce(min(p), 1024) AS buckets
           FROM (VALUES (2), (4), (8), (16), (32), (64), (128), (256),
             (512), (1024)) t(p), calc
-          WHERE p >= greatest(2, hot // fair))
+          WHERE p >= greatest(2, hotcorr // faircorr))
       SELECT
         CASE WHEN least(na, nb) <= 100 THEN 'broadcast'
-          WHEN hot > 3.0 * fair AND hot >= 1000 THEN 'salt'
+          WHEN hotcorr > 3.0 * faircorr AND hotcorr >= 1000 THEN 'salt'
           ELSE 'shuffle' END AS strategy,
         CAST(na AS BIGINT) AS left_rows, CAST(nb AS BIGINT) AS right_rows,
         est AS est_output, hot AS hot_output, fair AS fair_share,
+        hotcorr AS hot_corr, CAST(faircorr AS BIGINT) AS fair_corr,
         CAST(CASE WHEN least(na, nb) > 100
-            AND hot > 3.0 * fair AND hot >= 1000
+            AND hotcorr > 3.0 * faircorr AND hotcorr >= 1000
           THEN p.buckets ELSE 0 END AS BIGINT) AS salt_buckets
       FROM calc, pow p"""
     })
