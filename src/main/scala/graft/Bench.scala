@@ -138,7 +138,12 @@ object Bench {
       rebase: Boolean): Map[String, Double] =
     current.flatMap { case (k, cur) =>
       if (cur < 0) prior.get(k).map(k -> _)
-      else if (rebase) Some(k -> cur)
+      // [[CanaryRefKey]] is EXEMPT from rebase (r14 advisory): it is the
+      // host-health anchor, not a query baseline — a rebase performed in
+      // a degraded window would commit an inflated "healthy" reference,
+      // silently weakening canaryDegraded and understating hostInflation
+      // forever after. The rolling-min rule always applies to it.
+      else if (rebase && k != CanaryRefKey) Some(k -> cur)
       else Some(k -> math.min(prior.getOrElse(k, cur), cur))
     }
 
@@ -164,6 +169,26 @@ object Bench {
   private[graft] def exceedsPrior(
       best: Double, prior: Double, spreadLimit: Double): Boolean =
     prior > 0 && best >= 0 && best > spreadLimit * prior && best - prior > 0.5
+
+  /** FULL-SET floor under the cost-scaled gate (r14 verdict #5): the
+    * sub-decile tolerance 1 + 1.5/√prior reaches 3× for priors under
+    * ~0.56 s, so BENCH_r14 shipped q200 (1.093 vs 0.492) and q218
+    * (0.943 vs 0.428) at 2.1–2.2× their envelopes with NO verdict
+    * attached — the gate never examined them. This floor flags ANY
+    * query at > 2× its envelope AND > 0.3 s absolute delta regardless
+    * of decile; flagged queries ride the same re-rep + canary/inflation
+    * adjudication as the spread-limit trigger, so noise still ships
+    * under `regressed_noisy`, never silently. */
+  private[graft] def exceedsAbsFloor(best: Double, prior: Double): Boolean =
+    prior > 0 && best >= 0 && best > 2.0 * prior && best - prior > 0.3
+
+  /** The combined cross-round trigger: cost-scaled spread limit OR the
+    * full-set absolute floor. One predicate used by BOTH the flagging
+    * pass and the final classification so a query cannot be flagged by
+    * one rule and adjudicated by another. */
+  private[graft] def flaggedVsPrior(
+      best: Double, prior: Double, spreadLimit: Double): Boolean =
+    exceedsPrior(best, prior, spreadLimit) || exceedsAbsFloor(best, prior)
 
   /** Envelope key carrying the rolling-min PARALLEL canary (sweep-start
     * all-core Spark reference) — the committed "healthy host" value the
@@ -208,7 +233,7 @@ object Bench {
   private[graft] def confirmsUnderInflation(
       best: Double, prior: Double, spreadLimit: Double,
       inflation: Double): Boolean =
-    exceedsPrior(best, prior * inflation, spreadLimit)
+    flaggedVsPrior(best, prior * inflation, spreadLimit)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -370,10 +395,12 @@ object Bench {
     // run's minimum — the within-run spread trigger can't see this.
     // Tolerance is cost-scaled (spreadLimitFor): 1.3× hard gate in the
     // top decile, 1 + 1.5/√prior (clamped to [1.3, spread limit]) below.
+    // ... OR past the full-set 2× + 0.3 s absolute floor (exceedsAbsFloor)
+    // that catches sub-decile breaches the √-scaled tolerance waves through
     def crossRoundSlow(n: String, rs: Seq[(Double, Double, Double)]): Boolean =
       priorMins.get(shortKey(n)).exists { prior =>
         val b = okTimes(rs)
-        b.nonEmpty && exceedsPrior(b.min, prior,
+        b.nonEmpty && flaggedVsPrior(b.min, prior,
           spreadLimitFor(prior, topDecileCutoff, spreadLimit))
       }
     val resultsSwept: Seq[(String, Seq[(Double, Double, Double)])] =

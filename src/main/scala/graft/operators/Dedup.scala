@@ -840,7 +840,14 @@ object Dedup {
     * maxBlock way only if the corpus contains adversarial mass-duplicate
     * strings — exact-equal strings all share every variant, so dedup
     * EXACT duplicates first (fingerprintDedupSurvivors), then run this on
-    * survivors. */
+    * survivors.
+    *
+    * NOTE: when `spark.graft.advisor.fuzzyJoin` is set, the advisory's
+    * sketch pass runs EAGERLY at plan-construction time (one map-only
+    * Spark job over the variant keys) — even if the returned frame is
+    * never executed. The advice must exist before the join's shape can
+    * be chosen, so the cost cannot be deferred into the frame's own
+    * execution. */
   def editDistancePairs(
       df: DataFrame, strCol: Column, idCol: Column, k: Int = 1): DataFrame = {
     // config-flag gate: a session that sets spark.graft.advisor.fuzzyJoin
@@ -849,19 +856,30 @@ object Dedup {
     // thresholds overridable per-conf — the r13 verdict's "the advisory
     // only matters if the engine's own joins consume it"
     val conf = df.sparkSession.conf
-    if (conf.get("spark.graft.advisor.fuzzyJoin", "false").toBoolean)
+    // a malformed session conf must fail NAMING THE KEY — a bare
+    // toLong would surface as an unlocated NumberFormatException deep
+    // inside the operator (r14 advisory item)
+    def parsed[A](key: String, default: String, parse: String => A): A = {
+      val raw = conf.get(key, default)
+      try parse(raw)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$key: cannot parse '$raw' (${e.getMessage})", e)
+      }
+    }
+    if (parsed("spark.graft.advisor.fuzzyJoin", "false", _.toBoolean))
       editDistancePairsAdvised(df, strCol, idCol, k,
         broadcastMaxRows =
-          conf.get("spark.graft.advisor.broadcastMaxRows", "1000000").toLong,
-        skewFactor = conf.get("spark.graft.advisor.skewFactor", "5.0").toDouble,
-        minSaltOutputRows =
-          conf.get("spark.graft.advisor.minSaltOutputRows", "10000000").toLong,
+          parsed("spark.graft.advisor.broadcastMaxRows", "1000000", _.toLong),
+        skewFactor = parsed("spark.graft.advisor.skewFactor", "5.0", _.toDouble),
+        minSaltOutputRows = parsed(
+          "spark.graft.advisor.minSaltOutputRows", "10000000", _.toLong),
         maxSaltBuckets =
-          conf.get("spark.graft.advisor.maxSaltBuckets", "1024").toInt,
+          parsed("spark.graft.advisor.maxSaltBuckets", "1024", _.toInt),
         hhCapacity =
-          conf.get("spark.graft.advisor.hhCapacity", "1024").toInt,
-        targetPartitions =
-          conf.getOption("spark.graft.advisor.targetPartitions").map(_.toInt)
+          parsed("spark.graft.advisor.hhCapacity", "1024", _.toInt),
+        targetPartitions = conf.getOption("spark.graft.advisor.targetPartitions")
+          .map(v => parsed("spark.graft.advisor.targetPartitions", v, _.toInt))
       )._2
     else editDistancePairsImpl(df, strCol, idCol, k, steer = None)
   }
@@ -897,12 +915,12 @@ object Dedup {
     val base = df
       .select(idCol.cast("long").as("eid"), strCol.as("s"))
       .filter(col("s").isNotNull)
-    // hhCapacity defaults HIGHER here than the advisory's raw 16: a hot
-    // key is only DETECTABLE at f > N/(hhCapacity+1), and the variant
-    // frame's N is |corpus|·|N_k| — at cap 16 an entity cluster must
-    // exceed ~N/17 rows to surface at all (the AdvisedJoinProbe finding).
-    // 1024 summary entries per map task is still trivial state and pulls
-    // the detection floor down 64×.
+    // hhCapacity 1024 is now the advisory-wide default (the r14 verdict
+    // promoted this operator's override: a hot key is only DETECTABLE at
+    // f > N/(hhCapacity+1), and at the historical cap 16 an entity
+    // cluster had to exceed ~N/17 of the |corpus|·|N_k| variant frame to
+    // surface at all — the AdvisedJoinProbe finding). Kept as an explicit
+    // parameter here so the conf can still opt down.
     val advice = graft.plans.JoinAdvisor.adviseSelf(
       variantKeys(base, k), col("v"),
       broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
@@ -921,37 +939,60 @@ object Dedup {
     else
       base.select(col("eid"), explode(deletionNeighborhood(col("s"), k)).as("v"))
 
-  /** The variant self-join under a strategy verdict: `None` keeps
-    * Catalyst's static pick (the pre-advisory behavior); an advice routes
-    * broadcast (variant frame is dimension-sized), salt (the a-side
-    * spreads its rows over `saltBuckets` by id hash, the b-side
-    * replicates once per bucket — a hot variant block lands on
-    * `saltBuckets` reducers instead of one), or plain shuffle. Inner
+  /** The variant self-join under a strategy verdict, returning bare
+    * (id_a, id_b) candidate pairs: `None` keeps Catalyst's static pick
+    * (the pre-advisory behavior); an advice routes broadcast (variant
+    * frame is dimension-sized), TARGETED salt, or plain shuffle. Inner
     * self-joins are salt-safe by construction (no unmatched-row
-    * multiplicity to distort). */
+    * multiplicity to distort).
+    *
+    * The salt path is TARGETED (r14 advisory item): only rows whose
+    * variant key is one of the advice's MG-named breaching keys
+    * ([[graft.plans.JoinAdvisor.JoinAdvice.hotKeys]]) replicate
+    * buckets× — the cold remainder joins plain — so the replication
+    * cost is |hot rows|×buckets, not |frame|×buckets (a 1024-bucket
+    * verdict on the old full-replication shape could multiply the
+    * join input three orders of magnitude, dwarfing the straggler it
+    * cured). Exactness: the join predicate requires a.v === b.v, so
+    * the hot/cold key partition splits the pair space into two
+    * disjoint self-joins whose union is the full join — no pair can
+    * straddle the partition. */
   private def variantSelfJoin(
       keys: DataFrame, residual: Column,
       steer: Option[graft.plans.JoinAdvisor.JoinAdvice]): DataFrame = {
     val cond = col("a.v") === col("b.v") && residual
+    def pairs(j: DataFrame): DataFrame =
+      j.select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
     steer.map(_.strategy).getOrElse("static") match {
       case "broadcast" =>
-        keys.as("a").join(broadcast(keys.as("b")), cond)
+        pairs(keys.as("a").join(broadcast(keys.as("b")), cond))
       case "salt" =>
         val buckets = steer.get.saltBuckets
-        val salted = keys.withColumn("__salt",
+        val hot = steer.get.hotKeys
+        require(hot.nonEmpty,
+          "salt verdict without hotKeys — advisory contract violation")
+        val isHot = col("v").isin(hot: _*)
+        val hotKeysDf = keys.filter(isHot)
+        val coldKeysDf = keys.filter(!isHot)
+        val salted = hotKeysDf.withColumn("__salt",
           pmod(xxhash64(col("eid")), lit(buckets)).cast("int"))
-        val replicated = keys.withColumn("__salt",
+        val replicated = hotKeysDf.withColumn("__salt",
           explode(array((0 until buckets).map(lit): _*)))
         // a salt verdict ASSERTS the sides are past broadcast at the
         // deployment scale — but Catalyst's byte-stats at a small test
         // scale would happily broadcast the replicated side, executing
         // replication AND broadcast (double-pay) while un-executing the
         // advisory. The hint pins the shuffled hash join the verdict
-        // means, at every scale.
-        salted.as("a").hint("shuffle_hash").join(replicated.as("b"),
-          cond && col("a.__salt") === col("b.__salt"))
+        // means, at every scale — on the cold leg too (its sides are
+        // past broadcast at that scale by the same verdict).
+        val hotJoin = salted.as("a").hint("shuffle_hash")
+          .join(replicated.as("b"),
+            cond && col("a.__salt") === col("b.__salt"))
+        val coldJoin = coldKeysDf.as("a").hint("shuffle_hash")
+          .join(coldKeysDf.as("b"), cond)
+        pairs(hotJoin).unionAll(pairs(coldJoin))
       case _ =>
-        keys.as("a").join(keys.as("b"), cond)
+        pairs(keys.as("a").join(keys.as("b"), cond))
     }
   }
 
@@ -979,11 +1020,9 @@ object Dedup {
           col("a.eid") < col("b.eid") &&
             (col("a.p") === col("b.p") ||
               col("a.p") === 0 || col("b.p") === 0), steer)
-          .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
       } else {
         variantSelfJoin(variantKeys(base, k),
           col("a.eid") < col("b.eid"), steer)
-          .select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
       }
     // Dedup BARE id pairs first and re-attach the strings through joins:
     // keeping the strings (and the levenshtein filter) on the candidate

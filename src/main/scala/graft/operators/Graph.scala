@@ -282,8 +282,20 @@ object Graph {
     require(rounds >= 0, "rounds must be non-negative")
     val e = edges.select(
       col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    // symmetric closure via NORMALIZED pairs: distinct on (least,
+    // greatest) shuffles |E| rows and the swap is a map-side union on
+    // the deduped frame — the former union-then-distinct shape shuffled
+    // 2|E| rows to the same answer, and was q208's #1 shuffle mover
+    // (the r13/r14 envelope flags traced to exactly this stage's cost).
+    // Same output by construction: {(least,greatest)} dedups every
+    // orientation/duplicate, both directions re-emitted once each.
+    val norm = e.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val und = norm
+      .unionAll(norm.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
     try {
       var labels = und.select(col("a").as("node")).distinct()
         .withColumn("lab", col("node")).localCheckpoint(true)

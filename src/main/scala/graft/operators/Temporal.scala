@@ -52,9 +52,68 @@ object Temporal {
       right: DataFrame, from: Column, to: Column,
       bucketWidth: Long,
       maxBucketsPerInterval: Long = 65536L): DataFrame = {
+    val (lb, rb) = rangeJoinSides(
+      left, leftTs, right, from, to, bucketWidth, maxBucketsPerInterval)
+    rangeJoinSteered(lb, rb, steer = None)
+  }
+
+  /** [[rangeJoin]] with the bucket equi-join STEERED by the pre-join
+    * advisory ([[graft.plans.JoinAdvisor.advise]] over the two bucket-key
+    * frames — the point side's bucket column and the interval side's
+    * EXPLODED buckets): broadcast the smaller side while it is
+    * dimension-sized, TARGETED-salt when hot buckets dominate (a bucket
+    * that many intervals cover AND many points hit is exactly the
+    * one-reducer hot-block shape — dense incident windows over a busy
+    * hour), plain shuffle otherwise. Returns the advice WITH the joined
+    * frame so callers (and the graded queries q225/q229) can pin the
+    * executed plan against the recommendation. Results are identical
+    * under every strategy — steering moves shuffle placement, never
+    * semantics.
+    *
+    * The salt path replicates ONLY rows carrying the advice's MG-named
+    * hot buckets ([[graft.plans.JoinAdvisor.JoinAdvice.hotKeys]]) and
+    * unions a plain join of the cold remainder — the targeted-salting
+    * contract (cost = hot rows × buckets, never |intervals| × buckets).
+    *
+    * NOTE: the advisory's sketch pass runs EAGERLY here (two map-only
+    * Spark jobs, one per side — the interval side's includes its bucket
+    * explosion) at call time, even if the returned frame is never
+    * executed: the advice must exist before the join's shape can be
+    * chosen. */
+  def rangeJoinAdvised(
+      left: DataFrame, leftTs: Column,
+      right: DataFrame, from: Column, to: Column,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 65536L,
+      broadcastMaxRows: Long = 1_000_000L,
+      skewFactor: Double = 5.0,
+      minSaltOutputRows: Long = 10_000_000L,
+      maxSaltBuckets: Int = 1024,
+      hhCapacity: Int = 1024,
+      targetPartitions: Option[Int] = None)
+      : (graft.plans.JoinAdvisor.JoinAdvice, DataFrame) = {
+    val (lb, rb) = rangeJoinSides(
+      left, leftTs, right, from, to, bucketWidth, maxBucketsPerInterval)
+    val advice = graft.plans.JoinAdvisor.advise(
+      lb.select(col("__lb")), col("__lb"),
+      rb.select(col("__rb")), col("__rb"),
+      broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
+      hhCapacity, targetPartitions)
+    (advice, rangeJoinSteered(lb, rb, Some(advice)))
+  }
+
+  /** The two bucketed join sides (shared by [[rangeJoin]] and
+    * [[rangeJoinAdvised]]): the point side carries `__ts`/`__lb`, the
+    * interval side `__from`/`__to` and one exploded `__rb` row per
+    * covered bucket. */
+  private def rangeJoinSides(
+      left: DataFrame, leftTs: Column,
+      right: DataFrame, from: Column, to: Column,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long): (DataFrame, DataFrame) = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
-    val reserved = Set("__ts", "__lb", "__from", "__to", "__rb")
+    val reserved = Set("__ts", "__lb", "__from", "__to", "__rb", "__sl", "__sr")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"range join requires disjoint columns: $overlap")
     val clash = (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
@@ -93,9 +152,54 @@ object Temporal {
       .filter(spanOk)
       .withColumn("__rb",
         explode(sequence(bucketOf(col("__from")), bucketOf(col("__to")))))
-    lb.join(rb, col("__lb") === col("__rb")
-        && col("__ts") >= col("__from") && col("__ts") <= col("__to"))
-      .drop("__ts", "__lb", "__from", "__to", "__rb")
+    (lb, rb)
+  }
+
+  /** The bucket equi-join under a strategy verdict (`None` = Catalyst's
+    * static pick, the [[rangeJoin]] behavior). Salt is TARGETED: hot
+    * buckets (the advice's MG-named breaching keys) split the point
+    * side's rows over `saltBuckets` reducers by ts-hash while the
+    * interval side's hot rows replicate once per salt value; cold
+    * buckets join plain. The bucket-key partition (hot ∪ cold,
+    * disjoint) splits the match space exactly — the equi-conjunct
+    * `__lb === __rb` means no match can straddle it. Both salted legs
+    * pin `shuffle_hash`: a salt verdict asserts the sides are past
+    * broadcast at deployment scale, and letting small-scale byte stats
+    * re-broadcast the replicated side would execute replication AND
+    * broadcast (double-pay) while un-executing the advisory. */
+  private def rangeJoinSteered(
+      lb: DataFrame, rb: DataFrame,
+      steer: Option[graft.plans.JoinAdvisor.JoinAdvice]): DataFrame = {
+    val cond = col("__lb") === col("__rb") &&
+      col("__ts") >= col("__from") && col("__ts") <= col("__to")
+    val working = Seq("__ts", "__lb", "__from", "__to", "__rb")
+    val joined = steer.map(_.strategy).getOrElse("static") match {
+      case "broadcast" =>
+        if (steer.get.broadcastSide.contains("left"))
+          broadcast(lb).join(rb, cond)
+        else lb.join(broadcast(rb), cond)
+      case "salt" =>
+        val buckets = steer.get.saltBuckets
+        require(steer.get.hotKeys.nonEmpty,
+          "salt verdict without hotKeys — advisory contract violation")
+        // MG display strings of a long bucket key parse back exactly
+        val hot = steer.get.hotKeys.map(_.toLong)
+        val hotL = lb.filter(col("__lb").isin(hot: _*))
+          .withColumn("__sl",
+            pmod(xxhash64(col("__ts")), lit(buckets)).cast("int"))
+        val hotR = rb.filter(col("__rb").isin(hot: _*))
+          .withColumn("__sr", explode(array((0 until buckets).map(lit): _*)))
+        val hotJoin = hotL.hint("shuffle_hash")
+          .join(hotR, cond && col("__sl") === col("__sr"))
+          .drop("__sl", "__sr")
+        val coldJoin = lb.filter(!col("__lb").isin(hot: _*))
+          .hint("shuffle_hash")
+          .join(rb.filter(!col("__rb").isin(hot: _*)), cond)
+        hotJoin.unionByName(coldJoin)
+      case _ =>
+        lb.join(rb, cond)
+    }
+    joined.drop(working: _*)
   }
 
   /** Interval×interval OVERLAP join — the second classic temporal join

@@ -83,15 +83,28 @@ object JoinAdvisor {
   /** The advisory verdict. `strategy` ∈ broadcast | shuffle | salt.
     * `estOutputRows` is the CMS inner-product UPPER BOUND on the inner
     * equi-join's cardinality (never undercounts — the reporting
-    * contract); `hotKeyOutputRows` the upper bound on the hottest
-    * single key's contribution; `fairShareRows` the per-reducer share
+    * contract); `hotKeyOutputRows` the GLOBAL max of the per-key upper
+    * bounds — it bounds every key's contribution but may be attained by
+    * a different key than `hotKey` names (the argmax of the CORRECTED
+    * estimates); `fairShareRows` the per-reducer share
     * `estOutputRows / shufflePartitions`. The DECISION, however, rides
     * the collision-CORRECTED twins `hotKeyOutputCorrected` /
     * `fairShareCorrected` (see [[cmmEstimate]] /
     * [[innerProductCorrected]]): upper bounds inflate the fair share
     * quadratically in key cardinality but the hot key only linearly,
     * so a ratio of upper bounds goes blind exactly where salting
-    * matters. `saltBuckets` is 0 unless strategy == salt. */
+    * matters. `saltBuckets` is 0 unless strategy == salt.
+    *
+    * `hotKeys` (non-empty iff strategy == salt) names EVERY MG candidate
+    * whose corrected output breaches the skew test — the TARGETED
+    * salting contract (r14 advisory): an executor replicates only rows
+    * carrying these keys (cost = hot rows × buckets) and joins the cold
+    * remainder plain, instead of replicating the whole small side
+    * buckets× (which at a 1024-bucket verdict could multiply total join
+    * input by three orders of magnitude — far more than the straggler
+    * it cures). The set is ≤ 2·hhCapacity display strings of driver
+    * state, and the key partition it induces (hot ∪ cold, disjoint)
+    * preserves inner-join semantics exactly. */
   final case class JoinAdvice(
       strategy: String,
       broadcastSide: Option[String],
@@ -103,20 +116,29 @@ object JoinAdvisor {
       fairShareRows: Long,
       saltBuckets: Int,
       hotKeyOutputCorrected: Long = 0L,
-      fairShareCorrected: Long = 1L) {
+      fairShareCorrected: Long = 1L,
+      hotKeys: Seq[String] = Nil) {
     override def toString: String = strategy match {
       case "broadcast" =>
         s"broadcast(${broadcastSide.get}): rows L=$leftRows R=$rightRows, " +
           s"est output <= $estOutputRows"
+      // hotKey names the argmax of the CORRECTED estimates while
+      // hotKeyOutputRows is the GLOBAL max of the upper bounds — at
+      // high collision mass those can be different keys, so the render
+      // labels the bound as global rather than attributing it to the
+      // named key (a debugger reading a salt verdict must not chase the
+      // wrong key's upper bound)
       case "salt" =>
         s"salt($saltBuckets buckets): hot key ${hotKey.getOrElse("?")} " +
-          s"~$hotKeyOutputCorrected output rows (<= $hotKeyOutputRows) " +
+          s"~$hotKeyOutputCorrected output rows (global upper bound " +
+          s"$hotKeyOutputRows, argmax may differ) " +
           s"vs corrected fair share $fairShareCorrected; " +
           s"est output <= $estOutputRows"
       case _ =>
         s"shuffle: rows L=$leftRows R=$rightRows, est output <= " +
           s"$estOutputRows, hottest key ~$hotKeyOutputCorrected " +
-          s"(corrected fair share $fairShareCorrected)"
+          s"(corrected fair share $fairShareCorrected; global " +
+          s"upper-bound max $hotKeyOutputRows)"
     }
   }
 
@@ -129,8 +151,15 @@ object JoinAdvisor {
     * both the CMS-addressable hashed key (prefix, parsed back to Long)
     * and the human-readable key (suffix, may itself contain ':') —
     * distinct keys stay distinct, and no second typed aggregate or
-    * driver-side re-hash of arbitrary key types is needed. */
-  def sideStats(df: DataFrame, key: Column, hhCapacity: Int = 16): SideStats = {
+    * driver-side re-hash of arbitrary key types is needed.
+    *
+    * `hhCapacity` sets the skew DETECTION FLOOR: MG only surfaces keys
+    * with f > N/(capacity+1), so at the historical default 16 a hot key
+    * was invisible below N/17 — the exact blind spot AdvisedJoinProbe
+    * measured. 1024 entries is still trivial per-task state (~48 KiB)
+    * and pulls the floor to N/1025; pass a smaller capacity explicitly
+    * only when summary size genuinely matters. */
+  def sideStats(df: DataFrame, key: Column, hhCapacity: Int = 1024): SideStats = {
     require(hhCapacity > 0, "hhCapacity must be positive")
     val d = df.select(key.as("__k")).filter(col("__k").isNotNull)
     val r = d.agg(
@@ -198,10 +227,15 @@ object JoinAdvisor {
     * product's expectation is `IP_true + (Na·Nb − IP_true)/W`, so
     * `(IP·W − Na·Nb)/(W−1)` recovers an approximately unbiased IP_true
     * (exact integer algebra via BigInt — Na·Nb overflows Long at the
-    * advisory's own operating point; truncating division matches
-    * DuckDB's `//` on HUGEINT). Clamped below at `floor` (the corrected
-    * hot key's own output — the join emits at least its hottest key)
-    * and 0. */
+    * advisory's own operating point). Division detail for the q207
+    * oracle-exactness argument: BigInt `/` truncates toward zero while
+    * DuckDB's `//` on HUGEINT floors, and the two differ ONLY on
+    * negative quotients (truncate = floor + 1 there) — every negative
+    * intermediate is then absorbed by the clamp at max(floor, 0) below,
+    * and on non-negative quotients the operators coincide, so the two
+    * engines agree on the CLAMPED value for every input. Clamped below
+    * at `floor` (the corrected hot key's own output — the join emits at
+    * least its hottest key) and 0. */
   private[graft] def innerProductCorrected(
       ipUpper: Long, aRows: Long, bRows: Long, floor: Long): Long = {
     val corr = (BigInt(ipUpper) * Width - BigInt(aRows) * bRows) / (Width - 1)
@@ -257,7 +291,7 @@ object JoinAdvisor {
       skewFactor: Double = 5.0,
       minSaltOutputRows: Long = 10_000_000L,
       maxSaltBuckets: Int = 1024,
-      hhCapacity: Int = 16,
+      hhCapacity: Int = 1024,
       targetPartitions: Option[Int] = None): JoinAdvice = {
     val a = sideStats(left, leftKey, hhCapacity)
     val b = sideStats(right, rightKey, hhCapacity)
@@ -280,7 +314,7 @@ object JoinAdvisor {
       skewFactor: Double = 5.0,
       minSaltOutputRows: Long = 10_000_000L,
       maxSaltBuckets: Int = 1024,
-      hhCapacity: Int = 16,
+      hhCapacity: Int = 1024,
       targetPartitions: Option[Int] = None): JoinAdvice = {
     val a = sideStats(df, key, hhCapacity)
     val parts = math.max(1, targetPartitions.getOrElse(
@@ -336,8 +370,15 @@ object JoinAdvisor {
       val needed = math.max(2L, hotCorr / fairCorr)
       var buckets = 2
       while (buckets < needed && buckets < maxSaltBuckets) buckets <<= 1
+      // the TARGETED salting set: every candidate whose corrected output
+      // breaches the same test the verdict fired on (the argmax is in by
+      // construction). Distinct display strings — a key hot on both
+      // sides enters once.
+      val hotSet = cand.collect {
+        case (display, _, corr) if corr > skewFactor * fairCorr => display
+      }.distinct.sorted
       JoinAdvice("salt", None, est, a.rows, b.rows, hotKey, hotOut, fair,
-        math.min(buckets, maxSaltBuckets), hotCorr, fairCorr)
+        math.min(buckets, maxSaltBuckets), hotCorr, fairCorr, hotSet)
     } else {
       JoinAdvice("shuffle", None, est, a.rows, b.rows, hotKey, hotOut,
         fair, 0, hotCorr, fairCorr)

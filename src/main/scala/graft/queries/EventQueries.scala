@@ -446,6 +446,121 @@ object EventQueries extends QueryPack {
       FROM w JOIN p ON p.ts >= w.f AND p.ts <= w.f + 3600
       GROUP BY 1 ORDER BY incident_id"""))
 
+  /** q170's range join STEERED by the pre-join advisory at its BROADCAST
+    * operating point ([[graft.operators.Temporal.rangeJoinAdvised]] →
+    * [[graft.plans.JoinAdvisor.advise]] over the two bucket-key frames) —
+    * the r14 verdict's "wire the advisory into a second engine join":
+    * after the fuzzy join (q223/q224), the bucketed temporal join is the
+    * second consumer, with the same grading pattern. The sketch pass
+    * sees dimension-sized sides at every fixture SF, advises broadcast,
+    * and the operator executes it — the body require()s the advice AND
+    * the executed BroadcastHashJoin. Results are strategy-independent,
+    * so the oracle is q170's plain inequality join (IEJoin in DuckDB). */
+  private val q225 = Q(
+    "q225_advised_range_broadcast",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          col("ts").cast("long").as("w_from"),
+          (col("ts").cast("long") + 3600L).as("w_to"))
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), col("value").as("p_value"))
+      val (advice, j) = graft.operators.Temporal.rangeJoinAdvised(
+        points, col("p_ts").cast("long"),
+        windows, col("w_from"), col("w_to"), bucketWidth = 3600L)
+      require(advice.strategy == "broadcast",
+        s"dimension-sized range-join sides must advise broadcast: $advice")
+      val res = j.groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("p_value")), 2).as("purchase_value"))
+        .orderBy(col("incident_id"))
+      val p = res.queryExecution.executedPlan.toString
+      require(p.contains("BroadcastHashJoin"),
+        s"executed bucket join must match the advisory:\n${p.take(1200)}")
+      require(!p.contains("CartesianProduct")
+          && !p.contains("BroadcastNestedLoopJoin"),
+        s"range join planned a quadratic join:\n${p.take(1200)}")
+      res
+    },
+    Some("""WITH w AS (SELECT event_id AS incident_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS f
+        FROM events WHERE event_type = 'error'),
+      p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT incident_id, count(*) AS n_purchases,
+        round(sum(value), 2) AS purchase_value
+      FROM w JOIN p ON p.ts >= w.f AND p.ts <= w.f + 3600
+      GROUP BY 1 ORDER BY incident_id"""))
+
+  /** The advised range join at its SALT operating point: every 20th
+    * error's window and every 20th purchase's timestamp fold onto ONE
+    * fixed hour (2024-01-16 00:00 UTC, epoch 1705363200 — 3600-aligned,
+    * so the hot window covers exactly one bucket; within-hour offsets
+    * are preserved so the fold is invertible noise, not a constant) —
+    * a "thundering herd" hour where ~5% of all intervals AND ~5% of all
+    * points share one bucket key. Broadcast is disallowed
+    * (broadcastMaxRows=0 — past-dimension sides) and the fair share is
+    * computed for a 100 TB deployment's shuffle width
+    * (targetPartitions=200000), where the hot bucket's corrected output
+    * dominates any fair reducer share: the advisory must pick salt,
+    * name the hot bucket among its MG keys, and the operator must
+    * execute the TARGETED salted join (plan-pinned: the executed join
+    * carries the `__sl` salt key and no broadcast anywhere — both legs
+    * pin shuffle_hash). maxSaltBuckets=8 keeps test-scale replication
+    * cheap; the SAME inequality-join oracle proves salting moved
+    * shuffle placement, never semantics. */
+  private val q229 = Q(
+    "q229_advised_range_salted",
+    (s, dir) => {
+      val hotHour = 1705363200L // 2024-01-16T00:00:00Z, % 3600 == 0
+      val ev = Tables(s, dir).events
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          when(col("event_id") % 20 === 0, lit(hotHour))
+            .otherwise(col("ts").cast("long")).as("w_from"))
+        .withColumn("w_to", col("w_from") + 3599L)
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"),
+          when(col("event_id") % 20 === 0,
+            lit(hotHour) + pmod(col("ts").cast("long"), lit(3600L)))
+            .otherwise(col("ts").cast("long")).as("p_ts"),
+          col("value").as("p_value"))
+      val (advice, j) = graft.operators.Temporal.rangeJoinAdvised(
+        points, col("p_ts"),
+        windows, col("w_from"), col("w_to"), bucketWidth = 3600L,
+        broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 100L,
+        maxSaltBuckets = 8, targetPartitions = Some(200000))
+      require(advice.strategy == "salt" && advice.saltBuckets >= 2,
+        s"a thundering-herd bucket at 200k-partition fair share must " +
+          s"salt: $advice")
+      require(advice.hotKeys.contains((hotHour / 3600L).toString),
+        s"the folded hour must be among the MG-named hot buckets: $advice")
+      val res = j.groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("p_value")), 2).as("purchase_value"))
+        .orderBy(col("incident_id"))
+      val p = res.queryExecution.executedPlan.toString
+      require(p.contains("__sl"),
+        s"executed join must carry the salt key:\n${p.take(1200)}")
+      require(!p.contains("BroadcastHashJoin"),
+        s"salted join must not broadcast a past-dimension side:\n" +
+          p.take(1200))
+      res
+    },
+    Some("""WITH w AS (SELECT event_id AS incident_id,
+          CASE WHEN event_id % 20 = 0 THEN 1705363200
+            ELSE CAST(floor(epoch(ts)) AS BIGINT) END AS f
+        FROM events WHERE event_type = 'error'),
+      p AS (SELECT CASE WHEN event_id % 20 = 0
+            THEN 1705363200 + CAST(floor(epoch(ts)) AS BIGINT) % 3600
+            ELSE CAST(floor(epoch(ts)) AS BIGINT) END AS ts, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT incident_id, count(*) AS n_purchases,
+        round(sum(value), 2) AS purchase_value
+      FROM w JOIN p ON p.ts >= w.f AND p.ts <= w.f + 3599
+      GROUP BY 1 ORDER BY incident_id"""))
+
   /** GROUPED heavy hitters — q111's Misra-Gries summary with a group
     * key: one ≤capacity MG map per event type ("top users per segment"),
     * the same summary-sized-shuffle posture as grouped HLL (q155) and
@@ -1081,5 +1196,6 @@ object EventQueries extends QueryPack {
 
   override val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q58, q59, q5a,
     q134, q155, q169, q170, q171, q173, q178, q183, q185, q190, q192,
-    q193, q197, q202, q205, q211, q212, q213, q219, q221, q228)
+    q193, q197, q202, q205, q211, q212, q213, q219, q221, q225, q228,
+    q229)
 }

@@ -1897,9 +1897,14 @@ object RelationalQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_partkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+      // NO .distinct() here (the oracle's e0 keeps it): labelPropagation
+      // dedups the normalized closure internally, so a caller-side
+      // distinct would shuffle the same 3M-row pair stream twice for an
+      // identical label result — this was half of q208's #1-shuffle-mover
+      // rank and the r13/r14 envelope flags
       val edges = a.join(b, Seq("l_orderkey"))
         .filter(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
+        .select(col("u"), col("v"))
       graft.operators.Graph.labelPropagation(edges, "u", "v", rounds = 2)
         .orderBy(col("node"))
     },

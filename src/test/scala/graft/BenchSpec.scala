@@ -133,6 +133,69 @@ class BenchSpec extends AnyFunSuite {
       !n.startsWith("_") && n.takeWhile(_ != '_') != Bench.CanaryRefKey))
   }
 
+  test("rebase never touches the canary reference: the health anchor " +
+    "rides the rolling-min rule even under a deliberate re-baseline") {
+    // the r14 advisory finding: a rebase performed in a degraded window
+    // would commit an inflated "healthy" canary, silently weakening every
+    // future canaryDegraded verdict and understating hostInflation
+    val prior = Map("q1" -> 0.5, Bench.CanaryRefKey -> 0.28)
+    val cur = Map("q1" -> 5.0, Bench.CanaryRefKey -> 0.61)
+    val e = Bench.rollingEnvelope(prior, cur, rebase = true)
+    assert(e("q1") === 5.0, "query anchors rebase verbatim")
+    assert(e(Bench.CanaryRefKey) === 0.28,
+      "the canary reference must keep its healthiest-ever value")
+    // a genuinely healthier window still tightens it under rebase
+    val e2 = Bench.rollingEnvelope(
+      prior, Map(Bench.CanaryRefKey -> 0.22), rebase = true)
+    assert(e2(Bench.CanaryRefKey) === 0.22)
+  }
+
+  test("excluded-query anchors survive a rebase (the q159 re-seed path)") {
+    // re-seeding an excluded query's anchor means hand-merging its rows
+    // into bench_prior.json; carriedExcludedEntries must then keep them
+    // across every later run INCLUDING a deliberate rebase (an excluded
+    // query has no current value to re-baseline to)
+    val prior = Map("q159" -> 9.4, "q159#b" -> 2.1e8, "q1" -> 0.5)
+    val carried = Bench.carriedExcludedEntries(prior, Set("q159"))
+    val env = Bench.rollingEnvelope(
+      prior, Map("q1" -> 0.7), rebase = true) ++ carried
+    assert(env("q159") === 9.4 && env("q159#b") === 2.1e8,
+      "the re-seeded anchor must ride through a rebase untouched")
+    assert(env("q1") === 0.7)
+  }
+
+  test("full-set absolute floor: sub-decile 2x breaches with real deltas " +
+    "flag; jitter-scale and sub-2x moves do not") {
+    // the BENCH_r14 escapes: q200 1.093 vs 0.492 and q218 0.943 vs 0.428
+    // sat at 2.1-2.2x with no verdict because 1 + 1.5/sqrt(prior) waves
+    // through anything under ~3x at sub-second priors
+    assert(Bench.exceedsAbsFloor(best = 1.093, prior = 0.492))
+    assert(Bench.exceedsAbsFloor(best = 0.943, prior = 0.428))
+    // q209's r14 shape: 2.06x but only +0.23s — under the 0.3s floor
+    assert(!Bench.exceedsAbsFloor(best = 0.447, prior = 0.217))
+    // sub-2x never fires regardless of delta
+    assert(!Bench.exceedsAbsFloor(best = 3.9, prior = 2.0))
+    // degenerate priors/failures never fire
+    assert(!Bench.exceedsAbsFloor(best = 5.0, prior = 0.0))
+    assert(!Bench.exceedsAbsFloor(best = -1.0, prior = 1.0))
+    // the combined trigger: either rule flags, and the SAME predicate
+    // adjudicates (via confirmsUnderInflation's inflation-scaled prior)
+    assert(Bench.flaggedVsPrior(best = 1.093, prior = 0.492,
+      spreadLimit = 3.0), "floor fires where the ratio rule is silent")
+    assert(Bench.flaggedVsPrior(best = 5.24, prior = 0.897,
+      spreadLimit = 3.0), "ratio rule still fires on its own")
+    assert(!Bench.flaggedVsPrior(best = 0.9, prior = 0.492,
+      spreadLimit = 3.0))
+    // under 1.09x host inflation the q200 flag still confirms (1.093 >
+    // 2 * 0.492 * 1.09 + ...): the floor scales with the canary like
+    // every other rule
+    assert(Bench.confirmsUnderInflation(
+      best = 1.093, prior = 0.492, spreadLimit = 3.0, inflation = 1.09))
+    // ... but a 2.05x breach on a 1.09x-inflated host does not
+    assert(!Bench.confirmsUnderInflation(
+      best = 1.01, prior = 0.492, spreadLimit = 3.0, inflation = 1.09))
+  }
+
   test("regression trigger needs BOTH the ratio and the absolute delta") {
     // ratio alone: 0.05 -> 0.3 is 6x but only +0.25s — codegen jitter
     assert(!Bench.exceedsPrior(best = 0.3, prior = 0.05, spreadLimit = 3.0))

@@ -103,6 +103,44 @@ class JoinAdvisorSpec extends SparkSpec {
     assert(advice.estOutputRows >= a.join(b, "k").count())
   }
 
+  test("detection floor at the default capacity: a hot key far below the " +
+    "old N/17 blind spot still surfaces (r14 verdict #2)") {
+    // MG only surfaces keys with f > N/(capacity+1). The historical
+    // default 16 made a key invisible below N/17 — the exact
+    // AdvisedJoinProbe failure, fixed per-consumer in r14 and promoted
+    // to the advisory-wide default (1024) this round. Fixture: one key
+    // at ~2% of N (N/50) — far under the old floor, far over the new.
+    val n = 50000
+    val hotRows = n / 50 // 1000 rows = 2% of N: N/17 ≈ 2941 would hide it
+    // hot rows INTERLEAVED uniformly (every 50th row): concentrated hot
+    // runs would survive capacity 16 by luck of partial-merge order —
+    // the blind spot is about decrement pressure within the stream
+    val df = (1 to n)
+      .map(i => if (i % 50 == 0) 7L else 100L + i).toDF("k")
+    val atDefault = JoinAdvisor.sideStats(df, col("k"))
+    val hotAtDefault = atDefault.heavy.find(_._2 == "7")
+    assert(hotAtDefault.isDefined,
+      s"the 2% key must surface at the default capacity; " +
+        s"got ${atDefault.heavy.size} candidates")
+    // the MG lower-bound guarantee at the default: mg >= f - N/(cap+1),
+    // so the surfaced ESTIMATE itself is near-exact (>= 1000 - 48)
+    assert(hotAtDefault.get._3 >= hotRows - n / 1025,
+      s"MG estimate ${hotAtDefault.get._3} under the guaranteed floor")
+    // at the old capacity the guarantee is VACUOUS for this key
+    // (f - N/17 < 0): surfacing becomes merge-order luck, and when the
+    // key does survive its estimate may be arbitrarily decremented —
+    // pin that the GUARANTEED floor, not observed behavior, is what
+    // separates the capacities (observed: cap 16 kept the key here but
+    // with a decrement-eroded count; concentrated runs or another
+    // partitioning could drop it entirely)
+    val atSixteen = JoinAdvisor.sideStats(df, col("k"), hhCapacity = 16)
+    atSixteen.heavy.find(_._2 == "7").foreach(h =>
+      assert(h._3 <= hotRows, "MG never overcounts"))
+    assert(hotRows - n / 17 < 0, "old floor genuinely vacuous for a 2% key")
+    // and the default floor is what the scaladoc promises: f > N/1025
+    assert(hotRows > n / 1025 && hotRows < n / 17)
+  }
+
   test("100 TB-point arithmetic saturates instead of wrapping negative") {
     // the r13 ADVICE finding: at ~1e10 rows per side the hot key's
     // f_A·f_B product exceeds Long.MaxValue and plain `*` wraps
