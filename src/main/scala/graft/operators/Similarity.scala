@@ -380,6 +380,21 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding",
       trainCap: Long = 65536L, corpusRows: Option[Long] = None,
       model: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val (lists, srcProbes) = knnGraphSides(
+      corpus, nlist, nprobe, iters, idCol, embCol, trainCap, corpusRows, model)
+    knnGraphTail(lists, srcProbes, k, idCol, embCol)
+  }
+
+  /** The two sides of the candidate join, extracted so [[knnGraph]] and
+    * [[knnGraphAdvised]] build them identically: `lists` = every vector
+    * under its nearest centroid (one row per corpus vector), `srcProbes`
+    * = every (source vector, probed cid) pair (nprobe rows per vector,
+    * 9dp-snapped centroid ranking, ties → cid). */
+  private def knnGraphSides(
+      corpus: DataFrame, nlist: Int, nprobe: Int, iters: Int,
+      idCol: String, embCol: String, trainCap: Long,
+      corpusRows: Option[Long],
+      model: Option[Seq[(Int, Seq[Double])]]): (DataFrame, DataFrame) = {
     val centroids = model.getOrElse(
       kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows))
     requireNonZeroNormCentroids(centroids, "knnGraph")
@@ -395,7 +410,57 @@ object Similarity {
       .select(col(idCol).as("src_id"), col(embCol).as("src_emb"),
         explode(transform(slice(array_sort(probeEntries), 1, nprobe),
           p => p.getField("cid"))).as("cid"))
-    knnGraphTail(lists, srcProbes, k, idCol, embCol)
+    (lists, srcProbes)
+  }
+
+  /** [[knnGraph]] with the candidate join STEERED by the pre-join
+    * advisory ([[graft.plans.JoinAdvisor.advise]] over the two sides'
+    * cid keys) — the third engine consumer of the advisory, and the one
+    * whose skew hazard is STRUCTURAL rather than adversarial: IVF list
+    * sizes follow the data's cluster structure, so a corpus with a
+    * dominant semantic cluster (near-duplicate scrape bursts, template
+    * boilerplate — the norm in web-scale training data, not the
+    * exception) concentrates both list rows AND probe rows on one cid,
+    * and the nlist-way blocked join develops a reducer-killing hot
+    * block no static plan anticipates. The sketch pass (one map-only
+    * scan per side over the cid keys) prices that BEFORE the join runs:
+    * broadcast while a side is dimension-sized, TARGETED salt when one
+    * list dominates the fair share (only hot-cid rows replicate — cost
+    * |hot rows|×buckets), plain shuffle otherwise.
+    *
+    * Results are identical under every verdict — the join predicate is
+    * cid equality (plus the salt key on the hot leg), so the hot/cold
+    * partition splits the pair space into disjoint joins whose union is
+    * the full join; the per-source top-k window runs after the union and
+    * never sees the placement (q230/q231 hash-grade a broadcast and a
+    * salt operating point against the same oracle family as q120).
+    *
+    * NOTE: the sketch pass runs EAGERLY at call time (two map-only jobs
+    * — the advice must exist before the join's shape can be chosen);
+    * the centroid-assignment projections are recomputed by the join
+    * itself. `targetPartitions` sizes the fair share for the deployment
+    * the join will run on, not the planning session. */
+  def knnGraphAdvised(
+      corpus: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainCap: Long = 65536L, corpusRows: Option[Long] = None,
+      model: Option[Seq[(Int, Seq[Double])]] = None,
+      broadcastMaxRows: Long = 1_000_000L,
+      skewFactor: Double = 5.0,
+      minSaltOutputRows: Long = 10_000_000L,
+      maxSaltBuckets: Int = 1024,
+      hhCapacity: Int = 1024,
+      targetPartitions: Option[Int] = None)
+      : (graft.plans.JoinAdvisor.JoinAdvice, DataFrame) = {
+    val (lists, srcProbes) = knnGraphSides(
+      corpus, nlist, nprobe, iters, idCol, embCol, trainCap, corpusRows, model)
+    val advice = graft.plans.JoinAdvisor.advise(
+      lists.select(col("cid")), col("cid"),
+      srcProbes.select(col("cid")), col("cid"),
+      broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
+      hhCapacity, targetPartitions)
+    (advice, knnGraphTail(lists, srcProbes, k, idCol, embCol, Some(advice)))
   }
 
   /** The knnGraph/knnGraphJoined bit-identity contract assumes every
@@ -414,14 +479,48 @@ object Similarity {
         centroids.filter(!_._2.exists(_ != 0.0)).map(_._1).mkString("[", ",", "]") +
         " — cosine would be NaN and the expression/join probe paths diverge")
 
-  /** Candidate join + per-source top-k shared by [[knnGraph]] and
-    * [[knnGraphJoined]] — one shuffle join on cid (nlist-way blocked),
-    * then a group-limit window (partial top-k runs map-side before the
-    * exchange). */
+  /** Candidate join + per-source top-k shared by [[knnGraph]],
+    * [[knnGraphJoined]] and [[knnGraphAdvised]] — one shuffle join on
+    * cid (nlist-way blocked), then a group-limit window (partial top-k
+    * runs map-side before the exchange). `steer = None` keeps Catalyst's
+    * static pick; an advice routes broadcast / TARGETED salt / plain
+    * shuffle (see [[knnGraphAdvised]]). The salt leg replicates the
+    * LIST side's hot-cid rows (the probe side is the larger one —
+    * nprobe rows per vector — so it takes the cheap hash salt) and pins
+    * shuffle_hash on both legs: a salt verdict asserts the sides are
+    * past broadcast at deployment scale, and Catalyst's byte-stats at
+    * test scale would otherwise broadcast the replicated side —
+    * executing replication AND broadcast while un-executing the
+    * advisory. */
   private def knnGraphTail(lists: DataFrame, srcProbes: DataFrame, k: Int,
-      idCol: String, embCol: String): DataFrame = {
-    val scored = lists
-      .join(srcProbes, Seq("cid"))
+      idCol: String, embCol: String,
+      steer: Option[graft.plans.JoinAdvisor.JoinAdvice] = None): DataFrame = {
+    val joined = steer.map(_.strategy).getOrElse("static") match {
+      case "broadcast" =>
+        // advise() was called with lists as the LEFT side
+        if (steer.get.broadcastSide.contains("left"))
+          broadcast(lists).join(srcProbes, Seq("cid"))
+        else lists.join(broadcast(srcProbes), Seq("cid"))
+      case "salt" =>
+        val buckets = steer.get.saltBuckets
+        require(steer.get.hotKeys.nonEmpty,
+          "salt verdict without hotKeys — advisory contract violation")
+        // MG display strings of an int cid key parse back exactly
+        val hot = steer.get.hotKeys.map(_.toInt)
+        val isHot = col("cid").isin(hot: _*)
+        val hotProbes = srcProbes.filter(isHot).withColumn("__salt",
+          pmod(xxhash64(col("src_id")), lit(buckets)).cast("int"))
+        val hotLists = lists.filter(isHot).withColumn("__salt",
+          explode(array((0 until buckets).map(lit): _*)))
+        val hotJoin = hotProbes.hint("shuffle_hash")
+          .join(hotLists, Seq("cid", "__salt")).drop("__salt")
+        val coldJoin = srcProbes.filter(!isHot).hint("shuffle_hash")
+          .join(lists.filter(!isHot), Seq("cid"))
+        hotJoin.unionByName(coldJoin)
+      case _ =>
+        lists.join(srcProbes, Seq("cid"))
+    }
+    val scored = joined
       .filter(col(idCol) =!= col("src_id"))
       .select(col("src_id"), col(idCol).as("dst_id"),
         round(cosine(col(embCol), col("src_emb")), 4).as("cos_sim"))

@@ -1118,6 +1118,119 @@ object VectorQueries extends QueryPack {
       model = Some(sharedCentroids(s, dir))),
     Some(knnGraphOracleSql))
 
+  /** The advisory-steered kNN graph at its BROADCAST operating point —
+    * the third engine consumer of the pre-join advisory
+    * ([[graft.operators.Similarity.knnGraphAdvised]]), on q120's exact
+    * geometry (k=3, nlist=8, nprobe=2, shared centroids): the list side
+    * is dimension-sized at this scale, so the advisory must say
+    * broadcast and the executed candidate join must BE a
+    * BroadcastHashJoin. Same oracle as q120/q128 — steering moves
+    * shuffle placement, never semantics. */
+  private val q230 = Q(
+    "q230_advised_knn_broadcast",
+    (s, dir) => {
+      val (advice, edges) = Similarity.knnGraphAdvised(
+        Tables(s, dir).embeddings, k = 3, nlist = 8, nprobe = 2,
+        model = Some(sharedCentroids(s, dir)))
+      require(advice.strategy == "broadcast",
+        s"dimension-sized list side must advise broadcast: $advice")
+      val res = edges
+      val cidJoins = res.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") && l.contains("cid#"))
+        .mkString("\n")
+      require(cidJoins.contains("BroadcastHashJoin"),
+        s"executed candidate join must match the advisory:\n$cidJoins")
+      res
+    },
+    Some(knnGraphOracleSql))
+
+  /** The advisory-steered kNN graph at its SALT operating point: a
+    * 2-D corpus derived from `customer` where 80% of the vectors fold
+    * onto one direction (the web-scale near-duplicate-cluster shape —
+    * scrape bursts and template boilerplate concentrate an IVF list),
+    * so centroid 0's list dominates the candidate join. Broadcast is
+    * disallowed (broadcastMaxRows=0 — past-dimension sides at the
+    * deployment scale this models) and the fair share is computed for a
+    * 100 TB deployment's shuffle width (targetPartitions=200k): the
+    * advisory must pick salt, name cid 0 among the hot keys, and the
+    * operator must execute the TARGETED salted join (plan-pinned: the
+    * candidate join carries `__salt` and is NOT a broadcast). All
+    * fixture geometry is dyadic-rational 2-D (k/256 components, ±1
+    * axes), so every cosine is a correctly-rounded IEEE expression both
+    * engines compute bit-identically — the oracle re-derives
+    * assignment (raw-cosine argmax, ties → smallest cid), probes
+    * (9dp-snapped rank, ties → cid), candidates, and the 4dp top-k
+    * from the same `customer` rows with explicit centroid literals. */
+  private val q231 = Q(
+    "q231_advised_knn_salted",
+    (s, dir) => {
+      val key = col("c_custkey")
+      val j = (key % 124).cast("double") / 256.0
+      val emb = when(key % 5 =!= 0, array(lit(1.0), j))
+        .when(key % 3 === 0, array(lit(-1.0), j))
+        .when(key % 3 === 1, array(j, lit(1.0)))
+        .otherwise(array(j, lit(-1.0)))
+      val corpus = Tables(s, dir).customer.filter(key % 4 === 0)
+        .select(key.as("vec_id"), emb.as("embedding"))
+      val model = Seq(
+        0 -> Seq(1.0, 0.0), 1 -> Seq(-1.0, 0.0),
+        2 -> Seq(0.0, 1.0), 3 -> Seq(0.0, -1.0))
+      val (advice, edges) = Similarity.knnGraphAdvised(
+        corpus, k = 3, nlist = 4, nprobe = 2, model = Some(model),
+        broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 100L,
+        maxSaltBuckets = 8, targetPartitions = Some(200000))
+      require(advice.strategy == "salt" && advice.saltBuckets >= 2,
+        s"a dominant IVF list at 200k-partition fair share must salt: $advice")
+      require(advice.hotKeys.contains("0"),
+        s"the folded direction's cid 0 must be MG-named hot: $advice")
+      val res = edges
+      val cidJoins = res.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") && l.contains("cid#"))
+        .mkString("\n")
+      require(cidJoins.contains("__salt"),
+        s"executed candidate join must carry the salt key:\n$cidJoins")
+      require(!cidJoins.contains("BroadcastHashJoin"),
+        s"salted join must not broadcast a past-dimension side:\n$cidJoins")
+      res
+    },
+    Some("""WITH v AS (SELECT c_custkey AS vec_id,
+        CASE WHEN c_custkey % 5 <> 0 THEN CAST(1 AS DOUBLE)
+          WHEN c_custkey % 3 = 0 THEN CAST(-1 AS DOUBLE)
+          WHEN c_custkey % 3 = 1 THEN CAST(c_custkey % 124 AS DOUBLE) / 256
+          ELSE CAST(c_custkey % 124 AS DOUBLE) / 256 END AS e1,
+        CASE WHEN c_custkey % 5 <> 0 THEN CAST(c_custkey % 124 AS DOUBLE) / 256
+          WHEN c_custkey % 3 = 0 THEN CAST(c_custkey % 124 AS DOUBLE) / 256
+          WHEN c_custkey % 3 = 1 THEN CAST(1 AS DOUBLE)
+          ELSE CAST(-1 AS DOUBLE) END AS e2
+        FROM customer WHERE c_custkey % 4 = 0),
+      c(cid, c1, c2) AS (SELECT * FROM (VALUES
+        (0, CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)),
+        (1, CAST(-1 AS DOUBLE), CAST(0 AS DOUBLE)),
+        (2, CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)),
+        (3, CAST(0 AS DOUBLE), CAST(-1 AS DOUBLE)))),
+      a AS (SELECT vec_id, e1, e2, cid,
+          (e1*c1 + e2*c2) / (sqrt(e1*e1 + e2*e2) * sqrt(c1*c1 + c2*c2))
+            AS cos_c
+        FROM v CROSS JOIN c),
+      lists AS (SELECT vec_id, e1, e2, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos_c DESC, cid) AS rn FROM a) WHERE rn = 1),
+      probes AS (SELECT vec_id AS src_id, e1 AS s1, e2 AS s2, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY round(cos_c, 9) DESC, cid) AS rn FROM a)
+        WHERE rn <= 2),
+      s AS (SELECT p.src_id, l.vec_id AS dst_id,
+          round((p.s1*l.e1 + p.s2*l.e2) /
+            (sqrt(l.e1*l.e1 + l.e2*l.e2) * sqrt(p.s1*p.s1 + p.s2*p.s2)), 4)
+            AS cos_sim
+        FROM probes p JOIN lists l
+          ON l.cid = p.cid AND l.vec_id <> p.src_id),
+      r AS (SELECT src_id, dst_id, cos_sim,
+          row_number() OVER (PARTITION BY src_id
+            ORDER BY cos_sim DESC, dst_id) AS rn FROM s)
+      SELECT src_id, dst_id, cos_sim, CAST(rn AS INT) AS rank
+      FROM r WHERE rn <= 3 ORDER BY src_id, rank"""))
+
   /** The graph-dedup lifecycle composed end-to-end: kNN graph → edges at
     * cos ≥ 0.35 (q96's threshold) as undirected pairs → transitive
     * clustering (hash-min CC) → keep each cluster's minimum id. The
@@ -1268,5 +1381,6 @@ object VectorQueries extends QueryPack {
 
   override val all: Seq[Q] =
     Seq(q45, q46, q47, q48, q49, q57, q78, q79, q80, q81, q82, q83, q84, q89,
-      q96, q97, q105, q106, q109, q120, q121, q128, q138, q157, q161, q162)
+      q96, q97, q105, q106, q109, q120, q121, q128, q138, q157, q161, q162,
+      q230, q231)
 }

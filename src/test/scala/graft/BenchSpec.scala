@@ -164,6 +164,30 @@ class BenchSpec extends AnyFunSuite {
     assert(env("q1") === 0.7)
   }
 
+  test("seed path: an excluded query with a MISSING anchor is timed only " +
+    "under the flag; a present anchor is never re-timed") {
+    val short: String => String = _.takeWhile(_ != '_')
+    val excluded = Set("q159_crash_consistent_curation")
+    // flag off: nothing seeds, whatever the prior looks like
+    assert(Bench.seedTargets(excluded, Set.empty, short, enabled = false)
+      .isEmpty)
+    // flag on + anchor missing: the excluded query is timed for seeding
+    assert(Bench.seedTargets(excluded, Set("q1", "q2"), short,
+      enabled = true) === Seq("q159_crash_consistent_curation"))
+    // flag on + anchor present: one-shot repair, never a re-time (the
+    // crash matrix's seconds would otherwise overwrite a sane anchor
+    // through the rolling-min rule on some future quiet window)
+    assert(Bench.seedTargets(excluded, Set("q159"), short,
+      enabled = true).isEmpty)
+    // and the seeded row then rides rollingEnvelope like any new key —
+    // missing from prior, so it enters at its current value even though
+    // the query stays out of the timed sweep forever after
+    val env = Bench.rollingEnvelope(
+      Map("q1" -> 0.5), Map("q159" -> 9.4, "q159#b" -> 2.1e8, "q1" -> 0.6),
+      rebase = false)
+    assert(env("q159") === 9.4 && env("q159#b") === 2.1e8)
+  }
+
   test("full-set absolute floor: sub-decile 2x breaches with real deltas " +
     "flag; jitter-scale and sub-2x moves do not") {
     // the BENCH_r14 escapes: q200 1.093 vs 0.492 and q218 0.943 vs 0.428

@@ -137,6 +137,39 @@ class SimilaritySpec extends SparkSpec {
     assert(e2e === expr, "independent training reproduces the same model")
   }
 
+  test("knnGraphAdvised: three-verdict parity with the static knnGraph, " +
+    "verdicts and plans match the operating points") {
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val model = Similarity.kmeansCentroids(emb, 8, 3)
+    val static = edges(Similarity.knnGraph(
+      emb, k = 3, nlist = 8, nprobe = 2, model = Some(model)))
+    // broadcast point: dimension-sized sides under the default threshold
+    val (aB, dfB) = Similarity.knnGraphAdvised(
+      emb, k = 3, nlist = 8, nprobe = 2, model = Some(model))
+    assert(aB.strategy === "broadcast")
+    assert(edges(dfB) === static)
+    // shuffle point: broadcast disallowed, skew test unreachable
+    val (aSh, dfSh) = Similarity.knnGraphAdvised(
+      emb, k = 3, nlist = 8, nprobe = 2, model = Some(model),
+      broadcastMaxRows = 0L, minSaltOutputRows = Long.MaxValue)
+    assert(aSh.strategy === "shuffle")
+    assert(edges(dfSh) === static)
+    // salt point: thresholds forced down to the test scale — the hot
+    // list must be MG-named, the plan must carry the salt key, and the
+    // result must STILL be bit-identical (targeted hot/cold partition
+    // is exact by key disjointness)
+    val (aS, dfS) = Similarity.knnGraphAdvised(
+      emb, k = 3, nlist = 8, nprobe = 2, model = Some(model),
+      broadcastMaxRows = 0L, skewFactor = 1.01, minSaltOutputRows = 1L,
+      maxSaltBuckets = 4, targetPartitions = Some(2000000))
+    assert(aS.strategy === "salt" && aS.hotKeys.nonEmpty)
+    val plan = dfS.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salted candidate join executes")
+    assert(edges(dfS) === static)
+  }
+
   test("knnGraph paths reject a zero-norm centroid model (NaN cosine guard)") {
     // a zero-norm centroid makes its cosine NaN, and the expression/join
     // probe paths rank NaN differently — the bit-identity contract only
