@@ -1170,7 +1170,7 @@ object VectorQueries extends QueryPack {
         .when(key % 3 === 0, array(lit(-1.0), j))
         .when(key % 3 === 1, array(j, lit(1.0)))
         .otherwise(array(j, lit(-1.0)))
-      val corpus = Tables(s, dir).customer.filter(key % 4 === 0)
+      val corpus = Tables(s, dir).customer.filter(key % 8 === 0)
         .select(key.as("vec_id"), emb.as("embedding"))
       val model = Seq(
         0 -> Seq(1.0, 0.0), 1 -> Seq(-1.0, 0.0),
@@ -1202,7 +1202,7 @@ object VectorQueries extends QueryPack {
           WHEN c_custkey % 3 = 0 THEN CAST(c_custkey % 124 AS DOUBLE) / 256
           WHEN c_custkey % 3 = 1 THEN CAST(1 AS DOUBLE)
           ELSE CAST(-1 AS DOUBLE) END AS e2
-        FROM customer WHERE c_custkey % 4 = 0),
+        FROM customer WHERE c_custkey % 8 = 0),
       c(cid, c1, c2) AS (SELECT * FROM (VALUES
         (0, CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)),
         (1, CAST(-1 AS DOUBLE), CAST(0 AS DOUBLE)),

@@ -88,6 +88,43 @@ class TemporalSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
   }
 
+  test("rangeJoinAdvised: three-verdict parity with the static rangeJoin, " +
+    "verdicts match the operating points") {
+    import spark.implicits._
+    val pts = (0L until 500L).map(t => (t * 7L, s"p$t")).toDF("ts", "pid")
+    // one hour-sized interval cluster on bucket 0 (the hot block) plus
+    // sparse wide intervals — the q229 shape at fixture scale
+    val ivs = ((1L to 40L).map(i => (i, 0L, 99L)) ++
+      Seq((100L, 0L, 3490L), (101L, 3400L, 9999L))).toDF("wid", "f", "t")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("wid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val static = rows(graft.operators.Temporal.rangeJoin(
+      pts, col("ts"), ivs, col("f"), col("t"), bucketWidth = 100L))
+    // broadcast point: dimension-sized sides under the default threshold
+    val (aB, dfB) = graft.operators.Temporal.rangeJoinAdvised(
+      pts, col("ts"), ivs, col("f"), col("t"), bucketWidth = 100L)
+    assert(aB.strategy === "broadcast")
+    assert(rows(dfB) === static)
+    // shuffle point: broadcast disallowed, skew test unreachable
+    val (aSh, dfSh) = graft.operators.Temporal.rangeJoinAdvised(
+      pts, col("ts"), ivs, col("f"), col("t"), bucketWidth = 100L,
+      broadcastMaxRows = 0L, minSaltOutputRows = Long.MaxValue)
+    assert(aSh.strategy === "shuffle")
+    assert(rows(dfSh) === static)
+    // salt point: the interval cluster's bucket 0 must be MG-named, the
+    // executed result must STILL be identical (targeted hot/cold bucket
+    // partition is exact by key disjointness)
+    val (aS, dfS) = graft.operators.Temporal.rangeJoinAdvised(
+      pts, col("ts"), ivs, col("f"), col("t"), bucketWidth = 100L,
+      broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 1L,
+      maxSaltBuckets = 8, targetPartitions = Some(2000000))
+    assert(aS.strategy === "salt" && aS.hotKeys.contains("0"))
+    assert(dfS.queryExecution.executedPlan.toString.contains("__sl"),
+      "salted range join executes the salt key")
+    assert(rows(dfS) === static)
+  }
+
   test("rangeJoin: exactly-once matches across bucket boundaries, vs brute force") {
     import spark.implicits._
     // points on a fine grid; intervals of wildly different lengths, some
