@@ -855,33 +855,17 @@ object Dedup {
     // advisory (sketch pass → broadcast/shuffle/salt-with-N), with the
     // thresholds overridable per-conf — the r13 verdict's "the advisory
     // only matters if the engine's own joins consume it"
-    val conf = df.sparkSession.conf
-    // a malformed session conf must fail NAMING THE KEY — a bare
-    // toLong would surface as an unlocated NumberFormatException deep
-    // inside the operator (r14 advisory item)
-    def parsed[A](key: String, default: String, parse: String => A): A = {
-      val raw = conf.get(key, default)
-      try parse(raw)
-      catch { case e: IllegalArgumentException =>
-        throw new IllegalArgumentException(
-          s"$key: cannot parse '$raw' (${e.getMessage})", e)
-      }
+    // the shared spark.graft.advisor.* parse (one threshold block for
+    // every conf-gated consumer; malformed values fail naming the key —
+    // the r14 advisory item) lives in JoinAdvisor.confGate
+    graft.plans.JoinAdvisor.confGate(
+        df.sparkSession, "spark.graft.advisor.fuzzyJoin") match {
+      case Some(c) =>
+        editDistancePairsAdvised(df, strCol, idCol, k,
+          c.broadcastMaxRows, c.skewFactor, c.minSaltOutputRows,
+          c.maxSaltBuckets, c.hhCapacity, c.targetPartitions)._2
+      case None => editDistancePairsImpl(df, strCol, idCol, k, steer = None)
     }
-    if (parsed("spark.graft.advisor.fuzzyJoin", "false", _.toBoolean))
-      editDistancePairsAdvised(df, strCol, idCol, k,
-        broadcastMaxRows =
-          parsed("spark.graft.advisor.broadcastMaxRows", "1000000", _.toLong),
-        skewFactor = parsed("spark.graft.advisor.skewFactor", "5.0", _.toDouble),
-        minSaltOutputRows = parsed(
-          "spark.graft.advisor.minSaltOutputRows", "10000000", _.toLong),
-        maxSaltBuckets =
-          parsed("spark.graft.advisor.maxSaltBuckets", "1024", _.toInt),
-        hhCapacity =
-          parsed("spark.graft.advisor.hhCapacity", "1024", _.toInt),
-        targetPartitions = conf.getOption("spark.graft.advisor.targetPartitions")
-          .map(v => parsed("spark.graft.advisor.targetPartitions", v, _.toInt))
-      )._2
-    else editDistancePairsImpl(df, strCol, idCol, k, steer = None)
   }
 
   /** [[editDistancePairs]] with the variant self-join STEERED by the

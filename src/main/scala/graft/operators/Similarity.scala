@@ -379,11 +379,24 @@ object Similarity {
       nlist: Int = 8, nprobe: Int = 2, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding",
       trainCap: Long = 65536L, corpusRows: Option[Long] = None,
-      model: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
-    val (lists, srcProbes) = knnGraphSides(
-      corpus, nlist, nprobe, iters, idCol, embCol, trainCap, corpusRows, model)
-    knnGraphTail(lists, srcProbes, k, idCol, embCol)
-  }
+      model: Option[Seq[(Int, Seq[Double])]] = None): DataFrame =
+    // conf gate (shared spark.graft.advisor.* thresholds): a session
+    // that sets spark.graft.advisor.knnGraph routes the candidate join
+    // through the pre-join advisory — NOTE the sketch pass then runs
+    // EAGERLY at call time (two map-only jobs over the cid keys)
+    graft.plans.JoinAdvisor.confGate(
+        corpus.sparkSession, "spark.graft.advisor.knnGraph") match {
+      case Some(c) =>
+        knnGraphAdvised(corpus, k, nlist, nprobe, iters, idCol, embCol,
+          trainCap, corpusRows, model, c.broadcastMaxRows, c.skewFactor,
+          c.minSaltOutputRows, c.maxSaltBuckets, c.hhCapacity,
+          c.targetPartitions)._2
+      case None =>
+        val (lists, srcProbes) = knnGraphSides(
+          corpus, nlist, nprobe, iters, idCol, embCol, trainCap,
+          corpusRows, model)
+        knnGraphTail(lists, srcProbes, k, idCol, embCol)
+    }
 
   /** The two sides of the candidate join, extracted so [[knnGraph]] and
     * [[knnGraphAdvised]] build them identically: `lists` = every vector

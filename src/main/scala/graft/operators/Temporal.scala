@@ -46,16 +46,31 @@ object Temporal {
     * nothing, and sequence() would otherwise walk DESCENDING and build
     * wrong buckets). Buckets use truncating INTEGER division (the same
     * monotonic map RangeJoinRewrite injects): a double `floor(c / w)`
-    * would round for |values| > 2^53 and silently drop boundary matches. */
+    * would round for |values| > 2^53 and silently drop boundary matches.
+    *
+    * NOTE: when `spark.graft.advisor.rangeJoin` is set, the bucket join
+    * routes through the pre-join advisory ([[rangeJoinAdvised]]) with
+    * the shared spark.graft.advisor.* thresholds — the advisory's
+    * sketch pass then runs EAGERLY at plan-construction time (two
+    * map-only Spark jobs over the bucket keys), even if the returned
+    * frame is never executed. */
   def rangeJoin(
       left: DataFrame, leftTs: Column,
       right: DataFrame, from: Column, to: Column,
       bucketWidth: Long,
-      maxBucketsPerInterval: Long = 65536L): DataFrame = {
-    val (lb, rb) = rangeJoinSides(
-      left, leftTs, right, from, to, bucketWidth, maxBucketsPerInterval)
-    rangeJoinSteered(lb, rb, steer = None)
-  }
+      maxBucketsPerInterval: Long = 65536L): DataFrame =
+    graft.plans.JoinAdvisor.confGate(
+        left.sparkSession, "spark.graft.advisor.rangeJoin") match {
+      case Some(c) =>
+        rangeJoinAdvised(left, leftTs, right, from, to, bucketWidth,
+          maxBucketsPerInterval, c.broadcastMaxRows, c.skewFactor,
+          c.minSaltOutputRows, c.maxSaltBuckets, c.hhCapacity,
+          c.targetPartitions)._2
+      case None =>
+        val (lb, rb) = rangeJoinSides(
+          left, leftTs, right, from, to, bucketWidth, maxBucketsPerInterval)
+        rangeJoinSteered(lb, rb, steer = None)
+    }
 
   /** [[rangeJoin]] with the bucket equi-join STEERED by the pre-join
     * advisory ([[graft.plans.JoinAdvisor.advise]] over the two bucket-key

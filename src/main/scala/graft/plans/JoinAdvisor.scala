@@ -73,6 +73,42 @@ object JoinAdvisor {
   val Depth = 4
   val Width = 512
 
+  /** The shared `spark.graft.advisor.*` threshold block, one parse for
+    * every conf-gated consumer (fuzzy join / range join / kNN graph):
+    * each operator has its own ON flag but all share the threshold
+    * keys, so a session tunes the advisory once and flips consumers
+    * independently. */
+  final case class AdvisorConf(
+      broadcastMaxRows: Long, skewFactor: Double, minSaltOutputRows: Long,
+      maxSaltBuckets: Int, hhCapacity: Int, targetPartitions: Option[Int])
+
+  /** Parse the shared thresholds when `flagKey` is set true; None when
+    * the flag is absent or false. A malformed session conf fails NAMING
+    * THE OFFENDING KEY — a bare toLong would surface as an unlocated
+    * NumberFormatException deep inside the consuming operator. */
+  def confGate(
+      spark: org.apache.spark.sql.SparkSession,
+      flagKey: String): Option[AdvisorConf] = {
+    val conf = spark.conf
+    def parsed[A](key: String, default: String, parse: String => A): A = {
+      val raw = conf.get(key, default)
+      try parse(raw)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$key: cannot parse '$raw' (${e.getMessage})", e)
+      }
+    }
+    if (!parsed(flagKey, "false", _.toBoolean)) None
+    else Some(AdvisorConf(
+      parsed("spark.graft.advisor.broadcastMaxRows", "1000000", _.toLong),
+      parsed("spark.graft.advisor.skewFactor", "5.0", _.toDouble),
+      parsed("spark.graft.advisor.minSaltOutputRows", "10000000", _.toLong),
+      parsed("spark.graft.advisor.maxSaltBuckets", "1024", _.toInt),
+      parsed("spark.graft.advisor.hhCapacity", "1024", _.toInt),
+      conf.getOption("spark.graft.advisor.targetPartitions")
+        .map(v => parsed("spark.graft.advisor.targetPartitions", v, _.toInt))))
+  }
+
   /** One side's bounded-state summary: exact non-null key count, CMS
     * cells, and heavy-hitter candidates as (hashedKey, display, mgEst). */
   final case class SideStats(

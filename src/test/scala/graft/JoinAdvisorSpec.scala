@@ -166,4 +166,29 @@ class JoinAdvisorSpec extends SparkSpec {
     val advice = GraftSession.joinAdvice(fact, dim, "id")
     assert(advice.strategy === "broadcast")
   }
+
+  test("confGate: off by default, thresholds parsed once for all " +
+    "consumers, malformed values fail naming the key") {
+    // absent flag -> None (the plain operators stay static)
+    assert(JoinAdvisor.confGate(spark, "spark.graft.advisor.rangeJoin")
+      .isEmpty)
+    // flag on -> the shared defaults (hhCapacity at the advisory-wide
+    // 1024 floor, no targetPartitions unless set)
+    spark.conf.set("spark.graft.advisor.knnGraph", "true")
+    try {
+      val c = JoinAdvisor.confGate(spark, "spark.graft.advisor.knnGraph").get
+      assert(c.broadcastMaxRows === 1000000L && c.hhCapacity === 1024 &&
+        c.maxSaltBuckets === 1024 && c.targetPartitions.isEmpty)
+      // a malformed shared threshold must name the offending key, not
+      // surface as a bare NumberFormatException deep in an operator
+      spark.conf.set("spark.graft.advisor.maxSaltBuckets", "lots")
+      val e = intercept[IllegalArgumentException](
+        JoinAdvisor.confGate(spark, "spark.graft.advisor.knnGraph"))
+      assert(e.getMessage.contains("spark.graft.advisor.maxSaltBuckets") &&
+        e.getMessage.contains("lots"))
+    } finally {
+      spark.conf.unset("spark.graft.advisor.knnGraph")
+      spark.conf.unset("spark.graft.advisor.maxSaltBuckets")
+    }
+  }
 }

@@ -168,6 +168,12 @@ class SimilaritySpec extends SparkSpec {
     val plan = dfS.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), "salted candidate join executes")
     assert(edges(dfS) === static)
+    // the conf flag routes the PLAIN operator through the advisory
+    spark.conf.set("spark.graft.advisor.knnGraph", "true")
+    try {
+      assert(edges(Similarity.knnGraph(
+        emb, k = 3, nlist = 8, nprobe = 2, model = Some(model))) === static)
+    } finally spark.conf.unset("spark.graft.advisor.knnGraph")
   }
 
   test("knnGraph paths reject a zero-norm centroid model (NaN cosine guard)") {

@@ -123,6 +123,13 @@ class TemporalSpec extends SparkSpec {
     assert(dfS.queryExecution.executedPlan.toString.contains("__sl"),
       "salted range join executes the salt key")
     assert(rows(dfS) === static)
+    // the conf flag routes the PLAIN operator through the advisory
+    spark.conf.set("spark.graft.advisor.rangeJoin", "true")
+    try {
+      assert(rows(graft.operators.Temporal.rangeJoin(
+        pts, col("ts"), ivs, col("f"), col("t"), bucketWidth = 100L))
+        === static)
+    } finally spark.conf.unset("spark.graft.advisor.rangeJoin")
   }
 
   test("rangeJoin: exactly-once matches across bucket boundaries, vs brute force") {
