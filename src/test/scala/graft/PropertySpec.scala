@@ -313,4 +313,47 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(d.toSeq === only5.toSeq, "dup weights ≡ the max weight alone")
   }
+
+  test("advised range join: salted execution == brute force on generated " +
+    "skewed fixtures, across bucket widths") {
+    import spark.implicits._
+    // generated operating points: random points, random intervals with a
+    // deliberate pile-up on one hour (the salt hazard), random width —
+    // the single-fixture TemporalSpec case generalized. Brute force is
+    // the ground truth; the advisory MUST pick salt (thresholds forced)
+    // and the salted result must match exactly, every draw.
+    val caseGen = for {
+      nPts <- Gen.chooseNum(50, 200)
+      nIvs <- Gen.chooseNum(20, 60)
+      width <- Gen.oneOf(7L, 100L, 3600L)
+      ptTs <- Gen.listOfN(nPts, Gen.chooseNum(0L, 10000L))
+      ivs <- Gen.listOfN(nIvs, for {
+        pile <- Gen.prob(0.7) // 70% of intervals fold onto [0, width)
+        f <- if (pile) Gen.chooseNum(0L, 5L)
+             else Gen.chooseNum(0L, 9000L)
+        len <- Gen.chooseNum(0L, if (pile) 50L else 2000L)
+      } yield (f, f + len))
+    } yield (ptTs, ivs, width)
+    samples(caseGen, 6).zipWithIndex.foreach {
+      case ((ptTs, ivs, width), i) =>
+        val pts = ptTs.zipWithIndex.map { case (t, j) => (t, j.toLong) }
+          .toDF("ts", "pid")
+        val ivDf = ivs.zipWithIndex.map { case ((f, t), j) =>
+          (j.toLong, f, t) }.toDF("wid", "f", "t")
+        val want = (for {
+          (t, j) <- ptTs.zipWithIndex
+          ((f, to), w) <- ivs.zipWithIndex
+          if t >= f && t <= to
+        } yield (w.toLong, j.toLong)).sorted
+        val (advice, df) = graft.operators.Temporal.rangeJoinAdvised(
+          pts, col("ts"), ivDf, col("f"), col("t"), bucketWidth = width,
+          broadcastMaxRows = 0L, skewFactor = 1.2, minSaltOutputRows = 1L,
+          maxSaltBuckets = 8, targetPartitions = Some(2000000))
+        assert(advice.strategy === "salt",
+          s"draw $i (width $width): pile-up must salt, got $advice")
+        val got = df.select(col("wid"), col("pid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got === want, s"draw $i (width $width) diverged")
+    }
+  }
 }
