@@ -178,19 +178,38 @@ object Graph {
     // checkpoint FIRST: the edge frame (often a join+distinct pipeline)
     // feeds the gate, the degree aggregate, and the orientation joins —
     // uncheckpointed it would be derived three times over
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint(true)
+    // RE-WIDEN when the incoming frame arrives byte-coalesced: AQE sizes
+    // the caller's distinct output by BYTES, and a ~16-byte edge row
+    // makes a graph-sized edge set look tiny (the sf0.1 co-purchase
+    // graph lands on 10 partitions), but the wedge stage below runs
+    // MAP-SIDE over this exact partitioning with per-row cost
+    // |N(u)|+|N(v)| — heavy out of all proportion to row bytes, so the
+    // whole operator degrades to a handful of long tasks whose critical
+    // path also soaks up every scheduling hiccup (the q184 bimodality).
+    // Hash on (a, b) spreads hub edges uniformly; the extra exchange
+    // only happens when width was lost (at deployment scale the edge
+    // set's byte-sized partition count already exceeds the session
+    // width, and this is a no-op branch).
+    val width = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val e = if (e0.rdd.getNumPartitions * 2 <= width)
+      e0.repartition(width, col("a"), col("b")).localCheckpoint(true)
+    else e0
     // canonical-form gate: cheap relative to the joins it guards
     val bad = e.filter(col("a") >= col("b")).limit(1).count()
     require(bad == 0L,
       "triangleCounts expects canonical edges (src < dst); found src >= dst")
-    // dedup gate: an exact duplicate canonical edge passes the src<dst
-    // check but double-counts every triangle its oriented edge touches —
-    // two aggregate jobs over the already-checkpointed edge frame, cheap
-    // relative to the joins below
-    val dups = e.count() - e.distinct().count()
-    require(dups == 0L,
-      s"triangleCounts expects deduplicated canonical edges; found $dups duplicate edge(s)")
+    // The DEDUP gate (an exact duplicate canonical edge passes src<dst
+    // but double-counts every triangle its oriented edge touches) is NOT
+    // a separate distinct() job here: callers typically hand this
+    // operator a frame that just paid its own distinct shuffle, and a
+    // validation-only re-shuffle of the full edge set was the operator's
+    // single biggest fixed cost (the q184 ledger). Both copies of a
+    // duplicate edge orient identically, so duplicates surface as
+    // repeated dst entries in ONE adjacency list — the check rides the
+    // adjacency build below for free (see the `dupEdges` scan).
     // degree over the undirected graph = appearances on either side;
     // checkpointed for EXACT size stats — a V-row two-long table usually
     // fits the broadcast threshold, turning both orientation joins into
@@ -224,6 +243,18 @@ object Graph {
       val adj = oriented.groupBy(col("src"))
         .agg(collect_list(col("dst")).as("nbrs"))
         .localCheckpoint(true)
+      // the dedup gate, folded into the already-materialized adjacency:
+      // a duplicate canonical edge = a repeated dst within one nbrs list
+      // (both copies orient the same way). One map-only scan of the
+      // V-row checkpointed table — no validation shuffle of the edge set.
+      val dupEdges = adj
+        .select((size(col("nbrs")) -
+          size(array_distinct(col("nbrs")))).as("d"))
+        .filter(col("d") > 0)
+        .agg(coalesce(sum(col("d")), lit(0L))).head().getLong(0)
+      require(dupEdges == 0L,
+        s"triangleCounts expects deduplicated canonical edges; found " +
+          s"$dupEdges duplicate edge(s)")
       // for edge u→v: the triangles it owns are N⁺(u) ∩ N⁺(v); an edge
       // whose head has no out-edges owns none (inner join drops it)
       val e2 = oriented
@@ -243,7 +274,7 @@ object Graph {
           array_repeat(col("dst"), size(col("ws"))))).as("node"))
         .groupBy(col("node"))
         .agg(count(lit(1)).as("n_triangles"))
-    } finally { oriented.unpersist(); e.unpersist(); () }
+    } finally { oriented.unpersist(); e.unpersist(); e0.unpersist(); () }
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) over an
