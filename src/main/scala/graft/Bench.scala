@@ -138,12 +138,12 @@ object Bench {
       rebase: Boolean): Map[String, Double] =
     current.flatMap { case (k, cur) =>
       if (cur < 0) prior.get(k).map(k -> _)
-      // [[CanaryRefKey]] is EXEMPT from rebase (r14 advisory): it is the
-      // host-health anchor, not a query baseline — a rebase performed in
+      // [[CanaryKeys]] are EXEMPT from rebase (r14 advisory): they are
+      // host-health anchors, not query baselines — a rebase performed in
       // a degraded window would commit an inflated "healthy" reference,
       // silently weakening canaryDegraded and understating hostInflation
-      // forever after. The rolling-min rule always applies to it.
-      else if (rebase && k != CanaryRefKey) Some(k -> cur)
+      // forever after. The rolling-min rule always applies to them.
+      else if (rebase && !CanaryKeys.contains(k)) Some(k -> cur)
       else Some(k -> math.min(prior.getOrElse(k, cur), cur))
     }
 
@@ -213,6 +213,33 @@ object Bench {
     * degraded-window gate compares against. Double underscore so it can
     * never collide with a query shortKey. */
   private[graft] val CanaryRefKey = "__canary_par"
+
+  /** Envelope key for the rolling-min DISK canary (fixed write+fsync+
+    * rename work on the same device the streaming checkpoints use). Why
+    * a second canary: the CPU canaries are pure register arithmetic and
+    * a codegen'd hash-reduce — a host whose STORAGE is degraded (page
+    * cache churn, neighbor I/O, device throttling) reads perfectly
+    * healthy on both while every checkpoint-bound streaming query runs
+    * 1.3× its envelope (the round-15 q59/q5a series: five windows at
+    * 2.75–2.80 s vs the 2.10 envelope with CPU inflation as low as
+    * 1.01 — a confirm the artifact could not exonerate because it
+    * measured the wrong resource). Same rebase exemption as
+    * [[CanaryRefKey]]. */
+  private[graft] val DiskCanaryRefKey = "__canary_disk"
+
+  /** The canary reference keys share the rolling-min-always rule. */
+  private[graft] val CanaryKeys = Set(CanaryRefKey, DiskCanaryRefKey)
+
+  /** Combined host inflation over the measured resources: seconds scale
+    * with whichever resource the query leans on, and the gate cannot
+    * know per-query leanings — so a flag is CONFIRMED only when its
+    * slowdown exceeds what EVERY measured resource's own slowdown could
+    * explain (max). A real regression on a healthy host still confirms;
+    * on a host with any degraded resource the flag ships as
+    * regressed_noisy carrying BOTH canary series — and the BYTES ledger
+    * stays the plan-regression signal for that window. */
+  private[graft] def combinedInflation(inflations: Double*): Double =
+    (1.0 +: inflations).max
 
   /** Host-health verdict: the canary runs fixed work, so its time moves
     * ONLY with effective machine speed — more than `factor`× the
@@ -311,6 +338,42 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // fixed STORAGE reference: the checkpoint syscall mix (create, write,
+    // fsync, atomic rename) over 96 × 128 KiB files on the tmp device —
+    // the same device streaming state stores, localCheckpoints, and
+    // stream checkpoint dirs hit. Its time moves ONLY with effective
+    // storage latency, the resource the CPU canaries are blind to (see
+    // [[DiskCanaryRefKey]]). Cleanup is outside the timed region so the
+    // measured work stays fixed.
+    def canaryDiskSec(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-canary-disk")
+      val buf = new Array[Byte](131072)
+      java.util.Arrays.fill(buf, 0x5A.toByte)
+      try {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 96) {
+          val p = dir.resolve(s"c$i.tmp")
+          val ch = java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try { ch.write(java.nio.ByteBuffer.wrap(buf)); ch.force(true) }
+          finally ch.close()
+          java.nio.file.Files.move(p, dir.resolve(s"c$i.done"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          i += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 } finally {
+        try {
+          val s = java.nio.file.Files.list(dir)
+          try s.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally s.close()
+          java.nio.file.Files.deleteIfExists(dir); ()
+        } catch { case _: Throwable => () }
+      }
+    }
+
     /** One timed rep: (seconds or -1 on failure, loadavg at start, GC sec
       * spent inside the rep). Also ledgers the rep's shuffle-read /
       * shuffle-write / spill byte deltas under `name` (successful reps
@@ -354,6 +417,7 @@ object Bench {
     names.headOption.foreach(materialize)
     bytesByName.clear() // warmup rep's bytes are not part of the ledger
     canaryMs(); val canaryParStart = canaryParSec()
+    val canaryDiskStart = canaryDiskSec()
     val canaries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val firstPass: Seq[(String, Seq[(Double, Double, Double)])] =
       names.map { n =>
@@ -443,21 +507,27 @@ object Bench {
     // values came from. Bounded by the flagged-set size (≤ the guard's
     // own trigger count), independent of the contended-rerun budget.
     val priorCanary = priorMins.getOrElse(CanaryRefKey, -1.0)
-    val startDegraded = canaryDegraded(canaryParStart, priorCanary)
+    val priorDiskCanary = priorMins.getOrElse(DiskCanaryRefKey, -1.0)
+    // degraded on EITHER measured resource: a checkpoint-bound query
+    // flagged in a slow-storage window deserves the quiet-window re-rep
+    // exactly as a compute query does in a busy-CPU one
+    val startDegraded = canaryDegraded(canaryParStart, priorCanary) ||
+      canaryDegraded(canaryDiskStart, priorDiskCanary)
     val flaggedPre = resultsSwept.collect {
       case (n, rs) if crossRoundSlow(n, rs) => n
     }.toSet
-    val (results, canaryParAdj) =
+    val (results, canaryParAdj, canaryDiskAdj) =
       if (startDegraded && flaggedPre.nonEmpty) {
         val adj = canaryParSec()
+        val adjDisk = canaryDiskSec()
         // TWO re-reps per flag: min-of-N recovers the true minimum far
         // more reliably than one extra sample, and the flagged set is
         // small by construction
         (resultsSwept.map { case (n, rs) =>
           if (flaggedPre(n)) n -> (rs ++ Seq.fill(2)(materialize(n)))
           else n -> rs
-        }, adj)
-      } else (resultsSwept, -1.0)
+        }, adj, adjDisk)
+      } else (resultsSwept, -1.0, -1.0)
 
     // min across the SUCCESSFUL reps; -1 only when every rep failed — a
     // transient single-rep failure must not silently drop the query from
@@ -497,6 +567,7 @@ object Bench {
     // itself, a grader never needs a re-run to tell noise from
     // regression
     val canaryParEnd = canaryParSec()
+    val canaryDiskEnd = canaryDiskSec()
     val stillSlow = results.collect {
       case (n, rs) if crossRoundSlow(n, rs) => n -> best(rs)
     }
@@ -506,7 +577,19 @@ object Bench {
     val classifyCanary =
       if (canaryParAdj >= 0) canaryParAdj
       else math.min(canaryParStart, canaryParEnd)
-    val inflation = hostInflation(classifyCanary, priorCanary)
+    val classifyDisk =
+      if (canaryDiskAdj >= 0) canaryDiskAdj
+      else if (canaryDiskStart >= 0 && canaryDiskEnd >= 0)
+        math.min(canaryDiskStart, canaryDiskEnd)
+      else math.max(canaryDiskStart, canaryDiskEnd)
+    val cpuInflation = hostInflation(classifyCanary, priorCanary)
+    val diskInflation = hostInflation(classifyDisk, priorDiskCanary)
+    // seconds scale with whichever resource a query leans on, and the
+    // gate cannot know per-query leanings: confirm only past what EVERY
+    // measured resource's own slowdown explains (see combinedInflation —
+    // the round-15 q59/q5a false-confirm series, healthy CPU canary over
+    // a degraded-storage window)
+    val inflation = combinedInflation(cpuInflation, diskInflation)
     val (regressed, regressedNoisy) = stillSlow.partition { case (n, cur) =>
       priorMins.get(shortKey(n)).exists(prior => confirmsUnderInflation(
         cur, prior, spreadLimitFor(prior, topDecileCutoff, spreadLimit),
@@ -575,6 +658,9 @@ object Bench {
     // run's possibly-poisoned readings
     val canaryRunMin = (Seq(canaryParStart, canaryParEnd) ++
       (if (canaryParAdj >= 0) Seq(canaryParAdj) else Seq.empty)).min
+    val diskRunMin = (Seq(canaryDiskStart, canaryDiskEnd).filter(_ >= 0) ++
+      (if (canaryDiskAdj >= 0) Seq(canaryDiskAdj) else Seq.empty))
+      .minOption.getOrElse(-1.0)
     // one-shot anchor seeding for excluded queries (see [[seedTargets]]):
     // runs dead last so the crash-matrix's filesystem churn cannot
     // inflate any adjudication window; seconds + "#b" rows merge through
@@ -593,7 +679,9 @@ object Bench {
     val currentByKey = scala.collection.immutable.ListMap(
       (results.map { case (n, rs) => shortKey(n) -> best(rs) } ++
         bytesNow.toSeq.sortBy(_._1) ++ seedRows :+
-        (CanaryRefKey -> canaryRunMin)): _*)
+        (CanaryRefKey -> canaryRunMin)) ++
+        (if (diskRunMin >= 0) Seq(DiskCanaryRefKey -> diskRunMin)
+         else Seq.empty): _*)
     // excluded queries keep their prior anchors verbatim (seconds + #b
     // rows) — see carriedExcludedEntries; applies under rebase too (an
     // excluded query has no current value to re-baseline to)
@@ -633,7 +721,7 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"canary_ms":$canaryJson,"bytes_format":["shuffle_read","shuffle_write","spill"],"bytes":$bytesJson,"queries_full":$qs,"reps_raw":$raw}""")
     println(s"""{"metric":"bench_queries","unit":"sec","sf":"$sfDir","queries":$qsShort}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_disk_healthy_ref":${f"$priorDiskCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"cpu_inflation":${f"$cpuInflation%.2f"},"disk_inflation":${f"$diskInflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"canary_disk_sec":[${f"$canaryDiskStart%.3f"},${f"$canaryDiskEnd%.3f"},${f"$canaryDiskAdj%.3f"}],"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
     spark.stop()
   }
 }

@@ -148,6 +148,34 @@ class BenchSpec extends AnyFunSuite {
     val e2 = Bench.rollingEnvelope(
       prior, Map(Bench.CanaryRefKey -> 0.22), rebase = true)
     assert(e2(Bench.CanaryRefKey) === 0.22)
+    // the disk canary reference rides the same exemption
+    val e3 = Bench.rollingEnvelope(
+      Map(Bench.DiskCanaryRefKey -> 0.15),
+      Map(Bench.DiskCanaryRefKey -> 0.90), rebase = true)
+    assert(e3(Bench.DiskCanaryRefKey) === 0.15)
+  }
+
+  test("combined inflation: a flag confirms only past what EVERY measured " +
+    "resource's own slowdown explains") {
+    // the round-15 q59/q5a false-confirm series: five windows at ~1.33x
+    // the envelope with CPU inflation 1.01 — the CPU canaries are blind
+    // to storage, and streaming queries are checkpoint-fsync-bound. The
+    // classification inflation is the max over measured resources: any
+    // degraded resource makes seconds unmeasurable, and the flag then
+    // ships regressed_noisy with both canary series (bytes stay the
+    // hard signal in that window).
+    assert(Bench.combinedInflation(1.01, 1.40) === 1.40)
+    assert(Bench.combinedInflation(1.40, 1.01) === 1.40)
+    // clamped below at 1.0 — a faster-than-reference resource must not
+    // tighten the gate
+    assert(Bench.combinedInflation(0.8, 0.9) === 1.0)
+    // the q59 shape: 2.78 vs 2.098 envelope at 1.3x top-decile gate —
+    // confirmed under CPU-only inflation 1.01, exonerated once the disk
+    // canary's 1.4x window is measured
+    assert(Bench.confirmsUnderInflation(2.78, 2.098, 1.3,
+      Bench.combinedInflation(1.01)))
+    assert(!Bench.confirmsUnderInflation(2.78, 2.098, 1.3,
+      Bench.combinedInflation(1.01, 1.40)))
   }
 
   test("excluded-query anchors survive a rebase (the q159 re-seed path)") {
