@@ -178,7 +178,15 @@ object Bench {
       excluded: Set[String], priorKeys: Set[String],
       shortKey: String => String, enabled: Boolean): Seq[String] =
     if (!enabled) Seq.empty
-    else excluded.toSeq.sorted.filterNot(n => priorKeys.contains(shortKey(n)))
+    else excluded.toSeq.sorted.filter { n =>
+      // a missing "#b" bytes row is seed-eligible too: a seconds anchor
+      // without its bytes companion leaves the bytes-regression guard
+      // permanently blind for that query (the partial-history state the
+      // q159 seconds erasure produced). The seed run then contributes
+      // ONLY the missing row(s) — see the seedRows assembly.
+      !priorKeys.contains(shortKey(n)) ||
+        !priorKeys.contains(shortKey(n) + "#b")
+    }
 
   /** The regression trigger, extracted for the same reason: fires only
     * when the run's best exceeds `spreadLimit`× the prior AND by >0.5 s
@@ -240,6 +248,80 @@ object Bench {
     * stays the plan-regression signal for that window. */
   private[graft] def combinedInflation(inflations: Double*): Double =
     (1.0 +: inflations).max
+
+  /** Queries whose wall-time floor moves with STORAGE latency, not CPU:
+    * every Structured-Streaming lifecycle in the registry (RocksDB/HDFS
+    * state stores, per-batch checkpoint fsyncs, commit-log renames —
+    * the round-15 q59/q5a series: five windows at 1.3× the envelope
+    * with CPU inflation 1.01, fully explained by the disk canary).
+    * ShortKeys; membership is the query's RESOURCE AFFINITY for
+    * adjudication (see [[inflationFor]]). */
+  private[graft] val diskBoundQueries: Set[String] = Set(
+    "q5a", "q50", "q51", "q52", "q53", "q54", "q55", "q59", "q130",
+    "q134", "q142", "q159", "q185", "q197", "q206", "q219", "q227",
+    "q228")
+
+  /** Resource-matched host inflation for one flag (r15 verdict #2 —
+    * the blanket max-of-all-resources let a disk-degraded window
+    * exonerate CPU-bound regressions): a disk-affine query (streaming/
+    * checkpoint lifecycles) adjudicates against the DISK canary's
+    * inflation, every other registered query against the CPU canaries,
+    * and anything untagged keeps the old conservative max. Clamped at
+    * 1.0 — a healthy resource must not tighten the gate. */
+  private[graft] def inflationFor(
+      affinity: String, cpuInflation: Double,
+      diskInflation: Double): Double = affinity match {
+    case "disk" => math.max(1.0, diskInflation)
+    case "cpu" => math.max(1.0, cpuInflation)
+    case _ => combinedInflation(cpuInflation, diskInflation)
+  }
+
+  /** The affinity tag: "disk" for the streaming lifecycles, "cpu" for
+    * every other registered query (all shortKeys are qNN), "max" —
+    * the blanket fallback — for anything else. */
+  private[graft] def resourceAffinity(shortKey: String): String =
+    if (diskBoundQueries.contains(shortKey)) "disk"
+    else if (shortKey.startsWith("q")) "cpu"
+    else "max"
+
+  /** Warm-up eligibility (r15 verdict #4): first-JVM-execution
+    * codegen/JIT cost measured at ~3× steady state on q208
+    * (LpaModeProbe: 12.9 s vs 3.4 s) — rep 1 of every heavy query
+    * carries it, min-of-2 only partially hides it, and the residue is
+    * the manufacturing process for golden-window anchors. Queries whose
+    * ENVELOPE exceeds 2 s get one untimed warm-up rep (the cheap tail
+    * swings from GC jitter, not JIT, and doubling 200 sub-second
+    * queries would cost more than the signal is worth). */
+  private[graft] def warmupEligible(prior: Option[Double]): Boolean =
+    prior.exists(_ > 2.0)
+
+  /** Self-describing rebase ledger (r15 verdict #3: three anchors were
+    * hand-rebased with the evidence only in NOTES prose — the artifact
+    * could not distinguish an evidence-rebase from a quiet loosening).
+    * Every hand-LOOSENING a rebase run applies is recorded in the same
+    * envelope file, by the same code path, as a flat row
+    * `"__rebase:<key>:<note>:<old>" -> <new>` — flat so the regex
+    * parser and a human diff both read it; tightenings need no ledger
+    * (the rolling-min rule produces them autonomously); canary
+    * references are rebase-exempt and so never ledgered. */
+  private[graft] def rebaseLedgerRows(
+      prior: Map[String, Double], current: Map[String, Double],
+      rebase: Boolean, note: String): Map[String, Double] =
+    if (!rebase) Map.empty
+    else current.flatMap { case (k, cur) =>
+      prior.get(k) match {
+        case Some(old) if cur > old && !CanaryKeys.contains(k) &&
+            !k.startsWith("__rebase:") =>
+          Some(s"__rebase:$k:$note:" + f"$old%.3f" -> cur)
+        case _ => None
+      }
+    }
+
+  /** Ledger rows ride the envelope forever (they are history, not
+    * anchors): carried verbatim across every run, rebase or not. */
+  private[graft] def carriedLedgerRows(
+      prior: Map[String, Double]): Map[String, Double] =
+    prior.filter(_._1.startsWith("__rebase:"))
 
   /** Host-health verdict: the canary runs fixed work, so its time moves
     * ONLY with effective machine speed — more than `factor`× the
@@ -413,6 +495,12 @@ object Bench {
 
     val names =
       SparkEntry.queries.keys.toSeq.filterNot(benchExcluded).sorted
+    // shortened key used for prior-file lookups and the compact line; one
+    // rule for everything (unique qNN prefix, else full names everywhere)
+    val prefixes0 = names.map(_.takeWhile(_ != '_'))
+    val shortKey: String => String =
+      if (prefixes0.distinct.size == prefixes0.size) _.takeWhile(_ != '_')
+      else identity
     // untimed warmup: JVM/codegen/parquet-footer caches (canary warms too)
     names.headOption.foreach(materialize)
     bytesByName.clear() // warmup rep's bytes are not part of the ledger
@@ -422,6 +510,13 @@ object Bench {
     val firstPass: Seq[(String, Seq[(Double, Double, Double)])] =
       names.map { n =>
         canaries(n) = canaryMs()
+        // per-query untimed warm-up for the heavy tail (envelope > 2 s,
+        // see warmupEligible): absorbs first-execution codegen/JIT so
+        // BOTH timed reps measure steady state — the rep spread becomes
+        // a contention signal instead of a JIT artifact. The warm-up
+        // rep's bytes are deterministic duplicates; the elementwise min
+        // over reps is unchanged by one more identical sample.
+        if (warmupEligible(priorMins.get(shortKey(n)))) materialize(n)
         n -> Seq.fill(reps)(materialize(n))
       }
 
@@ -456,12 +551,13 @@ object Bench {
     // cannot stretch the sweep unboundedly
     val rerunBudget = math.max(10, names.size / 8)
     var rerunsLeft = rerunBudget
-    // shortened key used for prior-file lookups and the compact line; one
-    // rule for everything (unique qNN prefix, else full names everywhere)
-    val prefixes0 = names.map(_.takeWhile(_ != '_'))
-    val shortKey: String => String =
-      if (prefixes0.distinct.size == prefixes0.size) _.takeWhile(_ != '_')
-      else identity
+    // per-flag disk reading (r15 verdict #8): the sweep-level disk
+    // canary runs at three fixed points, so a transient storage stall
+    // INSIDE one flag's re-rep window is invisible to it. One ~0.15 s
+    // reading measured immediately before each flagged query's re-rep
+    // rides the artifact per flag; the adjudication-window reading (the
+    // last one taken) wins when a flag re-reps more than once.
+    val flagDisk = scala.collection.mutable.Map.empty[String, Double]
     // top-cost-decile cutoff over the envelope values of THIS run's
     // queries: the expensive queries get the hard 1.3× gate (see
     // spreadLimitFor) and a re-rep that cannot be starved by the budget
@@ -494,6 +590,10 @@ object Bench {
         if ((contendedSpread(rs) || crossRoundSlow(n, rs)) &&
           (rerunsLeft > 0 || mustRerun)) {
           if (rerunsLeft > 0) rerunsLeft -= 1
+          // a cross-round flag's re-rep gets its adjacent disk reading
+          // (a pure contended-spread re-rep is a within-run affair the
+          // canary series already brackets)
+          if (crossRoundSlow(n, rs)) flagDisk(n) = canaryDiskSec()
           n -> (rs :+ materialize(n))
         } else n -> rs
       }
@@ -524,8 +624,10 @@ object Bench {
         // more reliably than one extra sample, and the flagged set is
         // small by construction
         (resultsSwept.map { case (n, rs) =>
-          if (flaggedPre(n)) n -> (rs ++ Seq.fill(2)(materialize(n)))
-          else n -> rs
+          if (flaggedPre(n)) {
+            flagDisk(n) = canaryDiskSec() // adjacent to THIS flag's re-reps
+            n -> (rs ++ Seq.fill(2)(materialize(n)))
+          } else n -> rs
         }, adj, adjDisk)
       } else (resultsSwept, -1.0, -1.0)
 
@@ -584,16 +686,20 @@ object Bench {
       else math.max(canaryDiskStart, canaryDiskEnd)
     val cpuInflation = hostInflation(classifyCanary, priorCanary)
     val diskInflation = hostInflation(classifyDisk, priorDiskCanary)
-    // seconds scale with whichever resource a query leans on, and the
-    // gate cannot know per-query leanings: confirm only past what EVERY
-    // measured resource's own slowdown explains (see combinedInflation —
-    // the round-15 q59/q5a false-confirm series, healthy CPU canary over
-    // a degraded-storage window)
+    // RESOURCE-MATCHED exoneration (r15 verdict #2 closed): the old
+    // blanket max(cpu, disk) let a disk-degraded window exonerate a
+    // CPU-bound flag it plausibly never felt (BENCH_r15's q121, CPU/
+    // shuffle-bound, shipped noisy on 1.71 DISK inflation). Each flag
+    // now adjudicates against the canary measuring ITS resource
+    // (streaming lifecycles → disk, everything else → cpu; see
+    // resourceAffinity); `inflation` in the summary stays the blanket
+    // max for cross-round comparability of the window itself.
     val inflation = combinedInflation(cpuInflation, diskInflation)
     val (regressed, regressedNoisy) = stillSlow.partition { case (n, cur) =>
       priorMins.get(shortKey(n)).exists(prior => confirmsUnderInflation(
         cur, prior, spreadLimitFor(prior, topDecileCutoff, spreadLimit),
-        inflation))
+        inflationFor(resourceAffinity(shortKey(n)),
+          cpuInflation, diskInflation)))
     }
     val regressedJson = regressed.map { case (n, cur) =>
       val prior = priorMins.getOrElse(shortKey(n), -1.0)
@@ -673,23 +779,50 @@ object Bench {
       val rs = Seq.fill(reps)(materialize(n))
       val b = best(rs)
       if (b < 0) Seq.empty // every rep failed: seed nothing, never -1
-      else Seq(shortKey(n) -> b) ++ bytesByName.get(n).map(bs =>
-        shortKey(n) + "#b" -> bs.map(t => (t._1 + t._2).toDouble).min)
+      else {
+        val k = shortKey(n)
+        // contribute ONLY the missing row(s): a PRESENT seconds anchor
+        // must not be re-merged — excluded queries' windows are
+        // dominated by crash/replay machinery whose seconds the
+        // rolling-min rule would misread as a tightening — while a
+        // missing "#b" companion is seeded so the bytes-regression
+        // guard stops being blind for the query (ADVICE r15)
+        (if (priorMins.contains(k)) Seq.empty else Seq(k -> b)) ++
+          (if (priorMins.contains(k + "#b")) Seq.empty
+           else bytesByName.get(n).map(bs =>
+             k + "#b" -> bs.map(t => (t._1 + t._2).toDouble).min))
+      }
     }
+    // DiskCanaryRefKey is emitted UNCONDITIONALLY (ADVICE r15): a run
+    // whose every disk reading failed carries -1, and rollingEnvelope's
+    // `cur < 0` branch keeps the committed healthy anchor — omitting
+    // the key entirely would erase it after one transient canary
+    // failure (the exact anchor-loss mode the q159 seed path repairs)
     val currentByKey = scala.collection.immutable.ListMap(
-      (results.map { case (n, rs) => shortKey(n) -> best(rs) } ++
+      results.map { case (n, rs) => shortKey(n) -> best(rs) } ++
         bytesNow.toSeq.sortBy(_._1) ++ seedRows :+
-        (CanaryRefKey -> canaryRunMin)) ++
-        (if (diskRunMin >= 0) Seq(DiskCanaryRefKey -> diskRunMin)
-         else Seq.empty): _*)
+        (CanaryRefKey -> canaryRunMin) :+
+        (DiskCanaryRefKey -> diskRunMin): _*)
     // excluded queries keep their prior anchors verbatim (seconds + #b
     // rows) — see carriedExcludedEntries; applies under rebase too (an
     // excluded query has no current value to re-baseline to)
     val carried = carriedExcludedEntries(
       priorMins, benchExcluded.map(shortKey))
-    val envelope = rollingEnvelope(priorMins, currentByKey, rebase) ++ carried
+    // the rebase ledger: prior rows carried verbatim (history never
+    // expires), plus one new row per hand-loosening THIS run applies —
+    // written by the same code path that applies the rebase, so the
+    // artifact itself distinguishes rolling minima from hand-set
+    // anchors (r15 verdict #3)
+    val rebaseNote = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_REBASE_NOTE", "unspecified")
+      .replaceAll("[^A-Za-z0-9._\\-]", "-").take(80)
+    val ledger = carriedLedgerRows(priorMins) ++
+      rebaseLedgerRows(priorMins, currentByKey, rebase, rebaseNote)
+    val envelope =
+      rollingEnvelope(priorMins, currentByKey, rebase) ++ carried ++ ledger
     val envelopeKeys = currentByKey.keys ++
-      carried.keys.filterNot(currentByKey.contains).toSeq.sorted
+      (carried.keys.filterNot(currentByKey.contains) ++
+        ledger.keys).toSeq.sorted
     val envelopeJson = envelopeKeys.flatMap(k =>
       envelope.get(k).map(v =>
         if (k.endsWith("#b")) "\"" + k + "\":" + f"$v%.0f"
@@ -719,9 +852,17 @@ object Bench {
     val seededJson = seedRows.collect {
       case (k, v) if !k.endsWith("#b") => "\"" + k + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
+    // per-flag adjudication evidence: the disk reading adjacent to each
+    // flag's re-rep window and the resource whose canary judged it
+    val flagDiskJson = stillSlow.map(_._1).flatMap(n =>
+      flagDisk.get(n).map(d => "\"" + shortKey(n) + "\":" + f"$d%.3f"))
+      .mkString("{", ",", "}")
+    val flagAffJson = stillSlow.map { case (n, _) =>
+      "\"" + shortKey(n) + "\":\"" + resourceAffinity(shortKey(n)) + "\""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"canary_ms":$canaryJson,"bytes_format":["shuffle_read","shuffle_write","spill"],"bytes":$bytesJson,"queries_full":$qs,"reps_raw":$raw}""")
     println(s"""{"metric":"bench_queries","unit":"sec","sf":"$sfDir","queries":$qsShort}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_disk_healthy_ref":${f"$priorDiskCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"cpu_inflation":${f"$cpuInflation%.2f"},"disk_inflation":${f"$diskInflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"canary_disk_sec":[${f"$canaryDiskStart%.3f"},${f"$canaryDiskEnd%.3f"},${f"$canaryDiskAdj%.3f"}],"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_disk_healthy_ref":${f"$priorDiskCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"cpu_inflation":${f"$cpuInflation%.2f"},"disk_inflation":${f"$diskInflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"canary_disk_sec":[${f"$canaryDiskStart%.3f"},${f"$canaryDiskEnd%.3f"},${f"$canaryDiskAdj%.3f"}],"flag_disk":$flagDiskJson,"flag_affinity":$flagAffJson,"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
     spark.stop()
   }
 }

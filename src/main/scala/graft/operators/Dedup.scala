@@ -863,7 +863,8 @@ object Dedup {
       case Some(c) =>
         editDistancePairsAdvised(df, strCol, idCol, k,
           c.broadcastMaxRows, c.skewFactor, c.minSaltOutputRows,
-          c.maxSaltBuckets, c.hhCapacity, c.targetPartitions)._2
+          c.maxSaltBuckets, c.hhCapacity, c.targetPartitions,
+          c.maxHotShare)._2
       case None => editDistancePairsImpl(df, strCol, idCol, k, steer = None)
     }
   }
@@ -893,7 +894,8 @@ object Dedup {
       minSaltOutputRows: Long = 10_000_000L,
       maxSaltBuckets: Int = 1024,
       hhCapacity: Int = 1024,
-      targetPartitions: Option[Int] = None)
+      targetPartitions: Option[Int] = None,
+      maxHotShare: Double = graft.plans.JoinAdvisor.DefaultMaxHotShare)
       : (graft.plans.JoinAdvisor.JoinAdvice, DataFrame) = {
     require(k >= 1 && k <= 2, s"k=$k: deletion-neighborhood size is C(|s|,k)")
     val base = df
@@ -908,7 +910,8 @@ object Dedup {
     val advice = graft.plans.JoinAdvisor.adviseSelf(
       variantKeys(base, k), col("v"),
       broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
-      hhCapacity = hhCapacity, targetPartitions = targetPartitions)
+      hhCapacity = hhCapacity, targetPartitions = targetPartitions,
+      maxHotShare = maxHotShare)
     (advice, editDistancePairsImpl(df, strCol, idCol, k, Some(advice)))
   }
 

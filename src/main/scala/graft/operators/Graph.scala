@@ -192,9 +192,13 @@ object Graph {
     // only happens when width was lost (at deployment scale the edge
     // set's byte-sized partition count already exceeds the session
     // width, and this is a no-op branch).
-    val width = edges.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val e = if (e0.rdd.getNumPartitions * 2 <= width)
+    // Try-parsed rather than a bare toInt: a session that sets a
+    // non-integer width (e.g. "auto" on managed platforms) must skip
+    // the re-widen — an already-wide frame is the common case — not
+    // throw an unlocated NumberFormatException from inside the operator
+    val width = scala.util.Try(edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").trim.toInt).getOrElse(0)
+    val e = if (width > 0 && e0.rdd.getNumPartitions * 2 <= width)
       e0.repartition(width, col("a"), col("b")).localCheckpoint(true)
     else e0
     // canonical-form gate: cheap relative to the joins it guards

@@ -390,7 +390,7 @@ object Similarity {
         knnGraphAdvised(corpus, k, nlist, nprobe, iters, idCol, embCol,
           trainCap, corpusRows, model, c.broadcastMaxRows, c.skewFactor,
           c.minSaltOutputRows, c.maxSaltBuckets, c.hhCapacity,
-          c.targetPartitions)._2
+          c.targetPartitions, c.maxHotShare)._2
       case None =>
         val (lists, srcProbes) = knnGraphSides(
           corpus, nlist, nprobe, iters, idCol, embCol, trainCap,
@@ -464,7 +464,8 @@ object Similarity {
       minSaltOutputRows: Long = 10_000_000L,
       maxSaltBuckets: Int = 1024,
       hhCapacity: Int = 1024,
-      targetPartitions: Option[Int] = None)
+      targetPartitions: Option[Int] = None,
+      maxHotShare: Double = graft.plans.JoinAdvisor.DefaultMaxHotShare)
       : (graft.plans.JoinAdvisor.JoinAdvice, DataFrame) = {
     val (lists, srcProbes) = knnGraphSides(
       corpus, nlist, nprobe, iters, idCol, embCol, trainCap, corpusRows, model)
@@ -472,7 +473,7 @@ object Similarity {
       lists.select(col("cid")), col("cid"),
       srcProbes.select(col("cid")), col("cid"),
       broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
-      hhCapacity, targetPartitions)
+      hhCapacity, targetPartitions, maxHotShare)
     (advice, knnGraphTail(lists, srcProbes, k, idCol, embCol, Some(advice)))
   }
 
@@ -518,8 +519,18 @@ object Similarity {
         val buckets = steer.get.saltBuckets
         require(steer.get.hotKeys.nonEmpty,
           "salt verdict without hotKeys — advisory contract violation")
-        // MG display strings of an int cid key parse back exactly
-        val hot = steer.get.hotKeys.map(_.toInt)
+        // MG display strings of an int cid key parse back exactly; a
+        // display that does NOT parse (a "null" key, or a future reuse
+        // of this tail with a non-int key column) cannot match any int
+        // cid, so it is dropped rather than thrown from plan-build —
+        // with a named require so an ALL-unparseable set (the reuse
+        // case) fails loudly instead of silently un-salting
+        val hot = steer.get.hotKeys.flatMap(_.toIntOption)
+        require(hot.nonEmpty,
+          "salt verdict whose hotKeys contain no parseable int cid " +
+            s"(${steer.get.hotKeys.take(3).mkString(", ")}...) — " +
+            "knnGraphTail salts on the int cid key; advisory contract " +
+            "violation or non-int key reuse")
         val isHot = col("cid").isin(hot: _*)
         val hotProbes = srcProbes.filter(isHot).withColumn("__salt",
           pmod(xxhash64(col("src_id")), lit(buckets)).cast("int"))

@@ -65,7 +65,7 @@ object Temporal {
         rangeJoinAdvised(left, leftTs, right, from, to, bucketWidth,
           maxBucketsPerInterval, c.broadcastMaxRows, c.skewFactor,
           c.minSaltOutputRows, c.maxSaltBuckets, c.hhCapacity,
-          c.targetPartitions)._2
+          c.targetPartitions, c.maxHotShare)._2
       case None =>
         val (lb, rb) = rangeJoinSides(
           left, leftTs, right, from, to, bucketWidth, maxBucketsPerInterval)
@@ -105,7 +105,8 @@ object Temporal {
       minSaltOutputRows: Long = 10_000_000L,
       maxSaltBuckets: Int = 1024,
       hhCapacity: Int = 1024,
-      targetPartitions: Option[Int] = None)
+      targetPartitions: Option[Int] = None,
+      maxHotShare: Double = graft.plans.JoinAdvisor.DefaultMaxHotShare)
       : (graft.plans.JoinAdvisor.JoinAdvice, DataFrame) = {
     val (lb, rb) = rangeJoinSides(
       left, leftTs, right, from, to, bucketWidth, maxBucketsPerInterval)
@@ -113,7 +114,7 @@ object Temporal {
       lb.select(col("__lb")), col("__lb"),
       rb.select(col("__rb")), col("__rb"),
       broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
-      hhCapacity, targetPartitions)
+      hhCapacity, targetPartitions, maxHotShare)
     (advice, rangeJoinSteered(lb, rb, Some(advice)))
   }
 

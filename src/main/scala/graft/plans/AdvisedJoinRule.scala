@@ -1,0 +1,307 @@
+package graft.plans
+
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The pre-join advisory as a CATALYST RULE: a GRAFT_ADVISE query hint
+  * in SQL text (or `df.hint("graft_advise")`) routes EVERY inner
+  * equi-join under the hint through [[JoinAdvisor]]'s sketch pass and
+  * executes the verdict — broadcast-hint the dimension side, targeted-
+  * salt the hot keys, or leave Catalyst's pick — with no operator-
+  * specific wiring. Until this rule, the advisory protected exactly
+  * three hand-wired consumers (fuzzy join / range join / kNN graph),
+  * each repeating the same verdict→execution scaffolding; a user's own
+  * `spark.sql` join got nothing. This is the r15 verdict's "promote
+  * the advisory from hand-wired consumers to a Catalyst rule".
+  *
+  * Two opt-in gates, either suffices:
+  *  - the GRAFT_ADVISE hint, resolved by [[GraftAdviseHintRule]] (in
+  *    the analyzer's hint batch, BEFORE RemoveAllHints would warn-drop
+  *    an unknown hint) into a [[GraftAdviseMarker]] that survives to
+  *    the optimizer — per-QUERY opt-in;
+  *  - `spark.graft.advisor.sql=true` — per-SESSION opt-in, every
+  *    unhinted inner equi-join is advised.
+  * Thresholds ride the shared `spark.graft.advisor.*` block
+  * ([[JoinAdvisor.confThresholds]]), so a session tunes the advisory
+  * once for the conf-gated operators AND the SQL surface.
+  *
+  * The sketch pass runs EAGERLY inside the optimizer (one bounded-state
+  * aggregate job per join side, the same planning-time-execution move
+  * AQE makes with query stages) — that is the advisory's whole point:
+  * the strategy decision must exist BEFORE the join's shape is chosen,
+  * and at 100 TB a wrong shape discovered mid-join costs the full scan
+  * twice. Reentrancy is guarded ([[AdvisedEquiJoinRewrite.inAdvisory]]):
+  * the sketch queries themselves re-enter the optimizer on the driver
+  * thread, and without the guard a join-bearing child would recurse.
+  *
+  * Verdict execution (exactly the hand-wired consumers' algebra):
+  *  - broadcast → the smaller side gets a BROADCAST [[JoinHint]]
+  *    (plan-pinnable: BroadcastHashJoinExec even at
+  *    autoBroadcastJoinThreshold=-1);
+  *  - salt → the TARGETED union shape: rows whose key casts to one of
+  *    the advisory's MG-named breaching displays split off, the left
+  *    hot rows take a deterministic salt (xxhash64 over the side's
+  *    hashable columns), the right hot rows replicate buckets×, the
+  *    cold remainder joins plain; both legs pin SHUFFLE_HASH (a salt
+  *    verdict asserts the sides are past broadcast at deployment
+  *    scale — test-scale byte-stats must not re-broadcast a replicated
+  *    side). Inner-join exactness: matching rows agree on the key, so
+  *    the hot/cold predicate routes every matching pair to exactly one
+  *    leg, and null-keyed rows (dropped by BOTH legs' filters) never
+  *    match anyway;
+  *  - shuffle → untouched (Catalyst's static pick), tagged so the
+  *    fixed-point batch does not re-run the sketch pass.
+  *
+  * Scope guards (else the join is left alone): inner join only (the
+  * salt leg replicates — outer joins would multiply unmatched rows),
+  * deterministic children/condition, no pre-existing strategy hint
+  * (which also makes the rewrite idempotent — both rewrite shapes
+  * carry hints), at least one cross-side equi-conjunct (composite keys
+  * advise as a struct), and no correlated subquery in the condition.
+  */
+case class GraftAdviseMarker(child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GraftAdviseMarker = copy(child = newChild)
+}
+
+/** Analyzer (hint batch) rule: GRAFT_ADVISE → [[GraftAdviseMarker]].
+  * Must run in the HINT batch — injected via injectHintResolutionRule —
+  * because the analyzer's RemoveAllHints drops unrecognized hints with
+  * only a warning at the end of analysis. */
+object GraftAdviseHintRule extends Rule[LogicalPlan] {
+  val HintName = "GRAFT_ADVISE"
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case UnresolvedHint(name, Nil, child)
+          if name.equalsIgnoreCase(HintName) =>
+        GraftAdviseMarker(child)
+      case UnresolvedHint(name, args, _) if name.equalsIgnoreCase(HintName) =>
+        throw new IllegalArgumentException(
+          s"$HintName takes no arguments (thresholds ride the " +
+            s"spark.graft.advisor.* confs); got ${args.mkString(", ")}")
+    }
+}
+
+object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
+
+  /** Session-wide opt-in: advise every unhinted inner equi-join. */
+  val FlagConf = "spark.graft.advisor.sql"
+
+  /** Joins already examined this plan (shuffle verdicts leave the node
+    * unchanged — without the tag the fixed-point batch would re-run the
+    * sketch pass each iteration; a rule that rebuilds the node drops
+    * the tag, costing at worst a duplicate advisory, never wrong
+    * results). */
+  private[plans] val AdvisedTag = TreeNodeTag[Boolean]("graft.advised")
+
+  /** A join inside a GRAFT_ADVISE-marked subtree (the SQL query-hint
+    * scope: every join under the hinted SELECT). */
+  private val MarkedTag = TreeNodeTag[Boolean]("graft.advise.marked")
+
+  /** The stripped position of a marker whose subtree held no join: a
+    * marked JOIN INPUT advises the join ABOVE it — the Dataset-side
+    * `df.hint("graft_advise").join(dim)` idiom, mirroring how
+    * broadcast(df) marks an input rather than the join node. */
+  private val MarkedChildTag = TreeNodeTag[Boolean]("graft.advise.input")
+
+  /** Reentrancy guard: the sketch pass's own aggregate queries optimize
+    * on this same driver thread; advising THEM would recurse through
+    * any join-bearing child. */
+  private val inAdvisory = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (inAdvisory.get) return plan
+    // malformed flag must not fail every query in the session (the
+    // RangeJoinRewrite contract): warn and read as false
+    val confOn = scala.util.Try(
+      SQLConf.get.getConfString(FlagConf, "false").trim.toBoolean)
+      .getOrElse {
+        logWarning(s"$FlagConf is not a boolean; treating as false")
+        false
+      }
+    val hasMarker = plan.exists(_.isInstanceOf[GraftAdviseMarker])
+    if (!confOn && !hasMarker) return plan
+    val session = org.apache.spark.sql.SparkSession.active
+    // threshold parse failures abort the advisory, not the query: the
+    // marker is still stripped (an unplannable marker node must never
+    // reach the physical planner)
+    val thresholds = scala.util.Try(JoinAdvisor.confThresholds(session))
+    if (thresholds.isFailure)
+      logWarning("advisory thresholds unparseable; GRAFT_ADVISE is " +
+        s"inert this query: ${thresholds.failed.get.getMessage}")
+    // phase 1 — strip markers, remembering their scope as tags: every
+    // join INSIDE the marked subtree, plus the stripped position itself
+    // (a marked join INPUT advises the join above — the Dataset idiom).
+    // Tags survive transformUp rebuilds (withNewChildren copyTagsFrom).
+    val stripped = if (!hasMarker) plan else plan.transformUp {
+      case GraftAdviseMarker(child) =>
+        child.foreach {
+          case jj: Join => jj.setTagValue(MarkedTag, true)
+          case _ => ()
+        }
+        child.setTagValue(MarkedChildTag, true)
+        child
+    }
+    if (thresholds.isFailure) return stripped
+    // a marked input seen through the unary chain above it (hint →
+    // select → filter → join still advises the join)
+    @scala.annotation.tailrec
+    def inputMarked(p: LogicalPlan): Boolean =
+      if (p.getTagValue(MarkedChildTag).isDefined) true
+      else p match {
+        case u: UnaryNode => inputMarked(u.child)
+        case _ => false
+      }
+    stripped.transformUp {
+      case j: Join if confOn || j.getTagValue(MarkedTag).isDefined ||
+          j.children.exists(inputMarked) =>
+        maybeAdvise(session, j, thresholds.get)
+    }
+  }
+
+  /** Cross-side equi-conjuncts of `cond` as (leftKey, rightKey) pairs,
+    * normalized so the first component references only `l`. */
+  private[plans] def equiKeys(
+      cond: Expression, l: LogicalPlan,
+      r: LogicalPlan): Seq[(Expression, Expression)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    def sideOnly(e: Expression, p: LogicalPlan) =
+      e.deterministic && e.references.nonEmpty &&
+        e.references.subsetOf(p.outputSet)
+    conjuncts(cond).collect {
+      case EqualTo(a, b) if sideOnly(a, l) && sideOnly(b, r) => (a, b)
+      case EqualTo(a, b) if sideOnly(a, r) && sideOnly(b, l) => (b, a)
+    }
+  }
+
+  private def maybeAdvise(
+      session: org.apache.spark.sql.SparkSession, j: Join,
+      conf: JoinAdvisor.AdvisorConf): LogicalPlan = j match {
+    case Join(l, r, Inner, Some(cond), hint)
+        if hint == JoinHint.NONE && j.getTagValue(AdvisedTag).isEmpty &&
+          cond.deterministic && l.deterministic && r.deterministic &&
+          !SubqueryExpression.hasSubquery(cond) =>
+      val keys = equiKeys(cond, l, r)
+      if (keys.isEmpty) { j.setTagValue(AdvisedTag, true); j }
+      else {
+        val (lk, rk) =
+          if (keys.size == 1) keys.head
+          else (CreateStruct(keys.map(_._1)), CreateStruct(keys.map(_._2)))
+        val advice = runAdvisory(session, l, r, lk, rk, conf)
+        logInfo(s"GRAFT_ADVISE verdict: $advice")
+        advice.strategy match {
+          case "broadcast" =>
+            val b = Some(HintInfo(Some(BROADCAST)))
+            val newHint =
+              if (advice.broadcastSide.contains("left")) JoinHint(b, None)
+              else JoinHint(None, b)
+            j.copy(hint = newHint)
+          case "salt" => saltRewrite(j, l, r, cond, lk, rk, advice)
+          case _ => j.setTagValue(AdvisedTag, true); j
+        }
+      }
+    case _ => j
+  }
+
+  /** The sketch pass over both join children, from inside the
+    * optimizer: each side is wrapped as a one-column DataFrame (the key
+    * expression aliased over the already-analyzed child — exprIds are
+    * preserved, so no re-resolution ambiguity) and pays one bounded-
+    * state aggregate job. */
+  private def runAdvisory(
+      session: org.apache.spark.sql.SparkSession,
+      l: LogicalPlan, r: LogicalPlan, lk: Expression, rk: Expression,
+      conf: JoinAdvisor.AdvisorConf): JoinAdvisor.JoinAdvice = {
+    inAdvisory.set(true)
+    try {
+      val lDf = GraftColumnBridge.ofRows(
+        session, Project(Seq(Alias(lk, "__gk")()), l))
+      val rDf = GraftColumnBridge.ofRows(
+        session, Project(Seq(Alias(rk, "__gk")()), r))
+      val a = JoinAdvisor.sideStats(lDf, col("__gk"), conf.hhCapacity)
+      val b = JoinAdvisor.sideStats(rDf, col("__gk"), conf.hhCapacity)
+      val parts = math.max(1, conf.targetPartitions.getOrElse(
+        SQLConf.get.numShufflePartitions))
+      JoinAdvisor.decide(a, b, parts, conf.broadcastMaxRows,
+        conf.skewFactor, conf.minSaltOutputRows, conf.maxSaltBuckets,
+        conf.maxHotShare)
+    } finally inAdvisory.set(false)
+  }
+
+  /** The targeted-salt union shape in logical-plan algebra (the
+    * RangeJoinRewrite house style — building through the DataFrame API
+    * here would splice analyzer-fresh subtrees into a half-optimized
+    * plan). Output attributes keep the ORIGINAL join's exprIds: the hot
+    * leg joins the original (filtered) children, so `j.output` resolves
+    * against it, and Union exposes its first child's attributes —
+    * parents of the rewritten join never see the change. */
+  private def saltRewrite(
+      j: Join, l: LogicalPlan, r: LogicalPlan, cond: Expression,
+      lk: Expression, rk: Expression,
+      advice: JoinAdvisor.JoinAdvice): LogicalPlan = {
+    require(advice.hotKeys.nonEmpty,
+      "salt verdict without hotKeys — advisory contract violation")
+    // only the REPLICATED side pays ×buckets, so replicate the side
+    // with the SMALLER hot-row share (the advice carries both; decide()
+    // demoted to shuffle already if even this choice is past the
+    // maxHotShare crossover)
+    val replicateRight = advice.hotShareRight <= advice.hotShareLeft
+    val (saltSide, saltKey, repSide, repKey) =
+      if (replicateRight) (l, lk, r, rk) else (r, rk, l, lk)
+    // the salt must vary WITHIN a hot key, so it hashes every hashable
+    // column of the salted side; a side with no hashable columns (e.g.
+    // all-map output) cannot spread and keeps Catalyst's pick
+    val hashable = saltSide.output.filter(a =>
+      new XxHash64(Seq(a)).checkInputDataTypes().isSuccess)
+    if (hashable.isEmpty) {
+      logWarning("salt verdict but no hashable column to salt on; " +
+        "leaving Catalyst's pick")
+      j.setTagValue(AdvisedTag, true)
+      return j
+    }
+    val buckets = advice.saltBuckets
+    // MG displays are the key CAST TO STRING (sideStats' aggregate
+    // child), so the hot predicate re-renders the key identically —
+    // exact for any key type, including composite structs
+    val hotLits = advice.hotKeys.map(s =>
+      Literal(UTF8String.fromString(s), StringType))
+    def isHot(k: Expression) = In(Cast(k, StringType), hotLits)
+    val saltAlias = Alias(
+      Pmod(new XxHash64(hashable), Literal(buckets.toLong)), "__gsalt")()
+    val hotSalted =
+      Project(saltSide.output :+ saltAlias, Filter(isHot(saltKey), saltSide))
+    val repSaltAttr =
+      AttributeReference("__gsalt_r", LongType, nullable = false)()
+    val gen = Generate(
+      Explode(CreateArray((0L until buckets.toLong).map(Literal(_)))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(repSaltAttr), child = Filter(isHot(repKey), repSide))
+    val sh = Some(HintInfo(Some(SHUFFLE_HASH)))
+    val saltCond = And(cond, EqualTo(saltAlias.toAttribute, repSaltAttr))
+    val hotJoin =
+      if (replicateRight)
+        Join(hotSalted, gen, Inner, Some(saltCond), JoinHint(sh, sh))
+      else Join(gen, hotSalted, Inner, Some(saltCond), JoinHint(sh, sh))
+    val coldJoin = Join(Filter(Not(isHot(lk)), l), Filter(Not(isHot(rk)), r),
+      Inner, Some(cond), JoinHint(sh, sh))
+    // both Projects expose j.output (the original attrs ride the
+    // filtered original children in BOTH legs — the same shape as a
+    // self-union, which Spark executes with shared exprIds)
+    Union(Seq(Project(j.output, hotJoin), Project(j.output, coldJoin)))
+  }
+}

@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // inert unless spark.graft.rangejoin.bucketwidth > 0 (see the rule)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    // the GRAFT_ADVISE surface: the hint rule must run in the analyzer's
+    // HINT batch (RemoveAllHints would otherwise warn-drop the unknown
+    // hint), the rewrite in the operator-optimization fixed point; both
+    // inert unless a query hints GRAFT_ADVISE or the session sets
+    // spark.graft.advisor.sql
+    e.injectHintResolutionRule(_ => GraftAdviseHintRule)
+    e.injectOptimizerRule(_ => AdvisedEquiJoinRewrite)
   }
 }
 

@@ -80,7 +80,8 @@ object JoinAdvisor {
     * independently. */
   final case class AdvisorConf(
       broadcastMaxRows: Long, skewFactor: Double, minSaltOutputRows: Long,
-      maxSaltBuckets: Int, hhCapacity: Int, targetPartitions: Option[Int])
+      maxSaltBuckets: Int, hhCapacity: Int, targetPartitions: Option[Int],
+      maxHotShare: Double = DefaultMaxHotShare)
 
   /** Parse the shared thresholds when `flagKey` is set true; None when
     * the flag is absent or false. A malformed session conf fails NAMING
@@ -99,14 +100,35 @@ object JoinAdvisor {
       }
     }
     if (!parsed(flagKey, "false", _.toBoolean)) None
-    else Some(AdvisorConf(
+    else Some(confThresholds(spark))
+  }
+
+  /** The shared `spark.graft.advisor.*` threshold parse WITHOUT a flag
+    * gate — [[confGate]]'s Some branch, also consumed directly by the
+    * hint-gated SQL rule ([[AdvisedEquiJoinRewrite]]) where the opt-in
+    * is the GRAFT_ADVISE hint itself rather than a conf flag. Same
+    * fail-naming-the-key contract. */
+  def confThresholds(
+      spark: org.apache.spark.sql.SparkSession): AdvisorConf = {
+    val conf = spark.conf
+    def parsed[A](key: String, default: String, parse: String => A): A = {
+      val raw = conf.get(key, default)
+      try parse(raw)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$key: cannot parse '$raw' (${e.getMessage})", e)
+      }
+    }
+    AdvisorConf(
       parsed("spark.graft.advisor.broadcastMaxRows", "1000000", _.toLong),
       parsed("spark.graft.advisor.skewFactor", "5.0", _.toDouble),
       parsed("spark.graft.advisor.minSaltOutputRows", "10000000", _.toLong),
       parsed("spark.graft.advisor.maxSaltBuckets", "1024", _.toInt),
       parsed("spark.graft.advisor.hhCapacity", "1024", _.toInt),
       conf.getOption("spark.graft.advisor.targetPartitions")
-        .map(v => parsed("spark.graft.advisor.targetPartitions", v, _.toInt))))
+        .map(v => parsed("spark.graft.advisor.targetPartitions", v, _.toInt)),
+      parsed("spark.graft.advisor.maxHotShare",
+        DefaultMaxHotShare.toString, _.toDouble))
   }
 
   /** One side's bounded-state summary: exact non-null key count, CMS
@@ -153,7 +175,10 @@ object JoinAdvisor {
       saltBuckets: Int,
       hotKeyOutputCorrected: Long = 0L,
       fairShareCorrected: Long = 1L,
-      hotKeys: Seq[String] = Nil) {
+      hotKeys: Seq[String] = Nil,
+      hotRowShare: Double = 0.0,
+      hotShareLeft: Double = 0.0,
+      hotShareRight: Double = 0.0) {
     override def toString: String = strategy match {
       case "broadcast" =>
         s"broadcast(${broadcastSide.get}): rows L=$leftRows R=$rightRows, " +
@@ -328,7 +353,8 @@ object JoinAdvisor {
       minSaltOutputRows: Long = 10_000_000L,
       maxSaltBuckets: Int = 1024,
       hhCapacity: Int = 1024,
-      targetPartitions: Option[Int] = None): JoinAdvice = {
+      targetPartitions: Option[Int] = None,
+      maxHotShare: Double = DefaultMaxHotShare): JoinAdvice = {
     val a = sideStats(left, leftKey, hhCapacity)
     val b = sideStats(right, rightKey, hhCapacity)
     // advise for the cluster the join will RUN on — the planning session
@@ -337,7 +363,7 @@ object JoinAdvisor {
     val parts = math.max(1, targetPartitions.getOrElse(
       left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
     decide(a, b, parts, broadcastMaxRows, skewFactor, minSaltOutputRows,
-      maxSaltBuckets)
+      maxSaltBuckets, maxHotShare)
   }
 
   /** [[advise]] for a SELF-join (both inputs one frame, one key): the
@@ -351,13 +377,34 @@ object JoinAdvisor {
       minSaltOutputRows: Long = 10_000_000L,
       maxSaltBuckets: Int = 1024,
       hhCapacity: Int = 1024,
-      targetPartitions: Option[Int] = None): JoinAdvice = {
+      targetPartitions: Option[Int] = None,
+      maxHotShare: Double = DefaultMaxHotShare): JoinAdvice = {
     val a = sideStats(df, key, hhCapacity)
     val parts = math.max(1, targetPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
     decide(a, a, parts, broadcastMaxRows, skewFactor, minSaltOutputRows,
-      maxSaltBuckets)
+      maxSaltBuckets, maxHotShare)
   }
+
+  /** Hot-row-share ceiling above which a salt verdict DEMOTES to plain
+    * shuffle (AQE's skew split takes over): targeted salting's cost
+    * advantage is |hot rows| × buckets ≪ |frame| × buckets, and it
+    * degenerates toward full replication as the REPLICATED side's hot
+    * share → 1 — past the crossover AQE splits the oversized
+    * partitions post-shuffle while salting pays replication BEFORE the
+    * map outputs are written. The tested share is the MINIMUM across
+    * sides (the best replication choice — a hot PROBE side is exactly
+    * what salting cures and costs nothing to spread). Default set by
+    * SaltShareProbe's min-of-2 wall/bytes ledger (q224's threshold
+    * shape, shares 10/20/30/50/90% — full table in NOTES r16): every
+    * probed share ≥ 10% lost BOTH ledgers to AQE's split (wall 1.9-8×,
+    * bytes 2-4.5×, and the byte overhead is structural:
+    * ≈ 1 + share·buckets), while the engine's real measured salt win —
+    * the q224 fuzzy join, r15 SaltVsAqeProbe, wall AND bytes — sits at
+    * share 0.009, 11× under the ceiling. So the ceiling is the lowest
+    * probed losing point, 0.1. Overridable via
+    * `spark.graft.advisor.maxHotShare`. */
+  val DefaultMaxHotShare = 0.1
 
   /** The decision rule over two computed side summaries (see object doc);
     * extracted so [[advise]] and [[adviseSelf]] share one implementation
@@ -365,10 +412,12 @@ object JoinAdvisor {
   private[graft] def decide(
       a: SideStats, b: SideStats, parts: Int,
       broadcastMaxRows: Long, skewFactor: Double,
-      minSaltOutputRows: Long, maxSaltBuckets: Int): JoinAdvice = {
+      minSaltOutputRows: Long, maxSaltBuckets: Int,
+      maxHotShare: Double = DefaultMaxHotShare): JoinAdvice = {
     require(broadcastMaxRows >= 0, "broadcastMaxRows must be >= 0")
     require(skewFactor > 0, "skewFactor must be positive")
     require(maxSaltBuckets >= 2, "maxSaltBuckets must be >= 2")
+    require(maxHotShare > 0, "maxHotShare must be positive")
     val est = innerProduct(a.cells, b.cells)
     val fair = math.max(1L, est / parts)
     // hottest key: candidates from EITHER side's MG (a key hot in the
@@ -382,11 +431,10 @@ object JoinAdvisor {
     def mgLow(side: SideStats, h: Long): Long =
       side.heavy.collectFirst { case (`h`, _, m) => m }.getOrElse(0L)
     val cand = (a.heavy ++ b.heavy).map { case (h, display, _) =>
+      val fa = math.max(cmmEstimate(a.cells, a.rows, h), mgLow(a, h))
+      val fb = math.max(cmmEstimate(b.cells, b.rows, h), mgLow(b, h))
       val out = satMul(cmsEstimate(a.cells, h), cmsEstimate(b.cells, h))
-      val corr = satMul(
-        math.max(cmmEstimate(a.cells, a.rows, h), mgLow(a, h)),
-        math.max(cmmEstimate(b.cells, b.rows, h), mgLow(b, h)))
-      (display, out, corr)
+      (display, out, satMul(fa, fb), fa, fb)
     }
     // both maxima are global over the candidate set (each exactly
     // restatable in SQL); the named key follows the DECISION's value
@@ -396,28 +444,59 @@ object JoinAdvisor {
       cand.sortBy(c => (-c._3, -c._2, c._1)).headOption.map(_._1)
     val estCorr = innerProductCorrected(est, a.rows, b.rows, hotCorr)
     val fairCorr = math.max(1L, estCorr / parts)
+    // the TARGETED salting set: every candidate whose corrected output
+    // breaches the skew test (the argmax is in by construction),
+    // deduped by display — a key hot on BOTH sides enters once, and
+    // its per-side masses are counted once
+    val breaching: Map[String, (Long, Long)] = cand.collect {
+      case (display, _, corr, fa, fb) if corr > skewFactor * fairCorr =>
+        display -> ((fa, fb))
+    }.toMap
+    // estimated share of each side's ROWS carrying a breaching key.
+    // Only the REPLICATED side pays |hot rows| × buckets (the salted
+    // side is merely spread — a 90% hot PROBE side is exactly what
+    // salting cures), so the demotion metric is the share of the side
+    // a consumer would best CHOOSE to replicate: the minimum. Both
+    // per-side shares ride the advice so a consumer with a fixed
+    // replication side (or a free choice, like the SQL rule) can honor
+    // the economics.
+    // clamped at 1.0: a true row share cannot exceed 1, but the SUM of
+    // per-key corrected estimates over a large breaching set can (each
+    // carries residual collision mass) — unclamped, the excess would
+    // defeat even a deliberately-lifted ceiling (the q229 sf0.1 lesson)
+    val shareA = math.min(1.0,
+      if (a.rows > 0)
+        breaching.values.map(_._1).foldLeft(0L)(satAdd).toDouble / a.rows
+      else 0.0)
+    val shareB = math.min(1.0,
+      if (b.rows > 0)
+        breaching.values.map(_._2).foldLeft(0L)(satAdd).toDouble / b.rows
+      else 0.0)
+    val hotShare = math.min(shareA, shareB)
     if (math.min(a.rows, b.rows) <= broadcastMaxRows) {
       JoinAdvice("broadcast",
         Some(if (a.rows <= b.rows) "left" else "right"),
-        est, a.rows, b.rows, hotKey, hotOut, fair, 0, hotCorr, fairCorr)
+        est, a.rows, b.rows, hotKey, hotOut, fair, 0, hotCorr, fairCorr,
+        hotRowShare = hotShare, hotShareLeft = shareA, hotShareRight = shareB)
     } else if (hotCorr > skewFactor * fairCorr &&
-        hotCorr >= minSaltOutputRows) {
+        hotCorr >= minSaltOutputRows && hotShare <= maxHotShare) {
       // buckets sized to spread the hot key's output back to fair share
       val needed = math.max(2L, hotCorr / fairCorr)
       var buckets = 2
       while (buckets < needed && buckets < maxSaltBuckets) buckets <<= 1
-      // the TARGETED salting set: every candidate whose corrected output
-      // breaches the same test the verdict fired on (the argmax is in by
-      // construction). Distinct display strings — a key hot on both
-      // sides enters once.
-      val hotSet = cand.collect {
-        case (display, _, corr) if corr > skewFactor * fairCorr => display
-      }.distinct.sorted
+      val hotSet = breaching.keys.toSeq.sorted
       JoinAdvice("salt", None, est, a.rows, b.rows, hotKey, hotOut, fair,
-        math.min(buckets, maxSaltBuckets), hotCorr, fairCorr, hotSet)
+        math.min(buckets, maxSaltBuckets), hotCorr, fairCorr, hotSet,
+        hotRowShare = hotShare, hotShareLeft = shareA, hotShareRight = shareB)
     } else {
+      // includes the DEMOTED case (skew test breached but even the
+      // BEST replication choice carries hotShare > maxHotShare): past
+      // the measured crossover, replication costs more than the
+      // straggler it cures — plain shuffle + AQE skew split is the
+      // cheaper cure there (SaltShareProbe's ledger)
       JoinAdvice("shuffle", None, est, a.rows, b.rows, hotKey, hotOut,
-        fair, 0, hotCorr, fairCorr)
+        fair, 0, hotCorr, fairCorr,
+        hotRowShare = hotShare, hotShareLeft = shareA, hotShareRight = shareB)
     }
   }
 }

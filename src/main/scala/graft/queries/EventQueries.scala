@@ -526,11 +526,18 @@ object EventQueries extends QueryPack {
             lit(hotHour) + pmod(col("ts").cast("long"), lit(3600L)))
             .otherwise(col("ts").cast("long")).as("p_ts"),
           col("value").as("p_value"))
+      // maxHotShare lifted (r16): the herd hour's bucket-key share at
+      // fixture SFs sits past the default demotion ceiling (sf0.001
+      // has few distinct hours, so the folded 5% concentrates to
+      // ~0.5 of the point-side buckets) — this query grades the
+      // salted EXECUTION; the crossover economics are
+      // JoinAdvisorSpec's pin
       val (advice, j) = graft.operators.Temporal.rangeJoinAdvised(
         points, col("p_ts"),
         windows, col("w_from"), col("w_to"), bucketWidth = 3600L,
         broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 100L,
-        maxSaltBuckets = 8, targetPartitions = Some(200000))
+        maxSaltBuckets = 8, targetPartitions = Some(200000),
+        maxHotShare = 1.0)
       require(advice.strategy == "salt" && advice.saltBuckets >= 2,
         s"a thundering-herd bucket at 200k-partition fair share must " +
           s"salt: $advice")

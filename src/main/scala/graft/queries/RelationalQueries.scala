@@ -1675,10 +1675,17 @@ object RelationalQueries extends QueryPack {
   private val q224 = Q(
     "q224_advised_fuzzy_salted",
     (s, dir) => {
+      // maxHotShare lifted (r16): at sf0.1 the variant frame's hot
+      // share is a measured 0.009 — 11× under the default demotion
+      // ceiling — but at sf0.001 the zero-padded prefixes dominate the
+      // tiny corpus (share ~0.26) and the ceiling would demote; this
+      // query grades the salted EXECUTION, and the crossover economics
+      // are JoinAdvisorSpec's pin
       val (advice, pairs) = graft.operators.Dedup.editDistancePairsAdvised(
         Tables(s, dir).customer, col("c_name"), col("c_custkey"), k = 1,
         broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 100L,
-        maxSaltBuckets = 8, targetPartitions = Some(200000))
+        maxSaltBuckets = 8, targetPartitions = Some(200000),
+        maxHotShare = 1.0)
       require(advice.strategy == "salt" && advice.saltBuckets >= 2,
         s"hot variant blocks at 200k-partition fair share must salt: $advice")
       val res = pairs.orderBy(col("id_a"), col("id_b"))
@@ -1696,6 +1703,125 @@ object RelationalQueries extends QueryPack {
       FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       WHERE levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY id_a, id_b"""))
+
+  /** The advisory consumed through PLAIN SQL TEXT at its BROADCAST
+    * operating point — the r15 verdict's "promote the advisory from
+    * hand-wired consumers to a Catalyst rule": a GRAFT_ADVISE hint in
+    * the query ([[graft.plans.GraftAdviseHintRule]] →
+    * [[graft.plans.AdvisedEquiJoinRewrite]]) routes the orders⋈customer
+    * equi-join through the sketch pass, which sees a dimension-sized
+    * customer side and executes a BROADCAST hint. Causality is pinned
+    * by materializing the plan at autoBroadcastJoinThreshold=-1 (size-
+    * based broadcast disabled, restored after the pin): the
+    * BroadcastHashJoin in the executed plan can only have come from the
+    * rule's verdict. Thresholds are set EXPLICITLY (not defaults) so a
+    * sibling query's sticky advisor confs cannot flip the verdict.
+    * Results are strategy-independent; the oracle grades the plain
+    * aggregate. */
+  private val q232 = Q(
+    "q232_advised_sql_broadcast",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("graft_orders_q232")
+      Tables(s, dir).customer.createOrReplaceTempView("graft_customer_q232")
+      s.conf.set("spark.graft.advisor.broadcastMaxRows", "1000000")
+      val prevAuto = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val res = s.sql("""
+          SELECT /*+ GRAFT_ADVISE */ c_mktsegment,
+            CAST(count(*) AS BIGINT) AS n_orders,
+            round(sum(o_totalprice), 2) AS revenue
+          FROM graft_orders_q232 JOIN graft_customer_q232
+            ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+        val p = res.queryExecution.executedPlan.toString
+        require(p.contains("BroadcastHashJoin"),
+          "with size-based broadcast disabled, only the GRAFT_ADVISE " +
+            s"verdict can broadcast — it did not:\n${p.take(1200)}")
+        res
+      } finally prevAuto match {
+        case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** The SQL-surface advisory at its SALT operating point: a
+    * manufactured hot key (every 10th orderkey folds to orderkey 1, so
+    * ~10% of lineitem carries one key) under q224's threshold shape —
+    * broadcast disallowed, 100 TB-deployment fair share
+    * (targetPartitions=200000) — makes
+    * [[graft.plans.AdvisedEquiJoinRewrite]] rewrite the join written as
+    * PLAIN SQL into the TARGETED-salt union: hot-key rows split off,
+    * the left leg salted by xxhash64 over its columns, the right leg
+    * replicated buckets×, cold remainder joined plain, shuffle_hash
+    * pinned on both legs. Plan-pinned (salt key present, Union present,
+    * no broadcast); the oracle re-derives the aggregate from the same
+    * fold in DuckDB, proving the rewrite moved shuffle placement, never
+    * semantics. The advisor confs stay set on the session (they are
+    * read again at the driver's write-time re-optimization and only
+    * marker-carrying queries read them; q232 sets its own). Hot share
+    * ≈10% sits under the maxHotShare=0.5 demotion ceiling. */
+  private val q233 = Q(
+    "q233_advised_sql_salted",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_lineitem_q233")
+      Tables(s, dir).orders.createOrReplaceTempView("graft_orders_q233")
+      s.conf.set("spark.graft.advisor.broadcastMaxRows", "0")
+      s.conf.set("spark.graft.advisor.skewFactor", "1.5")
+      s.conf.set("spark.graft.advisor.minSaltOutputRows", "100")
+      s.conf.set("spark.graft.advisor.maxSaltBuckets", "8")
+      s.conf.set("spark.graft.advisor.targetPartitions", "200000")
+      // ceiling lifted (r16): at the 200k-partition fair share of 1,
+      // EVERY key's corrected output breaches the 1.5× skew test at
+      // fixture SFs, so the breaching "hot mass" is the whole frame
+      // and the measured demotion ceiling would (correctly, for that
+      // degenerate estimate) route to shuffle+AQE — this query grades
+      // the salted EXECUTION; the ceiling itself is JoinAdvisorSpec's
+      s.conf.set("spark.graft.advisor.maxHotShare", "1.0")
+      // the hot key is hot on BOTH sides, with the right multiplicity
+      // CONSTANT (3 VALUES rows + any real orderkey-1 row): a hot key
+      // against a single right row is a 600-row reducer no advisory
+      // should salt — the corrected right frequency correctly floors to
+      // ~1·collisions and the verdict at sf0.001 was shuffle, which
+      // Catalyst then broadcast (the r16 fixture lesson); the constant
+      // fan-out keeps the verdict salt at every SF while the output
+      // stays linear in lineitem
+      val res = s.sql("""
+        SELECT /*+ GRAFT_ADVISE */ k, CAST(count(*) AS BIGINT) AS n,
+          round(sum(l_extendedprice), 2) AS amt
+        FROM (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 1
+                ELSE l_orderkey END AS k, l_extendedprice
+              FROM graft_lineitem_q233) l
+        JOIN (SELECT o_orderkey AS k FROM graft_orders_q233
+              UNION ALL
+              SELECT 1 AS k FROM (VALUES (1), (2), (3)) AS t(x)) o
+          USING (k)
+        GROUP BY k ORDER BY k""")
+      val p = res.queryExecution.executedPlan.toString
+      require(p.contains("__gsalt"),
+        s"executed join must carry the salt key:\n${p.take(1500)}")
+      require(p.contains("Union"),
+        s"targeted salting splits hot/cold legs under a Union:\n" +
+          p.take(1500))
+      require(!p.contains("BroadcastHashJoin"),
+        s"salted join must not broadcast a past-dimension side:\n" +
+          p.take(1500))
+      res
+    },
+    Some("""SELECT k, CAST(count(*) AS BIGINT) AS n,
+        round(sum(l_extendedprice), 2) AS amt
+      FROM (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 1
+              ELSE l_orderkey END AS k, l_extendedprice
+            FROM lineitem) l
+      JOIN (SELECT o_orderkey AS k FROM orders
+            UNION ALL
+            SELECT 1 AS k FROM (VALUES (1), (2), (3)) AS t(x)) o
+        USING (k)
+      GROUP BY k ORDER BY k"""))
 
   /** Column-level table profile ([[graft.operators.Profiling.profile]])
     * over `orders` — per-column row/null/distinct counts, min/max, and a
@@ -2302,5 +2428,5 @@ object RelationalQueries extends QueryPack {
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
     q184, q189, q191, q195, q196, q201, q203, q204, q208, q209, q214,
-    q215, q217, q223, q224, q226)
+    q215, q217, q223, q224, q226, q232, q233)
 }

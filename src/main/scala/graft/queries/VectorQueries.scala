@@ -1175,10 +1175,18 @@ object VectorQueries extends QueryPack {
       val model = Seq(
         0 -> Seq(1.0, 0.0), 1 -> Seq(-1.0, 0.0),
         2 -> Seq(0.0, 1.0), 3 -> Seq(0.0, -1.0))
+      // maxHotShare lifted: the fixture's dominant direction makes the
+      // hot list MOST of both sides by construction, past the default
+      // demotion ceiling (r16: past the SaltShareProbe crossover a salt
+      // verdict demotes to shuffle+AQE) — this query grades the salted
+      // EXECUTION path; the crossover economics are JoinAdvisorSpec's
+      // pin and the demotion is itself the advisory's verdict for
+      // shapes like this at deployment scale
       val (advice, edges) = Similarity.knnGraphAdvised(
         corpus, k = 3, nlist = 4, nprobe = 2, model = Some(model),
         broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 100L,
-        maxSaltBuckets = 8, targetPartitions = Some(200000))
+        maxSaltBuckets = 8, targetPartitions = Some(200000),
+        maxHotShare = 1.0)
       require(advice.strategy == "salt" && advice.saltBuckets >= 2,
         s"a dominant IVF list at 200k-partition fair share must salt: $advice")
       require(advice.hotKeys.contains("0"),

@@ -202,11 +202,17 @@ class BenchSpec extends AnyFunSuite {
     // flag on + anchor missing: the excluded query is timed for seeding
     assert(Bench.seedTargets(excluded, Set("q1", "q2"), short,
       enabled = true) === Seq("q159_crash_consistent_curation"))
-    // flag on + anchor present: one-shot repair, never a re-time (the
+    // flag on + BOTH rows present: one-shot repair, never a re-time (the
     // crash matrix's seconds would otherwise overwrite a sane anchor
     // through the rolling-min rule on some future quiet window)
-    assert(Bench.seedTargets(excluded, Set("q159"), short,
+    assert(Bench.seedTargets(excluded, Set("q159", "q159#b"), short,
       enabled = true).isEmpty)
+    // seconds present but the "#b" bytes companion missing: STILL
+    // seed-eligible (r15 ADVICE — the bytes-regression guard was
+    // permanently blind for the partial-history state); the run then
+    // contributes only the missing row (seedRows drops present ones)
+    assert(Bench.seedTargets(excluded, Set("q159"), short,
+      enabled = true) === Seq("q159_crash_consistent_curation"))
     // and the seeded row then rides rollingEnvelope like any new key —
     // missing from prior, so it enters at its current value even though
     // the query stays out of the timed sweep forever after
@@ -258,5 +264,82 @@ class BenchSpec extends AnyFunSuite {
     // degenerate priors/failures never fire
     assert(!Bench.exceedsPrior(best = 5.0, prior = 0.0, spreadLimit = 3.0))
     assert(!Bench.exceedsPrior(best = -1.0, prior = 1.0, spreadLimit = 3.0))
+  }
+
+  test("resource-matched exoneration: a CPU-bound flag CONFIRMS on a " +
+    "disk-only-degraded window; a disk-affine flag is still exonerated") {
+    // the BENCH_r15 window shape: disk 1.71x degraded, CPU healthy
+    val (cpu, disk) = (1.02, 1.71)
+    // a q121-shaped flag (connected components, CPU/shuffle-bound) at
+    // 1.46x its top-decile envelope: the old blanket max exonerated it
+    // on disk inflation it never felt; CPU-matched it CONFIRMS
+    val cpuInfl = Bench.inflationFor("cpu", cpu, disk)
+    assert(cpuInfl === 1.02)
+    assert(Bench.confirmsUnderInflation(
+      best = 3.2, prior = 2.195, spreadLimit = 1.3, inflation = cpuInfl))
+    assert(!Bench.confirmsUnderInflation(
+      best = 3.2, prior = 2.195, spreadLimit = 1.3,
+      inflation = Bench.combinedInflation(cpu, disk)),
+      "the blanket max would have exonerated the same flag")
+    // a q59-shaped flag (streaming, checkpoint-bound) at 1.38x on the
+    // same window: disk-matched, the storage slowdown explains it
+    assert(!Bench.confirmsUnderInflation(
+      best = 2.9, prior = 2.1, spreadLimit = 1.3,
+      inflation = Bench.inflationFor("disk", cpu, disk)))
+    // untagged keys keep the conservative blanket max; healthy
+    // resources never tighten below 1.0
+    assert(Bench.inflationFor("max", cpu, disk) === 1.71)
+    assert(Bench.inflationFor("cpu", 0.8, disk) === 1.0)
+    // the affinity tags: streaming lifecycles disk, every other
+    // registered query cpu, non-query keys the blanket fallback
+    assert(Bench.resourceAffinity("q59") === "disk")
+    assert(Bench.resourceAffinity("q5a") === "disk")
+    assert(Bench.resourceAffinity("q121") === "cpu")
+    assert(Bench.resourceAffinity("q184") === "cpu")
+    assert(Bench.resourceAffinity("__canary_par") === "max")
+  }
+
+  test("rebase ledger: every hand-loosening writes its own history row " +
+    "in the envelope; tightenings, canaries, and non-rebase runs never do") {
+    val prior = Map("q5a" -> 1.499, "q59" -> 2.098, "q184" -> 4.780,
+      "q01" -> 0.5, Bench.CanaryRefKey -> 0.281)
+    val cur = Map("q5a" -> 1.830, "q59" -> 2.513, "q184" -> 6.098,
+      "q01" -> 0.4, Bench.CanaryRefKey -> 0.9)
+    val rows = Bench.rebaseLedgerRows(prior, cur, rebase = true,
+      note = "healthy-floor-series")
+    assert(rows === Map(
+      "__rebase:q5a:healthy-floor-series:1.499" -> 1.830,
+      "__rebase:q59:healthy-floor-series:2.098" -> 2.513,
+      "__rebase:q184:healthy-floor-series:4.780" -> 6.098),
+      s"every loosened anchor must be ledgered: $rows")
+    // a rebase WITHOUT a ledger entry is unreachable: the rows are
+    // produced by the same call that gates on the rebase flag
+    assert(Bench.rebaseLedgerRows(prior, cur, rebase = false, "x").isEmpty)
+    // ledger rows are history, not anchors: carried verbatim forever,
+    // and never themselves re-ledgered
+    val carried = Bench.carriedLedgerRows(
+      rows ++ Map("q5a" -> 1.830, "q01" -> 0.4))
+    assert(carried === rows)
+    assert(Bench.rebaseLedgerRows(
+      rows, rows.map { case (k, v) => k -> (v + 1) }, rebase = true, "y")
+      .isEmpty, "a ledger row must never be re-ledgered")
+  }
+
+  test("warm-up eligibility rides the committed envelope (heavy tail " +
+    "only), not this run's readings") {
+    assert(Bench.warmupEligible(Some(2.1)))
+    assert(Bench.warmupEligible(Some(6.098)))
+    assert(!Bench.warmupEligible(Some(1.9)))
+    assert(!Bench.warmupEligible(None), "no anchor, no warm-up")
+  }
+
+  test("a run whose every disk-canary reading failed (-1) keeps the " +
+    "committed healthy anchor through the rolling rule") {
+    // the r15 ADVICE finding: omitting the key entirely erased the
+    // anchor; emitting -1 routes through rollingEnvelope's cur<0 branch
+    val env = Bench.rollingEnvelope(
+      Map(Bench.DiskCanaryRefKey -> 0.109),
+      Map(Bench.DiskCanaryRefKey -> -1.0, "q1" -> 0.5), rebase = false)
+    assert(env(Bench.DiskCanaryRefKey) === 0.109)
   }
 }

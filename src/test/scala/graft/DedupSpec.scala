@@ -559,10 +559,14 @@ class DedupSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === want)
     // salt verdict (broadcast disallowed, deployment-width fair share):
     // the zero-padded ids make deletion-variant blocks genuinely hot
+    // (maxHotShare lifted: the 400-id fixture's shared-prefix variant
+    // blocks carry well past the default demotion ceiling at this tiny
+    // scale — salt-execution parity is the thing under test; the
+    // crossover itself is JoinAdvisorSpec's pin)
     val (as, ps) = Dedup.editDistancePairsAdvised(df, col("s"), col("id"),
       k = 1, broadcastMaxRows = 0L, skewFactor = 1.5,
       minSaltOutputRows = 10L, maxSaltBuckets = 4,
-      targetPartitions = Some(200000))
+      targetPartitions = Some(200000), maxHotShare = 1.0)
     assert(as.strategy === "salt" && as.saltBuckets >= 2, as.toString)
     assert(ps.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === want,

@@ -191,4 +191,40 @@ class JoinAdvisorSpec extends SparkSpec {
       spark.conf.unset("spark.graft.advisor.maxSaltBuckets")
     }
   }
+
+  test("salt demotes to shuffle past the hot-share crossover; the share " +
+    "tested is the best REPLICATION choice (min across sides)") {
+    // 90% of BOTH sides carries the hot key: whichever side replicates,
+    // targeted salting degenerates toward full replication — past the
+    // SaltShareProbe crossover, AQE's post-shuffle split is the cheaper
+    // cure, so the verdict demotes
+    val hotBoth = ((1 to 9000).map(_ => 7L) ++
+      (1 to 1000).map(i => 100L + i)).toDF("k")
+    val demoted = JoinAdvisor.advise(
+      hotBoth, col("k"), hotBoth, col("k"),
+      broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 100L,
+      targetPartitions = Some(200000))
+    assert(demoted.strategy === "shuffle", demoted.toString)
+    assert(demoted.hotRowShare > 0.5 && demoted.hotShareLeft > 0.5 &&
+      demoted.hotShareRight > 0.5, demoted.toString)
+    // the demotion (not the skew test) is what flipped it: the same
+    // shape salts when the ceiling is lifted
+    val lifted = JoinAdvisor.advise(
+      hotBoth, col("k"), hotBoth, col("k"),
+      broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 100L,
+      targetPartitions = Some(200000), maxHotShare = 1.0)
+    assert(lifted.strategy === "salt", lifted.toString)
+    // one-sided heat STAYS salt under the default ceiling: a hot PROBE
+    // side is exactly what salting cures — only the replicated side
+    // pays ×buckets, and the cold side is the obvious replication choice
+    val coldSide = (1 to 101).flatMap(k => Seq.fill(50)(k.toLong + 6))
+      .toDF("k")
+    val oneSided = JoinAdvisor.advise(
+      hotBoth, col("k"), coldSide, col("k"),
+      broadcastMaxRows = 100L, skewFactor = 3.0, minSaltOutputRows = 1000L)
+    assert(oneSided.strategy === "salt", oneSided.toString)
+    assert(oneSided.hotShareLeft > 0.5 && oneSided.hotShareRight < 0.2,
+      oneSided.toString)
+    assert(oneSided.hotRowShare === oneSided.hotShareRight)
+  }
 }

@@ -345,10 +345,15 @@ class PropertySpec extends SparkSpec {
           ((f, to), w) <- ivs.zipWithIndex
           if t >= f && t <= to
         } yield (w.toLong, j.toLong)).sorted
+        // maxHotShare lifted: the generated pile-ups concentrate most
+        // rows on few buckets, so the hot share can exceed the default
+        // demotion ceiling — this property grades salted-execution
+        // EXACTNESS, not the crossover economics
         val (advice, df) = graft.operators.Temporal.rangeJoinAdvised(
           pts, col("ts"), ivDf, col("f"), col("t"), bucketWidth = width,
           broadcastMaxRows = 0L, skewFactor = 1.2, minSaltOutputRows = 1L,
-          maxSaltBuckets = 8, targetPartitions = Some(2000000))
+          maxSaltBuckets = 8, targetPartitions = Some(2000000),
+          maxHotShare = 1.0)
         assert(advice.strategy === "salt",
           s"draw $i (width $width): pile-up must salt, got $advice")
         val got = df.select(col("wid"), col("pid")).collect()

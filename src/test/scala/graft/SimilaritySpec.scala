@@ -160,10 +160,15 @@ class SimilaritySpec extends SparkSpec {
     // list must be MG-named, the plan must carry the salt key, and the
     // result must STILL be bit-identical (targeted hot/cold partition
     // is exact by key disjointness)
+    // (maxHotShare lifted: the forced thresholds make EVERY cid breach
+    // at fixture scale, so the hot share is ~1.0 and the default
+    // ceiling would demote — this test grades salt-execution parity,
+    // not the crossover economics, which JoinAdvisorSpec pins)
     val (aS, dfS) = Similarity.knnGraphAdvised(
       emb, k = 3, nlist = 8, nprobe = 2, model = Some(model),
       broadcastMaxRows = 0L, skewFactor = 1.01, minSaltOutputRows = 1L,
-      maxSaltBuckets = 4, targetPartitions = Some(2000000))
+      maxSaltBuckets = 4, targetPartitions = Some(2000000),
+      maxHotShare = 1.0)
     assert(aS.strategy === "salt" && aS.hotKeys.nonEmpty)
     val plan = dfS.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), "salted candidate join executes")

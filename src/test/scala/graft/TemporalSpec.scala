@@ -115,10 +115,15 @@ class TemporalSpec extends SparkSpec {
     // salt point: the interval cluster's bucket 0 must be MG-named, the
     // executed result must STILL be identical (targeted hot/cold bucket
     // partition is exact by key disjointness)
+    // (maxHotShare lifted: at fixture scale most bucket keys breach
+    // the forced thresholds, so the replicated-side hot share is past
+    // the default demotion ceiling — salt-execution parity is the
+    // thing under test; the crossover itself is JoinAdvisorSpec's pin)
     val (aS, dfS) = graft.operators.Temporal.rangeJoinAdvised(
       pts, col("ts"), ivs, col("f"), col("t"), bucketWidth = 100L,
       broadcastMaxRows = 0L, skewFactor = 1.5, minSaltOutputRows = 1L,
-      maxSaltBuckets = 8, targetPartitions = Some(2000000))
+      maxSaltBuckets = 8, targetPartitions = Some(2000000),
+      maxHotShare = 1.0)
     assert(aS.strategy === "salt" && aS.hotKeys.contains("0"))
     assert(dfS.queryExecution.executedPlan.toString.contains("__sl"),
       "salted range join executes the salt key")
