@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -60,8 +60,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - shuffle → untouched (Catalyst's static pick), tagged so the
   *    fixed-point batch does not re-run the sketch pass.
   *
-  * Scope guards (else the join is left alone): inner join only (the
-  * salt leg replicates — outer joins would multiply unmatched rows),
+  * Scope guards (else the join is left alone): inner, left-outer,
+  * left-semi, left-anti, and right-outer joins only, with per-type
+  * legality — broadcast hints only a side the type can BUILD, salting
+  * only replicates a side whose unmatched rows the type never emits
+  * (right for left-outer/semi/anti, left for right-outer, the
+  * lower-hot-share side for inner; a replicated unmatched row would
+  * emit once per bucket), and null-keyed rows on the SALTED side ride
+  * the cold leg so outer/anti joins still emit them. Plus:
   * deterministic children/condition, no pre-existing strategy hint
   * (which also makes the rewrite idempotent — both rewrite shapes
   * carry hints), at least one cross-side equi-conjunct (composite keys
@@ -189,11 +195,38 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** Join-type legality for the two rewrite shapes. Broadcast: the
+    * hinted side must be a side Spark can BUILD for the type
+    * (BroadcastHashJoin builds right for left-outer/semi/anti, left
+    * for right-outer, either for inner). Salt: the REPLICATED side
+    * must be one whose unmatched rows the type never emits (a
+    * replicated unmatched row would emit once per bucket — the
+    * Skew.saltedEquiJoin contract): right for left-outer/semi/anti,
+    * left for right-outer, free choice (by hot share) for inner.
+    * Full-outer and existence joins are never advised. */
+  private def legalBroadcastSides(jt: JoinType): Set[String] = jt match {
+    case Inner => Set("left", "right")
+    case LeftOuter | LeftSemi | LeftAnti => Set("right")
+    case RightOuter => Set("left")
+    case _ => Set.empty
+  }
+
+  /** Some(replicateRight) when salting is legal for the type. */
+  private def saltReplicateSide(
+      jt: JoinType, advice: JoinAdvisor.JoinAdvice): Option[Boolean] =
+    jt match {
+      case Inner => Some(advice.hotShareRight <= advice.hotShareLeft)
+      case LeftOuter | LeftSemi | LeftAnti => Some(true)
+      case RightOuter => Some(false)
+      case _ => None
+    }
+
   private def maybeAdvise(
       session: org.apache.spark.sql.SparkSession, j: Join,
       conf: JoinAdvisor.AdvisorConf): LogicalPlan = j match {
-    case Join(l, r, Inner, Some(cond), hint)
-        if hint == JoinHint.NONE && j.getTagValue(AdvisedTag).isEmpty &&
+    case Join(l, r, jt, Some(cond), hint)
+        if legalBroadcastSides(jt).nonEmpty && hint == JoinHint.NONE &&
+          j.getTagValue(AdvisedTag).isEmpty &&
           cond.deterministic && l.deterministic && r.deterministic &&
           !SubqueryExpression.hasSubquery(cond) =>
       val keys = equiKeys(cond, l, r)
@@ -203,16 +236,25 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
           if (keys.size == 1) keys.head
           else (CreateStruct(keys.map(_._1)), CreateStruct(keys.map(_._2)))
         val advice = runAdvisory(session, l, r, lk, rk, conf)
-        logInfo(s"GRAFT_ADVISE verdict: $advice")
+        logInfo(s"GRAFT_ADVISE verdict ($jt): $advice")
         advice.strategy match {
-          case "broadcast" =>
+          case "broadcast"
+              if advice.broadcastSide.exists(legalBroadcastSides(jt)) =>
             val b = Some(HintInfo(Some(BROADCAST)))
             val newHint =
               if (advice.broadcastSide.contains("left")) JoinHint(b, None)
               else JoinHint(None, b)
             j.copy(hint = newHint)
-          case "salt" => saltRewrite(j, l, r, cond, lk, rk, advice)
-          case _ => j.setTagValue(AdvisedTag, true); j
+          case "salt" =>
+            saltReplicateSide(jt, advice) match {
+              case Some(repRight) =>
+                saltRewrite(j, l, r, cond, lk, rk, advice, repRight)
+              case None => j.setTagValue(AdvisedTag, true); j
+            }
+          case _ =>
+            // shuffle verdict, or a broadcast verdict whose smaller
+            // side the join type cannot build — Catalyst's pick stands
+            j.setTagValue(AdvisedTag, true); j
         }
       }
     case _ => j
@@ -253,14 +295,14 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
   private def saltRewrite(
       j: Join, l: LogicalPlan, r: LogicalPlan, cond: Expression,
       lk: Expression, rk: Expression,
-      advice: JoinAdvisor.JoinAdvice): LogicalPlan = {
+      advice: JoinAdvisor.JoinAdvice,
+      replicateRight: Boolean): LogicalPlan = {
     require(advice.hotKeys.nonEmpty,
       "salt verdict without hotKeys — advisory contract violation")
-    // only the REPLICATED side pays ×buckets, so replicate the side
-    // with the SMALLER hot-row share (the advice carries both; decide()
-    // demoted to shuffle already if even this choice is past the
-    // maxHotShare crossover)
-    val replicateRight = advice.hotShareRight <= advice.hotShareLeft
+    // only the REPLICATED side pays ×buckets; for inner joins the
+    // caller picked the side with the SMALLER hot-row share (decide()
+    // demoted to shuffle already if even that choice is past the
+    // maxHotShare crossover), for one-sided join types the legal side
     val (saltSide, saltKey, repSide, repKey) =
       if (replicateRight) (l, lk, r, rk) else (r, rk, l, lk)
     // the salt must vary WITHIN a hot key, so it hashes every hashable
@@ -293,12 +335,23 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
       generatorOutput = Seq(repSaltAttr), child = Filter(isHot(repKey), repSide))
     val sh = Some(HintInfo(Some(SHUFFLE_HASH)))
     val saltCond = And(cond, EqualTo(saltAlias.toAttribute, repSaltAttr))
+    val jt = j.joinType
     val hotJoin =
       if (replicateRight)
-        Join(hotSalted, gen, Inner, Some(saltCond), JoinHint(sh, sh))
-      else Join(gen, hotSalted, Inner, Some(saltCond), JoinHint(sh, sh))
-    val coldJoin = Join(Filter(Not(isHot(lk)), l), Filter(Not(isHot(rk)), r),
-      Inner, Some(cond), JoinHint(sh, sh))
+        Join(hotSalted, gen, jt, Some(saltCond), JoinHint(sh, sh))
+      else Join(gen, hotSalted, jt, Some(saltCond), JoinHint(sh, sh))
+    // cold-leg routing: the SALTED side keeps its null-keyed rows (a
+    // null key matches nothing, but outer/anti joins still EMIT the
+    // row — dropping it from both legs would lose it; isHot is null on
+    // a null key, so Not(isHot) alone would drop it too); the
+    // REPLICATED side's null-keyed rows are dropped — every advised
+    // type never emits that side's unmatched rows
+    def coldKeep(k: Expression, salted: Boolean): Expression =
+      if (salted) Or(Not(isHot(k)), IsNull(k)) else Not(isHot(k))
+    val coldJoin = Join(
+      Filter(coldKeep(lk, salted = replicateRight), l),
+      Filter(coldKeep(rk, salted = !replicateRight), r),
+      jt, Some(cond), JoinHint(sh, sh))
     // both Projects expose j.output (the original attrs ride the
     // filtered original children in BOTH legs — the same shape as a
     // self-union, which Spark executes with shared exprIds)

@@ -1823,6 +1823,67 @@ object RelationalQueries extends QueryPack {
         USING (k)
       GROUP BY k ORDER BY k"""))
 
+  /** The SQL-surface advisory's salt path on a LEFT OUTER join — the
+    * join-type-legality half of the r16 rule: LeftOuter forces the
+    * RIGHT side to replicate (its unmatched rows never emit, so
+    * replication cannot distort multiplicity), unmatched LEFT rows
+    * (odd orderkeys — the right side keeps only even ones plus the
+    * hot key's constant VALUES fan-out) must emit null-padded exactly
+    * once, and NULL-keyed left rows (every 97th orderkey) ride the
+    * cold leg — dropping them was the one way this rewrite could
+    * silently lose rows, so the fixture makes them load-bearing. Same
+    * q233 conf shape; the DuckDB oracle re-derives the whole aggregate
+    * including the NULL-key group and the matched-count column. */
+  private val q234 = Q(
+    "q234_advised_sql_outer_salted",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_lineitem_q234")
+      Tables(s, dir).orders.createOrReplaceTempView("graft_orders_q234")
+      s.conf.set("spark.graft.advisor.broadcastMaxRows", "0")
+      s.conf.set("spark.graft.advisor.skewFactor", "1.5")
+      s.conf.set("spark.graft.advisor.minSaltOutputRows", "100")
+      s.conf.set("spark.graft.advisor.maxSaltBuckets", "8")
+      s.conf.set("spark.graft.advisor.targetPartitions", "200000")
+      s.conf.set("spark.graft.advisor.maxHotShare", "1.0")
+      val res = s.sql("""
+        SELECT /*+ GRAFT_ADVISE */ k, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(k2) AS BIGINT) AS matched,
+          round(sum(l_extendedprice), 2) AS amt
+        FROM (SELECT CASE WHEN l_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+                WHEN l_orderkey % 10 = 0 THEN 1
+                ELSE l_orderkey END AS k, l_extendedprice
+              FROM graft_lineitem_q234) l
+        LEFT JOIN (SELECT o_orderkey AS k2 FROM graft_orders_q234
+                   WHERE o_orderkey % 2 = 0
+                   UNION ALL
+                   SELECT 1 AS k2 FROM (VALUES (1), (2), (3)) AS t(x)) o
+          ON l.k = o.k2
+        GROUP BY k ORDER BY k""")
+      val p = res.queryExecution.executedPlan.toString
+      require(p.contains("__gsalt"),
+        s"executed outer join must carry the salt key:\n${p.take(1500)}")
+      require(p.contains("Union"),
+        s"targeted salting splits hot/cold legs under a Union:\n" +
+          p.take(1500))
+      require(!p.contains("BroadcastHashJoin"),
+        s"salted join must not broadcast a past-dimension side:\n" +
+          p.take(1500))
+      res
+    },
+    Some("""SELECT k, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(k2) AS BIGINT) AS matched,
+        round(sum(l_extendedprice), 2) AS amt
+      FROM (SELECT CASE WHEN l_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+              WHEN l_orderkey % 10 = 0 THEN 1
+              ELSE l_orderkey END AS k, l_extendedprice
+            FROM lineitem) l
+      LEFT JOIN (SELECT o_orderkey AS k2 FROM orders
+                 WHERE o_orderkey % 2 = 0
+                 UNION ALL
+                 SELECT 1 AS k2 FROM (VALUES (1), (2), (3)) AS t(x)) o
+        ON l.k = o.k2
+      GROUP BY k ORDER BY k"""))
+
   /** Column-level table profile ([[graft.operators.Profiling.profile]])
     * over `orders` — per-column row/null/distinct counts, min/max, and a
     * q40-style verdict that the HLL sketch tracks the exact distinct.
@@ -2428,5 +2489,5 @@ object RelationalQueries extends QueryPack {
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
     q184, q189, q191, q195, q196, q201, q203, q204, q208, q209, q214,
-    q215, q217, q223, q224, q226, q232, q233)
+    q215, q217, q223, q224, q226, q232, q233, q234)
 }

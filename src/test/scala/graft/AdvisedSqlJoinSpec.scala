@@ -105,8 +105,8 @@ class AdvisedSqlJoinSpec extends SparkSpec {
     }
   }
 
-  test("scope guards: outer joins, pre-hinted joins, and non-equi " +
-    "conditions are left untouched") {
+  test("scope guards: per-type broadcast legality, pre-hinted joins, " +
+    "and non-equi conditions") {
     val x = (1 to 1000).map(i => (i.toLong, i % 5L)).toDF("id", "k")
     val y = (1 to 50).map(i => (i % 5L, i.toLong)).toDF("k", "w")
     x.createOrReplaceTempView("adv_x")
@@ -114,11 +114,18 @@ class AdvisedSqlJoinSpec extends SparkSpec {
     withConfs(
       "spark.graft.advisor.sql" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      // LEFT OUTER: the salt leg would multiply unmatched rows — the
-      // rule must not touch it (no broadcast appears at -1)
-      val outer = spark.sql("""SELECT adv_x.id, adv_y.w FROM adv_x
+      // LEFT OUTER with the DIM ON THE RIGHT: broadcast verdict side =
+      // right, which LeftOuter can build — the hint lands
+      val outerLegal = spark.sql("""SELECT adv_x.id, adv_y.w FROM adv_x
         LEFT JOIN adv_y ON adv_x.k = adv_y.k""")
-      assert(!joins(outer).contains("BroadcastHashJoin"), joins(outer))
+      assert(joins(outerLegal).contains("BroadcastHashJoin"),
+        joins(outerLegal))
+      // LEFT OUTER with the DIM ON THE LEFT: the verdict's broadcast
+      // side (left) cannot be built for LeftOuter — untouched
+      val outerIllegal = spark.sql("""SELECT adv_x.id, adv_y.w FROM adv_y
+        LEFT JOIN adv_x ON adv_x.k = adv_y.k""")
+      assert(!joins(outerIllegal).contains("BroadcastHashJoin"),
+        joins(outerIllegal))
       // an explicit user strategy hint wins over the advisory
       val userHinted = spark.sql("""SELECT /*+ GRAFT_ADVISE,
         MERGE(adv_y) */ adv_x.id, adv_y.w
@@ -128,6 +135,43 @@ class AdvisedSqlJoinSpec extends SparkSpec {
       val nonEqui = spark.sql("""SELECT CAST(count(*) AS BIGINT) AS n
         FROM adv_y a JOIN adv_y b ON a.w < b.w""")
       assert(nonEqui.collect().head.getLong(0) === (50L * 49L) / 2L)
+    }
+  }
+
+  test("salt parity across join types: left outer / semi / anti emit " +
+    "null-keyed and unmatched left rows exactly once") {
+    // left: one hot key (7), cold keys, UNMATCHED keys, and NULL keys;
+    // right: hot key many times + a matched subset of the cold keys
+    val left = ((1 to 4000).map(_ => 7L) ++ (1 to 2000).map(i => i + 100L)
+      ++ (1 to 500).map(i => i + 900000L))
+      .map(k => (k: java.lang.Long)) ++ Seq.fill(25)(null: java.lang.Long)
+    val right = ((1 to 300).map(_ => 7L) ++ (1 to 1000).map(i => i + 100L))
+      .map(k => (k, k * 2))
+    import spark.implicits._
+    left.toDF("k").createOrReplaceTempView("adv_t_l")
+    right.toDF("k", "v").createOrReplaceTempView("adv_t_r")
+    withConfs(
+      "spark.graft.advisor.broadcastMaxRows" -> "0",
+      "spark.graft.advisor.skewFactor" -> "1.5",
+      "spark.graft.advisor.minSaltOutputRows" -> "100",
+      "spark.graft.advisor.maxSaltBuckets" -> "8",
+      "spark.graft.advisor.maxHotShare" -> "1.0",
+      "spark.graft.advisor.targetPartitions" -> "200000",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      Seq(
+        "SELECT %s adv_t_l.k, adv_t_r.v FROM adv_t_l LEFT JOIN adv_t_r" +
+          " ON adv_t_l.k = adv_t_r.k",
+        "SELECT %s adv_t_l.k FROM adv_t_l LEFT SEMI JOIN adv_t_r" +
+          " ON adv_t_l.k = adv_t_r.k",
+        "SELECT %s adv_t_l.k FROM adv_t_l LEFT ANTI JOIN adv_t_r" +
+          " ON adv_t_l.k = adv_t_r.k").foreach { tpl =>
+        val hinted = spark.sql(tpl.format("/*+ GRAFT_ADVISE */"))
+        val control = spark.sql(tpl.format(""))
+        val p = joins(hinted)
+        assert(p.contains("__gsalt") && p.contains("Union"), s"$tpl\n$p")
+        assert(!p.contains("BroadcastHashJoin"), s"$tpl\n$p")
+        assert(sorted(hinted) === sorted(control), tpl)
+      }
     }
   }
 

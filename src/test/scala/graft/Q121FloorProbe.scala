@@ -25,14 +25,33 @@ object Q121FloorProbe {
       sink ^= h
       (System.nanoTime() - t0) / 1e6
     }
-    (1 to 6).foreach { i =>
-      val c = canaryMs()
+    // fixed all-core reference (the bench's canaryParSec): q121 is a
+    // PARALLEL query, so its floor moves with effective parallel
+    // capacity, which a healthy single-thread canary cannot see
+    def canaryParSec(): Double = {
+      import org.apache.spark.sql.functions.{bit_xor, xxhash64, col}
       val t0 = System.nanoTime()
-      SparkEntry.queries("q121_knn_graph_dedup")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"== q121 rep $i: $sec%6.3f s   canary $c%5.1f ms  " +
-        f"(anchor 2.195; healthy canary ~46 ms)")
+      sink ^= spark.range(500000000L).agg(bit_xor(xxhash64(col("id"))))
+        .collect()(0).getLong(0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // controls with committed anchors: a uniform inflation across all
+    // three reads as host capacity; q121-only inflation is q121 drift
+    val controls = Seq(
+      "q121_knn_graph_dedup" -> 2.195,
+      "q120_knn_graph" -> 0.124,
+      "q138_pagerank" -> 1.184)
+    (1 to 4).foreach { i =>
+      controls.foreach { case (name, anchor) =>
+        val c = canaryMs(); val cp = canaryParSec()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"== rep $i $name%-24s $sec%6.3f s (${sec / anchor}%4.2fx " +
+          f"anchor $anchor%5.3f)  canary $c%5.1f ms  par $cp%5.2f s " +
+          "(healthy ~46 ms / ~0.28 s)")
+      }
     }
     System.err.println(s"[probe] sink $sink")
     spark.stop()
