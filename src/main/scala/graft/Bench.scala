@@ -238,6 +238,80 @@ object Bench {
   /** The canary reference keys share the rolling-min-always rule. */
   private[graft] val CanaryKeys = Set(CanaryRefKey, DiskCanaryRefKey)
 
+  /** Anchor-era context suffixes (r16 verdict #2): `<key>#cp` / `<key>#cd`
+    * carry the CPU-parallel and disk canary readings of the window that
+    * CAPTURED the key's current seconds anchor. The rolling-min envelope
+    * on a drifting host manufactures stale anchors — r15's three rebases
+    * and r16's q191 "quieter host era" disposition were the same disease,
+    * argued in NOTES prose each round because the envelope recorded the
+    * anchor but not its capture conditions. With the context row, "era
+    * drift" is a computable claim: a flag adjudicates against its OWN
+    * anchor's era ([[anchorInflation]]) instead of the global healthiest-
+    * ever reference. Context rows follow the anchor (written when the
+    * anchor tightens or rebases, carried verbatim while it holds) — they
+    * are metadata, NOT minima, so they never ride [[rollingEnvelope]]'s
+    * min rule (which would pin the healthiest canary ever seen, exactly
+    * the stale-era reference this exists to replace). Anchors predating
+    * this machinery have no context rows — their era is UNKNOWN and the
+    * gate falls back to the global reference (today's behavior). */
+  private[graft] val CtxCpuSuffix = "#cp"
+  private[graft] val CtxDiskSuffix = "#cd"
+
+  /** A plain seconds-anchor key: not bytes, not context, not a canary
+    * reference, not a ledger row. */
+  private[graft] def isAnchorKey(k: String): Boolean =
+    !k.endsWith("#b") && !k.endsWith(CtxCpuSuffix) &&
+      !k.endsWith(CtxDiskSuffix) && !CanaryKeys.contains(k) &&
+      !k.startsWith("__rebase:")
+
+  /** The context-row update, same contract shape as [[rollingEnvelope]]:
+    * (1) an anchor that TIGHTENS this run (or is rebased) gets this
+    * run's capture-window readings — a failed reading (< 0) writes no
+    * row and clears any stale one (the old context described the OLD
+    * anchor's era); (2) an anchor that HOLDS keeps its prior context
+    * verbatim; (3) context for keys that left the envelope is dropped
+    * unless the base key is in `alsoKeep` (the excluded-query carve-out,
+    * mirroring [[carriedExcludedEntries]]). */
+  private[graft] def anchorContextRows(
+      prior: Map[String, Double], current: Map[String, Double],
+      rebase: Boolean, ctxCpu: Double, ctxDisk: Double,
+      alsoKeep: Set[String] = Set.empty): Map[String, Double] = {
+    val rows = scala.collection.mutable.Map.empty[String, Double]
+    def base(k: String) =
+      k.stripSuffix(CtxCpuSuffix).stripSuffix(CtxDiskSuffix)
+    prior.foreach { case (k, v) =>
+      if ((k.endsWith(CtxCpuSuffix) || k.endsWith(CtxDiskSuffix)) &&
+        (current.contains(base(k)) || alsoKeep.contains(base(k))))
+        rows(k) = v
+    }
+    current.foreach { case (k, cur) =>
+      if (isAnchorKey(k) && cur >= 0 &&
+        (rebase || cur < prior.getOrElse(k, Double.MaxValue))) {
+        if (ctxCpu >= 0) rows(k + CtxCpuSuffix) = ctxCpu
+        else rows.remove(k + CtxCpuSuffix)
+        if (ctxDisk >= 0) rows(k + CtxDiskSuffix) = ctxDisk
+        else rows.remove(k + CtxDiskSuffix)
+      }
+    }
+    rows.toMap
+  }
+
+  /** Per-anchor host inflation (r16 verdict #2, consumed by the gate
+    * via [[inflationFor]]): when the anchor's capture-window canary is
+    * KNOWN, the flag's inflation is today's canary over the anchor's
+    * own era — a quiet-era anchor gets no extra allowance (its context
+    * equals the healthy reference), a noisy-era anchor gets a TIGHTER
+    * gate (the anchor was achieved under noise, so noise explains
+    * less), and persistent host drift since capture reads as inflation
+    * with the evidence in the artifact. Unknown context (anchors
+    * predating the machinery) falls back to the global rolling-min
+    * reference — exactly today's behavior. */
+  private[graft] def anchorInflation(
+      classifyCanary: Double, anchorCtx: Option[Double],
+      globalHealthyRef: Double): Double =
+    hostInflation(classifyCanary,
+      anchorCtx.filter(_ > 0).getOrElse(globalHealthyRef))
+
   /** Combined host inflation over the measured resources: seconds scale
     * with whichever resource the query leans on, and the gate cannot
     * know per-query leanings — so a flag is CONFIRMED only when its
@@ -695,11 +769,21 @@ object Bench {
     // resourceAffinity); `inflation` in the summary stays the blanket
     // max for cross-round comparability of the window itself.
     val inflation = combinedInflation(cpuInflation, diskInflation)
+    // per-flag ANCHOR-ERA inflation (r16 verdict #2): each flag's
+    // resource inflations are measured against its anchor's own
+    // capture-window canaries when known (#cp/#cd context rows), the
+    // global rolling-min reference otherwise — so "the anchor came
+    // from a quieter host era" is computed, not argued in NOTES
+    def flagInflation(sk: String): Double = inflationFor(
+      resourceAffinity(sk),
+      anchorInflation(classifyCanary,
+        priorMins.get(sk + CtxCpuSuffix), priorCanary),
+      anchorInflation(classifyDisk,
+        priorMins.get(sk + CtxDiskSuffix), priorDiskCanary))
     val (regressed, regressedNoisy) = stillSlow.partition { case (n, cur) =>
       priorMins.get(shortKey(n)).exists(prior => confirmsUnderInflation(
         cur, prior, spreadLimitFor(prior, topDecileCutoff, spreadLimit),
-        inflationFor(resourceAffinity(shortKey(n)),
-          cpuInflation, diskInflation)))
+        flagInflation(shortKey(n))))
     }
     val regressedJson = regressed.map { case (n, cur) =>
       val prior = priorMins.getOrElse(shortKey(n), -1.0)
@@ -818,11 +902,18 @@ object Bench {
       .replaceAll("[^A-Za-z0-9._\\-]", "-").take(80)
     val ledger = carriedLedgerRows(priorMins) ++
       rebaseLedgerRows(priorMins, currentByKey, rebase, rebaseNote)
-    val envelope =
-      rollingEnvelope(priorMins, currentByKey, rebase) ++ carried ++ ledger
+    // anchor-era context rows follow their anchors (r16 verdict #2):
+    // tightened/rebased anchors record THIS run's capture-window
+    // canaries, holding anchors carry their prior context, and the
+    // excluded-query carve-out keeps q159-style context alive
+    val ctxRows = anchorContextRows(priorMins, currentByKey, rebase,
+      canaryRunMin, diskRunMin,
+      benchExcluded.map(shortKey) ++ seedRows.map(_._1))
+    val envelope = rollingEnvelope(priorMins, currentByKey, rebase) ++
+      carried ++ ledger ++ ctxRows
     val envelopeKeys = currentByKey.keys ++
       (carried.keys.filterNot(currentByKey.contains) ++
-        ledger.keys).toSeq.sorted
+        ledger.keys ++ ctxRows.keys).toSeq.sorted
     val envelopeJson = envelopeKeys.flatMap(k =>
       envelope.get(k).map(v =>
         if (k.endsWith("#b")) "\"" + k + "\":" + f"$v%.0f"
@@ -860,9 +951,23 @@ object Bench {
     val flagAffJson = stillSlow.map { case (n, _) =>
       "\"" + shortKey(n) + "\":\"" + resourceAffinity(shortKey(n)) + "\""
     }.mkString("{", ",", "}")
+    // the inflation each flag was ACTUALLY judged against, plus its
+    // anchor's capture-era canaries ([cpu, disk]; -1 = unknown, i.e.
+    // the anchor predates the context machinery and the global
+    // reference adjudicated) — the artifact shows which era each
+    // verdict compared against
+    val flagInflJson = stillSlow.map { case (n, _) =>
+      "\"" + shortKey(n) + "\":" + f"${flagInflation(shortKey(n))}%.2f"
+    }.mkString("{", ",", "}")
+    val flagCtxJson = stillSlow.map { case (n, _) =>
+      val sk = shortKey(n)
+      val cp = priorMins.getOrElse(sk + CtxCpuSuffix, -1.0)
+      val cd = priorMins.getOrElse(sk + CtxDiskSuffix, -1.0)
+      "\"" + sk + "\":" + f"[$cp%.2f,$cd%.2f]"
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"canary_ms":$canaryJson,"bytes_format":["shuffle_read","shuffle_write","spill"],"bytes":$bytesJson,"queries_full":$qs,"reps_raw":$raw}""")
     println(s"""{"metric":"bench_queries","unit":"sec","sf":"$sfDir","queries":$qsShort}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_disk_healthy_ref":${f"$priorDiskCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"cpu_inflation":${f"$cpuInflation%.2f"},"disk_inflation":${f"$diskInflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"canary_disk_sec":[${f"$canaryDiskStart%.3f"},${f"$canaryDiskEnd%.3f"},${f"$canaryDiskAdj%.3f"}],"flag_disk":$flagDiskJson,"flag_affinity":$flagAffJson,"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_disk_healthy_ref":${f"$priorDiskCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"cpu_inflation":${f"$cpuInflation%.2f"},"disk_inflation":${f"$diskInflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"canary_disk_sec":[${f"$canaryDiskStart%.3f"},${f"$canaryDiskEnd%.3f"},${f"$canaryDiskAdj%.3f"}],"flag_disk":$flagDiskJson,"flag_affinity":$flagAffJson,"flag_inflation":$flagInflJson,"flag_anchor_ctx":$flagCtxJson,"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -225,16 +225,29 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
       session: org.apache.spark.sql.SparkSession, j: Join,
       conf: JoinAdvisor.AdvisorConf): LogicalPlan = j match {
     case Join(l, r, jt, Some(cond), hint)
-        if legalBroadcastSides(jt).nonEmpty && hint == JoinHint.NONE &&
+        if (legalBroadcastSides(jt).nonEmpty || jt == FullOuter) &&
+          hint == JoinHint.NONE &&
           j.getTagValue(AdvisedTag).isEmpty &&
           cond.deterministic && l.deterministic && r.deterministic &&
           !SubqueryExpression.hasSubquery(cond) =>
       val keys = equiKeys(cond, l, r)
       if (keys.isEmpty) { j.setTagValue(AdvisedTag, true); j }
       else {
-        val (lk, rk) =
+        val (lk0, rk0) =
           if (keys.size == 1) keys.head
           else (CreateStruct(keys.map(_._1)), CreateStruct(keys.map(_._2)))
+        // float/double key components normalize BEFORE any string
+        // rendering (ADVICE r16): join equality treats -0.0 = 0.0 and
+        // all NaNs as equal (Spark normalizes keys via
+        // NormalizeFloatingNumbers before hashing) while their string
+        // renderings differ — an un-normalized hot predicate could
+        // route the two halves of a matching mixed-sign-zero pair to
+        // DIFFERENT salt legs, silently dropping the match. Both the
+        // sketch pass (MG displays) and the salt rewrite's isHot
+        // predicate see the SAME normalized expression, so renderings
+        // stay aligned with join equality; a no-op for non-float keys
+        val lk = GraftColumnBridge.normalizeFloats(lk0)
+        val rk = GraftColumnBridge.normalizeFloats(rk0)
         val advice = runAdvisory(session, l, r, lk, rk, conf)
         logInfo(s"GRAFT_ADVISE verdict ($jt): $advice")
         advice.strategy match {
@@ -245,10 +258,29 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
               if (advice.broadcastSide.contains("left")) JoinHint(b, None)
               else JoinHint(None, b)
             j.copy(hint = newHint)
+          case "salt" if jt == FullOuter =>
+            fullOuterSaltRewrite(j, l, r, cond, lk, rk, advice, conf)
           case "salt" =>
             saltReplicateSide(jt, advice) match {
               case Some(repRight) =>
-                saltRewrite(j, l, r, cond, lk, rk, advice, repRight)
+                // forced-replication economics (ADVICE r16): decide()
+                // gates only min(shareLeft, shareRight) — the best FREE
+                // choice — but one-sided join types force the replicated
+                // side (right for left-outer/semi/anti, left for
+                // right-outer). A forced side past the measured
+                // maxHotShare ceiling replicates a mostly-hot side
+                // buckets×, the exact regime SaltShareProbe measured at
+                // 1.9–8× worse than shuffle+AQE — demote to Catalyst's
+                // pick instead. Inner joins pick the min-share side, so
+                // this check is a no-op there by construction.
+                val repShare = if (repRight) advice.hotShareRight
+                               else advice.hotShareLeft
+                if (repShare > conf.maxHotShare) {
+                  logInfo(s"GRAFT_ADVISE salt demoted ($jt): forced " +
+                    s"replication side hot share $repShare > " +
+                    s"maxHotShare ${conf.maxHotShare}")
+                  j.setTagValue(AdvisedTag, true); j
+                } else saltRewrite(j, l, r, cond, lk, rk, advice, repRight)
               case None => j.setTagValue(AdvisedTag, true); j
             }
           case _ =>
@@ -260,21 +292,79 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
     case _ => j
   }
 
+  /** Verdict cache size conf: a session re-running the same join shape
+    * (interactive exploration, a retried statement, the driver's
+    * write-time re-optimization of an unpinned plan) re-pays two
+    * aggregate jobs per advised join per statement without it. ≤ 0
+    * disables. */
+  val CacheSizeConf = "spark.graft.advisor.cacheSize"
+  private val DefaultCacheSize = 64
+
+  /** Bounded LRU of advisory verdicts, keyed on the CANONICALIZED
+    * one-column sketch projections of both sides plus the full conf
+    * tuple — canonicalization normalizes exprIds positionally within
+    * each subtree, so two statements over the same relations with the
+    * same key expressions hit regardless of their analyzer-fresh ids,
+    * while any change to the child plan (filter, projection, relation
+    * path) is a distinct key. Global (not per-session): the key embeds
+    * relation paths, so equal keys mean semantically identical sketch
+    * inputs. STALENESS contract: data rewritten UNDER an unchanged path
+    * within one process can serve a stale verdict — a performance
+    * hazard only (the salt rewrite is exact for any hot-key set, a
+    * stale broadcast verdict is the usual stale-statistics risk every
+    * CBO carries) — set cacheSize to 0 for volatile tables. */
+  private val cacheCapacity =
+    new java.util.concurrent.atomic.AtomicInteger(DefaultCacheSize)
+  private val adviceCache =
+    new java.util.LinkedHashMap[
+      (LogicalPlan, LogicalPlan, JoinAdvisor.AdvisorConf),
+      JoinAdvisor.JoinAdvice](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (LogicalPlan, LogicalPlan, JoinAdvisor.AdvisorConf),
+            JoinAdvisor.JoinAdvice]): Boolean = size() > cacheCapacity.get()
+    }
+
+  /** Sketch passes actually EXECUTED (cache misses) — the spec's pin
+    * that a second identical advised statement runs zero additional
+    * sketch jobs observes this counter, not the listener bus. */
+  private[graft] val sketchPassCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def clearAdviceCache(): Unit =
+    adviceCache.synchronized { adviceCache.clear() }
+
   /** The sketch pass over both join children, from inside the
     * optimizer: each side is wrapped as a one-column DataFrame (the key
     * expression aliased over the already-analyzed child — exprIds are
     * preserved, so no re-resolution ambiguity) and pays one bounded-
-    * state aggregate job. */
+    * state aggregate job — memoized (r16 verdict #6) so re-advising an
+    * identical (plan, key, conf) shape is a map hit, not two jobs. */
   private def runAdvisory(
       session: org.apache.spark.sql.SparkSession,
       l: LogicalPlan, r: LogicalPlan, lk: Expression, rk: Expression,
       conf: JoinAdvisor.AdvisorConf): JoinAdvisor.JoinAdvice = {
+    val projL = Project(Seq(Alias(lk, "__gk")()), l)
+    val projR = Project(Seq(Alias(rk, "__gk")()), r)
+    val cacheSize = scala.util.Try(
+      SQLConf.get.getConfString(CacheSizeConf, DefaultCacheSize.toString)
+        .trim.toInt).getOrElse(DefaultCacheSize)
+    val key = (projL.canonicalized, projR.canonicalized, conf)
+    if (cacheSize > 0) {
+      val hit = adviceCache.synchronized {
+        cacheCapacity.set(cacheSize)
+        Option(adviceCache.get(key))
+      }
+      hit.foreach { a =>
+        logInfo(s"GRAFT_ADVISE verdict served from cache: $a")
+        return a
+      }
+    }
     inAdvisory.set(true)
-    try {
-      val lDf = GraftColumnBridge.ofRows(
-        session, Project(Seq(Alias(lk, "__gk")()), l))
-      val rDf = GraftColumnBridge.ofRows(
-        session, Project(Seq(Alias(rk, "__gk")()), r))
+    val advice = try {
+      sketchPassCount.incrementAndGet()
+      val lDf = GraftColumnBridge.ofRows(session, projL)
+      val rDf = GraftColumnBridge.ofRows(session, projR)
       val a = JoinAdvisor.sideStats(lDf, col("__gk"), conf.hhCapacity)
       val b = JoinAdvisor.sideStats(rDf, col("__gk"), conf.hhCapacity)
       val parts = math.max(1, conf.targetPartitions.getOrElse(
@@ -283,6 +373,9 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
         conf.skewFactor, conf.minSaltOutputRows, conf.maxSaltBuckets,
         conf.maxHotShare)
     } finally inAdvisory.set(false)
+    if (cacheSize > 0)
+      adviceCache.synchronized { adviceCache.put(key, advice); () }
+    advice
   }
 
   /** The targeted-salt union shape in logical-plan algebra (the
@@ -356,5 +449,79 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
     // filtered original children in BOTH legs — the same shape as a
     // self-union, which Spark executes with shared exprIds)
     Union(Seq(Project(j.output, hotJoin), Project(j.output, coldJoin)))
+  }
+
+  /** FULL OUTER salting (r16 verdict #4 — the last row of the type
+    * table). The one-sided salt shape is illegal here directly: BOTH
+    * sides' unmatched rows emit, and a replicated unmatched row would
+    * emit once per bucket. So the join is first decomposed by the
+    * classical outer-union identity
+    *
+    *   A ⟗ B  =  (A ⟕ B)  ∪all  null-pad(B ▷ A)
+    *
+    * (left-outer = inner pairs + unmatched-A exactly once; the anti leg
+    * adds unmatched-B exactly once, null-padded on A's columns) — and
+    * each leg is a join type the salt shape IS legal for: LeftOuter and
+    * LeftAnti both replicate only their RIGHT side, whose unmatched
+    * rows they never emit. Orientation follows the inner join's free
+    * choice: the primary (outer) leg replicates the LOWER-hot-share
+    * side — the share decide() already gated under maxHotShare, so the
+    * primary leg always salts — while the anti leg's replicated side is
+    * the HIGHER-share one and salts only if its own share passes the
+    * ceiling (else the leg stays a plain anti join for AQE's skew
+    * split; its salted twin would replicate a mostly-hot side
+    * buckets×, the regime SaltShareProbe measured as the losing one).
+    *
+    * Exactness inherits from [[saltRewrite]]'s per-type argument plus
+    * the identity above: matching pairs emit once (the outer leg's
+    * inner part; the anti leg excludes matched B rows), unmatched A
+    * rows once (outer leg, null-padded), unmatched B rows once (anti
+    * leg), and NULL-keyed rows on both sides ride their leg's COLD
+    * route (the salted side of each leg keeps nulls — outer/anti types
+    * emit them — while each leg's replicated side drops them: a null
+    * key matches nothing, and neither leg emits its replicated side's
+    * unmatched rows). Nullability: j.output for a full outer is both
+    * sides' attrs nullable with ORIGINAL exprIds — the anti leg pads
+    * the missing side with null literals ALIASED TO those exprIds, so
+    * parents resolve against the Union unchanged.
+    *
+    * Cost: each input is scanned twice (once per leg) — the price of
+    * the decomposition. A salt verdict asserts a skew straggler that
+    * dominates scan cost at deployment scale; when it does not, the
+    * advisory's shuffle verdict leaves the single-pass full outer in
+    * place. */
+  private def fullOuterSaltRewrite(
+      j: Join, l: LogicalPlan, r: LogicalPlan, cond: Expression,
+      lk: Expression, rk: Expression,
+      advice: JoinAdvisor.JoinAdvice,
+      conf: JoinAdvisor.AdvisorConf): LogicalPlan = {
+    // primary-leg orientation: replicate the lower-share side (decide()
+    // gated exactly this minimum under maxHotShare)
+    val repRight = advice.hotShareRight <= advice.hotShareLeft
+    val (a, ak, b, bk) = if (repRight) (l, lk, r, rk) else (r, rk, l, lk)
+    val antiShare = if (repRight) advice.hotShareLeft else advice.hotShareRight
+    // outer leg: A ⟕ B, salted — replicates B's hot rows (legal: a
+    // left-outer never emits unmatched right rows)
+    val lo = Join(a, b, LeftOuter, Some(cond), JoinHint.NONE)
+    val loLeg = saltRewrite(lo, a, b, cond, ak, bk, advice,
+      replicateRight = true)
+    // anti leg: B ▷ A — salted only when replicating A's hot rows is
+    // inside the measured economics, else Catalyst's pick + AQE
+    val anti = Join(b, a, LeftAnti, Some(cond), JoinHint.NONE)
+    val antiLeg =
+      if (antiShare > conf.maxHotShare) {
+        logInfo(s"GRAFT_ADVISE full-outer anti leg unsalted: replicated" +
+          s" side hot share $antiShare > maxHotShare ${conf.maxHotShare}")
+        anti
+      } else saltRewrite(anti, b, a, cond, bk, ak, advice,
+        replicateRight = true)
+    // null-pad the A side of the anti leg with A's ORIGINAL exprIds
+    val aNulls = a.output.map(attr =>
+      Alias(Literal(null, attr.dataType), attr.name)(exprId = attr.exprId))
+    val padded = Project(
+      if (repRight) aNulls ++ b.output else b.output ++ aNulls, antiLeg)
+    // both Projects restate j.output (both sides nullable, original
+    // ids) — orientation B's column order is restored here too
+    Union(Seq(Project(j.output, loLeg), Project(j.output, padded)))
   }
 }

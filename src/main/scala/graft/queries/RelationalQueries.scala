@@ -1704,6 +1704,25 @@ object RelationalQueries extends QueryPack {
       WHERE levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY id_a, id_b"""))
 
+  /** Snapshot-and-restore for session confs a fixture must set (ADVICE
+    * r16: q233/q234 left six aggressive `spark.graft.advisor.*`
+    * thresholds on the shared session — any future conf-reading query
+    * would inherit them depending on run order). The restore runs in a
+    * finally around the BODY; a body that must keep its advised plan
+    * through the driver's write-time re-optimization returns
+    * `ofRows(optimizedPlan)` (markers already stripped, rewrite already
+    * applied, hints ride the logical Joins) so the restored defaults
+    * can never re-advise it. */
+  private def withSessionConfs[A](s: SparkSession)(kvs: (String, String)*)(
+      body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** The advisory consumed through PLAIN SQL TEXT at its BROADCAST
     * operating point — the r15 verdict's "promote the advisory from
     * hand-wired consumers to a Catalyst rule": a GRAFT_ADVISE hint in
@@ -1723,10 +1742,9 @@ object RelationalQueries extends QueryPack {
     (s, dir) => {
       Tables(s, dir).orders.createOrReplaceTempView("graft_orders_q232")
       Tables(s, dir).customer.createOrReplaceTempView("graft_customer_q232")
-      s.conf.set("spark.graft.advisor.broadcastMaxRows", "1000000")
-      val prevAuto = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+      withSessionConfs(s)(
+        "spark.graft.advisor.broadcastMaxRows" -> "1000000",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
         val res = s.sql("""
           SELECT /*+ GRAFT_ADVISE */ c_mktsegment,
             CAST(count(*) AS BIGINT) AS n_orders,
@@ -1738,10 +1756,11 @@ object RelationalQueries extends QueryPack {
         require(p.contains("BroadcastHashJoin"),
           "with size-based broadcast disabled, only the GRAFT_ADVISE " +
             s"verdict can broadcast — it did not:\n${p.take(1200)}")
-        res
-      } finally prevAuto match {
-        case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-        case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        // the OPTIMIZED plan rides out (marker stripped, broadcast hint
+        // on the logical join): materialization never re-advises, so
+        // the restored session defaults cannot flip the graded plan
+        org.apache.spark.sql.GraftColumnBridge
+          .ofRows(s, res.queryExecution.optimizedPlan)
       }
     },
     Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
@@ -1761,27 +1780,35 @@ object RelationalQueries extends QueryPack {
     * pinned on both legs. Plan-pinned (salt key present, Union present,
     * no broadcast); the oracle re-derives the aggregate from the same
     * fold in DuckDB, proving the rewrite moved shuffle placement, never
-    * semantics. The advisor confs stay set on the session (they are
-    * read again at the driver's write-time re-optimization and only
-    * marker-carrying queries read them; q232 sets its own). Hot share
-    * ≈10% sits under the maxHotShare=0.5 demotion ceiling. */
+    * semantics. The advisor confs are restored in a finally block
+    * (they must stay set through the driver's write-time
+    * re-optimization of THIS query's plan, so the restore runs in the
+    * returned-DataFrame wrapper, not around the sql() call) — a future
+    * marker-carrying query must inherit the session DEFAULTS, not this
+    * fixture's aggressive thresholds. The body lifts maxHotShare to
+    * 1.0 (shipped default 0.1): at the 200k-partition fair share the
+    * degenerate corrected estimate marks the WHOLE frame breaching at
+    * fixture SFs, and the measured demotion ceiling would correctly
+    * route to shuffle+AQE — this query grades the salted EXECUTION;
+    * the ceiling's own economics are JoinAdvisorSpec's. */
   private val q233 = Q(
     "q233_advised_sql_salted",
     (s, dir) => {
       Tables(s, dir).lineitem.createOrReplaceTempView("graft_lineitem_q233")
       Tables(s, dir).orders.createOrReplaceTempView("graft_orders_q233")
-      s.conf.set("spark.graft.advisor.broadcastMaxRows", "0")
-      s.conf.set("spark.graft.advisor.skewFactor", "1.5")
-      s.conf.set("spark.graft.advisor.minSaltOutputRows", "100")
-      s.conf.set("spark.graft.advisor.maxSaltBuckets", "8")
-      s.conf.set("spark.graft.advisor.targetPartitions", "200000")
-      // ceiling lifted (r16): at the 200k-partition fair share of 1,
-      // EVERY key's corrected output breaches the 1.5× skew test at
-      // fixture SFs, so the breaching "hot mass" is the whole frame
-      // and the measured demotion ceiling would (correctly, for that
-      // degenerate estimate) route to shuffle+AQE — this query grades
-      // the salted EXECUTION; the ceiling itself is JoinAdvisorSpec's
-      s.conf.set("spark.graft.advisor.maxHotShare", "1.0")
+      withSessionConfs(s)(
+        "spark.graft.advisor.broadcastMaxRows" -> "0",
+        "spark.graft.advisor.skewFactor" -> "1.5",
+        "spark.graft.advisor.minSaltOutputRows" -> "100",
+        "spark.graft.advisor.maxSaltBuckets" -> "8",
+        "spark.graft.advisor.targetPartitions" -> "200000",
+        // ceiling lifted (r16): at the 200k-partition fair share of 1,
+        // EVERY key's corrected output breaches the 1.5× skew test at
+        // fixture SFs, so the breaching "hot mass" is the whole frame
+        // and the measured demotion ceiling would (correctly, for that
+        // degenerate estimate) route to shuffle+AQE — this query grades
+        // the salted EXECUTION; the ceiling itself is JoinAdvisorSpec's
+        "spark.graft.advisor.maxHotShare" -> "1.0") {
       // the hot key is hot on BOTH sides, with the right multiplicity
       // CONSTANT (3 VALUES rows + any real orderkey-1 row): a hot key
       // against a single right row is a 600-row reducer no advisory
@@ -1810,7 +1837,12 @@ object RelationalQueries extends QueryPack {
       require(!p.contains("BroadcastHashJoin"),
         s"salted join must not broadcast a past-dimension side:\n" +
           p.take(1500))
-      res
+      // ship the OPTIMIZED plan (salt rewrite applied, marker gone):
+      // write-time re-optimization under the RESTORED defaults can
+      // never re-advise the graded salted shape away
+      org.apache.spark.sql.GraftColumnBridge
+        .ofRows(s, res.queryExecution.optimizedPlan)
+      }
     },
     Some("""SELECT k, CAST(count(*) AS BIGINT) AS n,
         round(sum(l_extendedprice), 2) AS amt
@@ -1839,12 +1871,13 @@ object RelationalQueries extends QueryPack {
     (s, dir) => {
       Tables(s, dir).lineitem.createOrReplaceTempView("graft_lineitem_q234")
       Tables(s, dir).orders.createOrReplaceTempView("graft_orders_q234")
-      s.conf.set("spark.graft.advisor.broadcastMaxRows", "0")
-      s.conf.set("spark.graft.advisor.skewFactor", "1.5")
-      s.conf.set("spark.graft.advisor.minSaltOutputRows", "100")
-      s.conf.set("spark.graft.advisor.maxSaltBuckets", "8")
-      s.conf.set("spark.graft.advisor.targetPartitions", "200000")
-      s.conf.set("spark.graft.advisor.maxHotShare", "1.0")
+      withSessionConfs(s)(
+        "spark.graft.advisor.broadcastMaxRows" -> "0",
+        "spark.graft.advisor.skewFactor" -> "1.5",
+        "spark.graft.advisor.minSaltOutputRows" -> "100",
+        "spark.graft.advisor.maxSaltBuckets" -> "8",
+        "spark.graft.advisor.targetPartitions" -> "200000",
+        "spark.graft.advisor.maxHotShare" -> "1.0") {
       val res = s.sql("""
         SELECT /*+ GRAFT_ADVISE */ k, CAST(count(*) AS BIGINT) AS n,
           CAST(count(k2) AS BIGINT) AS matched,
@@ -1868,7 +1901,10 @@ object RelationalQueries extends QueryPack {
       require(!p.contains("BroadcastHashJoin"),
         s"salted join must not broadcast a past-dimension side:\n" +
           p.take(1500))
-      res
+      // optimized plan out + confs restored — see q233
+      org.apache.spark.sql.GraftColumnBridge
+        .ofRows(s, res.queryExecution.optimizedPlan)
+      }
     },
     Some("""SELECT k, CAST(count(*) AS BIGINT) AS n,
         CAST(count(k2) AS BIGINT) AS matched,
@@ -1883,6 +1919,96 @@ object RelationalQueries extends QueryPack {
                  SELECT 1 AS k2 FROM (VALUES (1), (2), (3)) AS t(x)) o
         ON l.k = o.k2
       GROUP BY k ORDER BY k"""))
+
+  /** The SQL-surface advisory's salt path on a FULL OUTER join — the
+    * LAST row of the GRAFT_ADVISE type table (r16 verdict #4). A full
+    * outer cannot take the one-sided salt shape directly (both sides'
+    * unmatched rows emit; a replicated unmatched row would emit once
+    * per bucket), so [[graft.plans.AdvisedEquiJoinRewrite]] decomposes
+    * it by the outer-union identity — (A ⟕ B) ∪all null-pad(B ▷ A) —
+    * and salts each leg under its own one-sided legality. The fixture
+    * makes every failure mode load-bearing:
+    *  - NULL keys on BOTH sides (every 97th lineitem orderkey, every
+    *    89th odd orders key) must each emit exactly once, null-padded —
+    *    they ride each leg's cold route;
+    *  - unmatched LEFT rows (even non-fold orderkeys — the right side
+    *    keeps odd keys only) emit from the outer leg exactly once;
+    *  - unmatched RIGHT rows, including HOT ones (at the 200k-partition
+    *    fair share every key breaches, so an odd right key whose left
+    *    twin was nulled by the %97 rule is hot AND unmatched), must
+    *    emit exactly once from the anti leg — a replicated unmatched
+    *    row would emit buckets× and the n_right column reds;
+    *  - matched pairs (odd non-fold keys + the constant VALUES fan-out
+    *    on the hot key 1) emit exactly once, from the outer leg only
+    *    (the anti leg must exclude matched right rows).
+    * Same q233/q234 conf shape (restored in the finally); plan-pinned:
+    * salt key present, Union present, no broadcast. The DuckDB oracle
+    * re-derives the whole aggregate — per-group total, left-presence,
+    * right-presence and amount — including both NULL-key populations
+    * collapsing into one NULL group under coalesce(k, k2). */
+  private val q235 = Q(
+    "q235_advised_sql_full_outer_salted",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_lineitem_q235")
+      Tables(s, dir).orders.createOrReplaceTempView("graft_orders_q235")
+      withSessionConfs(s)(
+        "spark.graft.advisor.broadcastMaxRows" -> "0",
+        "spark.graft.advisor.skewFactor" -> "1.5",
+        "spark.graft.advisor.minSaltOutputRows" -> "100",
+        "spark.graft.advisor.maxSaltBuckets" -> "8",
+        "spark.graft.advisor.targetPartitions" -> "200000",
+        "spark.graft.advisor.maxHotShare" -> "1.0") {
+      val res = s.sql("""
+        SELECT /*+ GRAFT_ADVISE */ coalesce(k, k2) AS kk,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(l_extendedprice) AS BIGINT) AS n_left,
+          CAST(count(rv) AS BIGINT) AS n_right,
+          round(sum(l_extendedprice), 2) AS amt
+        FROM (SELECT CASE WHEN l_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+                WHEN l_orderkey % 10 = 0 THEN 1
+                ELSE l_orderkey END AS k, l_extendedprice
+              FROM graft_lineitem_q235) l
+        FULL OUTER JOIN (
+          SELECT CASE WHEN o_orderkey % 89 = 0 THEN CAST(NULL AS BIGINT)
+                 ELSE o_orderkey END AS k2, 1 AS rv
+          FROM graft_orders_q235 WHERE o_orderkey % 2 = 1
+          UNION ALL
+          SELECT 1 AS k2, 1 AS rv FROM (VALUES (1), (2), (3)) AS t(x)) o
+          ON l.k = o.k2
+        GROUP BY coalesce(k, k2) ORDER BY kk""")
+      val p = res.queryExecution.executedPlan.toString
+      require(p.contains("__gsalt"),
+        s"executed full-outer join must carry the salt key:\n${p.take(1500)}")
+      require(p.contains("Union"),
+        s"the outer-union decomposition must be present:\n${p.take(1500)}")
+      require(!p.contains("BroadcastHashJoin"),
+        s"salted full outer must not broadcast a past-dimension side:\n" +
+          p.take(1500))
+      require(!p.contains("SortMergeJoin(FullOuter") &&
+        !p.contains("ShuffledHashJoin(FullOuter"),
+        s"the FullOuter node itself must be decomposed away:\n${p.take(1500)}")
+      // optimized plan out + confs restored — see q233
+      org.apache.spark.sql.GraftColumnBridge
+        .ofRows(s, res.queryExecution.optimizedPlan)
+      }
+    },
+    Some("""SELECT coalesce(k, k2) AS kk,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(l_extendedprice) AS BIGINT) AS n_left,
+        CAST(count(rv) AS BIGINT) AS n_right,
+        round(sum(l_extendedprice), 2) AS amt
+      FROM (SELECT CASE WHEN l_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+              WHEN l_orderkey % 10 = 0 THEN 1
+              ELSE l_orderkey END AS k, l_extendedprice
+            FROM lineitem) l
+      FULL OUTER JOIN (
+        SELECT CASE WHEN o_orderkey % 89 = 0 THEN CAST(NULL AS BIGINT)
+               ELSE o_orderkey END AS k2, 1 AS rv
+        FROM orders WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT 1 AS k2, 1 AS rv FROM (VALUES (1), (2), (3)) AS t(x)) o
+        ON l.k = o.k2
+      GROUP BY coalesce(k, k2) ORDER BY kk"""))
 
   /** Column-level table profile ([[graft.operators.Profiling.profile]])
     * over `orders` — per-column row/null/distinct counts, min/max, and a
@@ -2489,5 +2615,5 @@ object RelationalQueries extends QueryPack {
     q29, q2a, q2b, q129, q131, q132, q136, q139, q143, q154, q156, q158,
     q160, q163, q164, q165, q166, q168, q176, q179, q180, q181, q182,
     q184, q189, q191, q195, q196, q201, q203, q204, q208, q209, q214,
-    q215, q217, q223, q224, q226, q232, q233, q234)
+    q215, q217, q223, q224, q226, q232, q233, q234, q235)
 }

@@ -3885,6 +3885,59 @@ object TextQueries extends QueryPack {
       UNION ALL SELECT doc_id, lang FROM s2
       ORDER BY doc_id"""))
 
+  /** The q227 crawl loop WITH SIGNATURE-INDEX COMPACTION in the loop
+    * (r16 verdict #5: the keyed lifecycle's index accreted one token
+    * dir per batch forever — at 100 TB-years the probe join pays an
+    * O(batches) listing and a many-small-files scan at every trigger).
+    * compactEvery=2 rewrites the index's live entries into one
+    * `compactNNNNN` token mid-stream (after batch 1, between batch 1's
+    * two-store commit and batch 2's manifest read), so batch 2 probes a
+    * COMPACTED index — and the oracle is q227's verbatim: compaction
+    * must move bytes, never verdicts. The replay probes both
+    * exactly-once stores after the swap (`maxBatch` rides the compacted
+    * manifest, so `batchId <= maxBatch` still skips); the require pins
+    * that compaction actually happened (single compact entry live).
+    * The crash window (compact dirs written, manifest not swapped) is
+    * StreamingSpec's territory. */
+  private val q236 = Q(
+    "q236_stream_keyed_dedup_compacted",
+    (s, dir) => {
+      import graft.streaming.DocumentStreams
+      val docs = Tables(s, dir).documents
+      val seedIdx = Dedup.signatureTable(
+        docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+        numHashes = 64, bands = 4)
+      val idxPath =
+        java.nio.file.Files.createTempDirectory("graft-q236-idx").toString
+      val outPath =
+        java.nio.file.Files.createTempDirectory("graft-q236-out").toString
+      val res = DocumentStreams.incrementalDedupToKeyed(
+        s, dir, seedIdx, outPath, idxPath, batchFiles = 3,
+        shards = 8, numHashes = 64, bands = 4, threshold = 0.95,
+        compactEvery = 2)
+      val st = DocumentStreams.readCommits(s, idxPath)
+      require(st.entries.exists(_.startsWith("compact")),
+        s"compaction must have run mid-stream; live entries: ${st.entries}")
+      require(st.maxBatch == 2L,
+        s"the replay record must ride the compacted manifest: $st")
+      // the q227 replay matrix, over the COMPACTED store: batch 1 again
+      // with the same id through both stores — manifest skips on
+      // maxBatch, keyed ledger skips on its marker
+      val replay = docs.filter(col("doc_id") % 10 =!= 0)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+      DocumentStreams.processKeyedDedupBatch(
+        s, replay, 1L, idxPath, outPath, shards = 8,
+        numHashes = 64, bands = 4, threshold = 0.95)
+      require(!graft.sources.v2.KeyedJsonStream.appendBatch(
+          replay.select(col("doc_id"), col("lang"),
+            pmod(xxhash64(col("doc_id")), lit(8L)).cast("int").as("shard")),
+          outPath, "shard", 1L),
+        "replayed batch id must be skipped by the keyed commit ledger " +
+          "after compaction")
+      res
+    },
+    q227.oracle)
+
   override val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q56, q66, q67, q68, q69, q73, q74, q75, q76, q77, q85, q86, q87,
@@ -3893,5 +3946,5 @@ object TextQueries extends QueryPack {
       q123, q124, q125, q126, q127, q130, q133, q135, q137, q140, q141,
       q142, q144, q145, q146, q147, q148, q151, q152, q153, q159, q167,
       q172, q174, q175, q177, q186, q187, q188, q194, q198, q199,
-      q200, q206, q207, q210, q220, q222, q227)
+      q200, q206, q207, q210, q220, q222, q227, q236)
 }

@@ -44,12 +44,34 @@ import org.apache.spark.util.CollectionAccumulator
   */
 final class HttpPublisher(
     endpoint: String,
-    errors: CollectionAccumulator[(String, String)],
+    record: ((String, String)) => Unit,
     idCol: Option[String] = None,
     maxRetries: Int = 3,
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 30000,
     maxRetryAfterMs: Long = 4000L) extends (Seq[Row] => Unit) with Serializable {
+
+  /** Accumulator-backed form (the classic foreachPartition path): the
+    * captured pairs ride a driver-side CollectionAccumulator. The DSv2
+    * write path ([[graft.sources.v2.HttpPublishSource]]) passes a
+    * task-local buffer instead and ships the pairs through its
+    * WriterCommitMessage — same capture logic, commit-protocol
+    * transport. */
+  def this(
+      endpoint: String,
+      errors: CollectionAccumulator[(String, String)],
+      idCol: Option[String],
+      maxRetries: Int) =
+    this(endpoint, (e: (String, String)) => errors.add(e), idCol, maxRetries)
+
+  def this(
+      endpoint: String,
+      errors: CollectionAccumulator[(String, String)]) =
+    this(endpoint, (e: (String, String)) => errors.add(e))
+
+
+  private val core = new HttpPostCore(endpoint, record, maxRetries,
+    connectTimeoutMs, readTimeoutMs, maxRetryAfterMs)
 
   override def apply(batch: Seq[Row]): Unit = batch.foreach(postOne)
 
@@ -59,8 +81,28 @@ final class HttpPublisher(
     idCol.map(c => s"($c=${row.getAs[Any](c)})")
       .getOrElse(s"(record ${row.json.take(80)})")
 
-  private def postOne(row: Row): Unit = {
-    val body = row.json.getBytes("UTF-8")
+  private def postOne(row: Row): Unit = core.post(row.json, identify(row))
+}
+
+/** The transport half of the publisher — one JSON body POSTed with the
+  * full retry/Retry-After/ApiException-capture contract documented at
+  * [[HttpPublisher]], factored row-representation-free so BOTH publish
+  * surfaces share it: the classic Row-based `foreachPartition` path and
+  * the DSv2 InternalRow write path
+  * ([[graft.sources.v2.HttpPublishSource]]), whose rows never convert
+  * to external Rows. */
+private[sources] final class HttpPostCore(
+    endpoint: String,
+    record: ((String, String)) => Unit,
+    maxRetries: Int = 3,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 30000,
+    maxRetryAfterMs: Long = 4000L) extends Serializable {
+
+  /** POST `bodyJson`; `ident` is the record identifier used in captured
+    * error details. Never throws (capture contract). */
+  def post(bodyJson: String, ident: String): Unit = {
+    val body = bodyJson.getBytes("UTF-8")
     var attempt = 0
     try {
       while (true) {
@@ -86,14 +128,14 @@ final class HttpPublisher(
               // by retrying early)
               recordFailure(code,
                 s"Retry-After ${headerMs.get / 1000}s exceeds the " +
-                  s"${maxRetryAfterMs}ms retry clamp", row)
+                  s"${maxRetryAfterMs}ms retry clamp", ident)
               return
             }
             Thread.sleep(
               headerMs.getOrElse(250L * (1L << attempt)).min(maxRetryAfterMs))
             attempt += 1
           } else {
-            recordFailure(code, readErrorBody(conn), row)
+            recordFailure(code, readErrorBody(conn), ident)
             return
           }
         } finally conn.disconnect()
@@ -102,8 +144,8 @@ final class HttpPublisher(
       // connection-level failure (the reference's CurlException arm,
       // TicketPublisher.php:64-67): captured, never thrown
       case scala.util.control.NonFatal(e) =>
-        errors.add((String.valueOf(e.getMessage),
-          s"publish to $endpoint failed ${identify(row)}"))
+        record((String.valueOf(e.getMessage),
+          s"publish to $endpoint failed $ident"))
     }
   }
 
@@ -115,17 +157,17 @@ final class HttpPublisher(
     }.getOrElse("")
   }
 
-  private def recordFailure(code: Int, body: String, row: Row): Unit = {
+  private def recordFailure(code: Int, body: String, ident: String): Unit = {
     val pairs = HttpPublisher.apiErrorPairs(body)
     if (pairs.nonEmpty)
       // ApiException with a structured errors array: group by the error
       // message, detail = "[property] message (ident)" (TP:56-58)
       pairs.foreach { case (property, message) =>
-        errors.add((message, s"Error: [$property] $message ${identify(row)}"))
+        record((message, s"Error: [$property] $message $ident"))
       }
     else
       // no structured errors: group by the HTTP failure itself (TP:62)
-      errors.add((s"HTTP $code", s"${identify(row)}: ${body.take(200)}"))
+      record((s"HTTP $code", s"$ident: ${body.take(200)}"))
   }
 }
 

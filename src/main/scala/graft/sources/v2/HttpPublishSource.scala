@@ -1,0 +1,324 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.json.{JSONOptions, JacksonGenerator}
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.SortOrder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{HttpPostCore, RateLimitedSink}
+
+/** DSv2 WRITE-ONLY table for the K1/K2 HTTP publish — the reference's
+  * per-record REST publish (TicketPublisher.php:30-91,
+  * CustomerPublisher.php:28-69) lifted onto the SupportsWrite +
+  * commit-protocol surface (r16 verdict #7), so a migration publish gets
+  * the same crash-matrix citizenship the keyed connector's file writes
+  * already have instead of living outside the planner in
+  * `foreachPartition`:
+  *
+  *  - `df.write.format("graft-http").option("endpoint", url)
+  *    .mode("append").save(ledgerDir)` — the PATH is the local ledger +
+  *    error-spool directory, the only durable state the sink owns (the
+  *    remote side is the service);
+  *  - `parallelism` rides [[RequiresDistributionAndOrdering
+  *    .requiredNumPartitions]], so the publish fan-out is a PLANNER
+  *    demand (the reference's worker-count knob), not a `coalesce` the
+  *    caller must remember; the aggregate `ratePerMinute` divides across
+  *    the actual partition count at write time, the same decomposition
+  *    [[RateLimitedSink]] uses;
+  *  - each task posts its rows through [[graft.sources.HttpPostCore]]
+  *    (identical retry/Retry-After/ApiException capture as the classic
+  *    path) and ships its captured error pairs + posted-row count in its
+  *    [[WriterCommitMessage]] — the driver's commit spools them under
+  *    `<path>/_errors/` as JSON lines the standard error channel reads
+  *    ([[HttpPublishSource.errors]]);
+  *  - with a `batchid` option (the streaming foreachBatch leg), the
+  *    commit is idempotent: a marker under `<path>/_batches` makes a
+  *    replayed batch a whole skip — checked at FACTORY creation, so a
+  *    replay posts ZERO requests, not just skips the marker write — and
+  *    the error spool is scrubbed per batch id before respooling, so a
+  *    crash-then-replay never double-counts an error.
+  *
+  * Exactly-once limits, stated honestly: HTTP POST is not scrubbable —
+  * WITHIN a batch that crashes before its marker (or a task that dies
+  * mid-partition and retries), records post AT LEAST ONCE, exactly the
+  * reference's own semantics (its PHP loop has no dedup either); the
+  * marker bounds the blast radius to one uncommitted batch. A service
+  * needing true idempotence supplies idempotency keys in the payload.
+  *
+  * Scale: no driver-side rows anywhere — errors are the only
+  * driver-materialized data (failed records' (type, detail) strings,
+  * tiny by contract), counts are longs in commit messages.
+  */
+class HttpPublishSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-http"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-http is write-only: the schema is the written DataFrame's")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-http requires a path (the ledger/error-spool directory)"))
+    val endpoint = Option(opts.get("endpoint")).getOrElse(
+      throw new IllegalArgumentException("graft-http requires endpoint"))
+    new HttpPublishTable(schema, path, endpoint)
+  }
+}
+
+object HttpPublishSource {
+  private[v2] val ErrorsSubdir = "_errors"
+  private[v2] val BatchesSubdir = "_batches"
+
+  /** The error spool of every committed write under `ledgerDir`, as the
+    * standard (`error_type`, `error_detail`) frame
+    * ([[graft.migration.ErrorChannel]] consumes it directly). */
+  def errors(
+      spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String): org.apache.spark.sql.DataFrame = {
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        graft.migration.ErrorChannel.ErrorType,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        graft.migration.ErrorChannel.ErrorDetail,
+        org.apache.spark.sql.types.StringType)))
+    val dir = new java.io.File(ledgerDir, ErrorsSubdir)
+    if (!dir.isDirectory)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).json(dir.getAbsolutePath)
+  }
+}
+
+class HttpPublishTable(writeSchema: StructType, path: String, endpoint: String)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft-http:$endpoint"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val o = info.options
+    def intOpt(k: String, d: Int): Int =
+      Option(o.get(k)).map(_.trim.toInt).getOrElse(d)
+    val conf = HttpPublishConf(
+      path = path,
+      endpoint = endpoint,
+      ratePerMinute = intOpt("rateperminute", 60),
+      batchSize = math.max(1, intOpt("batchsize", 50)),
+      parallelism = intOpt("parallelism", 0),
+      idCol = Option(o.get("idcol")),
+      maxRetries = intOpt("maxretries", 3),
+      batchId = Option(o.get("batchid")).map(_.trim.toLong),
+      failBeforeMarker = Option(o.get("failbeforemarker")).exists(_.toBoolean))
+    conf.idCol.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"graft-http: idcol '$c' not in the written schema"))
+    new WriteBuilder {
+      override def build(): Write = new HttpPublishWrite(info.schema(), conf)
+    }
+  }
+}
+
+private[v2] final case class HttpPublishConf(
+    path: String, endpoint: String, ratePerMinute: Int, batchSize: Int,
+    parallelism: Int, idCol: Option[String], maxRetries: Int,
+    batchId: Option[Long], failBeforeMarker: Boolean)
+
+/** The write plan: `parallelism` (when set) is demanded from the planner
+  * via requiredNumPartitions — Spark inserts the repartition, so the
+  * publish fan-out and the per-partition rate split agree by
+  * construction. */
+class HttpPublishWrite(schema: StructType, conf: HttpPublishConf)
+    extends Write with RequiresDistributionAndOrdering {
+  // Spark refuses a partition-count demand under an UNSPECIFIED
+  // distribution (numberOfPartitionsNotAllowedWithUnspecifiedDistribution),
+  // so the fan-out demand rides a clustering — by the record id when the
+  // caller named one (retries of one record stay on one task's token
+  // bucket), else by the whole row (uniform hash spread)
+  override def requiredDistribution(): Distribution =
+    if (conf.parallelism <= 0) Distributions.unspecified()
+    else {
+      val cols = conf.idCol.map(Seq(_)).getOrElse(schema.fieldNames.toSeq)
+      val exprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        cols.map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(c):
+          org.apache.spark.sql.connector.expressions.Expression).toArray
+      Distributions.clustered(exprs)
+    }
+  override def requiredNumPartitions(): Int = math.max(0, conf.parallelism)
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  override def toBatch: BatchWrite = new HttpPublishBatchWrite(schema, conf)
+}
+
+case class HttpPublishCommit(
+    rows: Long, batches: Long,
+    errors: Seq[(String, String)]) extends WriterCommitMessage
+
+class HttpPublishBatchWrite(schema: StructType, conf: HttpPublishConf)
+    extends BatchWrite {
+
+  private def markerPath: java.nio.file.Path = java.nio.file.Paths.get(
+    conf.path, HttpPublishSource.BatchesSubdir,
+    s"batch-${conf.batchId.getOrElse(-1L)}.committed")
+
+  /** Replay skip decided at FACTORY creation: if this batch id already
+    * committed, tasks get a no-op writer — a replayed micro-batch posts
+    * ZERO requests. (BatchWrite.commit would be too late: the posts are
+    * the tasks' side effect.) */
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val committed =
+      conf.batchId.isDefined && java.nio.file.Files.exists(markerPath)
+    val perPartitionRate = math.max(1,
+      conf.ratePerMinute / math.max(1, info.numPartitions))
+    new HttpPublishWriterFactory(schema, conf, perPartitionRate, committed)
+  }
+
+  /** Commit protocol, ordered like the keyed connector's
+    * (scrub → spool → marker; see KeyedJsonBatchWrite.commit):
+    *  1. already-committed batch id → whole no-op (the factory already
+    *     made the tasks silent);
+    *  2. scrub this batch id's previous error spool (a pre-marker crash
+    *     left a partial spool the replay would otherwise double-count);
+    *  3. spool this write's captured errors as JSON lines under
+    *     `_errors/` (temp +
+    *     ATOMIC_MOVE per file);
+    *  4. write the marker (temp + ATOMIC_MOVE) — the commit point.
+    * `failBeforeMarker` injects the crash window between 3 and 4 for the
+    * spec's matrix. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (conf.batchId.isDefined && java.nio.file.Files.exists(markerPath))
+      return
+    val errDir = java.nio.file.Paths.get(
+      conf.path, HttpPublishSource.ErrorsSubdir)
+    java.nio.file.Files.createDirectories(errDir)
+    val tag = conf.batchId.map(id => s"batch-$id").getOrElse(
+      "write-" + java.util.UUID.randomUUID().toString.take(8))
+    conf.batchId.foreach { id =>
+      Option(errDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"batch-$id-"))
+        .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    }
+    val errs = messages.flatMap {
+      case HttpPublishCommit(_, _, e) => e
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    if (errs.nonEmpty) {
+      def j(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val body = errs.map { case (t, d) =>
+        s"""{${j(graft.migration.ErrorChannel.ErrorType)}:${j(t)},""" +
+          s"""${j(graft.migration.ErrorChannel.ErrorDetail)}:${j(d)}}"""
+      }.mkString("", "\n", "\n")
+      val tmp = java.nio.file.Files.createTempFile(errDir, tag, ".tmp")
+      java.nio.file.Files.write(tmp,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp,
+        errDir.resolve(s"$tag-errors.jsonl"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (conf.failBeforeMarker)
+      throw new IllegalStateException(
+        "injected crash before publish marker commit")
+    conf.batchId.foreach { _ =>
+      java.nio.file.Files.createDirectories(markerPath.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        markerPath.getParent, "marker", ".tmp")
+      java.nio.file.Files.write(tmp, java.util.Arrays.asList(
+        s"rows ${messages.collect { case HttpPublishCommit(r, _, _) => r }.sum}",
+        s"batches ${messages.collect { case HttpPublishCommit(_, b, _) => b }.sum}"))
+      java.nio.file.Files.move(tmp, markerPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Nothing durable to roll back — the posts already happened (the
+    * documented at-least-once window); no marker means the replay
+    * re-posts. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class HttpPublishWriterFactory(
+    schema: StructType, conf: HttpPublishConf,
+    perPartitionRate: Int, alreadyCommitted: Boolean)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    if (alreadyCommitted) new DataWriter[InternalRow] {
+      override def write(record: InternalRow): Unit = ()
+      override def commit(): WriterCommitMessage =
+        HttpPublishCommit(0L, 0L, Seq.empty)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+    else new HttpPublishDataWriter(schema, conf, perPartitionRate)
+}
+
+/** One task's publish leg: rows render to JSON through JacksonGenerator
+  * (no external-Row conversion), post per record through the shared
+  * transport core, throttled one token per `batchSize` records — the
+  * exact cadence of [[RateLimitedSink.publishCounted]]. */
+class HttpPublishDataWriter(
+    schema: StructType, conf: HttpPublishConf, perPartitionRate: Int)
+    extends DataWriter[InternalRow] {
+
+  private val errs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private val core = new HttpPostCore(
+    conf.endpoint, e => { errs += e; () }, conf.maxRetries)
+  private val bucket = new RateLimitedSink.TokenBucket(perPartitionRate)
+  private val idIdx = conf.idCol.map(schema.fieldIndex)
+  private val idField = idIdx.map(schema.fields(_))
+  private val sw = new java.io.StringWriter()
+  private val gen = new JacksonGenerator(
+    schema, sw, new JSONOptions(Map.empty[String, String], "UTC", ""))
+  private var rows = 0L
+  private var batches = 0L
+  private var inBatch = 0
+
+  override def write(row: InternalRow): Unit = {
+    if (inBatch == 0) { bucket.acquire(); batches += 1 }
+    inBatch = (inBatch + 1) % conf.batchSize
+    sw.getBuffer.setLength(0)
+    gen.write(row)
+    gen.flush()
+    val ident = idField match {
+      case Some(f) =>
+        val v = if (row.isNullAt(idIdx.get)) "null"
+                else row.get(idIdx.get, f.dataType)
+        s"(${f.name}=$v)"
+      case None => s"(record ${sw.toString.take(80)})"
+    }
+    core.post(sw.toString, ident)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage =
+    HttpPublishCommit(rows, batches, errs.toSeq)
+
+  override def abort(): Unit = ()
+  override def close(): Unit = gen.close()
+}

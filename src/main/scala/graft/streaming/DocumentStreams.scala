@@ -389,15 +389,27 @@ object DocumentStreams {
     * token dir (ceil(bytes/targetBytes) files), swap the manifest to the
     * single compacted entry, then delete the replaced dirs best-effort
     * (a crash leaves only unreadable orphans — the live state is always
-    * whatever the manifest names, never a partially-rewritten dir). */
+    * whatever the manifest names, never a partially-rewritten dir).
+    *
+    * `includeSurvivors = false` compacts the INDEX BASES ONLY — the
+    * keyed-connector lifecycle ([[incrementalDedupToKeyed]]), whose
+    * survivor store is the `graft-keyed` layout with its own batch
+    * ledger, not a manifest-resolved parquet base. `failBeforeCommit`
+    * injects a crash in the only window the protocol leaves (compact
+    * dirs written, manifest not yet swapped) for the crash spec; the
+    * `maxBatch` replay record is carried UNCHANGED through the swap, so
+    * the exactly-once skip survives compaction. */
   private[graft] def compactCommitted(
       spark: SparkSession, indexPath: String, outPath: String,
-      batchId: Long, targetBytes: Long): Unit = {
+      batchId: Long, targetBytes: Long,
+      includeSurvivors: Boolean = true,
+      failBeforeCommit: Boolean = false): Unit = {
     val st = readCommits(spark, indexPath)
     if (st.entries.size <= 1) return
     val conf = spark.sparkContext.hadoopConfiguration
     val token = f"compact$batchId%05d"
-    val bases = Seq(s"$indexPath/bands", s"$indexPath/wh", outPath)
+    val bases = Seq(s"$indexPath/bands", s"$indexPath/wh") ++
+      (if (includeSurvivors) Seq(outPath) else Seq.empty)
     for (base <- bases) {
       val dirs = st.entries.map(e => s"$base/$e")
       val bytes = dirs.map { d =>
@@ -409,6 +421,9 @@ object DocumentStreams {
       spark.read.parquet(dirs: _*)
         .coalesce(want).write.mode("overwrite").parquet(s"$base/$token")
     }
+    if (failBeforeCommit)
+      throw new IllegalStateException(
+        "injected crash before compaction manifest swap")
     commitCommits(spark, indexPath, CommitState(Seq(token), st.maxBatch))
     // the swap is durable; stale dirs are unreachable — deletion is pure
     // housekeeping and may fail without consequence
@@ -586,6 +601,19 @@ object DocumentStreams {
     * Within-batch new-new duplicates are out of scope, exactly as in
     * [[incrementalCurationToParquet]] (dedupAgainstSignatureIndex's
     * documented contract). */
+  /** @param compactEvery rewrite the signature index's live entries into
+    *                      one token every this many batches (0 disables) —
+    *                      the r16 verdict's "signature-index compaction
+    *                      for the crawl loop": without it the per-batch
+    *                      token dirs accrete forever and the probe-side
+    *                      banded join pays an O(batches) listing + many
+    *                      small files at every trigger. Only the INDEX
+    *                      bases compact (the keyed survivor store has its
+    *                      own ledger/layout); the manifest swaps
+    *                      atomically with `maxBatch` carried, so replay
+    *                      skips survive compaction and dedup verdicts are
+    *                      IDENTICAL pre/post (q236 grades the cascade
+    *                      over a compacted index against q227's oracle). */
   def incrementalDedupToKeyed(
       spark: SparkSession, dir: String, seedIndex: DataFrame,
       outPath: String, indexPath: String, batchFiles: Int = 3,
@@ -593,7 +621,9 @@ object DocumentStreams {
       threshold: Double = 0.95,
       conf: EventStreams.StreamRunConf = EventStreams.StreamRunConf(),
       docsPath: String = "documents.parquet",
-      streamSplit: Column = col("doc_id") % 10 =!= 0): DataFrame = {
+      streamSplit: Column = col("doc_id") % 10 =!= 0,
+      compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L << 20): DataFrame = {
     require(batchFiles >= 1, "need at least one batch file")
     val docs = spark.read.parquet(s"$dir/$docsPath").filter(streamSplit)
     val streamDir = renderCrawlBatches(docs, batchFiles)
@@ -608,6 +638,13 @@ object DocumentStreams {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           processKeyedDedupBatch(spark, batch, batchId, indexPath, outPath,
             shards, numHashes, bands, threshold)
+          // index-only compaction AFTER this batch's two-store commit
+          // and BEFORE the next batch's manifest read — a batch still
+          // never meets its own signatures, and the keyed store is
+          // untouched (its ledger is the replay authority there)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactCommitted(spark, indexPath, outPath, batchId,
+              compactTargetBytes, includeSurvivors = false)
           ()
         }
         .options(conf.options)

@@ -175,6 +175,149 @@ class AdvisedSqlJoinSpec extends SparkSpec {
     }
   }
 
+  test("FULL OUTER salt: the outer-union decomposition emits matched " +
+    "pairs, both sides' unmatched rows, and both sides' null-keyed rows " +
+    "exactly once") {
+    // hot key 7 on both sides; unmatched LEFT keys (i+900000), unmatched
+    // RIGHT keys (i+500000), and NULL keys on BOTH sides — every row
+    // class a replicated/salted leg could lose or duplicate
+    val left = ((1 to 4000).map(_ => 7L) ++ (1 to 1500).map(i => i + 100L)
+      ++ (1 to 400).map(i => i + 900000L))
+      .map(k => (k: java.lang.Long)) ++ Seq.fill(20)(null: java.lang.Long)
+    val right = ((1 to 300).map(_ => 7L) ++ (1 to 800).map(i => i + 100L)
+      ++ (1 to 350).map(i => i + 500000L))
+      .map(k => (k: java.lang.Long)) ++ Seq.fill(15)(null: java.lang.Long)
+    left.toDF("k").createOrReplaceTempView("adv_fo_l")
+    right.map(k => (k, if (k == null) null
+      else (k * 2L): java.lang.Long)).toDF("k", "v")
+      .createOrReplaceTempView("adv_fo_r")
+    withConfs(
+      "spark.graft.advisor.broadcastMaxRows" -> "0",
+      "spark.graft.advisor.skewFactor" -> "1.5",
+      "spark.graft.advisor.minSaltOutputRows" -> "100",
+      "spark.graft.advisor.maxSaltBuckets" -> "8",
+      "spark.graft.advisor.maxHotShare" -> "1.0",
+      "spark.graft.advisor.targetPartitions" -> "200000",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val tpl = "SELECT %s adv_fo_l.k AS lk, adv_fo_r.k AS rk, adv_fo_r.v" +
+        " FROM adv_fo_l FULL OUTER JOIN adv_fo_r ON adv_fo_l.k = adv_fo_r.k"
+      val hinted = spark.sql(tpl.format("/*+ GRAFT_ADVISE */"))
+      val control = spark.sql(tpl.format(""))
+      val p = joins(hinted)
+      assert(p.contains("__gsalt") && p.contains("Union"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      // the FullOuter node itself must be decomposed away (LeftOuter +
+      // LeftAnti legs are what carry the salt legality)
+      assert(!p.contains("FullOuter"), p)
+      assert(sorted(hinted) === sorted(control))
+    }
+  }
+
+  test("forced-replication economics (ADVICE r16): a LEFT OUTER whose " +
+    "forced (right) side is mostly hot demotes to shuffle, while the " +
+    "same data as INNER still salts by replicating the cold side") {
+    // left: hot key 7 at ~0.5% share; right: the SAME key at ~50% share.
+    // decide() gates min(share) = left's 0.5% and verdicts salt; the
+    // LeftOuter consumer is FORCED to replicate the right side (its
+    // unmatched rows never emit) at 50% hot — past the measured 0.1
+    // ceiling, so it must demote; the Inner consumer freely replicates
+    // the 0.5% left side and keeps the salt.
+    val left = ((1 to 50).map(_ => 7L) ++ (1 to 10000).map(i => i + 100L))
+      .toDF("k")
+    val right = ((1 to 5000).map(_ => 7L) ++ (1 to 5000).map(i => i + 100L))
+      .map(k => (k, k * 3L)).toDF("k", "v")
+    left.createOrReplaceTempView("adv_fr_l")
+    right.createOrReplaceTempView("adv_fr_r")
+    withConfs(
+      "spark.graft.advisor.broadcastMaxRows" -> "0",
+      "spark.graft.advisor.skewFactor" -> "1.5",
+      "spark.graft.advisor.minSaltOutputRows" -> "100",
+      "spark.graft.advisor.maxSaltBuckets" -> "8",
+      "spark.graft.advisor.targetPartitions" -> "32",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val outer = spark.sql("""SELECT /*+ GRAFT_ADVISE */ adv_fr_l.k,
+        adv_fr_r.v FROM adv_fr_l LEFT JOIN adv_fr_r
+        ON adv_fr_l.k = adv_fr_r.k""")
+      val pOuter = joins(outer)
+      assert(!pOuter.contains("__gsalt"),
+        s"forced 50%-hot replication side must demote, not salt:\n$pOuter")
+      val controlOuter = spark.sql("""SELECT adv_fr_l.k, adv_fr_r.v
+        FROM adv_fr_l LEFT JOIN adv_fr_r ON adv_fr_l.k = adv_fr_r.k""")
+      assert(sorted(outer) === sorted(controlOuter))
+      val inner = spark.sql("""SELECT /*+ GRAFT_ADVISE */ adv_fr_l.k,
+        adv_fr_r.v FROM adv_fr_l JOIN adv_fr_r
+        ON adv_fr_l.k = adv_fr_r.k""")
+      val pInner = joins(inner)
+      assert(pInner.contains("__gsalt"),
+        s"inner keeps the salt by replicating the cold side:\n$pInner")
+    }
+  }
+
+  test("float-key normalization (ADVICE r16): a hot -0.0/+0.0 double " +
+    "key routes both halves of every matching pair to one leg") {
+    // the HOT key itself is the mixed-sign zero: the left side stores
+    // -0.0, the right side +0.0 — join equality matches them, string
+    // renderings differ. Without normalization the hot predicate sends
+    // left's rows to the hot leg and right's to the cold leg and every
+    // match is silently lost.
+    val left = ((1 to 500).map(_ => -0.0) ++ (1 to 500).map(i => i + 100.0))
+      .toDF("k")
+    val right = ((1 to 40).map(_ => 0.0) ++ (1 to 200).map(i => i + 100.0))
+      .map(k => (k, k + 0.5)).toDF("k", "v")
+    left.createOrReplaceTempView("adv_fz_l")
+    right.createOrReplaceTempView("adv_fz_r")
+    withConfs(
+      "spark.graft.advisor.broadcastMaxRows" -> "0",
+      "spark.graft.advisor.skewFactor" -> "1.5",
+      "spark.graft.advisor.minSaltOutputRows" -> "100",
+      "spark.graft.advisor.maxSaltBuckets" -> "8",
+      "spark.graft.advisor.maxHotShare" -> "1.0",
+      "spark.graft.advisor.targetPartitions" -> "200000",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val tpl = "SELECT %s adv_fz_l.k, adv_fz_r.v FROM adv_fz_l" +
+        " JOIN adv_fz_r ON adv_fz_l.k = adv_fz_r.k"
+      val hinted = spark.sql(tpl.format("/*+ GRAFT_ADVISE */"))
+      val control = spark.sql(tpl.format(""))
+      val p = joins(hinted)
+      assert(p.contains("__gsalt"), p)
+      assert(sorted(hinted) === sorted(control),
+        "mixed-sign-zero matches must survive the hot/cold routing")
+      assert(hinted.count() === 500L * 40L + 200L)
+    }
+  }
+
+  test("advisory memoization: a second identical advised statement runs " +
+    "zero additional sketch passes; cacheSize=0 disables") {
+    import graft.plans.AdvisedEquiJoinRewrite
+    val dim = (1 to 40).map(i => (i.toLong, s"m$i")).toDF("id", "m")
+    val fact = (1 to 8000).map(i => (i % 40 + 1).toLong).toDF("id")
+    dim.createOrReplaceTempView("adv_memo_d")
+    fact.createOrReplaceTempView("adv_memo_f")
+    val stmt = """SELECT /*+ GRAFT_ADVISE */ m,
+      CAST(count(*) AS BIGINT) AS n
+      FROM adv_memo_f JOIN adv_memo_d ON adv_memo_f.id = adv_memo_d.id
+      GROUP BY m"""
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      AdvisedEquiJoinRewrite.clearAdviceCache()
+      val c0 = AdvisedEquiJoinRewrite.sketchPassCount.get
+      val r1 = sorted(spark.sql(stmt))
+      val c1 = AdvisedEquiJoinRewrite.sketchPassCount.get
+      assert(c1 === c0 + 1, "first statement pays exactly one sketch pass")
+      val r2 = sorted(spark.sql(stmt))
+      assert(AdvisedEquiJoinRewrite.sketchPassCount.get === c1,
+        "second identical statement must be a cache hit")
+      assert(r1 === r2)
+    }
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.advisor.cacheSize" -> "0") {
+      val c2 = AdvisedEquiJoinRewrite.sketchPassCount.get
+      spark.sql(stmt).collect()
+      assert(AdvisedEquiJoinRewrite.sketchPassCount.get === c2 + 1,
+        "cacheSize=0 must re-run the sketch pass")
+    }
+  }
+
   test("GRAFT_ADVISE takes no arguments") {
     val e = intercept[Exception] {
       spark.sql("SELECT /*+ GRAFT_ADVISE(x) */ * FROM range(1)").collect()

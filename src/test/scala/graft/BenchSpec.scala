@@ -342,4 +342,75 @@ class BenchSpec extends AnyFunSuite {
       Map(Bench.DiskCanaryRefKey -> -1.0, "q1" -> 0.5), rebase = false)
     assert(env(Bench.DiskCanaryRefKey) === 0.109)
   }
+
+  test("anchor-era context: a NEW-MIN anchor writes its capture-window " +
+    "canaries; a holding anchor carries its prior context verbatim") {
+    val prior = Map(
+      "q1" -> 0.5, "q1#cp" -> 0.30, "q1#cd" -> 0.12, // holds this run
+      "q2" -> 1.0, "q2#cp" -> 0.50, "q2#cd" -> 0.30, // tightens this run
+      "q3" -> 2.0) // pre-machinery anchor: era unknown, holds
+    val cur = Map("q1" -> 0.9, "q2" -> 0.8, "q3" -> 2.5,
+      "q4" -> 1.5, // new query: enters with context
+      "q1#b" -> 1e6, Bench.CanaryRefKey -> 0.28)
+    val ctx = Bench.anchorContextRows(prior, cur, rebase = false,
+      ctxCpu = 0.41, ctxDisk = 0.22)
+    assert(ctx("q1#cp") === 0.30 && ctx("q1#cd") === 0.12,
+      "holding anchor keeps its capture era")
+    assert(ctx("q2#cp") === 0.41 && ctx("q2#cd") === 0.22,
+      "tightened anchor records THIS run's window")
+    assert(!ctx.contains("q3#cp") && !ctx.contains("q3#cd"),
+      "a holding pre-machinery anchor stays era-unknown")
+    assert(ctx("q4#cp") === 0.41 && ctx("q4#cd") === 0.22,
+      "a new anchor enters with its capture context")
+    assert(!ctx.keys.exists(_.endsWith("#b#cp")),
+      "bytes rows never get context (isAnchorKey)")
+    assert(!ctx.contains(Bench.CanaryRefKey + "#cp"),
+      "canary references never get context")
+  }
+
+  test("anchor-era context: rebase re-stamps the era, a failed canary " +
+    "reading clears stale context instead of mislabeling the new anchor, " +
+    "and departed anchors drop their context unless excluded-carried") {
+    val prior = Map("q1" -> 0.5, "q1#cp" -> 0.30,
+      "q9" -> 3.0, "q9#cp" -> 0.33, // q9 leaves the registry this run
+      "q159" -> 9.0, "q159#cp" -> 0.35) // excluded query: carried
+    val reb = Bench.anchorContextRows(prior, Map("q1" -> 2.0),
+      rebase = true, ctxCpu = 0.90, ctxDisk = 0.44,
+      alsoKeep = Set("q159"))
+    assert(reb("q1#cp") === 0.90 && reb("q1#cd") === 0.44,
+      "a rebased (loosened) anchor records the rebase window's era")
+    assert(!reb.contains("q9#cp"), "departed anchor drops its context")
+    assert(reb("q159#cp") === 0.35, "excluded-query context is carried")
+    val cleared = Bench.anchorContextRows(
+      Map("q1" -> 0.5, "q1#cp" -> 0.30, "q1#cd" -> 0.12),
+      Map("q1" -> 0.2), rebase = false, ctxCpu = -1.0, ctxDisk = 0.2)
+    assert(!cleared.contains("q1#cp"),
+      "failed cpu reading: stale context cleared, not inherited")
+    assert(cleared("q1#cd") === 0.2, "the healthy reading still lands")
+  }
+
+  test("anchorInflation consumes the context row: known era divides by " +
+    "the anchor's own canary, unknown era falls back to the global " +
+    "rolling-min reference, and a healthier-than-today era never " +
+    "tightens below 1.0") {
+    // q191's shape: anchor captured at canary 0.30, today's window 0.60
+    // — 2.0x era drift is now computed, not argued
+    assert(Bench.anchorInflation(0.60, Some(0.30), 0.28) === 2.0)
+    // unknown context: today's behavior (global healthiest-ever ref)
+    assert(math.abs(
+      Bench.anchorInflation(0.60, None, 0.28) - 0.60 / 0.28) < 1e-9)
+    // NOISY-era anchor: judged against its own era => TIGHTER gate than
+    // the global ref would give (the anchor was achieved under noise)
+    assert(Bench.anchorInflation(0.60, Some(0.55), 0.28) < 0.60 / 0.28)
+    // host recovered since capture: clamp at 1.0, raw comparison
+    assert(Bench.anchorInflation(0.30, Some(0.60), 0.28) === 1.0)
+    // a failed/zero context reading must not divide by zero
+    assert(Bench.anchorInflation(0.60, Some(0.0), 0.28) === 0.60 / 0.28)
+    // end-to-end through the resource-matched gate: a cpu-affine flag
+    // judged by its anchor-era cpu inflation
+    val infl = Bench.inflationFor("cpu",
+      Bench.anchorInflation(0.60, Some(0.30), 0.28),
+      Bench.anchorInflation(2.0, Some(2.0), 0.109))
+    assert(infl === 2.0, "cpu-affine: disk era plays no part")
+  }
 }

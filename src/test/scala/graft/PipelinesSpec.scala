@@ -161,7 +161,7 @@ class PipelinesSpec extends SparkSpec {
         Fixtures.hsMailboxesDf(spark), Fixtures.hsUsersDf(spark),
         Fixtures.hsCustomersDf(spark), Fixtures.existingConversationsDf(spark),
         Fixtures.defaultMailboxEmail, SyncOptions(bypassValidation = true))(
-        new HttpPublisher(s"$base/hs/conversations", acc,
+        new HttpPublisher(s"$base/hs/conversations", acc.add _,
           idCol = Some("groove_ticket_number"))).toOption.get
 
       assert(report.published.toInt === expected.size)
@@ -201,7 +201,7 @@ class PipelinesSpec extends SparkSpec {
         Fixtures.hsCustomersDf(spark), Fixtures.existingConversationsDf(spark),
         Fixtures.defaultMailboxEmail,
         SyncOptions(bypassValidation = true, tickets = Seq(1001L)))(
-        new HttpPublisher(s"$base/hs/conversations", acc,
+        new HttpPublisher(s"$base/hs/conversations", acc.add _,
           idCol = Some("groove_ticket_number"))).toOption.get
       val fetched = served.asScala.filter(_.startsWith("/files/")).toSeq
       assert(fetched.nonEmpty && fetched.forall(p =>

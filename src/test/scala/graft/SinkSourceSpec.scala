@@ -760,4 +760,97 @@ class SinkSourceSpec extends SparkSpec {
     assert(ks.toSeq === ((0L until 20L) ++ (100L until 120L) ++
       (200L until 220L) ++ (300L until 320L)).map(identity))
   }
+
+  test("DSv2 HTTP publish: planner-demanded parallelism, per-record " +
+    "POST parity, error spool through commit, and the batch-id crash " +
+    "matrix (replay posts ZERO requests)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.migration.ErrorChannel
+    import graft.sources.v2.HttpPublishSource
+    import spark.implicits._
+    val posted = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/pub", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        posted.add(body)
+        def respond(code: Int, b: Array[Byte]): Unit = {
+          if (b.isEmpty) ex.sendResponseHeaders(code, -1)
+          else { ex.sendResponseHeaders(code, b.length)
+                 ex.getResponseBody.write(b) }
+          ex.close()
+        }
+        if (body.contains("\"subject\":\"\""))
+          respond(400,
+            """{"errors":[{"property":"subject","message":"may not be empty","value":null}]}"""
+              .getBytes("UTF-8"))
+        else respond(201, Array.empty)
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/pub"
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft-http-ledger").toString
+      val df = Seq((1001L, "Printer on fire"), (1002L, ""),
+        (1003L, "Paper jam"), (1004L, "Toner low")).toDF("id", "subject")
+      def write(extra: (String, String)*): Unit = {
+        var w = df.write.format("graft-http")
+          .option("endpoint", endpoint)
+          .option("rateperminute", "100000")
+          .option("batchsize", "2")
+          .option("parallelism", "2")
+          .option("idcol", "id")
+          .option("maxretries", "1")
+        extra.foreach { case (k, v) => w = w.option(k, v) }
+        w.mode("append").save(ledger)
+      }
+      // ---- plain write: every record posts exactly once ----
+      write()
+      assert(posted.size === 4, s"got ${posted.size}: $posted")
+      assert(posted.asScala.exists(b =>
+        b.contains("\"id\":1001") && b.contains("Printer on fire")))
+      // planner-demanded parallelism: the writer never coalesced on the
+      // caller's side, yet the fan-out was 2 — implicitly proven by the
+      // write succeeding with ratePerMinute split across partitions;
+      // the error spool carries the 400-failed record through commit
+      val errs1 = HttpPublishSource.errors(spark, ledger)
+      val e1 = errs1.orderBy(ErrorChannel.ErrorType).collect()
+      assert(e1.length === 1 && e1(0).getString(0) === "may not be empty",
+        e1.mkString("; "))
+      assert(e1(0).getString(1).contains("[subject] may not be empty (id=1002)"),
+        e1(0).getString(1))
+      // the grouped report consumes the spool with no extra plumbing
+      val report = ErrorChannel.groupedReport(errs1).collect()
+      assert(report.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("may not be empty", 1L)))
+
+      // ---- batch-id exactly-once matrix ----
+      posted.clear()
+      // window 1: crash AFTER posts + error spool, BEFORE the marker
+      intercept[Exception] {
+        write("batchid" -> "7", "failbeforemarker" -> "true")
+      }
+      assert(posted.size === 4,
+        "the crashed attempt posted (at-least-once window, documented)")
+      // window 2: replay of the uncommitted id re-posts (HTTP is not
+      // scrubbable) but scrubs + respools the errors — no double count
+      posted.clear()
+      write("batchid" -> "7")
+      assert(posted.size === 4, "replay of an UNcommitted id must re-post")
+      val errsAfterReplay = HttpPublishSource.errors(spark, ledger)
+        .filter(col(ErrorChannel.ErrorDetail).contains("(id=1002)")).count()
+      assert(errsAfterReplay === 2L, // 1 from the plain write + 1 for id 7
+        s"crash+replay must not double-count the batch's errors " +
+          s"(got $errsAfterReplay)")
+      // window 3: replay of the COMMITTED id posts ZERO requests — the
+      // factory hands out no-op writers, not just a skipped marker write
+      posted.clear()
+      write("batchid" -> "7")
+      assert(posted.isEmpty,
+        s"replayed committed batch must post nothing: $posted")
+    } finally server.stop(0)
+  }
 }
