@@ -333,7 +333,7 @@ object Bench {
   private[graft] val diskBoundQueries: Set[String] = Set(
     "q5a", "q50", "q51", "q52", "q53", "q54", "q55", "q59", "q130",
     "q134", "q142", "q159", "q185", "q197", "q206", "q219", "q227",
-    "q228")
+    "q228", "q236")
 
   /** Resource-matched host inflation for one flag (r15 verdict #2 —
     * the blanket max-of-all-resources let a disk-degraded window

@@ -35,6 +35,25 @@ object AdviceProbe {
       purchases.join(clicks, "k").count()
     }
     println(s"== exact output rows: $exact (advice est ${advice.estOutputRows})")
+    // memoization row (r16 verdict #6): the SAME advised statement
+    // planned twice — the second must serve its verdict from the LRU
+    // (zero sketch jobs), pricing what an interactive session re-running
+    // one join shape saves per statement
+    purchases.createOrReplaceTempView("advprobe_p")
+    clicks.createOrReplaceTempView("advprobe_c")
+    val stmt = """SELECT /*+ GRAFT_ADVISE */ k, count(*) AS n
+      FROM advprobe_p JOIN advprobe_c USING (k) GROUP BY k"""
+    graft.plans.AdvisedEquiJoinRewrite.clearAdviceCache()
+    val s0 = graft.plans.AdvisedEquiJoinRewrite.sketchPassCount.get
+    time("advised SQL planning, cold (sketch pass)") {
+      spark.sql(stmt).queryExecution.executedPlan
+    }
+    time("advised SQL planning, memoized (cache hit)") {
+      spark.sql(stmt).queryExecution.executedPlan
+    }
+    println(s"== sketch passes across both plannings: " +
+      s"${graft.plans.AdvisedEquiJoinRewrite.sketchPassCount.get - s0} " +
+      "(must be 1)")
     spark.stop()
   }
 }
