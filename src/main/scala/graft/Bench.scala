@@ -136,6 +136,17 @@ object Bench {
   private[graft] def rollingEnvelope(
       prior: Map[String, Double], current: Map[String, Double],
       rebase: Boolean): Map[String, Double] =
+    rollingEnvelope(prior, current, rebasePredicate(rebase))
+
+  /** Per-key rebase form (r17): a SELECTIVE evidence-rebase
+    * (SPARK_GRAFT_BENCH_REBASE_KEYS=q191,q121) loosens ONLY the named
+    * anchors — the blanket REBASE=1 would re-baseline every anchor to
+    * this window's values, destroying quiet-era anchors to fix two
+    * stale ones. The predicate sees the BASE key (a "#b" bytes row
+    * rides its query's verdict). */
+  private[graft] def rollingEnvelope(
+      prior: Map[String, Double], current: Map[String, Double],
+      rebaseFor: String => Boolean): Map[String, Double] =
     current.flatMap { case (k, cur) =>
       if (cur < 0) prior.get(k).map(k -> _)
       // [[CanaryKeys]] are EXEMPT from rebase (r14 advisory): they are
@@ -143,9 +154,13 @@ object Bench {
       // a degraded window would commit an inflated "healthy" reference,
       // silently weakening canaryDegraded and understating hostInflation
       // forever after. The rolling-min rule always applies to them.
-      else if (rebase && !CanaryKeys.contains(k)) Some(k -> cur)
+      else if (rebaseFor(k.stripSuffix("#b")) && !CanaryKeys.contains(k))
+        Some(k -> cur)
       else Some(k -> math.min(prior.getOrElse(k, cur), cur))
     }
+
+  private[graft] def rebasePredicate(rebase: Boolean): String => Boolean =
+    if (rebase) (_: String) => true else (_: String) => false
 
   /** Prior-envelope entries that must survive a run UNCHANGED because
     * their query is excluded from the timed sweep: [[rollingEnvelope]]
@@ -275,7 +290,14 @@ object Bench {
   private[graft] def anchorContextRows(
       prior: Map[String, Double], current: Map[String, Double],
       rebase: Boolean, ctxCpu: Double, ctxDisk: Double,
-      alsoKeep: Set[String] = Set.empty): Map[String, Double] = {
+      alsoKeep: Set[String] = Set.empty): Map[String, Double] =
+    anchorContextRows(prior, current, rebasePredicate(rebase),
+      ctxCpu, ctxDisk, alsoKeep)
+
+  private[graft] def anchorContextRows(
+      prior: Map[String, Double], current: Map[String, Double],
+      rebaseFor: String => Boolean, ctxCpu: Double, ctxDisk: Double,
+      alsoKeep: Set[String]): Map[String, Double] = {
     val rows = scala.collection.mutable.Map.empty[String, Double]
     def base(k: String) =
       k.stripSuffix(CtxCpuSuffix).stripSuffix(CtxDiskSuffix)
@@ -286,7 +308,7 @@ object Bench {
     }
     current.foreach { case (k, cur) =>
       if (isAnchorKey(k) && cur >= 0 &&
-        (rebase || cur < prior.getOrElse(k, Double.MaxValue))) {
+        (rebaseFor(k) || cur < prior.getOrElse(k, Double.MaxValue))) {
         if (ctxCpu >= 0) rows(k + CtxCpuSuffix) = ctxCpu
         else rows.remove(k + CtxCpuSuffix)
         if (ctxDisk >= 0) rows(k + CtxDiskSuffix) = ctxDisk
@@ -381,11 +403,15 @@ object Bench {
   private[graft] def rebaseLedgerRows(
       prior: Map[String, Double], current: Map[String, Double],
       rebase: Boolean, note: String): Map[String, Double] =
-    if (!rebase) Map.empty
-    else current.flatMap { case (k, cur) =>
+    rebaseLedgerRows(prior, current, rebasePredicate(rebase), note)
+
+  private[graft] def rebaseLedgerRows(
+      prior: Map[String, Double], current: Map[String, Double],
+      rebaseFor: String => Boolean, note: String): Map[String, Double] =
+    current.flatMap { case (k, cur) =>
       prior.get(k) match {
-        case Some(old) if cur > old && !CanaryKeys.contains(k) &&
-            !k.startsWith("__rebase:") =>
+        case Some(old) if rebaseFor(k.stripSuffix("#b")) && cur > old &&
+            !CanaryKeys.contains(k) && !k.startsWith("__rebase:") =>
           Some(s"__rebase:$k:$note:" + f"$old%.3f" -> cur)
         case _ => None
       }
@@ -839,7 +865,20 @@ object Bench {
     // Atomic (temp + ATOMIC_MOVE) so concurrent runs in one cwd never
     // interleave a torn write; best-effort (a read-only cwd must not fail
     // the bench).
-    val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE").contains("1")
+    val rebaseAll = sys.env.get("SPARK_GRAFT_BENCH_REBASE").contains("1")
+    // SELECTIVE evidence-rebase (r17): comma-separated shortKeys whose
+    // anchors re-baseline to THIS run's values (ledger rows written for
+    // each loosening, context rows re-stamped) while every other anchor
+    // keeps the rolling-min rule — the surgical form of Path B for a
+    // single era-stale anchor, where the blanket REBASE=1 would loosen
+    // the whole envelope to one window's readings
+    val rebaseKeySet: Set[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_REBASE_KEYS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+    val rebaseFor: String => Boolean =
+      if (rebaseAll) _ => true else rebaseKeySet.contains
+    val rebase = rebaseAll || rebaseKeySet.nonEmpty
     // seconds under the plain key, shuffle bytes under "<key>#b" — one
     // envelope file, one rolling-min rule for both
     // the canary reference rides the same envelope file (rolling min =
@@ -901,15 +940,15 @@ object Bench {
       "SPARK_GRAFT_BENCH_REBASE_NOTE", "unspecified")
       .replaceAll("[^A-Za-z0-9._\\-]", "-").take(80)
     val ledger = carriedLedgerRows(priorMins) ++
-      rebaseLedgerRows(priorMins, currentByKey, rebase, rebaseNote)
+      rebaseLedgerRows(priorMins, currentByKey, rebaseFor, rebaseNote)
     // anchor-era context rows follow their anchors (r16 verdict #2):
     // tightened/rebased anchors record THIS run's capture-window
     // canaries, holding anchors carry their prior context, and the
     // excluded-query carve-out keeps q159-style context alive
-    val ctxRows = anchorContextRows(priorMins, currentByKey, rebase,
+    val ctxRows = anchorContextRows(priorMins, currentByKey, rebaseFor,
       canaryRunMin, diskRunMin,
       benchExcluded.map(shortKey) ++ seedRows.map(_._1))
-    val envelope = rollingEnvelope(priorMins, currentByKey, rebase) ++
+    val envelope = rollingEnvelope(priorMins, currentByKey, rebaseFor) ++
       carried ++ ledger ++ ctxRows
     val envelopeKeys = currentByKey.keys ++
       (carried.keys.filterNot(currentByKey.contains) ++

@@ -389,6 +389,39 @@ class BenchSpec extends AnyFunSuite {
     assert(cleared("q1#cd") === 0.2, "the healthy reading still lands")
   }
 
+  test("selective rebase: only the NAMED key loosens (seconds + its #b " +
+    "row), only it is ledgered, its context re-stamps, and every other " +
+    "anchor keeps the rolling-min rule") {
+    val prior = Map(
+      "q191" -> 0.445, "q191#b" -> 170453.0,
+      "q01" -> 0.5, "q01#cp" -> 0.30,
+      Bench.CanaryRefKey -> 0.28)
+    val cur = Map(
+      "q191" -> 0.930, "q191#b" -> 171000.0,
+      "q01" -> 0.9, // slower this window: must NOT loosen
+      Bench.CanaryRefKey -> 0.85)
+    val pred = Set("q191").contains _
+    val env = Bench.rollingEnvelope(prior, cur, pred)
+    assert(env("q191") === 0.930, "named key re-baselines to current")
+    assert(env("q191#b") === 171000.0, "its bytes row rides the verdict")
+    assert(env("q01") === 0.5, "unnamed keys keep their rolling minimum")
+    assert(env(Bench.CanaryRefKey) === 0.28,
+      "canary references stay rebase-exempt even when named")
+    val ledger = Bench.rebaseLedgerRows(prior, cur, pred, "era-drift")
+    assert(ledger === Map(
+      "__rebase:q191:era-drift:0.445" -> 0.930,
+      "__rebase:q191#b:era-drift:170453.000" -> 171000.0),
+      s"exactly the named key's loosenings are ledgered: $ledger")
+    val ctx = Bench.anchorContextRows(prior, cur, pred,
+      ctxCpu = 0.85, ctxDisk = 0.29, alsoKeep = Set.empty)
+    assert(ctx("q191#cp") === 0.85 && ctx("q191#cd") === 0.29,
+      "the rebased anchor records ITS capture window's era")
+    assert(ctx("q01#cp") === 0.30,
+      "an unnamed, non-tightening anchor keeps its prior context")
+    // the blanket boolean form still means ALL (backward compatible)
+    assert(Bench.rollingEnvelope(prior, cur, rebase = true)("q01") === 0.9)
+  }
+
   test("anchorInflation consumes the context row: known era divides by " +
     "the anchor's own canary, unknown era falls back to the global " +
     "rolling-min reference, and a healthier-than-today era never " +
