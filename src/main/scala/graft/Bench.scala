@@ -334,6 +334,30 @@ object Bench {
     hostInflation(classifyCanary,
       anchorCtx.filter(_ > 0).getOrElse(globalHealthyRef))
 
+  /** The complete per-flag inflation: WINDOW-matched (the canary
+    * reading taken ADJACENT to the flag's own re-reps wins over the
+    * sweep-endpoint classification reading — the r17 w5 lesson: q121's
+    * re-reps ran under loadavg 3.2 mid-sweep contention while the
+    * endpoint CPU canaries read 1.01, so the gate confirmed a slowdown
+    * the window itself manufactured; the same blind spot produced the
+    * r16-close2 q191 confirm), RESOURCE-matched (r15 verdict #2:
+    * disk-affine flags judge against the disk series, cpu-affine
+    * against the parallel-CPU series), and ERA-matched (r16 verdict #2:
+    * the denominator is the flag's own anchor-capture canary when
+    * known). A failed adjacent reading (< 0 / absent) falls back to the
+    * endpoint classification reading — fail open to the old behavior. */
+  private[graft] def flagResourceInflation(
+      affinity: String,
+      adjPar: Option[Double], classifyPar: Double,
+      anchorCpuCtx: Option[Double], globalCpuRef: Double,
+      adjDisk: Option[Double], classifyDisk: Double,
+      anchorDiskCtx: Option[Double], globalDiskRef: Double): Double =
+    inflationFor(affinity,
+      anchorInflation(adjPar.filter(_ > 0).getOrElse(classifyPar),
+        anchorCpuCtx, globalCpuRef),
+      anchorInflation(adjDisk.filter(_ > 0).getOrElse(classifyDisk),
+        anchorDiskCtx, globalDiskRef))
+
   /** Combined host inflation over the measured resources: seconds scale
     * with whichever resource the query leans on, and the gate cannot
     * know per-query leanings — so a flag is CONFIRMED only when its
@@ -658,6 +682,15 @@ object Bench {
     // rides the artifact per flag; the adjudication-window reading (the
     // last one taken) wins when a flag re-reps more than once.
     val flagDisk = scala.collection.mutable.Map.empty[String, Double]
+    // per-flag PARALLEL reading (r17, completing the r15 per-flag disk
+    // device): the endpoint canaries cannot see mid-sweep multi-core
+    // contention — a single-threaded canary reads healthy while the
+    // parallel capacity a query actually uses is poisoned (the w5
+    // q121/q152 confirms: re-reps under loadavg 3.2, endpoint cpu
+    // inflation 1.01). One ~0.3 s all-core reading adjacent to each
+    // flag's re-reps adjudicates that flag's window; the last reading
+    // wins when a flag re-reps more than once.
+    val flagPar = scala.collection.mutable.Map.empty[String, Double]
     // top-cost-decile cutoff over the envelope values of THIS run's
     // queries: the expensive queries get the hard 1.3× gate (see
     // spreadLimitFor) and a re-rep that cannot be starved by the budget
@@ -693,7 +726,10 @@ object Bench {
           // a cross-round flag's re-rep gets its adjacent disk reading
           // (a pure contended-spread re-rep is a within-run affair the
           // canary series already brackets)
-          if (crossRoundSlow(n, rs)) flagDisk(n) = canaryDiskSec()
+          if (crossRoundSlow(n, rs)) {
+            flagDisk(n) = canaryDiskSec()
+            flagPar(n) = canaryParSec()
+          }
           n -> (rs :+ materialize(n))
         } else n -> rs
       }
@@ -726,6 +762,7 @@ object Bench {
         (resultsSwept.map { case (n, rs) =>
           if (flaggedPre(n)) {
             flagDisk(n) = canaryDiskSec() // adjacent to THIS flag's re-reps
+            flagPar(n) = canaryParSec()
             n -> (rs ++ Seq.fill(2)(materialize(n)))
           } else n -> rs
         }, adj, adjDisk)
@@ -800,16 +837,21 @@ object Bench {
     // capture-window canaries when known (#cp/#cd context rows), the
     // global rolling-min reference otherwise — so "the anchor came
     // from a quieter host era" is computed, not argued in NOTES
-    def flagInflation(sk: String): Double = inflationFor(
-      resourceAffinity(sk),
-      anchorInflation(classifyCanary,
-        priorMins.get(sk + CtxCpuSuffix), priorCanary),
-      anchorInflation(classifyDisk,
-        priorMins.get(sk + CtxDiskSuffix), priorDiskCanary))
+    // ... and WINDOW-matched (r17): the canary readings taken adjacent
+    // to the flag's own re-reps win over the sweep-endpoint readings
+    def flagInflation(n: String): Double = {
+      val sk = shortKey(n)
+      flagResourceInflation(
+        resourceAffinity(sk),
+        flagPar.get(n), classifyCanary,
+        priorMins.get(sk + CtxCpuSuffix), priorCanary,
+        flagDisk.get(n), classifyDisk,
+        priorMins.get(sk + CtxDiskSuffix), priorDiskCanary)
+    }
     val (regressed, regressedNoisy) = stillSlow.partition { case (n, cur) =>
       priorMins.get(shortKey(n)).exists(prior => confirmsUnderInflation(
         cur, prior, spreadLimitFor(prior, topDecileCutoff, spreadLimit),
-        flagInflation(shortKey(n))))
+        flagInflation(n)))
     }
     val regressedJson = regressed.map { case (n, cur) =>
       val prior = priorMins.getOrElse(shortKey(n), -1.0)
@@ -878,15 +920,17 @@ object Bench {
         .getOrElse(Set.empty)
     val rebaseFor: String => Boolean =
       if (rebaseAll) _ => true else rebaseKeySet.contains
-    val rebase = rebaseAll || rebaseKeySet.nonEmpty
     // seconds under the plain key, shuffle bytes under "<key>#b" — one
     // envelope file, one rolling-min rule for both
     // the canary reference rides the same envelope file (rolling min =
     // healthiest window ever observed) under a reserved key — the
     // degraded-window gate needs a COMMITTED healthy value, not this
     // run's possibly-poisoned readings
+    // per-flag adjacent readings are more samples of the same fixed
+    // work — they tighten the rolling-min healthy reference too
     val canaryRunMin = (Seq(canaryParStart, canaryParEnd) ++
-      (if (canaryParAdj >= 0) Seq(canaryParAdj) else Seq.empty)).min
+      (if (canaryParAdj >= 0) Seq(canaryParAdj) else Seq.empty) ++
+      flagPar.values.filter(_ > 0)).min
     val diskRunMin = (Seq(canaryDiskStart, canaryDiskEnd).filter(_ >= 0) ++
       (if (canaryDiskAdj >= 0) Seq(canaryDiskAdj) else Seq.empty))
       .minOption.getOrElse(-1.0)
@@ -996,8 +1040,11 @@ object Bench {
     // reference adjudicated) — the artifact shows which era each
     // verdict compared against
     val flagInflJson = stillSlow.map { case (n, _) =>
-      "\"" + shortKey(n) + "\":" + f"${flagInflation(shortKey(n))}%.2f"
+      "\"" + shortKey(n) + "\":" + f"${flagInflation(n)}%.2f"
     }.mkString("{", ",", "}")
+    val flagParJson = stillSlow.map(_._1).flatMap(n =>
+      flagPar.get(n).map(v => "\"" + shortKey(n) + "\":" + f"$v%.3f"))
+      .mkString("{", ",", "}")
     val flagCtxJson = stillSlow.map { case (n, _) =>
       val sk = shortKey(n)
       val cp = priorMins.getOrElse(sk + CtxCpuSuffix, -1.0)
@@ -1006,7 +1053,7 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"canary_ms":$canaryJson,"bytes_format":["shuffle_read","shuffle_write","spill"],"bytes":$bytesJson,"queries_full":$qs,"reps_raw":$raw}""")
     println(s"""{"metric":"bench_queries","unit":"sec","sf":"$sfDir","queries":$qsShort}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_disk_healthy_ref":${f"$priorDiskCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"cpu_inflation":${f"$cpuInflation%.2f"},"disk_inflation":${f"$diskInflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"canary_disk_sec":[${f"$canaryDiskStart%.3f"},${f"$canaryDiskEnd%.3f"},${f"$canaryDiskAdj%.3f"}],"flag_disk":$flagDiskJson,"flag_affinity":$flagAffJson,"flag_inflation":$flagInflJson,"flag_anchor_ctx":$flagCtxJson,"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_disk_healthy_ref":${f"$priorDiskCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"cpu_inflation":${f"$cpuInflation%.2f"},"disk_inflation":${f"$diskInflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"canary_disk_sec":[${f"$canaryDiskStart%.3f"},${f"$canaryDiskEnd%.3f"},${f"$canaryDiskAdj%.3f"}],"flag_disk":$flagDiskJson,"flag_par":$flagParJson,"flag_affinity":$flagAffJson,"flag_inflation":$flagInflJson,"flag_anchor_ctx":$flagCtxJson,"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
     spark.stop()
   }
 }

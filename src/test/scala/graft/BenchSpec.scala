@@ -422,6 +422,52 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.rollingEnvelope(prior, cur, rebase = true)("q01") === 0.9)
   }
 
+  test("window-matched flag adjudication: the canary reading adjacent " +
+    "to a flag's own re-reps wins over the sweep-endpoint reading, in " +
+    "BOTH directions") {
+    // the w5 shape: endpoint cpu canary clean (0.28 vs ref 0.28) but the
+    // flag's re-reps ran in a contended mid-sweep window (adjacent
+    // parallel reading 0.56 = 2x) — the flag must ship NOISY, where the
+    // endpoint-only gate confirmed it
+    val noisy = Bench.flagResourceInflation("cpu",
+      adjPar = Some(0.56), classifyPar = 0.28,
+      anchorCpuCtx = None, globalCpuRef = 0.28,
+      adjDisk = Some(0.10), classifyDisk = 0.10,
+      anchorDiskCtx = None, globalDiskRef = 0.10)
+    assert(noisy === 2.0, s"adjacent contention must exonerate: $noisy")
+    // the converse: endpoint degraded but the flag's OWN window was
+    // clean — no allowance, a real slowdown confirms
+    val strict = Bench.flagResourceInflation("cpu",
+      adjPar = Some(0.28), classifyPar = 0.84,
+      anchorCpuCtx = None, globalCpuRef = 0.28,
+      adjDisk = None, classifyDisk = 0.10,
+      anchorDiskCtx = None, globalDiskRef = 0.10)
+    assert(strict === 1.0, s"clean adjacent window gives no excuse: $strict")
+    // failed/absent adjacent reading falls back to the endpoint reading
+    val fallback = Bench.flagResourceInflation("cpu",
+      adjPar = Some(-1.0), classifyPar = 0.56,
+      anchorCpuCtx = None, globalCpuRef = 0.28,
+      adjDisk = None, classifyDisk = 0.10,
+      anchorDiskCtx = None, globalDiskRef = 0.10)
+    assert(fallback === 2.0)
+    // disk-affine flags judge against their adjacent DISK reading and
+    // ignore the cpu series entirely (resource-matched, r15 #2)
+    val disk = Bench.flagResourceInflation("disk",
+      adjPar = Some(0.84), classifyPar = 0.84,
+      anchorCpuCtx = None, globalCpuRef = 0.28,
+      adjDisk = Some(0.30), classifyDisk = 0.10,
+      anchorDiskCtx = None, globalDiskRef = 0.10)
+    assert(math.abs(disk - 3.0) < 1e-9, disk.toString)
+    // era-matched denominator still applies to the adjacent reading
+    val era = Bench.flagResourceInflation("cpu",
+      adjPar = Some(0.56), classifyPar = 0.28,
+      anchorCpuCtx = Some(0.56), globalCpuRef = 0.28,
+      adjDisk = None, classifyDisk = 0.10,
+      anchorDiskCtx = None, globalDiskRef = 0.10)
+    assert(era === 1.0,
+      "an anchor captured at the same noise level gets no allowance")
+  }
+
   test("anchorInflation consumes the context row: known era divides by " +
     "the anchor's own canary, unknown era falls back to the global " +
     "rolling-min reference, and a healthier-than-today era never " +
