@@ -691,6 +691,15 @@ object Bench {
     // flag's re-reps adjudicates that flag's window; the last reading
     // wins when a flag re-reps more than once.
     val flagPar = scala.collection.mutable.Map.empty[String, Double]
+    // ...bracketed: the adjacent reading is instantaneous while the
+    // re-reps take seconds — the r17 close-sweep hole was contention
+    // arriving BETWEEN the before-reading and the reps (flag_par 0.126,
+    // then loadavg 5.9 during the reps). A second reading AFTER the
+    // re-reps brackets the window; adjudication uses the bracket MAX
+    // (the window's best-available contention estimate), both ride the
+    // artifact.
+    val flagDiskAfter = scala.collection.mutable.Map.empty[String, Double]
+    val flagParAfter = scala.collection.mutable.Map.empty[String, Double]
     // top-cost-decile cutoff over the envelope values of THIS run's
     // queries: the expensive queries get the hard 1.3× gate (see
     // spreadLimitFor) and a re-rep that cannot be starved by the budget
@@ -726,11 +735,17 @@ object Bench {
           // a cross-round flag's re-rep gets its adjacent disk reading
           // (a pure contended-spread re-rep is a within-run affair the
           // canary series already brackets)
-          if (crossRoundSlow(n, rs)) {
+          val flagged = crossRoundSlow(n, rs)
+          if (flagged) {
             flagDisk(n) = canaryDiskSec()
             flagPar(n) = canaryParSec()
           }
-          n -> (rs :+ materialize(n))
+          val out = n -> (rs :+ materialize(n))
+          if (flagged) {
+            flagDiskAfter(n) = canaryDiskSec()
+            flagParAfter(n) = canaryParSec()
+          }
+          out
         } else n -> rs
       }
 
@@ -763,7 +778,10 @@ object Bench {
           if (flaggedPre(n)) {
             flagDisk(n) = canaryDiskSec() // adjacent to THIS flag's re-reps
             flagPar(n) = canaryParSec()
-            n -> (rs ++ Seq.fill(2)(materialize(n)))
+            val out = n -> (rs ++ Seq.fill(2)(materialize(n)))
+            flagDiskAfter(n) = canaryDiskSec()
+            flagParAfter(n) = canaryParSec()
+            out
           } else n -> rs
         }, adj, adjDisk)
       } else (resultsSwept, -1.0, -1.0)
@@ -839,13 +857,18 @@ object Bench {
     // from a quieter host era" is computed, not argued in NOTES
     // ... and WINDOW-matched (r17): the canary readings taken adjacent
     // to the flag's own re-reps win over the sweep-endpoint readings
+    def bracketMax(
+        before: Option[Double], after: Option[Double]): Option[Double] = {
+      val ok = (before.toSeq ++ after.toSeq).filter(_ > 0)
+      if (ok.isEmpty) None else Some(ok.max)
+    }
     def flagInflation(n: String): Double = {
       val sk = shortKey(n)
       flagResourceInflation(
         resourceAffinity(sk),
-        flagPar.get(n), classifyCanary,
+        bracketMax(flagPar.get(n), flagParAfter.get(n)), classifyCanary,
         priorMins.get(sk + CtxCpuSuffix), priorCanary,
-        flagDisk.get(n), classifyDisk,
+        bracketMax(flagDisk.get(n), flagDiskAfter.get(n)), classifyDisk,
         priorMins.get(sk + CtxDiskSuffix), priorDiskCanary)
     }
     val (regressed, regressedNoisy) = stillSlow.partition { case (n, cur) =>
@@ -930,7 +953,7 @@ object Bench {
     // work — they tighten the rolling-min healthy reference too
     val canaryRunMin = (Seq(canaryParStart, canaryParEnd) ++
       (if (canaryParAdj >= 0) Seq(canaryParAdj) else Seq.empty) ++
-      flagPar.values.filter(_ > 0)).min
+      (flagPar.values ++ flagParAfter.values).filter(_ > 0)).min
     val diskRunMin = (Seq(canaryDiskStart, canaryDiskEnd).filter(_ >= 0) ++
       (if (canaryDiskAdj >= 0) Seq(canaryDiskAdj) else Seq.empty))
       .minOption.getOrElse(-1.0)
@@ -1029,7 +1052,8 @@ object Bench {
     // per-flag adjudication evidence: the disk reading adjacent to each
     // flag's re-rep window and the resource whose canary judged it
     val flagDiskJson = stillSlow.map(_._1).flatMap(n =>
-      flagDisk.get(n).map(d => "\"" + shortKey(n) + "\":" + f"$d%.3f"))
+      flagDisk.get(n).map(d => "\"" + shortKey(n) + "\":" +
+        f"[$d%.3f,${flagDiskAfter.getOrElse(n, -1.0)}%.3f]"))
       .mkString("{", ",", "}")
     val flagAffJson = stillSlow.map { case (n, _) =>
       "\"" + shortKey(n) + "\":\"" + resourceAffinity(shortKey(n)) + "\""
@@ -1043,7 +1067,8 @@ object Bench {
       "\"" + shortKey(n) + "\":" + f"${flagInflation(n)}%.2f"
     }.mkString("{", ",", "}")
     val flagParJson = stillSlow.map(_._1).flatMap(n =>
-      flagPar.get(n).map(v => "\"" + shortKey(n) + "\":" + f"$v%.3f"))
+      flagPar.get(n).map(v => "\"" + shortKey(n) + "\":" +
+        f"[$v%.3f,${flagParAfter.getOrElse(n, -1.0)}%.3f]"))
       .mkString("{", ",", "}")
     val flagCtxJson = stillSlow.map { case (n, _) =>
       val sk = shortKey(n)
