@@ -345,6 +345,61 @@ object JoinAdvisor {
     *   small side's ×buckets replication — below it, one reducer handles
     *   the hot key fine even if relatively skewed.
     */
+  /** Verdict memoization for the HAND-WIRED consumers (the r16-verdict
+    * #6 cache, extended from the SQL rule to `advise`/`adviseSelf`): a
+    * bounded LRU keyed on the CANONICALIZED one-column sketch
+    * projections plus every decision parameter, so a re-executed
+    * operator (a bench rep, an interactive retry, a pipeline re-run
+    * over the same inputs) pays the two aggregate sketch jobs ONCE.
+    * Same staleness contract as the rule's cache (data rewritten under
+    * an unchanged path can serve a stale verdict — performance-only);
+    * `spark.graft.advisor.cacheSize` governs both caches (≤0 disables). */
+  private type AdviseKey = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+    (Long, Double, Long, Int, Int, Int, Double))
+  private val cacheCapacity =
+    new java.util.concurrent.atomic.AtomicInteger(64)
+  private val adviceCache =
+    new java.util.LinkedHashMap[AdviseKey, JoinAdvice](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AdviseKey, JoinAdvice]): Boolean =
+        size() > cacheCapacity.get()
+    }
+
+  /** Sketch passes actually EXECUTED through advise/adviseSelf (cache
+    * misses) — observed by the spec's zero-extra-jobs pin. */
+  private[graft] val sketchPassCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def clearAdviceCache(): Unit =
+    adviceCache.synchronized { adviceCache.clear() }
+
+  // the key column must be ANALYZED before canonicalization: a raw
+  // Column converts to a ColumnNodeExpression whose Origin carries the
+  // call site's stack trace — two textually identical keys would never
+  // compare equal. The analyzed one-column select is exactly the frame
+  // sideStats computes over, so the cache key IS the sketch input.
+  private def canonKey(df: DataFrame, key: Column) =
+    df.select(key.as("__gk")).queryExecution.analyzed.canonicalized
+
+  private def cached(
+      spark: org.apache.spark.sql.SparkSession, k: AdviseKey)(
+      compute: => JoinAdvice): JoinAdvice = {
+    val cap = scala.util.Try(spark.conf.get(
+      "spark.graft.advisor.cacheSize", "64").trim.toInt).getOrElse(64)
+    if (cap <= 0) { sketchPassCount.incrementAndGet(); return compute }
+    val hit = adviceCache.synchronized {
+      cacheCapacity.set(cap)
+      Option(adviceCache.get(k))
+    }
+    hit.getOrElse {
+      sketchPassCount.incrementAndGet()
+      val a = compute
+      adviceCache.synchronized { adviceCache.put(k, a); () }
+      a
+    }
+  }
+
   def advise(
       left: DataFrame, leftKey: Column,
       right: DataFrame, rightKey: Column,
@@ -355,15 +410,21 @@ object JoinAdvisor {
       hhCapacity: Int = 1024,
       targetPartitions: Option[Int] = None,
       maxHotShare: Double = DefaultMaxHotShare): JoinAdvice = {
-    val a = sideStats(left, leftKey, hhCapacity)
-    val b = sideStats(right, rightKey, hhCapacity)
     // advise for the cluster the join will RUN on — the planning session
     // is often a notebook with a different shuffle width than the target
     // deployment; None falls back to this session's conf
     val parts = math.max(1, targetPartitions.getOrElse(
       left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
-    decide(a, b, parts, broadcastMaxRows, skewFactor, minSaltOutputRows,
-      maxSaltBuckets, maxHotShare)
+    val key: AdviseKey = (canonKey(left, leftKey),
+      Some(canonKey(right, rightKey)),
+      (broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
+        hhCapacity, parts, maxHotShare))
+    cached(left.sparkSession, key) {
+      val a = sideStats(left, leftKey, hhCapacity)
+      val b = sideStats(right, rightKey, hhCapacity)
+      decide(a, b, parts, broadcastMaxRows, skewFactor, minSaltOutputRows,
+        maxSaltBuckets, maxHotShare)
+    }
   }
 
   /** [[advise]] for a SELF-join (both inputs one frame, one key): the
@@ -379,11 +440,16 @@ object JoinAdvisor {
       hhCapacity: Int = 1024,
       targetPartitions: Option[Int] = None,
       maxHotShare: Double = DefaultMaxHotShare): JoinAdvice = {
-    val a = sideStats(df, key, hhCapacity)
     val parts = math.max(1, targetPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
-    decide(a, a, parts, broadcastMaxRows, skewFactor, minSaltOutputRows,
-      maxSaltBuckets, maxHotShare)
+    val key0: AdviseKey = (canonKey(df, key), None,
+      (broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
+        hhCapacity, parts, maxHotShare))
+    cached(df.sparkSession, key0) {
+      val a = sideStats(df, key, hhCapacity)
+      decide(a, a, parts, broadcastMaxRows, skewFactor, minSaltOutputRows,
+        maxSaltBuckets, maxHotShare)
+    }
   }
 
   /** Hot-row-share ceiling above which a salt verdict DEMOTES to plain

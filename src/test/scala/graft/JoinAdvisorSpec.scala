@@ -227,4 +227,44 @@ class JoinAdvisorSpec extends SparkSpec {
       oneSided.toString)
     assert(oneSided.hotRowShare === oneSided.hotShareRight)
   }
+
+  test("advise/adviseSelf memoize: a repeated identical advisory runs " +
+    "zero additional sketch passes; parameter or input changes miss; " +
+    "cacheSize=0 disables") {
+    import spark.implicits._
+    val left = (1 to 2000).map(i => (i % 40 + 1).toLong).toDF("k")
+    val right = (1 to 40).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+    JoinAdvisor.clearAdviceCache()
+    val c0 = JoinAdvisor.sketchPassCount.get
+    val a1 = JoinAdvisor.advise(left, col("k"), right, col("k"))
+    assert(JoinAdvisor.sketchPassCount.get === c0 + 1)
+    val a2 = JoinAdvisor.advise(left, col("k"), right, col("k"))
+    assert(JoinAdvisor.sketchPassCount.get === c0 + 1,
+      "identical advisory must be a cache hit")
+    assert(a1 === a2)
+    // a changed decision parameter is a different key
+    JoinAdvisor.advise(left, col("k"), right, col("k"), skewFactor = 3.0)
+    assert(JoinAdvisor.sketchPassCount.get === c0 + 2)
+    // a changed INPUT is a different key (plan-canonical, not by name)
+    val left2 = (1 to 2000).map(i => (i % 7 + 1).toLong).toDF("k")
+    JoinAdvisor.advise(left2, col("k"), right, col("k"))
+    assert(JoinAdvisor.sketchPassCount.get === c0 + 3)
+    // self-join form shares the machinery
+    val s1 = JoinAdvisor.adviseSelf(left, col("k"))
+    val cSelf = JoinAdvisor.sketchPassCount.get
+    val s2 = JoinAdvisor.adviseSelf(left, col("k"))
+    assert(JoinAdvisor.sketchPassCount.get === cSelf && s1 === s2)
+    // opt-out recomputes every time
+    val prev = spark.conf.getOption("spark.graft.advisor.cacheSize")
+    spark.conf.set("spark.graft.advisor.cacheSize", "0")
+    try {
+      val cOff = JoinAdvisor.sketchPassCount.get
+      JoinAdvisor.advise(left, col("k"), right, col("k"))
+      JoinAdvisor.advise(left, col("k"), right, col("k"))
+      assert(JoinAdvisor.sketchPassCount.get === cOff + 2)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.advisor.cacheSize", v)
+      case None => spark.conf.unset("spark.graft.advisor.cacheSize")
+    }
+  }
 }
