@@ -955,7 +955,8 @@ object Bench {
       (if (canaryParAdj >= 0) Seq(canaryParAdj) else Seq.empty) ++
       (flagPar.values ++ flagParAfter.values).filter(_ > 0)).min
     val diskRunMin = (Seq(canaryDiskStart, canaryDiskEnd).filter(_ >= 0) ++
-      (if (canaryDiskAdj >= 0) Seq(canaryDiskAdj) else Seq.empty))
+      (if (canaryDiskAdj >= 0) Seq(canaryDiskAdj) else Seq.empty) ++
+      (flagDisk.values ++ flagDiskAfter.values).filter(_ > 0))
       .minOption.getOrElse(-1.0)
     // one-shot anchor seeding for excluded queries (see [[seedTargets]]):
     // runs dead last so the crash-matrix's filesystem churn cannot

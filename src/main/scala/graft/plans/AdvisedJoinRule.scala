@@ -302,27 +302,35 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
 
   /** Bounded LRU of advisory verdicts, keyed on the CANONICALIZED
     * one-column sketch projections of both sides plus the full conf
-    * tuple — canonicalization normalizes exprIds positionally within
-    * each subtree, so two statements over the same relations with the
-    * same key expressions hit regardless of their analyzer-fresh ids,
-    * while any change to the child plan (filter, projection, relation
-    * path) is a distinct key. Global (not per-session): the key embeds
-    * relation paths, so equal keys mean semantically identical sketch
-    * inputs. STALENESS contract: data rewritten UNDER an unchanged path
-    * within one process can serve a stale verdict — a performance
-    * hazard only (the salt rewrite is exact for any hot-key set, a
-    * stale broadcast verdict is the usual stale-statistics risk every
-    * CBO carries) — set cacheSize to 0 for volatile tables. */
+    * tuple, the RESOLVED shuffle-partition count (r17 ADVICE: when
+    * conf.targetPartitions is None the fair share divides by the
+    * session's current width, so two sessions differing only in
+    * spark.sql.shuffle.partitions must not share a verdict), and each
+    * side's relation-data fingerprint
+    * ([[JoinAdvisor.relationFingerprint]], r17 verdict #2) —
+    * canonicalization normalizes exprIds positionally within each
+    * subtree, so two statements over the same relations with the same
+    * key expressions hit regardless of their analyzer-fresh ids, while
+    * any change to the child plan (filter, projection, relation path)
+    * OR to a file-backed relation's data (append/rewrite/compaction
+    * under the unchanged path — the listing digest moves) is a distinct
+    * key. Global (not per-session): the key embeds relation paths and
+    * data fingerprints, so equal keys mean semantically identical
+    * sketch inputs. Residual staleness: only non-file leaves (the
+    * fingerprint's documented fallback) can serve a stale verdict — a
+    * performance hazard only (the salt rewrite is exact for any hot-key
+    * set) — set cacheSize to 0 for such volatile inputs. */
+  private type RuleCacheKey = (LogicalPlan, LogicalPlan,
+    JoinAdvisor.AdvisorConf, Int, Long, Long)
   private val cacheCapacity =
     new java.util.concurrent.atomic.AtomicInteger(DefaultCacheSize)
   private val adviceCache =
     new java.util.LinkedHashMap[
-      (LogicalPlan, LogicalPlan, JoinAdvisor.AdvisorConf),
-      JoinAdvisor.JoinAdvice](16, 0.75f, true) {
+      RuleCacheKey, JoinAdvisor.JoinAdvice](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[
-            (LogicalPlan, LogicalPlan, JoinAdvisor.AdvisorConf),
-            JoinAdvisor.JoinAdvice]): Boolean = size() > cacheCapacity.get()
+            RuleCacheKey, JoinAdvisor.JoinAdvice]): Boolean =
+        size() > cacheCapacity.get()
     }
 
   /** Sketch passes actually EXECUTED (cache misses) — the spec's pin
@@ -349,7 +357,15 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
     val cacheSize = scala.util.Try(
       SQLConf.get.getConfString(CacheSizeConf, DefaultCacheSize.toString)
         .trim.toInt).getOrElse(DefaultCacheSize)
-    val key = (projL.canonicalized, projR.canonicalized, conf)
+    // resolve the partition width BEFORE keying (r17 ADVICE): with no
+    // targetPartitions the decision divides by the session's current
+    // shuffle width, which must therefore be part of the verdict's
+    // identity, exactly as JoinAdvisor.advise bakes it into its key
+    val parts = math.max(1, conf.targetPartitions.getOrElse(
+      SQLConf.get.numShufflePartitions))
+    val key: RuleCacheKey = (projL.canonicalized, projR.canonicalized,
+      conf, parts, JoinAdvisor.relationFingerprint(projL),
+      JoinAdvisor.relationFingerprint(projR))
     if (cacheSize > 0) {
       val hit = adviceCache.synchronized {
         cacheCapacity.set(cacheSize)
@@ -367,8 +383,6 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
       val rDf = GraftColumnBridge.ofRows(session, projR)
       val a = JoinAdvisor.sideStats(lDf, col("__gk"), conf.hhCapacity)
       val b = JoinAdvisor.sideStats(rDf, col("__gk"), conf.hhCapacity)
-      val parts = math.max(1, conf.targetPartitions.getOrElse(
-        SQLConf.get.numShufflePartitions))
       JoinAdvisor.decide(a, b, parts, conf.broadcastMaxRows,
         conf.skewFactor, conf.minSaltOutputRows, conf.maxSaltBuckets,
         conf.maxHotShare)

@@ -348,15 +348,51 @@ object JoinAdvisor {
   /** Verdict memoization for the HAND-WIRED consumers (the r16-verdict
     * #6 cache, extended from the SQL rule to `advise`/`adviseSelf`): a
     * bounded LRU keyed on the CANONICALIZED one-column sketch
-    * projections plus every decision parameter, so a re-executed
-    * operator (a bench rep, an interactive retry, a pipeline re-run
-    * over the same inputs) pays the two aggregate sketch jobs ONCE.
-    * Same staleness contract as the rule's cache (data rewritten under
-    * an unchanged path can serve a stale verdict — performance-only);
+    * projections plus every decision parameter PLUS each side's
+    * relation-data fingerprint (r17 verdict #2, see
+    * [[relationFingerprint]]), so a re-executed operator (a bench rep,
+    * an interactive retry, a pipeline re-run over the same inputs) pays
+    * the two aggregate sketch jobs ONCE — while overwriting a
+    * file-backed input under its unchanged path changes the fingerprint
+    * and forces a fresh verdict. Residual staleness contract: only a
+    * NON-file leaf (in-memory relation mutated in place, an external V2
+    * source) can still serve a stale verdict — performance-only;
     * `spark.graft.advisor.cacheSize` governs both caches (≤0 disables). */
   private type AdviseKey = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
-    (Long, Double, Long, Int, Int, Int, Double))
+    (Long, Double, Long, Int, Int, Int, Double), Long, Long)
+
+  /** Order-independent digest of every file-backed leaf's CURRENT
+    * listing — (path, length, modificationTime) per file through the
+    * relation's own FileIndex (cached by Spark; the same listing
+    * planning consults, so this adds no I/O beyond a map traversal).
+    * Appending, rewriting, or compacting data under an UNCHANGED path
+    * changes the digest, which is exactly the staleness hazard the r16
+    * path-only cache keys documented instead of closing. Leaves that are
+    * not HadoopFsRelations contribute nothing — for them the
+    * canonicalized plan (already in the key) remains the whole identity,
+    * i.e. the documented path-only fallback. */
+  private[plans] def relationFingerprint(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    var acc = 0L
+    plan.foreach {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.listFiles(Nil, Nil).foreach { pd =>
+            pd.files.foreach { f =>
+              var h = f.getPath.toString.hashCode.toLong
+              h = h * 0x9E3779B97F4A7C15L + f.getLen
+              h = h * 0x9E3779B97F4A7C15L + f.getModificationTime
+              acc ^= XxHash64Function.hash(h, LongType, 42L)
+            }
+          }
+        case _ => ()
+      }
+      case _ => ()
+    }
+    acc
+  }
   private val cacheCapacity =
     new java.util.concurrent.atomic.AtomicInteger(64)
   private val adviceCache =
@@ -378,9 +414,12 @@ object JoinAdvisor {
   // Column converts to a ColumnNodeExpression whose Origin carries the
   // call site's stack trace — two textually identical keys would never
   // compare equal. The analyzed one-column select is exactly the frame
-  // sideStats computes over, so the cache key IS the sketch input.
-  private def canonKey(df: DataFrame, key: Column) =
-    df.select(key.as("__gk")).queryExecution.analyzed.canonicalized
+  // sideStats computes over, so the cache key IS the sketch input;
+  // the paired fingerprint is the data's CURRENT file listing.
+  private def canonKey(df: DataFrame, key: Column) = {
+    val analyzed = df.select(key.as("__gk")).queryExecution.analyzed
+    (analyzed.canonicalized, relationFingerprint(analyzed))
+  }
 
   private def cached(
       spark: org.apache.spark.sql.SparkSession, k: AdviseKey)(
@@ -415,10 +454,11 @@ object JoinAdvisor {
     // deployment; None falls back to this session's conf
     val parts = math.max(1, targetPartitions.getOrElse(
       left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
-    val key: AdviseKey = (canonKey(left, leftKey),
-      Some(canonKey(right, rightKey)),
+    val (planL, fpL) = canonKey(left, leftKey)
+    val (planR, fpR) = canonKey(right, rightKey)
+    val key: AdviseKey = (planL, Some(planR),
       (broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
-        hhCapacity, parts, maxHotShare))
+        hhCapacity, parts, maxHotShare), fpL, fpR)
     cached(left.sparkSession, key) {
       val a = sideStats(left, leftKey, hhCapacity)
       val b = sideStats(right, rightKey, hhCapacity)
@@ -442,9 +482,10 @@ object JoinAdvisor {
       maxHotShare: Double = DefaultMaxHotShare): JoinAdvice = {
     val parts = math.max(1, targetPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
-    val key0: AdviseKey = (canonKey(df, key), None,
+    val (plan0, fp0) = canonKey(df, key)
+    val key0: AdviseKey = (plan0, None,
       (broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
-        hhCapacity, parts, maxHotShare))
+        hhCapacity, parts, maxHotShare), fp0, 0L)
     cached(df.sparkSession, key0) {
       val a = sideStats(df, key, hhCapacity)
       decide(a, a, parts, broadcastMaxRows, skewFactor, minSaltOutputRows,

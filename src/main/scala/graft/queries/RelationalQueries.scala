@@ -1984,8 +1984,11 @@ object RelationalQueries extends QueryPack {
       require(!p.contains("BroadcastHashJoin"),
         s"salted full outer must not broadcast a past-dimension side:\n" +
           p.take(1500))
-      require(!p.contains("SortMergeJoin(FullOuter") &&
-        !p.contains("ShuffledHashJoin(FullOuter"),
+      // the decomposed plan contains only LeftOuter/LeftAnti joins, so
+      // ANY "FullOuter" render means the rewrite did not fire (r17
+      // ADVICE: join nodes render as "SortMergeJoin [k], [k2], FullOuter"
+      // — the earlier "SortMergeJoin(FullOuter" pattern could never match)
+      require(!p.contains("FullOuter"),
         s"the FullOuter node itself must be decomposed away:\n${p.take(1500)}")
       // optimized plan out + confs restored — see q233
       org.apache.spark.sql.GraftColumnBridge

@@ -3892,12 +3892,15 @@ object TextQueries extends QueryPack {
     * compactEvery=2 rewrites the index's live entries into one
     * `compactNNNNN` token mid-stream (after batch 1, between batch 1's
     * two-store commit and batch 2's manifest read), so batch 2 probes a
-    * COMPACTED index — and the oracle is q227's verbatim: compaction
-    * must move bytes, never verdicts. The replay probes both
-    * exactly-once stores after the swap (`maxBatch` rides the compacted
-    * manifest, so `batchId <= maxBatch` still skips); the require pins
-    * that compaction actually happened (single compact entry live).
-    * The crash window (compact dirs written, manifest not swapped) is
+    * COMPACTED index — and, since r18, a compacted SURVIVOR store: the
+    * same trigger folds each keyed shard's per-batch files into one
+    * generation (KeyedJsonStream.compact, `_gen` manifest swap, ledger
+    * markers carried). The oracle is q227's verbatim: compaction must
+    * move bytes, never verdicts. The replay probes both exactly-once
+    * stores after the swaps (`maxBatch` rides the compacted manifest;
+    * the keyed ledger markers survive the fold); the requires pin that
+    * both compactions actually happened. The crash windows (compact
+    * dirs written / gen files written, manifest not swapped) are
     * StreamingSpec's territory. */
   private val q236 = Q(
     "q236_stream_keyed_dedup_compacted",
@@ -3920,6 +3923,13 @@ object TextQueries extends QueryPack {
         s"compaction must have run mid-stream; live entries: ${st.entries}")
       require(st.maxBatch == 2L,
         s"the replay record must ride the compacted manifest: $st")
+      // the SURVIVOR store compacted too (r17 verdict #3): batches 0-1
+      // folded into one generation per shard, ledger markers carried —
+      // `res` below re-reads the connector THROUGH the generation
+      // manifest, so any row lost/duplicated by the fold reds the oracle
+      val genSt = graft.sources.v2.KeyedJson.readGen(outPath)
+      require(genSt.exists(g => g.gen >= 1L && g.folded == 1L),
+        s"keyed survivor store must have compacted batches 0-1: $genSt")
       // the q227 replay matrix, over the COMPACTED store: batch 1 again
       // with the same id through both stores — manifest skips on
       // maxBatch, keyed ledger skips on its marker

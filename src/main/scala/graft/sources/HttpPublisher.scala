@@ -100,8 +100,13 @@ private[sources] final class HttpPostCore(
     maxRetryAfterMs: Long = 4000L) extends Serializable {
 
   /** POST `bodyJson`; `ident` is the record identifier used in captured
-    * error details. Never throws (capture contract). */
-  def post(bodyJson: String, ident: String): Unit = {
+    * error details; `headers` are extra request headers (the DSv2 path's
+    * optional Idempotency-Key rides here — empty for the classic path,
+    * keeping its requests byte-identical). Never throws (capture
+    * contract). */
+  def post(
+      bodyJson: String, ident: String,
+      headers: Seq[(String, String)] = Nil): Unit = {
     val body = bodyJson.getBytes("UTF-8")
     var attempt = 0
     try {
@@ -110,6 +115,7 @@ private[sources] final class HttpPostCore(
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setRequestMethod("POST")
         conn.setRequestProperty("Content-Type", "application/json")
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
         conn.setDoOutput(true)
         conn.setConnectTimeout(connectTimeoutMs)
         conn.setReadTimeout(readTimeoutMs)
@@ -207,7 +213,18 @@ object HttpPublisher {
     * `ErrorChannel.groupedReport`/`writeCsvReport` (the reference's
     * end-of-run CSV export, TicketPublisher.php:80-86). `rowsPosted`
     * counts attempts; failed records appear in `errors` (one row per
-    * captured pair, as in `$errorMapping`). */
+    * captured pair, as in `$errorMapping`).
+    *
+    * Driver-memory bound (r17 verdict #1, applied to the classic path):
+    * the accumulator is [[BoundedErrorAccumulator]] — exact per-TYPE
+    * counts (bounded by distinct error types, not failed rows) plus at
+    * most `maxErrorSamples` sampled pairs. When a type overflows the
+    * sample cap, `errors` carries its sampled rows plus ONE flagged
+    * overflow row stating the exact count — a down endpoint failing
+    * every record of a 100 TB publish costs the driver the cap, not one
+    * pair per row. A pipeline needing complete per-record detail at that
+    * volume should use the DSv2 path (graft-http), whose spool keeps it
+    * executor-side. */
   def publish(
       df: DataFrame,
       endpoint: String,
@@ -215,17 +232,89 @@ object HttpPublisher {
       batchSize: Int,
       parallelism: Int,
       idCol: Option[String] = None,
-      maxRetries: Int = 3): (Long, Long, DataFrame) = {
+      maxRetries: Int = 3,
+      maxErrorSamples: Int = 10000): (Long, Long, DataFrame) = {
     val spark = df.sparkSession
-    val acc = spark.sparkContext
-      .collectionAccumulator[(String, String)]("graft.publish.errors")
+    val acc = new BoundedErrorAccumulator(maxErrorSamples)
+    spark.sparkContext.register(acc, "graft.publish.errors")
     val (batches, rows) = RateLimitedSink.publishCounted(
       df, ratePerMinute, batchSize, parallelism)(
-      new HttpPublisher(endpoint, acc, idCol, maxRetries))
+      new HttpPublisher(endpoint, (e: (String, String)) => acc.add(e),
+        idCol, maxRetries))
     import spark.implicits._
-    val errDf = acc.value.asScala.toSeq
+    val be = acc.value
+    val sampledByType =
+      be.samples.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val overflow = be.typeCounts.toSeq.sortBy(_._1).collect {
+      case (t, n) if n > sampledByType.getOrElse(t, 0L) =>
+        (t, s"[sample cap ${be.cap} reached] " +
+          s"${n - sampledByType.getOrElse(t, 0L)} more detail lines " +
+          s"dropped (exact '$t' count: $n)")
+    }
+    val errDf = (be.samples ++ overflow)
       .toDF(graft.migration.ErrorChannel.ErrorType,
         graft.migration.ErrorChannel.ErrorDetail)
     (batches, rows, errDf)
   }
+}
+
+/** Value of [[BoundedErrorAccumulator]]: at most `cap` first-seen pairs
+  * plus EXACT per-type counts (state bounded by cap + distinct types). */
+final case class BoundedErrors(
+    samples: Seq[(String, String)],
+    typeCounts: Map[String, Long],
+    cap: Int) {
+  def total: Long = typeCounts.values.sum
+}
+
+/** Driver-bounded replacement for the publish paths' historical
+  * CollectionAccumulator (r17 verdict #1): `add` keeps exact counts per
+  * error TYPE (a handful of strings — HTTP codes and API messages) and
+  * samples at most `cap` (type, detail) pairs, so driver state no longer
+  * scales with failed-row count. Merge order across tasks is
+  * nondeterministic (as with any accumulator), so WHICH pairs survive
+  * the cap is not pinned — only that ≤ cap do and counts stay exact. */
+final class BoundedErrorAccumulator(val cap: Int)
+    extends org.apache.spark.util.AccumulatorV2[(String, String), BoundedErrors] {
+  require(cap >= 0, "sample cap must be >= 0")
+  private val samples =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private val counts = scala.collection.mutable.HashMap.empty[String, Long]
+
+  override def isZero: Boolean = synchronized(counts.isEmpty)
+
+  override def copy(): org.apache.spark.util.AccumulatorV2[(String, String), BoundedErrors] =
+    synchronized {
+      val c = new BoundedErrorAccumulator(cap)
+      c.samples ++= samples
+      counts.foreach { case (k, v) => c.counts(k) = v }
+      c
+    }
+
+  override def reset(): Unit = synchronized {
+    samples.clear(); counts.clear()
+  }
+
+  override def add(v: (String, String)): Unit = synchronized {
+    counts(v._1) = counts.getOrElse(v._1, 0L) + 1L
+    if (samples.size < cap) samples += v
+  }
+
+  override def merge(
+      other: org.apache.spark.util.AccumulatorV2[(String, String), BoundedErrors]): Unit =
+    other match {
+      case b: BoundedErrorAccumulator =>
+        val ov = b.value
+        synchronized {
+          ov.typeCounts.foreach { case (k, n) =>
+            counts(k) = counts.getOrElse(k, 0L) + n
+          }
+          samples ++= ov.samples.take(math.max(0, cap - samples.size))
+        }
+      case _ => throw new UnsupportedOperationException(
+        s"cannot merge ${other.getClass.getName}")
+    }
+
+  override def value: BoundedErrors =
+    synchronized(BoundedErrors(samples.toSeq, counts.toMap, cap))
 }

@@ -264,9 +264,55 @@ class KeyedJsonDataWriter(
 }
 
 object KeyedJson {
+
+  /** The survivor-store GENERATION manifest (r17 verdict #3): once a
+    * store has been compacted, `<path>/_gen` names the single LIVE
+    * generation `gen` and the max batch id `folded` into it. Readers
+    * resolve liveness through it: `gen-<gen>-*` files plus
+    * `batch-<id>-*` files with id > folded (plus unprefixed plain-batch
+    * files, which compaction never touches). A store never compacted
+    * has no manifest and reads exactly as before — except that stray
+    * `gen-*` files (a compaction that crashed before its swap) are
+    * ignored, which is what makes the swap atomic: the ONLY visibility
+    * flip is the manifest rename. */
+  final case class GenState(gen: Long, folded: Long)
+
+  private[v2] def genManifestPath(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "_gen")
+
+  def readGen(path: String): Option[GenState] = {
+    val p = genManifestPath(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(p).asScala
+        .map(_.trim).filter(_.nonEmpty)
+      val gen = lines.collectFirst { case s if s.startsWith("gen ") =>
+        s.drop(4).toLong }
+      val folded = lines.collectFirst { case s if s.startsWith("folded ") =>
+        s.drop(7).toLong }
+      require(gen.isDefined && folded.isDefined,
+        s"graft-keyed: malformed generation manifest at $p")
+      Some(GenState(gen.get, folded.get))
+    }
+  }
+
+  private[v2] val GenFileRe = "^gen-(\\d+)-.*".r
+  private[v2] val BatchFileRe = "^batch-(\\d+)-.*".r
+
+  /** Is a shard data file LIVE under the store's generation state? */
+  private[graft] def liveFile(name: String, gen: Option[GenState]): Boolean =
+    name match {
+      case GenFileRe(g) => gen.exists(_.gen == g.toLong)
+      case BatchFileRe(id) => gen.forall(id.toLong > _.folded)
+      case _ => true
+    }
+
   /** (keyValue, files) per shard directory, sorted by key — a stable
     * partition order keeps two sides' reported partitionings comparable.
-    * A missing/non-directory/URI-prefixed path is an ERROR, not an empty
+    * Files are filtered through the generation manifest (see
+    * [[GenState]]); for a never-compacted store that filter is the
+    * identity on everything a writer can have produced. A
+    * missing/non-directory/URI-prefixed path is an ERROR, not an empty
     * scan: java.io.File silently yields null for all of those, and a
     * connector that answers a typo'd load() with zero rows is a
     * correctness hazard (this source is local-filesystem-backed, like
@@ -277,6 +323,7 @@ object KeyedJson {
     require(dir.isDirectory,
       s"graft-keyed: '$path' is not a local directory (URI-prefixed or " +
         "remote paths are not supported by this source)")
+    val gen = readGen(path)
     val re = (java.util.regex.Pattern.quote(keyCol) + "=(-?\\d+)").r
     Option(dir.listFiles()).getOrElse(Array.empty).toSeq
       .flatMap(d => d.getName match {
@@ -295,7 +342,7 @@ object KeyedJson {
               "32-bit); fix the directory layout")
           val files = Option(d.listFiles()).getOrElse(Array.empty).toSeq
             .filter(f => f.isFile && !f.getName.startsWith("_")
-              && !f.getName.startsWith("."))
+              && !f.getName.startsWith(".") && liveFile(f.getName, gen))
             .map(_.getAbsolutePath).sorted
           if (files.nonEmpty) Some(asLong.toInt -> files) else None
         case _ => None

@@ -601,19 +601,22 @@ object DocumentStreams {
     * Within-batch new-new duplicates are out of scope, exactly as in
     * [[incrementalCurationToParquet]] (dedupAgainstSignatureIndex's
     * documented contract). */
-  /** @param compactEvery rewrite the signature index's live entries into
-    *                      one token every this many batches (0 disables) —
-    *                      the r16 verdict's "signature-index compaction
-    *                      for the crawl loop": without it the per-batch
-    *                      token dirs accrete forever and the probe-side
-    *                      banded join pays an O(batches) listing + many
-    *                      small files at every trigger. Only the INDEX
-    *                      bases compact (the keyed survivor store has its
-    *                      own ledger/layout); the manifest swaps
-    *                      atomically with `maxBatch` carried, so replay
-    *                      skips survive compaction and dedup verdicts are
-    *                      IDENTICAL pre/post (q236 grades the cascade
-    *                      over a compacted index against q227's oracle). */
+  /** @param compactEvery rewrite BOTH stores' accreted per-batch state
+    *                      every this many batches (0 disables): the
+    *                      signature index's live entries into one token
+    *                      (r16 verdict #5 — manifest swap, `maxBatch`
+    *                      carried) AND the keyed survivor store's
+    *                      per-shard batch files into one generation
+    *                      (r17 verdict #3 —
+    *                      [[graft.sources.v2.KeyedJsonStream.compact]],
+    *                      `_gen` manifest swap, ledger markers carried so
+    *                      replay skips are identical pre/post). Without
+    *                      either, a years-long crawl loop pays an
+    *                      O(batches) listing + many-small-files scan at
+    *                      every trigger on that store's read side. q236
+    *                      grades the full cascade over both compacted
+    *                      stores against q227's verbatim oracle:
+    *                      compaction must move bytes, never verdicts. */
   def incrementalDedupToKeyed(
       spark: SparkSession, dir: String, seedIndex: DataFrame,
       outPath: String, indexPath: String, batchFiles: Int = 3,
@@ -638,13 +641,18 @@ object DocumentStreams {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           processKeyedDedupBatch(spark, batch, batchId, indexPath, outPath,
             shards, numHashes, bands, threshold)
-          // index-only compaction AFTER this batch's two-store commit
-          // and BEFORE the next batch's manifest read — a batch still
-          // never meets its own signatures, and the keyed store is
-          // untouched (its ledger is the replay authority there)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          // compaction AFTER this batch's two-store commit and BEFORE
+          // the next batch's manifest read — a batch still never meets
+          // its own signatures. The index compacts through its manifest
+          // (includeSurvivors=false: the survivor store is NOT a
+          // manifest-resolved parquet base); the keyed survivor store
+          // compacts through its OWN generation protocol, with the
+          // batch ledger carried as the replay authority.
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
             compactCommitted(spark, indexPath, outPath, batchId,
               compactTargetBytes, includeSurvivors = false)
+            graft.sources.v2.KeyedJsonStream.compact(outPath, "shard")
+          }
           ()
         }
         .options(conf.options)

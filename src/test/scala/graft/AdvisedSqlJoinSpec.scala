@@ -318,6 +318,50 @@ class AdvisedSqlJoinSpec extends SparkSpec {
     }
   }
 
+  test("SQL verdict cache: data rewritten under an unchanged path is a " +
+    "MISS (snapshot fingerprint), and the resolved shuffle width is " +
+    "part of the verdict's identity") {
+    import graft.plans.AdvisedEquiJoinRewrite
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sqlfp").toString
+    (1 to 4000).map(i => (i % 50 + 1).toLong).toDF("id")
+      .write.mode("overwrite").parquet(dir)
+    val dim = (1 to 50).map(i => (i.toLong, s"m$i")).toDF("id", "m")
+    dim.createOrReplaceTempView("adv_fp_d")
+    val stmt = """SELECT /*+ GRAFT_ADVISE */ m,
+      CAST(count(*) AS BIGINT) AS n
+      FROM adv_fp_f JOIN adv_fp_d ON adv_fp_f.id = adv_fp_d.id
+      GROUP BY m"""
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.read.parquet(dir).createOrReplaceTempView("adv_fp_f")
+      AdvisedEquiJoinRewrite.clearAdviceCache()
+      val c0 = AdvisedEquiJoinRewrite.sketchPassCount.get
+      val r1 = spark.sql(stmt).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(AdvisedEquiJoinRewrite.sketchPassCount.get === c0 + 1)
+      // overwrite the fact table IN PLACE (same path, new files) and
+      // re-register the view from a fresh read: the r16 path-only key
+      // would HIT here and serve a verdict computed over the old data
+      (1 to 8000).map(i => (i % 50 + 1).toLong).toDF("id")
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).createOrReplaceTempView("adv_fp_f")
+      val r2 = spark.sql(stmt).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(AdvisedEquiJoinRewrite.sketchPassCount.get === c0 + 2,
+        "rewritten data under the unchanged path must re-run the sketch")
+      assert(r1.values.sum === 4000L && r2.values.sum === 8000L)
+      // r17 ADVICE: with no targetPartitions the fair share divides by
+      // the session's shuffle width — changing it between two otherwise
+      // identical statements must be a distinct cache key
+      val c2 = AdvisedEquiJoinRewrite.sketchPassCount.get
+      withConfs("spark.sql.shuffle.partitions" -> "7") {
+        spark.sql(stmt).collect()
+      }
+      assert(AdvisedEquiJoinRewrite.sketchPassCount.get === c2 + 1,
+        "a changed shuffle width must not be served the old verdict")
+    }
+  }
+
   test("GRAFT_ADVISE takes no arguments") {
     val e = intercept[Exception] {
       spark.sql("SELECT /*+ GRAFT_ADVISE(x) */ * FROM range(1)").collect()

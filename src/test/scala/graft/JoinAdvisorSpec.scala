@@ -267,4 +267,44 @@ class JoinAdvisorSpec extends SparkSpec {
       case None => spark.conf.unset("spark.graft.advisor.cacheSize")
     }
   }
+
+  test("verdict cache snapshot fingerprint: data rewritten under an " +
+    "UNCHANGED path is a cache MISS with a fresh verdict; an unchanged " +
+    "listing through a fresh read still hits") {
+    // r17 verdict #2: the r16 cache keyed on the canonicalized plan
+    // only, and file-relation equality is PATH-based (InMemoryFileIndex
+    // compares rootPaths) — so overwriting a table in place served the
+    // old verdict for the process lifetime. The key now carries a
+    // digest of the FileIndex listing (path, size, mtime per file).
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-advfp").toString
+    (1 to 500).map(i => (i % 10 + 1).toLong).toDF("k")
+      .write.mode("overwrite").parquet(dir)
+    val right = (1 to 40).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+    JoinAdvisor.clearAdviceCache()
+    val c0 = JoinAdvisor.sketchPassCount.get
+    val a1 = JoinAdvisor.advise(
+      spark.read.parquet(dir), col("k"), right, col("k"))
+    assert(JoinAdvisor.sketchPassCount.get === c0 + 1)
+    assert(a1.leftRows === 500L)
+    // a FRESH read of the unchanged path: same canonical plan, same
+    // listing digest -> hit (the memoization still earns its keep)
+    val a2 = JoinAdvisor.advise(
+      spark.read.parquet(dir), col("k"), right, col("k"))
+    assert(JoinAdvisor.sketchPassCount.get === c0 + 1,
+      "unchanged data under the same path must stay a cache hit")
+    assert(a2 === a1)
+    // overwrite IN PLACE: identical path, new files -> the fingerprint
+    // moves, the stale verdict is NOT served, and the fresh one sees
+    // the new row count
+    (1 to 900).map(i => (i % 10 + 1).toLong).toDF("k")
+      .write.mode("overwrite").parquet(dir)
+    val a3 = JoinAdvisor.advise(
+      spark.read.parquet(dir), col("k"), right, col("k"))
+    assert(JoinAdvisor.sketchPassCount.get === c0 + 2,
+      "rewritten data under an unchanged path must be a cache miss")
+    assert(a3.leftRows === 900L,
+      "the fresh verdict must reflect the rewritten data")
+  }
 }

@@ -853,4 +853,185 @@ class SinkSourceSpec extends SparkSpec {
         s"replayed committed batch must post nothing: $posted")
     } finally server.stop(0)
   }
+
+  test("DSv2 publish error transport is BOUNDED: an all-records-fail " +
+    "batch ships capped commit messages while the executor-side spool " +
+    "keeps complete per-record detail (exact counts)") {
+    // r17 verdict #1: a down endpoint at scale previously materialized
+    // one (type, detail) pair per failed row on the driver. Two pins:
+    // (a) the DataWriter's commit message directly — errorCount exact,
+    //     samples hard-capped, full detail in its pending spool file;
+    // (b) end-to-end through df.write — the promoted spool is COMPLETE
+    //     (grouped CSV counts exact) though every record failed.
+    import graft.sources.v2.{HttpPublishConf, HttpPublishCommit, HttpPublishDataWriter, HttpPublishSource}
+    import graft.migration.ErrorChannel
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("subject",
+        org.apache.spark.sql.types.StringType)))
+    // ---- (a) direct writer pin: port 1 refuses every connection ----
+    val ledgerA = java.nio.file.Files
+      .createTempDirectory("graft-http-allfail-a").toString
+    val confA = HttpPublishConf(
+      path = ledgerA, endpoint = "http://127.0.0.1:1/refused",
+      ratePerMinute = 1000000, batchSize = 50, parallelism = 0,
+      idCol = Some("id"), maxRetries = 0, batchId = None,
+      failBeforeMarker = false, maxErrorSamples = 5)
+    val w = new HttpPublishDataWriter(schema, confA, 1000000,
+      tag = "write-test", partitionId = 0, taskId = 0L)
+    val n = 300
+    (1 to n).foreach(i => w.write(InternalRow(
+      i.toLong, UTF8String.fromString(s"s$i"))))
+    val msg = w.commit().asInstanceOf[HttpPublishCommit]
+    w.close()
+    assert(msg.rows === n.toLong)
+    assert(msg.errorCount === n.toLong, "exact count must ride the message")
+    assert(msg.errorSamples.size === 5,
+      s"samples must be hard-capped: ${msg.errorSamples.size}")
+    val spool = java.nio.file.Paths.get(ledgerA, "_errors", ".pending",
+      msg.spoolFile.getOrElse(fail("spool file must be named")))
+    assert(java.nio.file.Files.readAllLines(spool).size === n,
+      "the pending spool must hold every failed record's detail")
+    // ---- (b) end-to-end: a 500-everything server, every record fails ----
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/down", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(500, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val ledgerB = java.nio.file.Files
+        .createTempDirectory("graft-http-allfail-b").toString
+      val df = (1L to 200L).map(i => (i, s"subj$i")).toDF("id", "subject")
+      df.write.format("graft-http")
+        .option("endpoint",
+          s"http://127.0.0.1:${server.getAddress.getPort}/down")
+        .option("rateperminute", "1000000")
+        .option("batchsize", "50")
+        .option("parallelism", "2")
+        .option("idcol", "id")
+        .option("maxretries", "0")
+        .option("maxerrorsamples", "4")
+        .mode("append").save(ledgerB)
+      val errs = HttpPublishSource.errors(spark, ledgerB)
+      assert(errs.count() === 200L,
+        "the promoted spool must be COMPLETE though every record failed")
+      val report = ErrorChannel.groupedReport(errs).collect()
+      assert(report.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("HTTP 500", 200L)), "grouped CSV counts must stay exact")
+      // every pending file was promoted — nothing left staged
+      val pending = new java.io.File(ledgerB, "_errors/.pending")
+      assert(!pending.isDirectory || pending.listFiles().isEmpty,
+        "commit must promote (not copy) the pending spool")
+    } finally server.stop(0)
+  }
+
+  test("graft-http idempotency-key option: a crashed batch's replay " +
+    "presents the same Idempotency-Key per record; option absent sends " +
+    "no header") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import spark.implicits._
+    // hermetic service that HONORS the header: counts every POST, but
+    // applies each distinct key once (the Stripe-style dedup contract)
+    val applied = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[String]())
+    val posts = new AtomicLong(0)
+    val headerless = new AtomicLong(0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/idem", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getRequestBody.readAllBytes()
+        posts.incrementAndGet()
+        Option(ex.getRequestHeaders.getFirst("Idempotency-Key")) match {
+          case Some(k) => applied.add(k); ()
+          case None => headerless.incrementAndGet(); ()
+        }
+        ex.sendResponseHeaders(201, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/idem"
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft-http-idem").toString
+      val df = (1L to 6L).map(i => (i, s"subj$i")).toDF("id", "subject")
+      def write(extra: (String, String)*): Unit = {
+        var w = df.write.format("graft-http")
+          .option("endpoint", endpoint)
+          .option("rateperminute", "1000000")
+          .option("batchsize", "2")
+          .option("parallelism", "2")
+          .option("idcol", "id")
+          .option("idempotencykeyfield", "id")
+        extra.foreach { case (k, v) => w = w.option(k, v) }
+        w.mode("append").save(ledger)
+      }
+      // crash mid-batch (after posts, before the marker), then replay:
+      // the wire sees 12 POSTs but only 6 DISTINCT keys — a
+      // header-honoring service applied each record exactly once
+      intercept[Exception] {
+        write("batchid" -> "3", "failbeforemarker" -> "true")
+      }
+      write("batchid" -> "3")
+      assert(posts.get === 12L,
+        "the at-least-once window re-posts (documented)")
+      assert(headerless.get === 0L)
+      assert(applied.size === 6,
+        s"each record must present ONE stable key across the replay: " +
+          s"${applied.size}")
+      // option absent → no header at all (requests byte-identical to
+      // the pre-option behavior)
+      posts.set(0); headerless.set(0)
+      val ledger2 = java.nio.file.Files
+        .createTempDirectory("graft-http-idem2").toString
+      df.write.format("graft-http")
+        .option("endpoint", endpoint)
+        .option("rateperminute", "1000000")
+        .option("parallelism", "2")
+        .mode("append").save(ledger2)
+      assert(posts.get === 6L && headerless.get === 6L,
+        "without the option no Idempotency-Key header may be sent")
+    } finally server.stop(0)
+  }
+
+  test("classic publish path is driver-bounded: BoundedErrorAccumulator " +
+    "caps samples, keeps exact per-type counts, and flags the overflow") {
+    import graft.sources.{BoundedErrorAccumulator, HttpPublisher}
+    import spark.implicits._
+    // unit: cap + exact counts through add/merge
+    val a = new BoundedErrorAccumulator(3)
+    (1 to 10).foreach(i => a.add(("HTTP 500", s"d$i")))
+    val b = new BoundedErrorAccumulator(3)
+    (1 to 5).foreach(i => b.add(("timeout", s"t$i")))
+    a.merge(b)
+    val v = a.value
+    assert(v.samples.size === 3, "sample cap must hold across merges")
+    assert(v.typeCounts === Map("HTTP 500" -> 10L, "timeout" -> 5L),
+      "per-type counts must stay exact past the cap")
+    assert(v.total === 15L)
+    // end-to-end: every record fails (connection refused), cap 4 —
+    // the errors frame is capped + flagged, with the exact count stated
+    val df = (1L to 120L).map(i => (i, s"s$i")).toDF("id", "subject")
+    val (_, rows, errs) = HttpPublisher.publish(
+      df, "http://127.0.0.1:1/refused", ratePerMinute = 1000000,
+      batchSize = 10, parallelism = 2, idCol = Some("id"),
+      maxRetries = 0, maxErrorSamples = 4)
+    assert(rows === 120L)
+    val errRows = errs.collect()
+    assert(errRows.length <= 5,
+      s"driver-side error rows must be bounded: ${errRows.length}")
+    val flagged = errRows.filter(_.getString(1).contains("sample cap"))
+    assert(flagged.length === 1, errRows.mkString("; "))
+    assert(flagged.head.getString(1).contains("count: 120"),
+      s"the flag must state the exact count: ${flagged.head.getString(1)}")
+  }
 }

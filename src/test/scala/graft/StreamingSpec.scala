@@ -491,6 +491,95 @@ class StreamingSpec extends SparkSpec {
         s"(${bandFiles(idxA)} vs ${bandFiles(idxB)})")
   }
 
+  test("keyed survivor store: generation compaction swaps atomically — a " +
+    "crash before the _gen swap changes nothing, the fold preserves " +
+    "reads byte-for-byte, ledger markers survive, and appends continue") {
+    // r17 verdict #3: the graft-keyed survivor store accreted one file
+    // per shard per batch forever. KeyedJsonStream.compact folds each
+    // shard's committed batch files into one generation file; the ONLY
+    // visibility flip is the `_gen` manifest rename, and the `_batches`
+    // ledger is carried untouched as the replay authority.
+    import graft.operators.Dedup
+    import graft.streaming.DocumentStreams
+    import graft.sources.v2.{KeyedJson, KeyedJsonStream => KJS}
+    val docs = Tables(spark, sfDir).documents
+    val seedIdx = Dedup.signatureTable(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
+      numHashes = 64, bands = 4)
+    val crawl = docs.filter(col("doc_id") % 10 =!= 0)
+    def batch(b: Int) = crawl.filter(pmod(col("doc_id"), lit(3)) === b)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType)))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-spec-kgen-idx").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-spec-kgen-out").toString
+    DocumentStreams.initCurationStore(spark, seedIdx, idx, out,
+      seedSurvivors = false)
+    (0 to 1).foreach(b =>
+      DocumentStreams.processKeyedDedupBatch(spark, batch(b), b.toLong,
+        idx, out, shards = 8, numHashes = 64, bands = 4, threshold = 0.95))
+    def curated(): Seq[(Long, String)] =
+      spark.read.format("graft-keyed").schema(outSchema)
+        .option("keycol", "shard").load(out)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    def dataFiles(): Seq[String] = Option(new java.io.File(out).listFiles)
+      .getOrElse(Array.empty).filter(d => d.isDirectory &&
+        d.getName.startsWith("shard=")).toSeq
+      .flatMap(d => Option(d.listFiles).getOrElse(Array.empty).toSeq)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName)
+    val before = curated()
+    assert(before.nonEmpty)
+    assert(dataFiles().forall(_.startsWith("batch-")))
+    // CRASH WINDOW: gen files written, `_gen` NOT swapped — readers see
+    // the store exactly as before (a gen file is live only through the
+    // manifest), and a re-run completes deterministically
+    intercept[IllegalStateException] {
+      KJS.compact(out, "shard", failBeforeCommit = true)
+    }
+    assert(KeyedJson.readGen(out).isEmpty,
+      "a pre-swap compaction crash must leave no generation manifest")
+    assert(curated() === before,
+      "orphan gen files must be invisible to readers")
+    // the real swap: one generation live, folded = max committed id
+    assert(KJS.compact(out, "shard"))
+    assert(KeyedJson.readGen(out) === Some(KeyedJson.GenState(1L, 1L)))
+    assert(curated() === before,
+      "compaction must move bytes, never rows")
+    val live = dataFiles().filter(KeyedJson.liveFile(_, KeyedJson.readGen(out)))
+    assert(live.nonEmpty && live.forall(_.startsWith("gen-1-")),
+      s"folded batch files must be dead-by-rule: $live")
+    // nothing new to fold → no-op, same generation
+    assert(!KJS.compact(out, "shard"))
+    assert(KeyedJson.readGen(out) === Some(KeyedJson.GenState(1L, 1L)))
+    // the ledger markers survived the fold: a replay of a folded id is
+    // still a whole-batch skip in both stores
+    DocumentStreams.processKeyedDedupBatch(spark, batch(1), 1L,
+      idx, out, shards = 8, numHashes = 64, bands = 4, threshold = 0.95)
+    assert(!KJS.appendBatch(
+      batch(1).select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("doc_id")), lit(8L)).cast("int").as("shard")),
+      out, "shard", 1L),
+      "ledger must still skip a folded committed id")
+    assert(curated() === before)
+    // life goes on: batch 2 appends normally (id 2 > folded 1 is live),
+    // and a SECOND compaction folds the previous generation + batch 2
+    DocumentStreams.processKeyedDedupBatch(spark, batch(2), 2L,
+      idx, out, shards = 8, numHashes = 64, bands = 4, threshold = 0.95)
+    val withB2 = curated()
+    assert(withB2.size > before.size)
+    assert(KJS.compact(out, "shard"))
+    assert(KeyedJson.readGen(out) === Some(KeyedJson.GenState(2L, 2L)))
+    assert(curated() === withB2,
+      "re-compaction must fold the prior generation losslessly")
+  }
+
   test("streaming heavy hitters: MisraGriesAgg matches batch in the exact regime") {
     // the typed imperative aggregate composes under Structured Streaming
     // (complete-mode global aggregation) — frequent-items over a live
