@@ -259,7 +259,25 @@ object AdvisedEquiJoinRewrite extends Rule[LogicalPlan] {
               else JoinHint(None, b)
             j.copy(hint = newHint)
           case "salt" if jt == FullOuter =>
-            fullOuterSaltRewrite(j, l, r, cond, lk, rk, advice, conf)
+            // the decomposition pays ~2x the one-pass plan's scan+shuffle
+            // (FullOuterSaltProbe's structural byte ratio), so its
+            // engagement bar sits fullOuterCostFactor DEEPER than the
+            // one-sided salt verdict's: the straggler must out-cost the
+            // double scan it buys, not merely breach the generic skew test
+            val fo = conf.fullOuterCostFactor
+            val deepEnough =
+              advice.hotKeyOutputCorrected >
+                fo * conf.skewFactor * advice.fairShareCorrected &&
+              advice.hotKeyOutputCorrected >=
+                (fo * conf.minSaltOutputRows).toLong
+            if (deepEnough) fullOuterSaltRewrite(j, l, r, cond, lk, rk, advice, conf)
+            else {
+              logInfo(s"GRAFT_ADVISE full-outer salt demoted: breach " +
+                s"${advice.hotKeyOutputCorrected} vs gate " +
+                s"${fo * conf.skewFactor * advice.fairShareCorrected} " +
+                s"(cost factor $fo) — one-pass join stands")
+              j.setTagValue(AdvisedTag, true); j
+            }
           case "salt" =>
             saltReplicateSide(jt, advice) match {
               case Some(repRight) =>

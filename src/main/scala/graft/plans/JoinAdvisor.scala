@@ -81,7 +81,8 @@ object JoinAdvisor {
   final case class AdvisorConf(
       broadcastMaxRows: Long, skewFactor: Double, minSaltOutputRows: Long,
       maxSaltBuckets: Int, hhCapacity: Int, targetPartitions: Option[Int],
-      maxHotShare: Double = DefaultMaxHotShare)
+      maxHotShare: Double = DefaultMaxHotShare,
+      fullOuterCostFactor: Double = DefaultFullOuterCostFactor)
 
   /** Parse the shared thresholds when `flagKey` is set true; None when
     * the flag is absent or false. A malformed session conf fails NAMING
@@ -128,7 +129,9 @@ object JoinAdvisor {
       conf.getOption("spark.graft.advisor.targetPartitions")
         .map(v => parsed("spark.graft.advisor.targetPartitions", v, _.toInt)),
       parsed("spark.graft.advisor.maxHotShare",
-        DefaultMaxHotShare.toString, _.toDouble))
+        DefaultMaxHotShare.toString, _.toDouble),
+      parsed("spark.graft.advisor.fullOuterCostFactor",
+        DefaultFullOuterCostFactor.toString, _.toDouble))
   }
 
   /** One side's bounded-state summary: exact non-null key count, CMS
@@ -512,6 +515,25 @@ object JoinAdvisor {
     * probed losing point, 0.1. Overridable via
     * `spark.graft.advisor.maxHotShare`. */
   val DefaultMaxHotShare = 0.1
+
+  /** Engagement-bar multiplier for the FULL OUTER salt decomposition
+    * (r17 verdict #6, measured by FullOuterSaltProbe at sf0.1): the
+    * decomposed shape A⟗B = (A⟕B) ∪all null-pad(B▷A) pays a
+    * STRUCTURAL ~2× cost over the one-pass SortMergeJoin — every input
+    * scans twice and both legs shuffle, measured as a 2.2–2.6× byte
+    * ledger at every probed hot share (1/300 … 1/3 of input rows on
+    * the hot key), with the one-pass plan winning wall at every
+    * fixture-scale point (the hot reducer there is seconds, never the
+    * hours-long straggler the decomposition exists to cure — the same
+    * cheap-reducer regime SaltShareProbe measured for the one-sided
+    * crossover). So a full-outer salt verdict must clear a bar this
+    * factor DEEPER than the one-sided salt's before the rewrite
+    * engages: hotCorr > factor·skewFactor·fairCorr and hotCorr ≥
+    * factor·minSaltOutputRows. Set from the measured structural byte
+    * ratio (2×); overridable via
+    * `spark.graft.advisor.fullOuterCostFactor` (≤1 restores the r17
+    * engage-on-any-salt-verdict behavior). Full table in NOTES r18. */
+  val DefaultFullOuterCostFactor = 2.0
 
   /** The decision rule over two computed side summaries (see object doc);
     * extracted so [[advise]] and [[adviseSelf]] share one implementation

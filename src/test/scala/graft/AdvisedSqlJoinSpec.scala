@@ -362,6 +362,70 @@ class AdvisedSqlJoinSpec extends SparkSpec {
     }
   }
 
+  test("full-outer cost-factor gate (r17 #6): a salt verdict that clears " +
+    "the one-sided bar but not the 2x-deeper full-outer bar stays " +
+    "one-pass; factor=1 restores engage-on-any-verdict; an inner join " +
+    "on the same data still salts") {
+    // FullOuterSaltProbe: the decomposition scans every input twice
+    // (measured 2.2-2.6x bytes at every probed share), so its
+    // engagement bar is fullOuterCostFactor deeper. Fixture: hot key
+    // output ~500*40 = 20k rows; minSaltOutputRows=12000 puts it
+    // BETWEEN the one-sided floor (12k) and the full-outer floor
+    // (2x = 24k).
+    val left = ((1 to 500).map(_ => 1L) ++ (1L to 2000L).map(_ + 100L))
+      .toDF("k")
+    val right = ((1 to 40).map(_ => 1L) ++ (1L to 300L).map(_ + 5000L))
+      .toDF("k2")
+    left.createOrReplaceTempView("fo_gate_l")
+    right.createOrReplaceTempView("fo_gate_r")
+    val fullOuter = """SELECT /*+ GRAFT_ADVISE */
+      CAST(count(*) AS BIGINT) AS n
+      FROM fo_gate_l l FULL OUTER JOIN fo_gate_r r ON l.k = r.k2"""
+    val inner = fullOuter.replace("FULL OUTER JOIN", "JOIN")
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    withConfs(
+      "spark.graft.advisor.broadcastMaxRows" -> "0",
+      "spark.graft.advisor.skewFactor" -> "1.5",
+      "spark.graft.advisor.minSaltOutputRows" -> "12000",
+      "spark.graft.advisor.maxSaltBuckets" -> "8",
+      "spark.graft.advisor.targetPartitions" -> "200000",
+      "spark.graft.advisor.maxHotShare" -> "1.0",
+      "spark.graft.advisor.cacheSize" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // between the bars: the full outer stays a one-pass join...
+      val pFo = plan(fullOuter)
+      assert(pFo.contains("FullOuter") && !pFo.contains("__gsalt"),
+        s"between the bars the one-pass full outer must stand:\n" +
+          pFo.take(800))
+      // ...while the inner join on the same data salts (one-sided bar)
+      val pIn = plan(inner)
+      assert(pIn.contains("__gsalt"),
+        s"the one-sided bar is cleared — inner must salt:\n${pIn.take(800)}")
+      // the knob: factor 1 restores engage-on-any-salt-verdict
+      withConfs("spark.graft.advisor.fullOuterCostFactor" -> "1.0") {
+        val pFo1 = plan(fullOuter)
+        assert(pFo1.contains("__gsalt") && !pFo1.contains("FullOuter"),
+          s"factor=1 must decompose:\n${pFo1.take(800)}")
+      }
+      // past BOTH bars (floor back under 2x-depth) the rewrite engages
+      withConfs("spark.graft.advisor.minSaltOutputRows" -> "100") {
+        val pDeep = plan(fullOuter)
+        assert(pDeep.contains("__gsalt") && !pDeep.contains("FullOuter"),
+          s"past the deep bar the decomposition must engage:\n" +
+            pDeep.take(800))
+      }
+      // and the verdicts never change results: decomposed vs one-pass
+      val nPlain = spark.sql(
+        fullOuter.replace("/*+ GRAFT_ADVISE */", ""))
+        .collect().head.getLong(0)
+      withConfs("spark.graft.advisor.minSaltOutputRows" -> "100") {
+        assert(spark.sql(fullOuter).collect().head.getLong(0) === nPlain,
+          "decomposition must preserve the full outer's row count")
+      }
+    }
+  }
+
   test("GRAFT_ADVISE takes no arguments") {
     val e = intercept[Exception] {
       spark.sql("SELECT /*+ GRAFT_ADVISE(x) */ * FROM range(1)").collect()
