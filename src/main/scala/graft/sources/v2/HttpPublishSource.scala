@@ -116,9 +116,51 @@ object HttpPublishSource {
       s"""${j(graft.migration.ErrorChannel.ErrorDetail)}:${j(d)}}"""
   }
 
+  /** The generation manifest of a compacted error spool (`_errors/_gen`,
+    * the [[KeyedJson.GenState]] protocol transplanted): once
+    * [[compactErrors]] has run, `errors-gen-<gen>-*.jsonl` holds every
+    * pair from committed batches ≤ `folded`; `batch-<id>-*` files with
+    * id > folded and all `write-*` files (non-streaming writes, never
+    * folded) stay individually live. Same monotonic-batch-id contract
+    * as the keyed store's CommitState: only the last batch can be
+    * uncommitted, so marker-present ids ≤ max committed fold safely —
+    * a crashed batch's promoted-but-unmarked files are excluded (no
+    * marker) and remain scrubbable by their replay. */
+  private val ErrGenRe = "^errors-gen-(\\d+)-.*".r
+  private val ErrBatchRe = "^batch-(-?\\d+)-.*".r
+
+  private def errGenPath(ledgerDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(ledgerDir, ErrorsSubdir, "_gen")
+
+  private[graft] def readErrGen(
+      ledgerDir: String): Option[KeyedJson.GenState] = {
+    val p = errGenPath(ledgerDir)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(p).asScala
+        .map(_.trim).filter(_.nonEmpty)
+      val gen = lines.collectFirst { case s if s.startsWith("gen ") =>
+        s.drop(4).toLong }
+      val folded = lines.collectFirst { case s if s.startsWith("folded ") =>
+        s.drop(7).toLong }
+      require(gen.isDefined && folded.isDefined,
+        s"graft-http: malformed error-spool generation manifest at $p")
+      Some(KeyedJson.GenState(gen.get, folded.get))
+    }
+  }
+
+  private def liveErrFile(
+      name: String, gen: Option[KeyedJson.GenState]): Boolean = name match {
+    case ErrGenRe(g) => gen.exists(_.gen == g.toLong)
+    case ErrBatchRe(id) => gen.forall(id.toLong > _.folded)
+    case _ => true
+  }
+
   /** The error spool of every committed write under `ledgerDir`, as the
     * standard (`error_type`, `error_detail`) frame
-    * ([[graft.migration.ErrorChannel]] consumes it directly). */
+    * ([[graft.migration.ErrorChannel]] consumes it directly). File
+    * liveness resolves through the generation manifest (identity for a
+    * never-compacted spool). */
   def errors(
       spark: org.apache.spark.sql.SparkSession,
       ledgerDir: String): org.apache.spark.sql.DataFrame = {
@@ -129,11 +171,93 @@ object HttpPublishSource {
       org.apache.spark.sql.types.StructField(
         graft.migration.ErrorChannel.ErrorDetail,
         org.apache.spark.sql.types.StringType)))
+    def empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val dir = new java.io.File(ledgerDir, ErrorsSubdir)
-    if (!dir.isDirectory)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).json(dir.getAbsolutePath)
+    if (!dir.isDirectory) empty
+    else {
+      val gen = readErrGen(ledgerDir)
+      val live = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".") && liveErrFile(f.getName, gen))
+        .map(_.getAbsolutePath).sorted
+      if (live.isEmpty) empty
+      else spark.read.schema(schema).json(live.toIndexedSeq: _*)
+    }
+  }
+
+  /** GENERATION compaction of the error spool (the keyed store's r18
+    * fold applied to this round's own new accretion): a years-long
+    * streaming publish otherwise pays an O(batches × tasks) `_errors/`
+    * listing at every [[errors]] read. Folds the current generation
+    * file plus every COMMITTED batch's spool files (marker present in
+    * `_batches`, id above the previous fold watermark) into one
+    * `errors-gen-<G>-fold.jsonl` by byte concatenation (spool files
+    * are newline-terminated JSON lines), then swaps `_errors/_gen`
+    * atomically — the only visibility flip. `write-*` files (non-batch
+    * writes) never fold: they carry no replay semantics and stay
+    * individually live. Crash matrix mirrors
+    * [[graft.sources.v2.KeyedJsonStream.compact]]: pre-swap crash
+    * leaves orphan gen files readers ignore; post-swap the dead files
+    * are cleaned best-effort. Single-writer, between publishes.
+    *
+    * @return true iff a new generation committed. */
+  def compactErrors(
+      ledgerDir: String, failBeforeCommit: Boolean = false): Boolean = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val errDir = new java.io.File(ledgerDir, ErrorsSubdir)
+    if (!errDir.isDirectory) return false
+    val prior = readErrGen(ledgerDir)
+    val folded = prior.map(_.folded).getOrElse(-1L)
+    val markerRe = "^batch-(-?\\d+)\\.committed$".r
+    val committed = Option(
+      new java.io.File(ledgerDir, BatchesSubdir).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case markerRe(id) => Some(id.toLong)
+        case _ => None
+      }).toSet
+    val eligible = Option(errDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
+      .filter(f => f.getName match {
+        case ErrGenRe(g) => prior.exists(_.gen == g.toLong)
+        case ErrBatchRe(id) =>
+          val i = id.toLong; i > folded && committed.contains(i)
+        case _ => false
+      })
+      .sortBy(_.getName)
+    val foldableIds = eligible.flatMap(f => f.getName match {
+      case ErrBatchRe(id) => Some(id.toLong); case _ => None })
+    if (foldableIds.isEmpty) return false
+    val maxFold = foldableIds.max
+    val newGen = prior.map(_.gen).getOrElse(0L) + 1L
+    val tmp = Files.createTempFile(errDir.toPath, ".errgen", ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try eligible.foreach(f => Files.copy(f.toPath, out))
+    finally out.close()
+    Files.move(tmp, errDir.toPath.resolve(s"errors-gen-$newGen-fold.jsonl"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (failBeforeCommit)
+      throw new IllegalStateException(
+        "injected crash before error-spool generation swap")
+    val manifest = errGenPath(ledgerDir)
+    val mtmp = Files.createTempFile(errDir.toPath, "_gen", ".tmp")
+    Files.write(mtmp, java.util.Arrays.asList(
+      s"gen $newGen", s"folded $maxFold"))
+    Files.move(mtmp, manifest,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Option(errDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
+      .filter(f => f.getName match {
+        case ErrGenRe(g) => g.toLong != newGen
+        case ErrBatchRe(id) =>
+          val i = id.toLong; i <= maxFold && committed.contains(i)
+        case n => n.startsWith(".errgen")
+      })
+      .foreach(f =>
+        try { java.nio.file.Files.deleteIfExists(f.toPath); () }
+        catch { case _: Exception => () })
+    true
   }
 }
 

@@ -934,6 +934,89 @@ class SinkSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("error-spool generation compaction: committed batches fold, a " +
+    "crashed batch's spool stays scrubbable, write-tags stay live, and " +
+    "the read is identical across crash/fold/replay/refold") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.v2.HttpPublishSource
+    import spark.implicits._
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/down", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(500, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft-http-errgen").toString
+      def write(ids: Seq[Long], extra: (String, String)*): Unit = {
+        var w = ids.map(i => (i, s"s$i")).toDF("id", "subject")
+          .write.format("graft-http")
+          .option("endpoint",
+            s"http://127.0.0.1:${server.getAddress.getPort}/down")
+          .option("rateperminute", "1000000")
+          .option("parallelism", "2")
+          .option("idcol", "id")
+          .option("maxretries", "0")
+        extra.foreach { case (k, v) => w = w.option(k, v) }
+        w.mode("append").save(ledger)
+      }
+      def errCount(): Long =
+        HttpPublishSource.errors(spark, ledger).count()
+      def details(): Seq[String] =
+        HttpPublishSource.errors(spark, ledger)
+          .collect().map(_.getString(1)).toSeq.sorted
+      // committed batches 0 and 1 (3 + 4 errors), one NON-batch write
+      // (2 errors, write-* tag), one CRASHED batch 2 (5 errors promoted,
+      // no marker)
+      write(Seq(1L, 2L, 3L), "batchid" -> "0")
+      write(Seq(10L, 11L, 12L, 13L), "batchid" -> "1")
+      write(Seq(90L))
+      intercept[Exception] {
+        write(Seq(20L, 21L, 22L, 23L, 24L),
+          "batchid" -> "2", "failbeforemarker" -> "true")
+      }
+      val before = details()
+      assert(before.size === 13)
+      // crash window: gen file written, manifest not swapped — invisible
+      intercept[IllegalStateException] {
+        HttpPublishSource.compactErrors(ledger, failBeforeCommit = true)
+      }
+      assert(HttpPublishSource.readErrGen(ledger).isEmpty)
+      assert(details() === before, "orphan gen files must be invisible")
+      // the fold: batches 0-1 fold (markers present), the crashed batch
+      // 2 and the write-* file stay individually live
+      assert(HttpPublishSource.compactErrors(ledger))
+      assert(HttpPublishSource.readErrGen(ledger) ===
+        Some(graft.sources.v2.KeyedJson.GenState(1L, 1L)))
+      assert(details() === before, "the fold must move bytes, never rows")
+      // nothing new to fold → no-op
+      assert(!HttpPublishSource.compactErrors(ledger))
+      // replay of the crashed batch: its commit scrubs the UNFOLDED
+      // batch-2 files and respools — no double count, then batch 2's
+      // marker makes it foldable and a second generation folds it
+      write(Seq(20L, 21L, 22L, 23L, 24L), "batchid" -> "2")
+      assert(details() === before,
+        "replay after the fold must not double-count the crashed batch")
+      assert(HttpPublishSource.compactErrors(ledger))
+      assert(HttpPublishSource.readErrGen(ledger) ===
+        Some(graft.sources.v2.KeyedJson.GenState(2L, 2L)))
+      assert(details() === before)
+      // and the spool is now TWO live files (gen fold + write tag)
+      val live = Option(new java.io.File(ledger, "_errors").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).map(_.getName).toSeq.sorted
+      assert(live.count(_.startsWith("errors-gen-2-")) === 1, live)
+      assert(live.count(_.startsWith("write-")) === 1, live)
+      assert(live.size === 2, s"dead files must be cleaned: $live")
+      assert(errCount() === 13L)
+    } finally server.stop(0)
+  }
+
   test("graft-http idempotency-key option: a crashed batch's replay " +
     "presents the same Idempotency-Key per record; option absent sends " +
     "no header") {
