@@ -54,20 +54,30 @@ object JobProbe {
     }
     sc.addSparkListener(listener)
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_JOBPROBE_REPS", "2").toInt
     args.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query $name"))
-      jobs.synchronized { jobs.clear(); stageToJob.clear() }
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
+      // warm reps: rep 1 pays codegen/JIT/footer-cache startup exactly as
+      // the bench's min-of-N discards; only the LAST rep's jobs print
+      var dt = 0.0
+      var wall0 = 0L
+      for (r <- 1 to reps) {
+        jobs.synchronized { jobs.clear(); stageToJob.clear() }
+        wall0 = System.currentTimeMillis()
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = (System.nanoTime() - t0) / 1e9
+        println(f"[jobprobe] $name rep $r: $dt%.3f s")
+      }
       Thread.sleep(500) // let the listener bus drain the final job events
       println(f"[jobprobe] $name total $dt%.3f s, ${jobs.size} jobs")
       jobs.synchronized {
         jobs.values.foreach { j =>
           val d = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
-          println(f"[jobprobe]   job ${j.id}%3d ${d}%7.3f s tasks ${j.tasks}%4d " +
+          val off = (j.start - wall0) / 1e3
+          println(f"[jobprobe]   job ${j.id}%3d @$off%7.3f ${d}%7.3f s tasks ${j.tasks}%4d " +
             f"in ${j.inputBytes / 1e6}%8.1f MB sr ${j.shuffleRead / 1e6}%8.1f MB " +
             f"sw ${j.shuffleWrite / 1e6}%8.1f MB  ${j.desc.take(110)}")
         }

@@ -654,6 +654,69 @@ object Dedup {
       .join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** ONE signing pass per batch, shared by every consumer: each doc's
+    * sorted distinct word-hash array PLUS its minhash LSH band hashes,
+    * as one frame (doc_id, carry..., wh, mh_bands). The micro-batch
+    * dedup lifecycles previously evaluated tokenize→hash→minhash up to
+    * three times per batch — once under the probe's band side, once
+    * under its word-hash join-back, once more for the index write —
+    * because each consumer re-derived signatures from `text` inside its
+    * own lazy subtree. A caller that localCheckpoints THIS frame pays
+    * the per-row signature cost exactly once and every consumer
+    * ([[dedupSignedAgainstPreparedIndex]], the band/wh index writes, the
+    * survivor write) reads materialized arrays. Expressions are
+    * verbatim [[signatureTable]]/[[dedupAgainstPreparedIndex]] algebra,
+    * so signatures are bit-identical to the unshared paths
+    * (DedupSpec pins both equalities). */
+  def signDocs(docs: DataFrame, textCol: Column, idCol: Column,
+      carry: Seq[Column] = Seq.empty,
+      numHashes: Int = 64, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    docs.select(Seq(idCol.cast("long").as("doc_id")) ++ carry ++ Seq(
+        array_sort(array_distinct(elementHashes(tokens(textCol)))).as("wh")): _*)
+      .withColumn("mh_bands",
+        lshBandHashes(minhashFromHashes(col("wh"), numHashes), bands, rows))
+  }
+
+  /** [[signDocs]]' frame reshaped to the PROBE-READY index layout
+    * [[dedupAgainstPreparedIndex]] consumes — (old_id, band, bh) rows
+    * plus (old_id, wh_old) array rows. Both frames are lazy projections
+    * of `signed`: checkpoint `signed` first and the two store writes
+    * share one signature computation, where the long-format route
+    * (prepareSignatureIndex ∘ signatureTable) pays an |wh|-row explode
+    * plus a groupBy EXCHANGE just to rebuild the arrays it started
+    * from. Layouts are bit-identical to that route (DedupSpec pin). */
+  def preparedFromSigned(signed: DataFrame): (DataFrame, DataFrame) = {
+    val exBands = signed.select(col("doc_id").as("old_id"),
+      posexplode(col("mh_bands")).as(Seq("band", "bh")))
+    val exWh = signed.select(col("doc_id").as("old_id"),
+      col("wh").as("wh_old"))
+    (exBands, exWh)
+  }
+
+  /** [[dedupAgainstPreparedIndex]] for a batch already signed by
+    * [[signDocs]]: the identical banded-candidate + exact-jaccard
+    * verdict (DedupSpec pins equality), with the signature computation
+    * lifted to the caller so the probe, the index append and the
+    * survivor write share one pass. */
+  def dedupSignedAgainstPreparedIndex(
+      signed: DataFrame, exBands: DataFrame, exWh: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    val newSigs = signed.select(
+      col("doc_id").as("new_id"), col("wh").as("wh_new"))
+    val newBands = signed.select(col("doc_id").as("new_id"),
+      posexplode(col("mh_bands")).as(Seq("band", "bh")))
+    val dropped = newBands.join(exBands, Seq("band", "bh"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .join(newSigs, Seq("new_id"))
+      .join(exWh, Seq("old_id"))
+      .filter(round(graft.plans.NativeExprs.jaccardSorted(
+        col("wh_new"), col("wh_old")), 4) >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    signed.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact duplicate-SPAN detection — substring-level dedup in the style
     * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     * Models Better"), re-expressed relationally: a token position is

@@ -2037,13 +2037,21 @@ object TextQueries extends QueryPack {
     "q100_incremental_dedup",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      Dedup.dedupAgainstSignatureIndex(
-          docs.filter(col("doc_id") % 2 === 1),
-          Dedup.signatureTable(
-            docs.filter(col("doc_id") % 2 === 0), col("text"), col("doc_id"),
-            numHashes = 64, bands = 4),
-          col("text"), col("doc_id"),
-          numHashes = 64, bands = 4, threshold = 0.95)
+      // sign-once form (r18): the classic composition evaluated the
+      // incoming side's tokenize→minhash under BOTH probe subtrees and
+      // the index side's under both prepared layouts (lazy subtrees are
+      // not shared across a plan), ~2× the signature compute for the
+      // same verdict. Each side signs once into an eager checkpoint;
+      // the probe algebra (and the oracle) are unchanged.
+      val signedIdx = Dedup.signDocs(
+        docs.filter(col("doc_id") % 2 === 0), col("text"), col("doc_id"),
+        numHashes = 64, bands = 4).localCheckpoint(true)
+      val (exBands, exWh) = Dedup.preparedFromSigned(signedIdx)
+      val signedIn = Dedup.signDocs(
+        docs.filter(col("doc_id") % 2 === 1), col("text"), col("doc_id"),
+        numHashes = 64, bands = 4).localCheckpoint(true)
+      Dedup.dedupSignedAgainstPreparedIndex(
+          signedIn, exBands, exWh, threshold = 0.95)
         .orderBy(col("doc_id"))
     },
     Some("""WITH raw AS (SELECT doc_id, kind, idx, value
@@ -2543,10 +2551,14 @@ object TextQueries extends QueryPack {
     "q130_stream_curation_gate",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      val index = Dedup.signatureTable(
+      // signed seed (r18): one signing pass + zero index-shaped shuffles
+      // vs the long-format signatureTable → prepareSignatureIndex route;
+      // the oracle (and StreamingSpec's parity pin) prove the survivor
+      // set is unchanged
+      val index = Dedup.signDocs(
         docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
         numHashes = 64, bands = 4)
-      graft.streaming.DocumentStreams.curationGateToParquet(
+      graft.streaming.DocumentStreams.curationGateToParquetSigned(
         s, dir, index,
         java.nio.file.Files.createTempDirectory("graft-q130-out").toString,
         numHashes = 64, bands = 4, threshold = 0.95)
@@ -2596,10 +2608,11 @@ object TextQueries extends QueryPack {
     "q142_stream_index_maintenance",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      val seedIdx = Dedup.signatureTable(
+      // signed seed (r18): see q130 — same lifecycle, same equivalence
+      val seedIdx = Dedup.signDocs(
         docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
         numHashes = 64, bands = 4)
-      graft.streaming.DocumentStreams.incrementalCurationToParquet(
+      graft.streaming.DocumentStreams.incrementalCurationToParquetSigned(
         s, dir, seedIdx,
         java.nio.file.Files.createTempDirectory("graft-q142-out").toString,
         java.nio.file.Files.createTempDirectory("graft-q142-idx").toString,
@@ -3824,14 +3837,15 @@ object TextQueries extends QueryPack {
     (s, dir) => {
       import graft.streaming.DocumentStreams
       val docs = Tables(s, dir).documents
-      val seedIdx = Dedup.signatureTable(
+      // signed seed (r18): see q130 — same lifecycle, same equivalence
+      val seedIdx = Dedup.signDocs(
         docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
         numHashes = 64, bands = 4)
       val idxPath =
         java.nio.file.Files.createTempDirectory("graft-q227-idx").toString
       val outPath =
         java.nio.file.Files.createTempDirectory("graft-q227-out").toString
-      val res = DocumentStreams.incrementalDedupToKeyed(
+      val res = DocumentStreams.incrementalDedupToKeyedSigned(
         s, dir, seedIdx, outPath, idxPath, batchFiles = 3,
         shards = 8, numHashes = 64, bands = 4, threshold = 0.95)
       // the at-least-once replay window, in the graded path (the q206
@@ -3907,14 +3921,15 @@ object TextQueries extends QueryPack {
     (s, dir) => {
       import graft.streaming.DocumentStreams
       val docs = Tables(s, dir).documents
-      val seedIdx = Dedup.signatureTable(
+      // signed seed (r18): see q130 — same lifecycle, same equivalence
+      val seedIdx = Dedup.signDocs(
         docs.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"),
         numHashes = 64, bands = 4)
       val idxPath =
         java.nio.file.Files.createTempDirectory("graft-q236-idx").toString
       val outPath =
         java.nio.file.Files.createTempDirectory("graft-q236-out").toString
-      val res = DocumentStreams.incrementalDedupToKeyed(
+      val res = DocumentStreams.incrementalDedupToKeyedSigned(
         s, dir, seedIdx, outPath, idxPath, batchFiles = 3,
         shards = 8, numHashes = 64, bands = 4, threshold = 0.95,
         compactEvery = 2)

@@ -149,6 +149,84 @@ object DocumentStreams {
       .orderBy(col("doc_id"))
   }
 
+  /** [[curationGateToParquet]] with the static index given as a
+    * [[graft.operators.Dedup.signDocs]] frame, and the per-batch work
+    * moved INSIDE foreachBatch (the [[incrementalCurationToParquet]]
+    * architecture — still stateless, still no stream-stream join, still
+    * per-batch existential verdicts). Two costs the in-plan form pays
+    * disappear:
+    *
+    *  - the static side is checkpointed ONCE before the stream starts —
+    *    the long-format route re-derived the index's explode + groupBy
+    *    under every micro-batch's join, and the checkpoint's exact size
+    *    stats let Catalyst broadcast it while it fits;
+    *  - the gate + signing of each batch run after the conditional
+    *    re-widen (the q184 rule): a file-delivered batch arrives with
+    *    partition count = its file count — at fixture scale ONE task
+    *    carried the whole tokenize/minhash pass while every other core
+    *    idled; at deployment scale batches span many splits and the
+    *    branch is a no-op.
+    *
+    * Survivor set is bit-identical to [[curationGateToParquet]]
+    * (StreamingSpec pins the parity): "no candidate confirms" and
+    * "not in the confirmed-dup anti-set" are the same existential. */
+  def curationGateToParquetSigned(
+      spark: SparkSession, dir: String, indexSigned: DataFrame,
+      outPath: String,
+      numHashes: Int = 64, bands: Int = 4, threshold: Double = 0.95,
+      conf: EventStreams.StreamRunConf = EventStreams.StreamRunConf()): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val seed = indexSigned.localCheckpoint(true)
+    try {
+      val (exBands, exWh) = graft.operators.Dedup.preparedFromSigned(seed)
+      // Seed the sink with an empty frame so the read-back has a schema
+      // even if no batch produced survivors (and so outPath is a valid
+      // parquet dir from the first trigger).
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("lang", StringType))))
+        .write.mode("overwrite").parquet(outPath)
+      withStreamingShufflePartitions(spark, conf.shufflePartitions) {
+        val q = readDocumentStream(spark, dir)
+          .filter(col("doc_id") % 10 =!= 0)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val gated = batch.filter(qualityGate(col("text")))
+            val width = spark.sparkContext.defaultParallelism
+            val wide = if (gated.rdd.getNumPartitions * 2 <= width)
+              gated.repartition(width, col("doc_id")) else gated
+            val signed = graft.operators.Dedup.signDocs(
+              wide, col("text"), col("doc_id"), carry = Seq(col("lang")),
+              numHashes = numHashes, bands = bands).localCheckpoint(true)
+            try {
+              // each doc appears in exactly one micro-batch (file
+              // source), so this per-batch anti-set IS the per-doc
+              // verdict
+              graft.operators.Dedup.dedupSignedAgainstPreparedIndex(
+                  signed, exBands, exWh, threshold)
+                .join(signed.select(col("doc_id"), col("lang")),
+                  Seq("doc_id"))
+                .write.mode("append").parquet(outPath)
+            } finally { signed.unpersist(); () }
+            ()
+          }
+          .options(conf.options)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // the scale pin: the registered plan keeps NO streaming state —
+        // the verdict lives per batch, never in a state store or a
+        // memory sink
+        require(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+          "curation gate stream must be stateless (per-batch verdicts)")
+      }
+      spark.read.parquet(outPath)
+        .orderBy(col("doc_id"))
+    } finally { seed.unpersist(); () }
+  }
+
   /** Continuous-ingest curation with index MAINTENANCE — the full
     * lifecycle [[curationGateToParquet]] stops short of: each arriving
     * micro-batch is quality-gated, deduped against the PERSISTED
@@ -299,6 +377,35 @@ object DocumentStreams {
     // pre-grouped wh arrays): re-deriving wh arrays from the long format
     // would be an O(index) groupBy on EVERY micro-batch
     val (seedBands, seedWh) = graft.operators.Dedup.prepareSignatureIndex(seedIndex)
+    initCurationStorePrepared(
+      spark, seedBands, seedWh, indexPath, outPath, seedSurvivors)
+  }
+
+  /** [[initCurationStore]] for a seed already signed by
+    * [[graft.operators.Dedup.signDocs]]: the long-format route pays an
+    * |wh|-row explode and a groupBy EXCHANGE of the whole seed index
+    * just to rebuild the arrays the signing started from, and — because
+    * the two store writes evaluate their lazy inputs independently —
+    * tokenizes the seed corpus once per write. Here the signed frame is
+    * checkpointed once and both probe-layout writes are projections of
+    * it: one signing pass, zero index-shaped shuffles. Layout on disk is
+    * bit-identical (DedupSpec pins preparedFromSigned against
+    * prepareSignatureIndex∘signatureTable). */
+  private[graft] def initCurationStoreSigned(
+      spark: SparkSession, seedSigned: DataFrame,
+      indexPath: String, outPath: String,
+      seedSurvivors: Boolean = true): Unit = {
+    val seed = seedSigned.localCheckpoint(true)
+    try {
+      val (seedBands, seedWh) = graft.operators.Dedup.preparedFromSigned(seed)
+      initCurationStorePrepared(
+        spark, seedBands, seedWh, indexPath, outPath, seedSurvivors)
+    } finally { seed.unpersist(); () }
+  }
+
+  private def initCurationStorePrepared(
+      spark: SparkSession, seedBands: DataFrame, seedWh: DataFrame,
+      indexPath: String, outPath: String, seedSurvivors: Boolean): Unit = {
     seedBands.write.mode("overwrite").parquet(s"$indexPath/bands/seed")
     seedWh.write.mode("overwrite").parquet(s"$indexPath/wh/seed")
     // empty survivor seed so the read-back has a schema even if every
@@ -343,36 +450,40 @@ object DocumentStreams {
     val exWh =
       spark.read.parquet(st.entries.map(e => s"$indexPath/wh/$e"): _*)
     val gated = batch.filter(qualityGate(col("text")))
-    val survIds = graft.operators.Dedup.dedupAgainstPreparedIndex(
-      gated, exBands, exWh, col("text"), col("doc_id"),
-      numHashes, bands, threshold)
-    val kept = gated
-      .withColumn("doc_id", col("doc_id").cast("long"))
-      .join(survIds, Seq("doc_id"))
-      // sign once here so both index writes (and the survivor write)
-      // share one computed frame; the checkpoint is eager so the
-      // expensive part runs at full parallelism BEFORE the coalesce(1)
-      // writes below (coalescing a lazy frame would collapse the whole
-      // computation into one task)
-      .withColumn("wh_new",
-        array_sort(array_distinct(elementHashes(tokens(col("text"))))))
-      .select(col("doc_id"), col("lang"), col("wh_new")) // drop text
+    // Sign ONCE per batch: tokenize→hash→minhash previously evaluated
+    // three times per batch (under the probe's band side, under its
+    // word-hash join-back, and again for the index/survivor writes),
+    // because each consumer re-derived signatures from `text` in its own
+    // lazy subtree. The eager `signed` checkpoint materializes the one
+    // frame every consumer reads. Re-widen first when the file-delivered
+    // batch lost width: a micro-batch arrives with partition count = its
+    // file count, which says nothing about per-row signature cost (the
+    // q184 re-widen rule — at deployment scale batches span many splits
+    // and this is a no-op branch).
+    val width = spark.sparkContext.defaultParallelism
+    val wide = if (gated.rdd.getNumPartitions * 2 <= width)
+      gated.repartition(width, col("doc_id")) else gated
+    val signed = graft.operators.Dedup.signDocs(
+      wide, col("text"), col("doc_id"), carry = Seq(col("lang")),
+      numHashes = numHashes, bands = bands).localCheckpoint(true)
+    // the probe reads materialized arrays; the join-back attaches
+    // lang/wh/mh_bands to the survivor ids so the three writes below are
+    // cheap re-reads of THIS checkpoint, exactly as before
+    val kept = graft.operators.Dedup.dedupSignedAgainstPreparedIndex(
+        signed, exBands, exWh, threshold)
+      .join(signed, Seq("doc_id"))
       .localCheckpoint(true)
     try {
-      val rows = numHashes / bands
       val token = f"batch$batchId%05d"
       // coalesce(1): micro-batch outputs are small by definition; one
       // file per batch keeps later batches' listings (and trigger commit
       // overhead) from growing with file count. mode("overwrite") makes
       // a replay after a pre-commit crash replace partial dirs.
       kept.select(col("doc_id").as("old_id"),
-          posexplode(graft.functions.TextFunctions.lshBandHashes(
-            graft.functions.TextFunctions.minhashFromHashes(
-              col("wh_new"), numHashes), bands, rows))
-            .as(Seq("band", "bh")))
+          posexplode(col("mh_bands")).as(Seq("band", "bh")))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$indexPath/bands/$token")
-      kept.select(col("doc_id").as("old_id"), col("wh_new").as("wh_old"))
+      kept.select(col("doc_id").as("old_id"), col("wh").as("wh_old"))
         .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/wh/$token")
       kept.select(col("doc_id"), col("lang"))
         .coalesce(1).write.mode("overwrite").parquet(s"$outPath/$token")
@@ -381,7 +492,7 @@ object DocumentStreams {
           "injected crash before manifest commit")
       commitCommits(spark, indexPath,
         CommitState(st.entries :+ token, math.max(st.maxBatch, batchId)))
-    } finally kept.unpersist()
+    } finally { kept.unpersist(); signed.unpersist(); () }
   }
 
   /** Size-tiered compaction under the manifest protocol: rewrite the
@@ -443,7 +554,40 @@ object DocumentStreams {
       docsPath: String = "documents.parquet",
       streamSplit: Column = col("doc_id") % 10 =!= 0,
       compactEvery: Int = 2,
-      compactTargetBytes: Long = 128L << 20): DataFrame = {
+      compactTargetBytes: Long = 128L << 20): DataFrame =
+    runIncrementalCuration(
+      spark, dir, initCurationStore(spark, seedIndex, indexPath, outPath),
+      outPath, indexPath, batchFiles, numHashes, bands, threshold, conf,
+      docsPath, streamSplit, compactEvery, compactTargetBytes)
+
+  /** [[incrementalCurationToParquet]] with the seed given as a
+    * [[graft.operators.Dedup.signDocs]] frame instead of the long-format
+    * signature table: seeding then pays one signing pass and zero
+    * index-shaped shuffles (see [[initCurationStoreSigned]]) — the form
+    * a pipeline whose seed is a document table (rather than an exported
+    * q77-style index) should call. Everything downstream is identical. */
+  def incrementalCurationToParquetSigned(
+      spark: SparkSession, dir: String, seedSigned: DataFrame,
+      outPath: String, indexPath: String, batchFiles: Int = 3,
+      numHashes: Int = 64, bands: Int = 4, threshold: Double = 0.95,
+      conf: EventStreams.StreamRunConf = EventStreams.StreamRunConf(),
+      docsPath: String = "documents.parquet",
+      streamSplit: Column = col("doc_id") % 10 =!= 0,
+      compactEvery: Int = 2,
+      compactTargetBytes: Long = 128L << 20): DataFrame =
+    runIncrementalCuration(
+      spark, dir,
+      initCurationStoreSigned(spark, seedSigned, indexPath, outPath),
+      outPath, indexPath, batchFiles, numHashes, bands, threshold, conf,
+      docsPath, streamSplit, compactEvery, compactTargetBytes)
+
+  private def runIncrementalCuration(
+      spark: SparkSession, dir: String, initStore: => Unit,
+      outPath: String, indexPath: String, batchFiles: Int,
+      numHashes: Int, bands: Int, threshold: Double,
+      conf: EventStreams.StreamRunConf, docsPath: String,
+      streamSplit: Column, compactEvery: Int,
+      compactTargetBytes: Long): DataFrame = {
     require(batchFiles >= 1, "need at least one batch file")
     // streamSplit selects the crawl side (default: the 10%-eval split is
     // the seed corpus and never streams); both the predicate and the
@@ -451,7 +595,7 @@ object DocumentStreams {
     // at its own crawl table without editing the operator
     val docs = spark.read.parquet(s"$dir/$docsPath").filter(streamSplit)
     val streamDir = renderCrawlBatches(docs, batchFiles)
-    initCurationStore(spark, seedIndex, indexPath, outPath)
+    initStore
     val incoming = spark.readStream
       .schema(documentSchema)
       .option("maxFilesPerTrigger", 1)
@@ -544,15 +688,18 @@ object DocumentStreams {
       spark.read.parquet(st.entries.map(e => s"$indexPath/bands/$e"): _*)
     val exWh =
       spark.read.parquet(st.entries.map(e => s"$indexPath/wh/$e"): _*)
-    val survIds = graft.operators.Dedup.dedupAgainstPreparedIndex(
-      batch, exBands, exWh, col("text"), col("doc_id"),
-      numHashes, bands, threshold)
-    val kept = batch
-      .withColumn("doc_id", col("doc_id").cast("long"))
-      .join(survIds, Seq("doc_id"))
-      .withColumn("wh_new",
-        array_sort(array_distinct(elementHashes(tokens(col("text"))))))
-      .select(col("doc_id"), col("lang"), col("wh_new"))
+    // sign ONCE per batch + conditional re-widen — the
+    // [[processCurationBatch]] rule, for the same three-evaluations
+    // reason (probe band side, probe wh join-back, index writes)
+    val width = spark.sparkContext.defaultParallelism
+    val wide = if (batch.rdd.getNumPartitions * 2 <= width)
+      batch.repartition(width, col("doc_id")) else batch
+    val signed = graft.operators.Dedup.signDocs(
+      wide, col("text"), col("doc_id"), carry = Seq(col("lang")),
+      numHashes = numHashes, bands = bands).localCheckpoint(true)
+    val kept = graft.operators.Dedup.dedupSignedAgainstPreparedIndex(
+        signed, exBands, exWh, threshold)
+      .join(signed, Seq("doc_id"))
       .localCheckpoint(true)
     try {
       // 1) novel docs into the keyed store (its ledger makes a replay of
@@ -563,23 +710,19 @@ object DocumentStreams {
             .cast("int").as("shard")),
         outPath, "shard", batchId)
       // 2) their signatures into the index (manifest swap LAST)
-      val rows = numHashes / bands
       val token = f"batch$batchId%05d"
       kept.select(col("doc_id").as("old_id"),
-          posexplode(graft.functions.TextFunctions.lshBandHashes(
-            graft.functions.TextFunctions.minhashFromHashes(
-              col("wh_new"), numHashes), bands, rows))
-            .as(Seq("band", "bh")))
+          posexplode(col("mh_bands")).as(Seq("band", "bh")))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$indexPath/bands/$token")
-      kept.select(col("doc_id").as("old_id"), col("wh_new").as("wh_old"))
+      kept.select(col("doc_id").as("old_id"), col("wh").as("wh_old"))
         .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/wh/$token")
       if (failBeforeCommit)
         throw new IllegalStateException(
           "injected crash between keyed commit and manifest swap")
       commitCommits(spark, indexPath,
         CommitState(st.entries :+ token, math.max(st.maxBatch, batchId)))
-    } finally kept.unpersist()
+    } finally { kept.unpersist(); signed.unpersist(); () }
   }
 
   /** Incremental near-dup dedup with the curated corpus living in the
@@ -626,12 +769,46 @@ object DocumentStreams {
       docsPath: String = "documents.parquet",
       streamSplit: Column = col("doc_id") % 10 =!= 0,
       compactEvery: Int = 0,
-      compactTargetBytes: Long = 128L << 20): DataFrame = {
+      compactTargetBytes: Long = 128L << 20): DataFrame =
+    runIncrementalDedupToKeyed(
+      spark, dir,
+      initCurationStore(spark, seedIndex, indexPath, outPath,
+        seedSurvivors = false),
+      outPath, indexPath, batchFiles, shards, numHashes, bands, threshold,
+      conf, docsPath, streamSplit, compactEvery, compactTargetBytes)
+
+  /** [[incrementalDedupToKeyed]] with the seed given as a
+    * [[graft.operators.Dedup.signDocs]] frame — one seed signing pass,
+    * zero index-shaped shuffles (see [[initCurationStoreSigned]]);
+    * everything downstream identical. */
+  def incrementalDedupToKeyedSigned(
+      spark: SparkSession, dir: String, seedSigned: DataFrame,
+      outPath: String, indexPath: String, batchFiles: Int = 3,
+      shards: Int = 8, numHashes: Int = 64, bands: Int = 4,
+      threshold: Double = 0.95,
+      conf: EventStreams.StreamRunConf = EventStreams.StreamRunConf(),
+      docsPath: String = "documents.parquet",
+      streamSplit: Column = col("doc_id") % 10 =!= 0,
+      compactEvery: Int = 0,
+      compactTargetBytes: Long = 128L << 20): DataFrame =
+    runIncrementalDedupToKeyed(
+      spark, dir,
+      initCurationStoreSigned(spark, seedSigned, indexPath, outPath,
+        seedSurvivors = false),
+      outPath, indexPath, batchFiles, shards, numHashes, bands, threshold,
+      conf, docsPath, streamSplit, compactEvery, compactTargetBytes)
+
+  private def runIncrementalDedupToKeyed(
+      spark: SparkSession, dir: String, initStore: => Unit,
+      outPath: String, indexPath: String, batchFiles: Int,
+      shards: Int, numHashes: Int, bands: Int, threshold: Double,
+      conf: EventStreams.StreamRunConf, docsPath: String,
+      streamSplit: Column, compactEvery: Int,
+      compactTargetBytes: Long): DataFrame = {
     require(batchFiles >= 1, "need at least one batch file")
     val docs = spark.read.parquet(s"$dir/$docsPath").filter(streamSplit)
     val streamDir = renderCrawlBatches(docs, batchFiles)
-    initCurationStore(spark, seedIndex, indexPath, outPath,
-      seedSurvivors = false)
+    initStore
     val incoming = spark.readStream
       .schema(documentSchema)
       .option("maxFilesPerTrigger", 1)

@@ -438,6 +438,45 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(3L, 5L))
   }
 
+  test("signDocs: prepared layouts and verdicts match the long-format route") {
+    // the r18 sign-once devices must be BIT-IDENTICAL restatements of
+    // the signatureTable algebra — these two pins are what the
+    // scaladocs of signDocs / preparedFromSigned / initCurationStoreSigned
+    // promise
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val signed = Dedup.signDocs(
+      half, col("text"), col("doc_id"), numHashes = 64, bands = 4)
+    val (fastBands, fastWh) = Dedup.preparedFromSigned(signed)
+    val (slowBands, slowWh) = Dedup.prepareSignatureIndex(
+      Dedup.signatureTable(half, col("text"), col("doc_id"),
+        numHashes = 64, bands = 4))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(fastBands.columns.toSeq === slowBands.columns.toSeq)
+    // dataTypes only: the fast route's posexplode marks band/bh
+    // non-nullable where the long format is nullable — parquet readers
+    // normalize both to optional, and the pre-r18 PER-BATCH writes were
+    // already non-nullable posexplodes against a nullable seed
+    assert(fastBands.schema.map(_.dataType) === slowBands.schema.map(_.dataType),
+      "band layout types must match the long-format route (int band)")
+    assert(rows(fastBands) === rows(slowBands))
+    assert(fastWh.columns.toSeq === slowWh.columns.toSeq)
+    assert(rows(fastWh.selectExpr("old_id", "cast(wh_old as string)")) ===
+      rows(slowWh.selectExpr("old_id", "cast(wh_old as string)")))
+    // verdict parity of the pre-signed probe against the classic one
+    val oddIn = docs.filter(col("doc_id") % 2 === 1)
+    val keptClassic = Dedup.dedupAgainstPreparedIndex(
+        oddIn, slowBands, slowWh, col("text"), col("doc_id"),
+        numHashes = 64, bands = 4, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    val keptSigned = Dedup.dedupSignedAgainstPreparedIndex(
+        Dedup.signDocs(oddIn, col("text"), col("doc_id"),
+          numHashes = 64, bands = 4),
+        fastBands, fastWh, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptSigned === keptClassic)
+  }
+
   test("incremental dedup agrees with the symmetric pair dedup across the split") {
     // the fixture parity split: every odd doc dropped by the incremental
     // pass must ALSO appear as a dropped id in some odd-even near-dup

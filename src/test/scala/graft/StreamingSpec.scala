@@ -183,6 +183,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(streamed === batch)
     assert(streamed.nonEmpty, "fixture must keep at least one doc")
+    // the r18 signed-seed foreachBatch form must keep the identical
+    // survivor set (same algebra, signature computation shared + batch
+    // re-widened — the curationGateToParquetSigned scaladoc's parity pin)
+    val signedForm = DocumentStreams.curationGateToParquetSigned(
+      spark, sfDir,
+      Dedup.signDocs(docs.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), numHashes = 64, bands = 4),
+      java.nio.file.Files.createTempDirectory("graft-spec-curation-s").toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(signedForm === batch)
   }
 
   test("incremental curation: stream == sequential unroll; the growing index binds") {
