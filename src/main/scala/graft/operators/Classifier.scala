@@ -80,7 +80,9 @@ object Classifier {
       .select(col("cls"), col("logp").as("lp_oov"))
     val prior = model.filter(col("kind") === "prior")
       .select(col("cls"), col("logp").as("lp_prior"))
-    val perDocCls = wordRows(docs, textCol, idCol)
+    // re-widen (r18): the token explode × C crossJoin is the operator's
+    // heavy map and a single-file corpus runs it on one core otherwise
+    val perDocCls = wordRows(Dedup.rewiden(docs, idCol), textCol, idCol)
       .crossJoin(broadcast(prior.select(col("cls"))))
       .join(broadcast(obs), Seq("word", "cls"), "left")
       .join(broadcast(oov), Seq("cls"), "left")
@@ -133,7 +135,11 @@ object Classifier {
       .select(col("cls"), col("logp").as("lp_oov"))
     val prior = model.filter(col("kind") === "prior")
       .select(col("cls"), col("logp").as("lp_prior"))
-    val words = wordRows(docs, textCol, idCol)
+    // re-widened + lazily checkpointed (r18): `words` feeds the delta
+    // aggregation AND the per-doc token count — uncut, the corpus
+    // tokenized twice (the q100-audit no-ReusedExchange finding)
+    val words = wordRows(Dedup.rewiden(docs, idCol), textCol, idCol)
+      .localCheckpoint(eager = false)
     val deltasPerDoc = words
       .join(broadcast(obs), Seq("word"))
       .join(broadcast(oov), Seq("cls"))

@@ -40,6 +40,23 @@ object Dedup {
       }
   }
 
+  /** Conditional re-widen before a heavy per-row map (the q184
+    * triangleCounts device, centralized): a frame read from few files —
+    * a single fixture parquet, one crawl file per micro-batch — arrives
+    * with partition count = its split count, which says NOTHING about
+    * per-row compute cost, so a tokenize/minhash/fingerprint pass over
+    * it runs on one core while the rest idle. Repartition to the
+    * session's defaultParallelism ONLY when width was genuinely lost
+    * (count*2 <= width): at deployment scale inputs span many splits
+    * and this is a no-op branch, so the text payload is never shuffled
+    * where the scan is already wide. Hash on the id column keeps the
+    * placement deterministic under retries (guide §2.5). */
+  private[graft] def rewiden(df: DataFrame, keyCol: Column): DataFrame = {
+    val width = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= width) df.repartition(width, keyCol)
+    else df
+  }
+
   /** Exact duplicate groups by normalized-content fingerprint.
     * Output: fingerprint, n, keep_id (min id survives — the idempotent
     * replay rule, SURVEY §2.10). */
@@ -68,17 +85,25 @@ object Dedup {
     require(rows * bands == numHashes, "bands must divide numHashes")
     // hashSets: distinct xxhash64 per word — all downstream set math runs
     // on sorted long arrays, never on strings (hash collisions are
-    // negligible for jaccard estimation at 64 bits).
-    val hashSets = df.select(
+    // negligible for jaccard estimation at 64 bits). Re-widened input +
+    // LAZY checkpoint (r18): hashSets feeds FOUR subtrees (both banded
+    // self-join sides, both verify join-backs) and none shared — the
+    // q100 plan audit showed zero ReusedExchange across such copies, so
+    // the corpus was tokenized four times per run; the checkpoint
+    // materializes it on first touch and every consumer reads arrays.
+    val hashSets = rewiden(df, idCol).select(
       idCol.cast("long").as("doc_id"),
       array_sort(array_distinct(elementHashes(tokens(textCol)))).as("wh"))
+      .localCheckpoint(eager = false)
     // banded carries ONLY (doc_id, band, bandHash): the self-join and the
     // pair-dedup shuffle never move arrays, and each surviving pair is
-    // jaccard-verified exactly once.
+    // jaccard-verified exactly once. Lazily checkpointed for the same
+    // reason (both self-join sides re-derived the minhash otherwise).
     val banded = hashSets
       .withColumn("sig", minhashFromHashes(col("wh"), numHashes))
       .select(col("doc_id"),
         posexplode(lshBandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+      .localCheckpoint(eager = false)
     val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b")),
         Seq("band", "bh"))
@@ -118,12 +143,16 @@ object Dedup {
   def simhashNearDupPairs(
       df: DataFrame, textCol: Column, idCol: Column,
       maxHamming: Int = 8): DataFrame = {
-    val sigs = df.select(idCol.cast("long").as("doc_id"),
+    // re-widened + lazily checkpointed (r18): both self-join sides
+    // otherwise recompute simhash64 over the text (see
+    // [[minhashNearDupPairs]]'s rationale)
+    val sigs = rewiden(df, idCol).select(idCol.cast("long").as("doc_id"),
       simhash64(textCol).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bh")))
+      .localCheckpoint(eager = false)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bh"))
@@ -167,9 +196,13 @@ object Dedup {
       df: DataFrame, textCol: Column, idCol: Column,
       k: Int = 20, window: Int = 8, threshold: Double = 0.5,
       maxDf: Long = 256L): DataFrame = {
-    val fps = df.select(idCol.cast("long").as("doc_id"),
+    // re-widened + lazily checkpointed (r18): the winnowing fingerprint
+    // expression is the operator's dominant per-row cost and `fps` feeds
+    // the df aggregate AND the kept join (see [[minhashNearDupPairs]])
+    val fps = rewiden(df, idCol).select(idCol.cast("long").as("doc_id"),
       array_distinct(
         graft.plans.NativeExprs.winnowFingerprints(textCol, k, window)).as("fps"))
+      .localCheckpoint(eager = false)
     val index = fps
       .select(col("doc_id"), explode(col("fps")).as("fp"))
     // df via ONE hash aggregate on the fp exchange, joined straight back to
@@ -191,9 +224,12 @@ object Dedup {
     // shuffles) disappear entirely. The collected arrays are the same
     // per-doc fingerprint sets `fps` already materialized — bounded by doc
     // length / window, never corpus-cardinality.
+    // lazily checkpointed: `pruned` feeds BOTH self-join sides below, so
+    // without the cut the whole index⋈df rollup re-derives per side
     val byDoc = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_fps"),
       collect_list(when(col("df") >= 2L, col("fp"))).as("pair_fps"))
+      .localCheckpoint(eager = false)
     val pruned = byDoc.select(col("doc_id"), col("n_fps"),
       explode(col("pair_fps")).as("fp"))
     pruned.select(col("fp"), col("doc_id").as("id_a"), col("n_fps").as("n_a"))
@@ -536,7 +572,9 @@ object Dedup {
     require(hashes.size <= maxEvalGrams,
       s"eval gram set exceeds maxEvalGrams=$maxEvalGrams — " +
         "shrink the eval corpus or raise the cap")
-    train
+    // re-widen (r18): the prefilter is the operator's heavy map-only
+    // scan; a few-file train corpus otherwise runs it on one core
+    rewiden(train, idCol)
       .filter(mkPrefilter(hashes))
       .select(idCol.cast("long").as("train_id"),
         explode(array_distinct(shingles(textCol, n))).as("gram"))
@@ -673,7 +711,10 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    docs.select(Seq(idCol.cast("long").as("doc_id")) ++ carry ++ Seq(
+    // conditional re-widen lives HERE so every signing call site (seed
+    // init, micro-batches, q100's batch sides) parallelizes the same way
+    rewiden(docs, idCol)
+      .select(Seq(idCol.cast("long").as("doc_id")) ++ carry ++ Seq(
         array_sort(array_distinct(elementHashes(tokens(textCol)))).as("wh")): _*)
       .withColumn("mh_bands",
         lshBandHashes(minhashFromHashes(col("wh"), numHashes), bands, rows))
@@ -746,7 +787,7 @@ object Dedup {
       docs: DataFrame, textCol: Column, idCol: Column,
       n: Int = 8, minCount: Long = 2L, hashGrams: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val raw = docs.select(idCol.cast("long").as("doc_id"),
+    val raw = rewiden(docs, idCol).select(idCol.cast("long").as("doc_id"),
       posexplode(shingles(textCol, n)).as(Seq("pos", "gram")))
     val grams = (if (hashGrams)
         raw.select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gram"))
@@ -961,33 +1002,53 @@ object Dedup {
       maxHotShare: Double = graft.plans.JoinAdvisor.DefaultMaxHotShare)
       : (graft.plans.JoinAdvisor.JoinAdvice, DataFrame) = {
     require(k >= 1 && k <= 2, s"k=$k: deletion-neighborhood size is C(|s|,k)")
-    val base = df
-      .select(idCol.cast("long").as("eid"), strCol.as("s"))
-      .filter(col("s").isNotNull)
+    val base = baseEntities(df, strCol, idCol)
+    val keys = variantKeys(base, k)
     // hhCapacity 1024 is now the advisory-wide default (the r14 verdict
     // promoted this operator's override: a hot key is only DETECTABLE at
     // f > N/(hhCapacity+1), and at the historical cap 16 an entity
     // cluster had to exceed ~N/17 of the |corpus|·|N_k| variant frame to
     // surface at all — the AdvisedJoinProbe finding). Kept as an explicit
     // parameter here so the conf can still opt down.
+    // The advisory's EAGER sketch pass runs over the SAME lazily
+    // checkpointed variant frame the join then consumes (r18): the
+    // sketch materializes it, the self-join and the salt-path filters
+    // read arrays — the variant neighborhood is computed once per call
+    // instead of once per consumer.
     val advice = graft.plans.JoinAdvisor.adviseSelf(
-      variantKeys(base, k), col("v"),
+      keys, col("v"),
       broadcastMaxRows, skewFactor, minSaltOutputRows, maxSaltBuckets,
       hhCapacity = hhCapacity, targetPartitions = targetPartitions,
       maxHotShare = maxHotShare)
-    (advice, editDistancePairsImpl(df, strCol, idCol, k, Some(advice)))
+    (advice, pairsFromKeys(base, keys, k, Some(advice)))
   }
+
+  /** The deduplicated entity frame every fuzzy-join consumer starts
+    * from — re-widened (the heavy per-row work downstream is the
+    * deletion-neighborhood explode) and lazily checkpointed (it feeds
+    * the variant frame plus BOTH verify join-backs). */
+  private def baseEntities(
+      df: DataFrame, strCol: Column, idCol: Column): DataFrame =
+    rewiden(df, idCol)
+      .select(idCol.cast("long").as("eid"), strCol.as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint(eager = false)
 
   /** The variant-key frame the candidate self-join runs on: k=1 keeps
     * the deletion position for the completeness pruning (slot 0 = the
     * original string), k=2 explodes the unpositioned neighborhood. */
   private def variantKeys(base: DataFrame, k: Int): DataFrame =
-    if (k == 1)
+    (if (k == 1)
       base.select(col("eid"), col("s"),
         posexplode(concat(array(col("s")), deleteOne(col("s"))))
           .as(Seq("p", "v")))
     else
-      base.select(col("eid"), explode(deletionNeighborhood(col("s"), k)).as("v"))
+      base.select(col("eid"), explode(deletionNeighborhood(col("s"), k)).as("v")))
+      // lazily checkpointed (r18): BOTH self-join sides — and, in the
+      // advised form, the sketch pass and the salt path's hot/cold
+      // filters — consume this frame; uncut, each re-exploded the
+      // neighborhood (the q100-audit no-ReusedExchange finding)
+      .localCheckpoint(eager = false)
 
   /** The variant self-join under a strategy verdict, returning bare
     * (id_a, id_b) candidate pairs: `None` keeps Catalyst's static pick
@@ -1050,9 +1111,16 @@ object Dedup {
       df: DataFrame, strCol: Column, idCol: Column, k: Int,
       steer: Option[graft.plans.JoinAdvisor.JoinAdvice]): DataFrame = {
     require(k >= 1 && k <= 2, s"k=$k: deletion-neighborhood size is C(|s|,k)")
-    val base = df
-      .select(idCol.cast("long").as("eid"), strCol.as("s"))
-      .filter(col("s").isNotNull)
+    val base = baseEntities(df, strCol, idCol)
+    pairsFromKeys(base, variantKeys(base, k), k, steer)
+  }
+
+  /** Candidate generation + exact verify over prebuilt (base, keys)
+    * frames — shared by the static and advised paths so the advisory's
+    * sketch pass and the join consume ONE variant frame. */
+  private def pairsFromKeys(
+      base: DataFrame, keys: DataFrame, k: Int,
+      steer: Option[graft.plans.JoinAdvisor.JoinAdvice]): DataFrame = {
     val candidates =
       if (k == 1) {
         // position-pruned FastSS: every ed ≤ 1 pair matches in one of
@@ -1066,13 +1134,12 @@ object Dedup {
         // unpositioned variants collide across digit shifts).
         // posexplode index IS the deletion position: slot 0 carries the
         // original, slot i the deletion at i (deleteOne is 1-based)
-        variantSelfJoin(variantKeys(base, k),
+        variantSelfJoin(keys,
           col("a.eid") < col("b.eid") &&
             (col("a.p") === col("b.p") ||
               col("a.p") === 0 || col("b.p") === 0), steer)
       } else {
-        variantSelfJoin(variantKeys(base, k),
-          col("a.eid") < col("b.eid"), steer)
+        variantSelfJoin(keys, col("a.eid") < col("b.eid"), steer)
       }
     // Dedup BARE id pairs first and re-attach the strings through joins:
     // keeping the strings (and the levenshtein filter) on the candidate

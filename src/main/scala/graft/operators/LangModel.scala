@@ -30,7 +30,10 @@ object LangModel {
   def bigramRows(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val w = tokens(textCol)
     val n1 = greatest(size(w) - 1, lit(0))
-    docs.select(idCol.cast("long").as("doc_id"),
+    // re-widen (r18, Dedup.rewiden): the tokenize+zip explode is every
+    // LM consumer's heavy map and a single-file corpus runs it serially
+    Dedup.rewiden(docs, idCol)
+      .select(idCol.cast("long").as("doc_id"),
         posexplode(zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "bg")))
       .select(col("doc_id"), col("pos"),

@@ -621,10 +621,16 @@ object Multimodal {
   def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4,
       "banding recall is only exhaustive for maxHamming < bands (4)")
-    val banded = hashes.select(col("media_id"), col("kind"), col("dhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "bh")))
+    // re-widened + lazily checkpointed (r18): both self-join sides
+    // otherwise re-derive the upstream hash table — for a blob-backed
+    // `hashes` that is the whole decode+hash pass twice (the
+    // minhashNearDupPairs rationale)
+    val banded = Dedup.rewiden(hashes, col("media_id"))
+      .select(col("media_id"), col("kind"), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bh")))
+      .localCheckpoint(eager = false)
     val a = banded.select(col("kind"), col("band"), col("bh"),
       col("media_id").as("id_a"), col("dhash").as("dh_a"))
     val b = banded.select(col("kind"), col("band"), col("bh"),

@@ -65,6 +65,9 @@ object Pq {
         struct(lit(s).as("sub"),
           slice(col(embCol).cast("array<double>"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
       .select(col(idCol), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      // lazily checkpointed (r18): every Lloyd pass re-derived the
+      // explode from the training sample otherwise
+      .localCheckpoint(eager = false)
     var books: Seq[(Int, Int, Seq[Double])] =
       Similarity.seedRows(training, ksub, idCol, embCol)
         .collect().zipWithIndex.flatMap { case (r, c) =>
@@ -73,12 +76,18 @@ object Pq {
         }.toSeq
     for (_ <- 0 until iters) {
       val cbDf = spark.createDataFrame(books).toDF("sub", "code", "cw")
-      val w = Window.partitionBy(col(idCol), col("sub"))
-        .orderBy(col("__d"), col("code"))
+      // per-(vector, sub) argmin as ONE partial-aggregating min(struct)
+      // instead of the former row_number window (r18, guide §4 prefer
+      // aggregates over sorts): (__d, code) pairs are distinct within a
+      // group (one row per candidate code), so the struct min picks
+      // exactly the window's (min __d, then min code) winner and `sv`
+      // (functionally dependent on the group key) is never compared —
+      // and the map-side combine replaces a full per-iteration sort.
       val assigned = subRows.join(broadcast(cbDf), Seq("sub"))
         .withColumn("__d", round(l2Sq(col("sv"), col("cw")), 9))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+        .groupBy(col(idCol), col("sub"))
+        .agg(min(struct(col("__d"), col("code"), col("sv"))).as("w"))
+        .select(col("sub"), col("w.code").as("code"), col("w.sv").as("sv"))
       val updated: Map[(Int, Int), Seq[Double]] = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("v")).as("mu"))

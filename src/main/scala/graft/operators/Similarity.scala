@@ -411,8 +411,12 @@ object Similarity {
     val centroids = model.getOrElse(
       kmeansCentroids(corpus, nlist, iters, idCol, embCol, trainCap, corpusRows))
     requireNonZeroNormCentroids(centroids, "knnGraph")
-    val slim = corpus.select(col(idCol), col(embCol))
-      .filter(col(embCol).isNotNull)
+    // re-widen (r18, the q184 device via Dedup.rewiden): both the
+    // assignment map and the probe ranking evaluate nlist cosines per
+    // row, and a single-file corpus otherwise runs each on one core
+    val slim = Dedup.rewiden(
+      corpus.select(col(idCol), col(embCol)).filter(col(embCol).isNotNull),
+      col(idCol))
     val lists = assignToCentroids(slim, centroids, idCol, embCol)
     val probeEntries = array(centroids.sortBy(_._1).map { case (cid, ctr) =>
       struct(

@@ -2541,15 +2541,23 @@ object RelationalQueries extends QueryPack {
     "q203_fk_audit",
     (s, dir) => {
       val t = Tables(s, dir)
+      // One lazy aggregate per edge, unioned into a SINGLE job (r18):
+      // the former shape ran TEN sequential driver-side count() actions
+      // (orphan count + row count per edge), serializing ten jobs where
+      // one suffices and leaving the cluster idle between them (guide
+      // §1.2-1 / §2.6). The left-join-count form is exact because the
+      // parent side is key-distinct by construction (distinct() below),
+      // so join cardinality == child cardinality and a null hit IS the
+      // left_anti verdict.
       def audit(name: String, child: DataFrame, ck: String,
-          parent: DataFrame, pk: String) = {
-        val orphans = child.select(col(ck).as("k"))
-          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
-          .count()
-        val rows = child.count()
-        (name, rows, orphans)
-      }
-      val rows = Seq(
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")).distinct()
+            .withColumn("__hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("child_rows"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("orphans"))
+          .select(lit(name).as("fk_edge"), col("child_rows"), col("orphans"))
+      Seq(
         audit("lineitem->orders", t.lineitem, "l_orderkey",
           t.orders, "o_orderkey"),
         audit("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
@@ -2559,8 +2567,7 @@ object RelationalQueries extends QueryPack {
           t.customer, "c_custkey"),
         audit("customer->nation", t.customer, "c_nationkey",
           t.nation, "n_nationkey"))
-      import s.implicits._
-      rows.toDF("fk_edge", "child_rows", "orphans")
+        .reduce(_.unionByName(_))
         .orderBy(col("fk_edge"))
     },
     Some("""SELECT 'customer->nation' AS fk_edge,

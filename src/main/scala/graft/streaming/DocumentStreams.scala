@@ -194,11 +194,8 @@ object DocumentStreams {
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val gated = batch.filter(qualityGate(col("text")))
-            val width = spark.sparkContext.defaultParallelism
-            val wide = if (gated.rdd.getNumPartitions * 2 <= width)
-              gated.repartition(width, col("doc_id")) else gated
             val signed = graft.operators.Dedup.signDocs(
-              wide, col("text"), col("doc_id"), carry = Seq(col("lang")),
+              gated, col("text"), col("doc_id"), carry = Seq(col("lang")),
               numHashes = numHashes, bands = bands).localCheckpoint(true)
             try {
               // each doc appears in exactly one micro-batch (file
@@ -455,16 +452,10 @@ object DocumentStreams {
     // word-hash join-back, and again for the index/survivor writes),
     // because each consumer re-derived signatures from `text` in its own
     // lazy subtree. The eager `signed` checkpoint materializes the one
-    // frame every consumer reads. Re-widen first when the file-delivered
-    // batch lost width: a micro-batch arrives with partition count = its
-    // file count, which says nothing about per-row signature cost (the
-    // q184 re-widen rule — at deployment scale batches span many splits
-    // and this is a no-op branch).
-    val width = spark.sparkContext.defaultParallelism
-    val wide = if (gated.rdd.getNumPartitions * 2 <= width)
-      gated.repartition(width, col("doc_id")) else gated
+    // frame every consumer reads; signDocs itself re-widens a
+    // file-thin batch before the signature map (the q184 rule).
     val signed = graft.operators.Dedup.signDocs(
-      wide, col("text"), col("doc_id"), carry = Seq(col("lang")),
+      gated, col("text"), col("doc_id"), carry = Seq(col("lang")),
       numHashes = numHashes, bands = bands).localCheckpoint(true)
     // the probe reads materialized arrays; the join-back attaches
     // lang/wh/mh_bands to the survivor ids so the three writes below are
@@ -688,14 +679,11 @@ object DocumentStreams {
       spark.read.parquet(st.entries.map(e => s"$indexPath/bands/$e"): _*)
     val exWh =
       spark.read.parquet(st.entries.map(e => s"$indexPath/wh/$e"): _*)
-    // sign ONCE per batch + conditional re-widen — the
-    // [[processCurationBatch]] rule, for the same three-evaluations
-    // reason (probe band side, probe wh join-back, index writes)
-    val width = spark.sparkContext.defaultParallelism
-    val wide = if (batch.rdd.getNumPartitions * 2 <= width)
-      batch.repartition(width, col("doc_id")) else batch
+    // sign ONCE per batch — the [[processCurationBatch]] rule, for the
+    // same three-evaluations reason (probe band side, probe wh
+    // join-back, index writes); signDocs re-widens a file-thin batch
     val signed = graft.operators.Dedup.signDocs(
-      wide, col("text"), col("doc_id"), carry = Seq(col("lang")),
+      batch, col("text"), col("doc_id"), carry = Seq(col("lang")),
       numHashes = numHashes, bands = bands).localCheckpoint(true)
     val kept = graft.operators.Dedup.dedupSignedAgainstPreparedIndex(
         signed, exBands, exWh, threshold)
