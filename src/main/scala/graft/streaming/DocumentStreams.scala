@@ -395,8 +395,16 @@ object DocumentStreams {
     val seed = seedSigned.localCheckpoint(true)
     try {
       val (seedBands, seedWh) = graft.operators.Dedup.preparedFromSigned(seed)
+      // coalesce(1): the per-batch token convention applied to the seed.
+      // The signing ran wide in the eager checkpoint above; uncoalesced,
+      // a re-widened seed lands one file PER PARTITION and every later
+      // micro-batch re-lists and re-opens the whole seed store. Safe
+      // here precisely because the inputs are materialized arrays (the
+      // legacy long-format path stays uncoalesced — its frames are lazy
+      // and a coalesce(1) would serialize the seed signing itself).
       initCurationStorePrepared(
-        spark, seedBands, seedWh, indexPath, outPath, seedSurvivors)
+        spark, seedBands.coalesce(1), seedWh.coalesce(1),
+        indexPath, outPath, seedSurvivors)
     } finally { seed.unpersist(); () }
   }
 
