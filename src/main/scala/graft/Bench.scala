@@ -1077,9 +1077,30 @@ object Bench {
       val cd = priorMins.getOrElse(sk + CtxDiskSuffix, -1.0)
       "\"" + sk + "\":" + f"[$cp%.2f,$cd%.2f]"
     }.mkString("{", ",", "}")
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_disk_healthy_ref":${f"$priorDiskCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"cpu_inflation":${f"$cpuInflation%.2f"},"disk_inflation":${f"$diskInflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"canary_disk_sec":[${f"$canaryDiskStart%.3f"},${f"$canaryDiskEnd%.3f"},${f"$canaryDiskAdj%.3f"}],"flag_disk":$flagDiskJson,"flag_par":$flagParJson,"flag_affinity":$flagAffJson,"flag_inflation":$flagInflJson,"flag_anchor_ctx":$flagCtxJson,"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}"""
     println(s"""{"metric":"bench_detail","unit":"sec","sf":"$sfDir","reps":$reps,"rep_format":["sec","loadavg_1m","gc_sec"],"spread_limit":$spreadLimit,"canary_ms":$canaryJson,"bytes_format":["shuffle_read","shuffle_write","spill"],"bytes":$bytesJson,"queries_full":$qs,"reps_raw":$raw}""")
     println(s"""{"metric":"bench_queries","unit":"sec","sf":"$sfDir","queries":$qsShort}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${names.size},"reruns_used":${rerunBudget - rerunsLeft},"prior_matched":$priorMatched,"top_decile_cutoff":$topDecileCutoff,"excluded":$excludedJson,"seeded":$seededJson,"contended":$contendedJson,"regressed":$regressedJson,"regressed_noisy":$regressedNoisyJson,"canary_healthy_ref":${f"$priorCanary%.2f"},"canary_disk_healthy_ref":${f"$priorDiskCanary%.2f"},"host_inflation":${f"$inflation%.2f"},"cpu_inflation":${f"$cpuInflation%.2f"},"disk_inflation":${f"$diskInflation%.2f"},"canary_par_adj":${f"$canaryParAdj%.2f"},"canary_disk_sec":[${f"$canaryDiskStart%.3f"},${f"$canaryDiskEnd%.3f"},${f"$canaryDiskAdj%.3f"}],"flag_disk":$flagDiskJson,"flag_par":$flagParJson,"flag_affinity":$flagAffJson,"flag_inflation":$flagInflJson,"flag_anchor_ctx":$flagCtxJson,"bytes_regressed":$bytesRegressed,"top_shuffle":$topShuffleJson,"canary_par_sec":$canaryPar}""")
+    println(totalLine)
+    // DRIVER-PARSEABLE SUMMARY FILE (r18 verdict item 2): every
+    // BENCH_r*.json since r01 carries `parsed: null` — the stdout JSON
+    // line arrives sbt-decorated (`[info] {...}`) and the stored tail
+    // truncates the per-query line, so the PERF per-query/scaling
+    // tables have never populated. The same record, with the
+    // full-precision per-query map folded into the contract's
+    // `queries` key, lands in a plain file the driver/judge can read.
+    // Additions-only: stdout is unchanged, seconds are the same values.
+    try {
+      val summary = totalLine.patch(totalLine.lastIndexOf('}'),
+        s""","queries":$qs,"bytes":$bytesJson}""", 1)
+      val target = java.nio.file.Paths.get("bench_summary.json").toAbsolutePath
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, "bench_summary", ".tmp")
+      java.nio.file.Files.write(tmp,
+        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -63,6 +63,9 @@ object JobProbe {
       var dt = 0.0
       var wall0 = 0L
       for (r <- 1 to reps) {
+        // drain before clearing so in-flight events from the prior rep
+        // cannot land in (and pollute) the fresh ledger (r18 ADVICE)
+        org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
         jobs.synchronized { jobs.clear(); stageToJob.clear() }
         wall0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
@@ -71,7 +74,9 @@ object JobProbe {
         dt = (System.nanoTime() - t0) / 1e9
         println(f"[jobprobe] $name rep $r: $dt%.3f s")
       }
-      Thread.sleep(500) // let the listener bus drain the final job events
+      // drain the listener bus (r18 ADVICE: a fixed sleep raced late
+      // onTaskEnd/onJobEnd events and undercounted task/byte metrics)
+      org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
       println(f"[jobprobe] $name total $dt%.3f s, ${jobs.size} jobs")
       jobs.synchronized {
         jobs.values.foreach { j =>

@@ -17,6 +17,19 @@ import graft.functions.TextFunctions._
   *
   * All signature math is built-in-expression columns (TextFunctions) —
   * codegen'd, no UDFs, deterministic salts.
+  *
+  * FAULT-TOLERANCE NOTE on the internal lazy `localCheckpoint`s
+  * (hashSets/banded, sigs' banded, winnow fps/byDoc, duplicateSpans
+  * grams, baseEntities, and the Pq/Classifier/LangModel/Multimodal
+  * siblings): a localCheckpoint trades lineage for executor block
+  * storage — it shares a heavy subtree across consumers WITHIN one
+  * execution, but the blocks are documented-unrecoverable on executor
+  * loss and linger until the RDD is GC'd. On the fixture harness that
+  * is the right trade everywhere it is used; a long-lived cluster
+  * deployment with dynamic allocation or preemption should flip these
+  * to reliable checkpoints (or persist(DISK_ONLY) with explicit
+  * unpersist) — the same trade Graph.scala's scaladoc documents for
+  * its eager checkpoints.
   */
 object Dedup {
 
@@ -50,10 +63,42 @@ object Dedup {
     * (count*2 <= width): at deployment scale inputs span many splits
     * and this is a no-op branch, so the text payload is never shuffled
     * where the scan is already wide. Hash on the id column keeps the
-    * placement deterministic under retries (guide §2.5). */
+    * placement deterministic under retries (guide §2.5).
+    *
+    * Two gates in front of the probe (r19, closing the r18 regressions):
+    *  - PLAN gate: probe and repartition only SCAN-ROOTED frames
+    *    (leaf + Project/Filter). On anything holding a join/aggregate,
+    *    `.rdd` under AQE eagerly executes every upstream shuffle stage
+    *    at DataFrame-CONSTRUCTION time and the work is discarded when
+    *    the repartitioned frame re-plans (the r18 ADVICE finding —
+    *    q125/q152 paid the whole quality+dedup subtree twice through
+    *    the contamination prefilter's re-widen). Such frames keep their
+    *    existing width: a post-shuffle frame already has it.
+    *  - SIZE gate: the exchange only pays when it buys parallelism
+    *    worth more than its own scheduling cost (guide §2.5 — "only pay
+    *    an exchange that buys parallelism"). Below
+    *    `spark.graft.rewiden.minBytes` (plan-stats estimate, default
+    *    256 KiB of source data) the serial map is cheaper than 32 tiny
+    *    tasks plus an exchange — the r18 q231 regression re-widened a
+    *    1.9k-row corpus into 60-row tasks across every consumer of the
+    *    salted join. At deployment scale any real corpus clears the
+    *    default; the conf exists for operators over unusually narrow
+    *    projections, not for cluster tuning. */
   private[graft] def rewiden(df: DataFrame, keyCol: Column): DataFrame = {
-    val width = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= width) df.repartition(width, keyCol)
+    import org.apache.spark.sql.catalyst.plans.logical
+    val spark = df.sparkSession
+    val width = spark.sparkContext.defaultParallelism
+    val plan = df.queryExecution.optimizedPlan
+    def scanRooted(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.LeafNode => true
+      case pr: logical.Project => scanRooted(pr.child)
+      case f: logical.Filter => scanRooted(f.child)
+      case _ => false
+    }
+    val minBytes = BigInt(spark.conf.get(
+      "spark.graft.rewiden.minBytes", (256L * 1024).toString).toLong)
+    if (!scanRooted(plan) || plan.stats.sizeInBytes < minBytes) df
+    else if (df.rdd.getNumPartitions * 2 <= width) df.repartition(width, keyCol)
     else df
   }
 
@@ -1036,19 +1081,23 @@ object Dedup {
 
   /** The variant-key frame the candidate self-join runs on: k=1 keeps
     * the deletion position for the completeness pruning (slot 0 = the
-    * original string), k=2 explodes the unpositioned neighborhood. */
+    * original string), k=2 explodes the unpositioned neighborhood.
+    *
+    * Deliberately NOT checkpointed (r19, reverting the r18 cut): the
+    * explode multiplies `base` ~|s|× (every consumer of the r18
+    * checkpoint re-READ a ~42 MB materialized neighborhood where the
+    * map-only re-explode of the ~1 MB checkpointed base costs less —
+    * guide §5: cache only when recompute beats the re-read; q224
+    * measured 2.55 → 3.34 s under the materialized form). Each
+    * consumer re-derives the explode from [[baseEntities]]' checkpoint,
+    * so the corpus is still scanned exactly once. */
   private def variantKeys(base: DataFrame, k: Int): DataFrame =
-    (if (k == 1)
+    if (k == 1)
       base.select(col("eid"), col("s"),
         posexplode(concat(array(col("s")), deleteOne(col("s"))))
           .as(Seq("p", "v")))
     else
-      base.select(col("eid"), explode(deletionNeighborhood(col("s"), k)).as("v")))
-      // lazily checkpointed (r18): BOTH self-join sides — and, in the
-      // advised form, the sketch pass and the salt path's hot/cold
-      // filters — consume this frame; uncut, each re-exploded the
-      // neighborhood (the q100-audit no-ReusedExchange finding)
-      .localCheckpoint(eager = false)
+      base.select(col("eid"), explode(deletionNeighborhood(col("s"), k)).as("v"))
 
   /** The variant self-join under a strategy verdict, returning bare
     * (id_a, id_b) candidate pairs: `None` keeps Catalyst's static pick
@@ -1074,6 +1123,21 @@ object Dedup {
     val cond = col("a.v") === col("b.v") && residual
     def pairs(j: DataFrame): DataFrame =
       j.select(col("a.eid").as("id_a"), col("b.eid").as("id_b"))
+    // WIDTH-PIN on the collision-probe stage (r19 — the Graph.scala
+    // q184 device applied to a join): the probe's per-row cost is
+    // |variant block|-proportional — CPU-heavy out of all proportion to
+    // its ~40-byte rows — and AQE's byte-based coalescing sizes the
+    // post-shuffle stage by BYTES, serializing the probe onto 2 tasks
+    // at fixture scale (q224's 2×1.1 s two-task jobs in the r19 probe)
+    // and onto straggler-sized tasks at any scale. An explicit
+    // numPartitions repartition on the equi-key is exempt from AQE
+    // coalescing, and the join reuses it (hash partitioning on the
+    // equi-keys satisfies the join's required distribution), so the pin
+    // costs ZERO extra exchanges. Try-parsed width as in Graph.scala.
+    val width = scala.util.Try(keys.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").trim.toInt).getOrElse(0)
+    def widen(df: DataFrame, ks: Column*): DataFrame =
+      if (width > 0) df.repartition(width, ks: _*) else df
     steer.map(_.strategy).getOrElse("static") match {
       case "broadcast" =>
         pairs(keys.as("a").join(broadcast(keys.as("b")), cond))
@@ -1085,6 +1149,9 @@ object Dedup {
         val isHot = col("v").isin(hot: _*)
         val hotKeysDf = keys.filter(isHot)
         val coldKeysDf = keys.filter(!isHot)
+        // the hot leg pins on (v, __salt) — pinning on v alone would
+        // satisfy the join's distribution and SKIP the salt exchange,
+        // re-concentrating the hot block the salt exists to spread
         val salted = hotKeysDf.withColumn("__salt",
           pmod(xxhash64(col("eid")), lit(buckets)).cast("int"))
         val replicated = hotKeysDf.withColumn("__salt",
@@ -1096,14 +1163,17 @@ object Dedup {
         // advisory. The hint pins the shuffled hash join the verdict
         // means, at every scale — on the cold leg too (its sides are
         // past broadcast at that scale by the same verdict).
-        val hotJoin = salted.as("a").hint("shuffle_hash")
-          .join(replicated.as("b"),
+        val hotJoin = widen(salted, col("v"), col("__salt")).as("a")
+          .hint("shuffle_hash")
+          .join(widen(replicated, col("v"), col("__salt")).as("b"),
             cond && col("a.__salt") === col("b.__salt"))
-        val coldJoin = coldKeysDf.as("a").hint("shuffle_hash")
-          .join(coldKeysDf.as("b"), cond)
+        val coldJoin = widen(coldKeysDf, col("v")).as("a")
+          .hint("shuffle_hash")
+          .join(widen(coldKeysDf, col("v")).as("b"), cond)
         pairs(hotJoin).unionAll(pairs(coldJoin))
       case _ =>
-        pairs(keys.as("a").join(keys.as("b"), cond))
+        pairs(widen(keys, col("v")).as("a")
+          .join(widen(keys, col("v")).as("b"), cond))
     }
   }
 
@@ -1147,7 +1217,26 @@ object Dedup {
     // variant join's residual — the DP then runs per raw variant
     // COLLISION (each pair shares several variants) instead of once per
     // pair, which measured ~3× slower on the q143 fixture.
-    candidates
+    // Width-pin on the dedup + verify stages (see variantSelfJoin for
+    // the device): the final distinct and the per-pair levenshtein +
+    // string join-backs are CPU-bound per row, and AQE's byte-based
+    // coalescing otherwise serializes BOTH onto 2 tasks (two sequential
+    // ~1.1-1.4 s two-task jobs in the r19 q143/q224 probes — 2/3 of
+    // each query; pinning only the post-distinct side measured 4.0 s vs
+    // 1.45 s for this form). The pin sits BEFORE the distinct: the
+    // repartition's partitioning satisfies the aggregate's required
+    // distribution, so the distinct collapses onto the pinned stage and
+    // the broadcast verify joins inherit its width. Bytes: the pinned
+    // exchange carries raw candidates where the old exchange carried
+    // map-side-deduped ones — on the position-pruned k=1 path that is
+    // a ~20% difference (2.8 vs 2.3 MB measured), and exact-dup-first
+    // discipline (see the operator scaladoc) bounds per-pair candidate
+    // multiplicity at every scale.
+    val width = scala.util.Try(base.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").trim.toInt).getOrElse(0)
+    (if (width > 0)
+      candidates.repartition(width, col("id_a"), col("id_b"))
+    else candidates)
       .distinct()
       .join(base.select(col("eid").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(base.select(col("eid").as("id_b"), col("s").as("s_b")), Seq("id_b"))

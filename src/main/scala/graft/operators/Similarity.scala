@@ -536,14 +536,31 @@ object Similarity {
             "knnGraphTail salts on the int cid key; advisory contract " +
             "violation or non-int key reuse")
         val isHot = col("cid").isin(hot: _*)
-        val hotProbes = srcProbes.filter(isHot).withColumn("__salt",
-          pmod(xxhash64(col("src_id")), lit(buckets)).cast("int"))
-        val hotLists = lists.filter(isHot).withColumn("__salt",
-          explode(array((0 until buckets).map(lit): _*)))
+        // WIDTH-PIN on the salted join (r19 — the Graph.scala q184
+        // device; same fix as Dedup.variantSelfJoin): the candidate
+        // join's INPUT is key-sized (tiny bytes) while its OUTPUT is
+        // the |hot list|×|hot probes| explosion the salt exists to
+        // spread — AQE's byte-based coalescing saw 0.2 MB of input and
+        // merged the salt buckets back onto ONE task (q231's whole
+        // cost was a single 2.9 s one-task join+window job in the r19
+        // probe). An explicit-numPartitions repartition on the salt
+        // keys is exempt from coalescing and the join reuses it — zero
+        // extra exchanges; the cold leg pins on cid alone.
+        val width = scala.util.Try(lists.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").trim.toInt).getOrElse(0)
+        def widen(df: DataFrame, ks: Column*): DataFrame =
+          if (width > 0) df.repartition(width, ks: _*) else df
+        val hotProbes = widen(srcProbes.filter(isHot).withColumn("__salt",
+          pmod(xxhash64(col("src_id")), lit(buckets)).cast("int")),
+          col("cid"), col("__salt"))
+        val hotLists = widen(lists.filter(isHot).withColumn("__salt",
+          explode(array((0 until buckets).map(lit): _*))),
+          col("cid"), col("__salt"))
         val hotJoin = hotProbes.hint("shuffle_hash")
           .join(hotLists, Seq("cid", "__salt")).drop("__salt")
-        val coldJoin = srcProbes.filter(!isHot).hint("shuffle_hash")
-          .join(lists.filter(!isHot), Seq("cid"))
+        val coldJoin = widen(srcProbes.filter(!isHot), col("cid"))
+          .hint("shuffle_hash")
+          .join(widen(lists.filter(!isHot), col("cid")), Seq("cid"))
         hotJoin.unionByName(coldJoin)
       case _ =>
         lists.join(srcProbes, Seq("cid"))

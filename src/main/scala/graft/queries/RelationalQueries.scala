@@ -2555,7 +2555,11 @@ object RelationalQueries extends QueryPack {
           .join(parent.select(col(pk).as("k")).distinct()
             .withColumn("__hit", lit(1)), Seq("k"), "left")
           .agg(count(lit(1)).as("child_rows"),
-            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("orphans"))
+            // coalesce (r18 ADVICE): sum over ZERO rows is NULL where
+            // the old count()-based form returned 0 — an empty child
+            // table must keep reporting 0 orphans, not NULL
+            coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("orphans"))
           .select(lit(name).as("fk_edge"), col("child_rows"), col("orphans"))
       Seq(
         audit("lineitem->orders", t.lineitem, "l_orderkey",

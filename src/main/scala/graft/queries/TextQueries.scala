@@ -1434,15 +1434,24 @@ object TextQueries extends QueryPack {
       val docs = Tables(s, dir).documents
       val train = docs.filter(col("doc_id") % 10 =!= 0)
       val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      // body-level lazy checkpoints (r19, the deferred r18 item): the
+      // gate+fingerprint subtree fed FOUR consumers (keep, the semi
+      // join, the contamination prefilter, the final anti-join), each
+      // re-scanning documents and re-evaluating gopherQuality — 8 scans
+      // in the r18 plan. `quality` materializes the gate once;
+      // `deduped` materializes the survivor join once for the two
+      // downstream stages (guide §1.2-1 / §2.4 share-don't-recompute).
       val quality = train
         .withColumn("g", gopherQuality(col("text")))
         .filter(col("g.n_words") >= 30 && col("g.mean_word_len") <= 10 &&
           col("g.symbol_ratio") <= 0.1 && col("g.alpha_word_frac") >= 0.8)
         .drop("g")
+        .localCheckpoint(eager = false)
       val keep = graft.operators.Dedup.exactDupGroups(
           quality, col("text"), col("doc_id"))
         .select(col("keep_id").as("doc_id"))
       val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
+        .localCheckpoint(eager = false)
       val flagged = graft.operators.Dedup.contaminationScanFirst(
           deduped, evalDocs, col("text"), col("doc_id"), n = 8)
         .select(col("train_id").as("doc_id"))
@@ -1488,11 +1497,15 @@ object TextQueries extends QueryPack {
       val docs = Tables(s, dir).documents
       val train = docs.filter(col("doc_id") % 10 =!= 0)
       val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      // body-level lazy checkpoint (r19, see q125): `labeled` feeds the
+      // keep aggregate, the semi join AND the final attribution join —
+      // uncut, each re-ran the gopher gate over its own scan.
       val labeled = train.withColumn("g", gopherQuality(col("text")))
         .withColumn("gate_ok",
           col("g.n_words") >= 30 && col("g.mean_word_len") <= 10 &&
             col("g.symbol_ratio") <= 0.1 && col("g.alpha_word_frac") >= 0.8)
         .drop("g")
+        .localCheckpoint(eager = false)
       val gated = labeled.filter(col("gate_ok"))
       val keep = graft.operators.Dedup.exactDupGroups(
           gated, col("text"), col("doc_id"))

@@ -1134,13 +1134,12 @@ object VectorQueries extends QueryPack {
         model = Some(sharedCentroids(s, dir)))
       require(advice.strategy == "broadcast",
         s"dimension-sized list side must advise broadcast: $advice")
-      val res = edges
-      val cidJoins = res.queryExecution.executedPlan.toString
-        .linesIterator.filter(l => l.contains("Join") && l.contains("cid#"))
-        .mkString("\n")
-      require(cidJoins.contains("BroadcastHashJoin"),
-        s"executed candidate join must match the advisory:\n$cidJoins")
-      res
+      // the executed-plan pin (candidate join IS a BroadcastHashJoin)
+      // lives in SimilaritySpec ("q230/q231 operating points execute
+      // their advised plans") — materializing executedPlan.toString
+      // here paid a full extra physical planning + plan render inside
+      // the bench's timed region every rep (r18 verdict item 8)
+      edges
     },
     Some(knnGraphOracleSql))
 
@@ -1191,15 +1190,10 @@ object VectorQueries extends QueryPack {
         s"a dominant IVF list at 200k-partition fair share must salt: $advice")
       require(advice.hotKeys.contains("0"),
         s"the folded direction's cid 0 must be MG-named hot: $advice")
-      val res = edges
-      val cidJoins = res.queryExecution.executedPlan.toString
-        .linesIterator.filter(l => l.contains("Join") && l.contains("cid#"))
-        .mkString("\n")
-      require(cidJoins.contains("__salt"),
-        s"executed candidate join must carry the salt key:\n$cidJoins")
-      require(!cidJoins.contains("BroadcastHashJoin"),
-        s"salted join must not broadcast a past-dimension side:\n$cidJoins")
-      res
+      // the executed-plan pins (__salt carried, no BroadcastHashJoin)
+      // live in SimilaritySpec ("q230/q231 operating points execute
+      // their advised plans") — see q230 for the r18 verdict rationale
+      edges
     },
     Some("""WITH v AS (SELECT c_custkey AS vec_id,
         CASE WHEN c_custkey % 5 <> 0 THEN CAST(1 AS DOUBLE)
